@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness compare.
+
+Usage: python3 scripts/check.py [sfdir] [verify_out]
+
+Loads each Spark result parquet written by graft.Verify, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the same sf tables, sorts
+columns by name (driver semantics) and compares cell-exact, both in given
+row order and row-sorted.
+"""
+import sys, json, glob, os
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output");  n_bad += 1; continue
+        try:
+            sdf = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+            odf = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_bad += 1; continue
+        sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+        odf = odf.reindex(sorted(odf.columns), axis=1)
+        if list(sdf.columns) != list(odf.columns):
+            print(f"FAIL {name}: cols spark={list(sdf.columns)} oracle={list(odf.columns)}")
+            n_bad += 1; continue
+        if len(sdf) != len(odf):
+            print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
+            n_bad += 1; continue
+        # compare as-is order (queries ORDER BY a unique key on both sides)
+        mism = []
+        for c in sdf.columns:
+            a, b = sdf[c].tolist(), odf[c].tolist()
+            if a != b:
+                for i, (x, y) in enumerate(zip(a, b)):
+                    if x != y and not (x is None and y is None):
+                        mism.append((c, i, x, y)); break
+        if mism:
+            print(f"FAIL {name}: first mismatches {mism[:3]}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(sdf)} rows)")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail ==")
+    sys.exit(1 if n_bad else 0)
+
+if __name__ == "__main__":
+    main()

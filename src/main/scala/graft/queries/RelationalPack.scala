@@ -1,0 +1,434 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator coverage: scan→filter→project (reference S1/S3,
+  * `/root/reference/task.ts:398-418`), aggregation, joins incl. the
+  * semi/anti forms underlying the upsert split (J1, `task.ts:235-350`),
+  * per-group top-k (the QueryTopFeatures strategy S2, `task.ts:16-19,400`),
+  * sort/limit, set ops, rollup, scalar function inventory (§2.7).
+  *
+  * Scale notes (100 TB): all plans are shuffle-planar — filters and column
+  * pruning reach the parquet scan; small dims (region/nation/supplier/
+  * customer) are broadcast; aggregations are partial (map-side combine)
+  * before the key shuffle; no driver-side collection anywhere.
+  */
+object RelationalPack extends QueryPack {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+
+  override def queries: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- q1
+    Q(
+      "q1_pricing_summary",
+      (s, d) => {
+        li(s, d)
+          .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))
+              .cast("double").as("sum_disc_price"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_extendedprice")).as("avg_price"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+             |  COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      doc = "TPC-H Q1-style full-scan aggregate; partial agg before 6-group shuffle"
+    ),
+    // ---------------------------------------------------------------- q2
+    Q(
+      "q2_filter_project",
+      (s, d) =>
+        li(s, d)
+          .filter(
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-04-01").cast("timestamp") &&
+              col("l_quantity") < 10
+          )
+          .select(
+            col("l_orderkey"),
+            col("l_linenumber"),
+            col("l_partkey"),
+            col("l_quantity"),
+            col("l_extendedprice")
+          )
+          .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+             |  AND l_quantity < 10
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      doc = "predicate+projection pushdown to parquet (reference S3 server-side where)"
+    ),
+    // ---------------------------------------------------------------- q3
+    Q(
+      "q3_shipping_priority",
+      (s, d) => {
+        val c = cust(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = ord(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = li(s, d).filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))
+              .cast("double").as("revenue")
+          )
+          .select(
+            col("l_orderkey"),
+            col("revenue"),
+            fts(col("o_orderdate")).as("o_orderdate"),
+            col("o_orderpriority")
+          )
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+             |  o_orderpriority
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey
+             |LIMIT 10""".stripMargin),
+      doc = "3-way join, broadcast dim, agg, top-10; AQE picks broadcast for orders side at small SF"
+    ),
+    // ---------------------------------------------------------------- q5
+    Q(
+      "q5_local_supplier_volume",
+      (s, d) => {
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val n = Tables.nation(s, d)
+        val sup = Tables.supplier(s, d)
+        val c = cust(s, d)
+        val o = ord(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+        )
+        li(s, d)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(
+            broadcast(sup),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey")
+          )
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))
+              .cast("double").as("revenue")
+          )
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer, orders, lineitem, supplier, nation, region
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY n_name
+             |ORDER BY revenue DESC, n_name""".stripMargin),
+      doc = "TPC-H Q5: 6-way star join; all dims broadcast, one fact shuffle"
+    ),
+    // ---------------------------------------------------------------- q6
+    Q(
+      "q6_forecast_revenue",
+      (s, d) =>
+        li(s, d)
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24
+          )
+          .agg(
+            sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+              .cast("double").as("revenue")
+          ),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |  AND l_quantity < 24""".stripMargin),
+      doc = "TPC-H Q6: selective scan, scalar aggregate, no shuffle beyond final reduce"
+    ),
+    // ---------------------------------------------------------------- q7 semi
+    Q(
+      "q7_semi_join",
+      (s, d) => {
+        val open = ord(s, d).filter(col("o_orderstatus") === "P")
+        cust(s, d)
+          .join(open.select(col("o_custkey")), col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment
+             |FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin),
+      doc = "EXISTS as left_semi — the 'update' branch of the upsert split (J1)"
+    ),
+    // ---------------------------------------------------------------- q8 anti
+    Q(
+      "q8_anti_join",
+      (s, d) =>
+        cust(s, d)
+          .join(
+            ord(s, d).filter(col("o_orderstatus") === "P").select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"),
+            "left_anti"
+          )
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey, c_name, c_acctbal
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+             |ORDER BY c_custkey""".stripMargin),
+      doc = "NOT EXISTS as left_anti — the 'insert' branch of the upsert split (J1)"
+    ),
+    // ---------------------------------------------------------------- q9 topk/group
+    Q(
+      "q9_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        ord(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 2
+             |ORDER BY o_custkey, rn""".stripMargin),
+      doc = "per-group top-k — reference S2 QueryTopFeatures (`task.ts:16-19,400`) done engine-side"
+    ),
+    // ---------------------------------------------------------------- q10 distinct
+    Q(
+      "q10_distinct",
+      (s, d) =>
+        li(s, d)
+          .select(col("l_returnflag"), col("l_linestatus"))
+          .distinct()
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      doc = "distinct = partial-agg shuffle on the pair key"
+    ),
+    // ---------------------------------------------------------------- q11 set ops
+    Q(
+      "q11_union_distinct",
+      (s, d) => {
+        val p = Tables.part(s, d)
+        val big = p.filter(col("p_size") >= 48).select(col("p_partkey"))
+        val costly = p.filter(col("p_retailprice") > 1900.0).select(col("p_partkey"))
+        big.union(costly).distinct().orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey FROM part WHERE p_size >= 48
+             |UNION
+             |SELECT p_partkey FROM part WHERE p_retailprice > 1900.0
+             |ORDER BY p_partkey""".stripMargin),
+      doc = "UNION (distinct) of two filtered scans"
+    ),
+    // ---------------------------------------------------------------- q12 rollup
+    Q(
+      "q12_rollup",
+      (s, d) =>
+        li(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n"),
+            grouping(col("l_returnflag")).as("g_rf"),
+            grouping(col("l_linestatus")).as("g_ls")
+          )
+          .select(
+            when(col("g_rf") === 1, lit("ALL")).otherwise(col("l_returnflag")).as("returnflag"),
+            when(col("g_ls") === 1, lit("ALL")).otherwise(col("l_linestatus")).as("linestatus"),
+            col("sum_qty"),
+            col("n")
+          )
+          .orderBy(col("returnflag"), col("linestatus")),
+      Some("""SELECT
+             |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+             |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  COUNT(*) AS n
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY returnflag, linestatus""".stripMargin),
+      doc = "rollup grouping sets; grouping() disambiguates the ALL rows"
+    ),
+    // ---------------------------------------------------------------- q13 case agg
+    Q(
+      "q13_conditional_agg",
+      (s, d) =>
+        li(s, d)
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(
+              when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)
+            ).as("high_line_count"),
+            sum(
+              when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)
+            ).as("low_line_count")
+          )
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+             |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+             |FROM lineitem, orders
+             |WHERE l_orderkey = o_orderkey
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      doc = "TPC-H Q12-style conditional aggregation over a fact-fact join"
+    ),
+    // ---------------------------------------------------------------- q14 scalars
+    Q(
+      "q14_scalar_functions",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            concat(lit("layer-7-"), col("p_partkey").cast("string")).as("namespaced_id"),
+            regexp_replace(col("p_brand"), "^Brand#", "").as("brand_num"),
+            col("p_type").startsWith("PROMO").as("is_promo"),
+            upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+            length(col("p_name")).as("name_len"),
+            coalesce(nullif(col("p_brand"), lit("Brand#1")), lit("Unknown")).as("brand_or_default")
+          )
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  'layer-7-' || CAST(p_partkey AS VARCHAR) AS namespaced_id,
+             |  regexp_replace(p_brand, '^Brand#', '') AS brand_num,
+             |  starts_with(p_type, 'PROMO') AS is_promo,
+             |  upper(substring(p_name, 1, 8)) AS name_prefix,
+             |  length(p_name) AS name_len,
+             |  coalesce(nullif(p_brand, 'Brand#1'), 'Unknown') AS brand_or_default
+             |FROM part
+             |ORDER BY p_partkey""".stripMargin),
+      doc = "scalar inventory §2.7: concat (T1 id namespacing), regexp_replace " +
+        "('Multi' strip, task.ts:440), startsWith (task.ts:433), coalesce defaults (P2)"
+    ),
+    // ---------------------------------------------------------------- q15 having
+    Q(
+      "q15_having",
+      (s, d) =>
+        ord(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+          .filter(col("n_orders") >= 20)
+          .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+             |FROM orders
+             |GROUP BY o_custkey
+             |HAVING COUNT(*) >= 20
+             |ORDER BY o_custkey""".stripMargin),
+      doc = "group-agg + post-aggregate filter (HAVING)"
+    ),
+    // ---------------------------------------------------------------- q16 minmax
+    Q(
+      "q16_minmax_per_nation",
+      (s, d) =>
+        cust(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            min(col("c_acctbal")).as("min_bal"),
+            max(col("c_acctbal")).as("max_bal"),
+            count(lit(1)).as("n_cust"),
+            countDistinct(col("c_mktsegment")).as("n_segments")
+          )
+          .orderBy(col("n_name")),
+      Some("""SELECT n_name, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+             |  COUNT(*) AS n_cust, COUNT(DISTINCT c_mktsegment) AS n_segments
+             |FROM customer, nation
+             |WHERE c_nationkey = n_nationkey
+             |GROUP BY n_name
+             |ORDER BY n_name""".stripMargin),
+      doc = "min/max/count-distinct over broadcast-joined dim"
+    ),
+    // ---------------------------------------------------------------- q17 corr subquery
+    Q(
+      "q17_small_qty_revenue",
+      (s, d) => {
+        val l = li(s, d)
+        val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+        l.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      },
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+             |FROM lineitem l
+             |JOIN (SELECT l_partkey AS ap_partkey,
+             |        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+             |      FROM lineitem GROUP BY l_partkey) a
+             |  ON l.l_partkey = a.ap_partkey
+             |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin),
+      doc = "TPC-H Q17-style decorrelated scalar subquery; per-part avg broadcast back onto the fact"
+    ),
+    // ---------------------------------------------------------------- q18 running window
+    Q(
+      "q18_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ord(s, d)
+          .filter(col("o_custkey") < 100)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend")
+          )
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+             |FROM orders
+             |WHERE o_custkey < 100
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      doc = "running-total window; decimal accumulator keeps the prefix sums exact cross-engine"
+    )
+  )
+}
