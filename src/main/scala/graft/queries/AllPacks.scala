@@ -5,7 +5,9 @@ package graft.queries
   */
 object AllPacks {
   def packs: Seq[QueryPack] = Seq(
-    RelationalPack
+    RelationalPack,
+    TextPack,
+    DedupPack
   )
 
   lazy val all: Seq[Q] = {

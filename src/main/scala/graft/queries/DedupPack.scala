@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps._
+
+/** Deduplication operators over `documents` (SURVEY.md §2.9): exact dedup on
+  * a normalized key, keep-first semantics (reference A2 first-match,
+  * `/root/reference/task.ts:284,316`), blocked n-gram Jaccard near-dup,
+  * MinHash signatures + LSH band-bucket candidate generation, SimHash.
+  *
+  * Scale notes: exact dedup and keep-first are single hash shuffles on the
+  * dedup key. The Jaccard pair join is blocked on `source` here; at 100 TB
+  * the blocking key becomes the LSH band bucket (d4/d5) which bounds the
+  * candidate set independent of corpus size — never the O(n²) cross join.
+  */
+object DedupPack extends QueryPack {
+
+  private def thSql(x: String): String =
+    s"((length($x)*2654435761 + ascii($x)*131 + ascii($x[-1:])) % 1000000007)"
+  private def mhSql(a: Long, b: Long): String =
+    s"list_aggregate(list_transform(toks, x -> ($a * ${thSql("x")} + $b) % 1000000007), 'min')"
+
+  /** (a,b) parameters of the 4 MinHash permutations. */
+  private val MhSeeds = Seq((7L, 3L), (11L, 17L), (13L, 41L), (17L, 59L))
+
+  override def queries: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- exact
+    Q(
+      "d1_exact_dedup",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            array_join(slice(tokens(col("text")), 1, 5), " ").as("prefix_key")
+          )
+          .groupBy(col("prefix_key"))
+          .agg(min(col("doc_id")).as("keeper_doc_id"), (count(lit(1)) - 1).as("n_dups"))
+          .orderBy(col("prefix_key")),
+      Some("""SELECT prefix_key, MIN(doc_id) AS keeper_doc_id, COUNT(*) - 1 AS n_dups
+             |FROM (SELECT doc_id, array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix_key
+             |      FROM documents)
+             |GROUP BY prefix_key
+             |ORDER BY prefix_key""".stripMargin),
+      doc = "exact dedup on normalized 5-token prefix key; one hash shuffle, min-id keeper"
+    ),
+    // ---------------------------------------------------------------- keep-first
+    Q(
+      "d2_keep_first",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""SELECT lang, source, doc_id, n_chars FROM (
+             |  SELECT lang, source, doc_id, n_chars,
+             |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn = 1
+             |ORDER BY lang, source""".stripMargin),
+      doc = "keep-first dedup (reference A2 features[0] semantics) as row_number window"
+    ),
+    // ---------------------------------------------------------------- jaccard
+    Q(
+      "d3_jaccard_near_dup",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            col("source"),
+            array_distinct(tokens(col("text"))).as("toks")
+          )
+        val a = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("a_toks"))
+        val b = t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("b_toks"))
+        a.join(b, Seq("source"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+          .withColumn(
+            "jaccard",
+            col("inter").cast("double") /
+              (size(col("a_toks")) + size(col("b_toks")) - col("inter"))
+          )
+          .filter(col("jaccard") >= 0.95)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+             |           FROM documents)
+             |SELECT a_id, b_id, jaccard FROM (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+             |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id) p
+             |WHERE jaccard >= 0.95
+             |ORDER BY a_id, b_id""".stripMargin),
+      doc = "blocked token-set Jaccard near-dup; block key = source (LSH bucket at scale)"
+    ),
+    // ---------------------------------------------------------------- minhash sigs
+    Q(
+      "d4_minhash_signatures",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        MhSeeds.zipWithIndex
+          .foldLeft(base) { case (df, ((a, b), i)) =>
+            df.withColumn(s"mh$i", minhash(col("toks"), a, b))
+          }
+          .select(col("doc_id") +: MhSeeds.indices.map(i => col(s"mh$i")): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val cols = MhSeeds.zipWithIndex
+          .map { case ((a, b), i) => s"${mhSql(a, b)} AS mh$i" }
+          .mkString(",\n  ")
+        s"""SELECT doc_id, $cols
+           |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
+      doc = "4-permutation MinHash signatures; min() is order-independent → oracle-exact"
+    ),
+    // ---------------------------------------------------------------- lsh bands
+    Q(
+      "d5_lsh_candidates",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val sigs = MhSeeds.zipWithIndex
+          .foldLeft(base) { case (df, ((a, b), i)) =>
+            df.withColumn(s"mh$i", minhash(col("toks"), a, b))
+          }
+        def bandPairs(bandId: Int, c1: String, c2: String) = {
+          val x = sigs.select(col("doc_id").as("a_id"), col(c1), col(c2))
+          val y = sigs.select(col("doc_id").as("b_id"), col(c1), col(c2))
+          x.join(y, Seq(c1, c2))
+            .filter(col("a_id") < col("b_id"))
+            .select(lit(bandId).as("band"), col("a_id"), col("b_id"))
+        }
+        bandPairs(0, "mh0", "mh1")
+          .unionByName(bandPairs(1, "mh2", "mh3"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_candidates"))
+          .orderBy(col("band"))
+      },
+      Some {
+        def band(id: Int, s1: (Long, Long), s2: (Long, Long)) =
+          s"""SELECT $id AS band, COUNT(*) AS n_candidates FROM (
+             |  SELECT a.doc_id FROM sigs a JOIN sigs b
+             |  ON a.s${id}1 = b.s${id}1 AND a.s${id}2 = b.s${id}2 AND a.doc_id < b.doc_id)""".stripMargin
+        s"""WITH sigs AS (
+           |  SELECT doc_id,
+           |    ${mhSql(MhSeeds(0)._1, MhSeeds(0)._2)} AS s01,
+           |    ${mhSql(MhSeeds(1)._1, MhSeeds(1)._2)} AS s02,
+           |    ${mhSql(MhSeeds(2)._1, MhSeeds(2)._2)} AS s11,
+           |    ${mhSql(MhSeeds(3)._1, MhSeeds(3)._2)} AS s12
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+           |${band(0, MhSeeds(0), MhSeeds(1))}
+           |UNION ALL
+           |${band(1, MhSeeds(2), MhSeeds(3))}
+           |ORDER BY band""".stripMargin
+      },
+      doc = "MinHash-LSH banding: candidate pairs via equi-join on band keys — " +
+        "bounded work per bucket at any corpus size, never O(n²)"
+    ),
+    // ---------------------------------------------------------------- simhash
+    Q(
+      "d6_simhash",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), simhash8(col("toks")).as("simhash"))
+          .orderBy(col("doc_id")),
+      Some {
+        val bits = (0 until 8).map { b =>
+          s"CASE WHEN list_aggregate(list_transform(toks, x -> CASE WHEN (${thSql("x")} >> $b) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN ${1L << b} ELSE 0 END"
+        }.mkString(" + ")
+        s"""SELECT doc_id, $bits AS simhash
+           |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
+      doc = "8-bit SimHash from per-bit majority votes over token hashes"
+    )
+  )
+}

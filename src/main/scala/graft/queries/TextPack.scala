@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps._
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.9):
+  * tokenization + token stats, corpus wordcount, quality scoring,
+  * marker-based language ID, positional fingerprints, BPE-ish regex token
+  * counting. All per-row except wordcount (one shuffle on the token key).
+  */
+object TextPack extends QueryPack {
+
+  /** DuckDB twin of [[TextOps.tokenHash]]. */
+  private def thSql(x: String): String =
+    s"((length($x)*2654435761 + ascii($x)*131 + ascii($x[-1:])) % 1000000007)"
+
+  override def queries: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- stats
+    Q(
+      "t1_token_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(
+            col("doc_id"),
+            size(col("toks")).as("n_tokens"),
+            size(array_distinct(col("toks"))).as("n_distinct"),
+            (sumTokenLen(col("toks")).cast("double") / size(col("toks"))).as("avg_token_len")
+          )
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  len(toks) AS n_tokens,
+             |  len(list_distinct(toks)) AS n_distinct,
+             |  CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE) / len(toks) AS avg_token_len
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "per-doc token counting; whitespace tokenizer, no shuffle"
+    ),
+    // ---------------------------------------------------------------- wordcount
+    Q(
+      "t2_wordcount",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token")),
+      Some("""SELECT token, COUNT(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |GROUP BY token
+             |ORDER BY n DESC, token""".stripMargin),
+      doc = "explode (generator, reference T3 shape) + partial-agg shuffle on token"
+    ),
+    // ---------------------------------------------------------------- quality
+    Q(
+      "t3_quality_score",
+      (s, d) => {
+        val stop = Seq("the", "a")
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(
+            col("doc_id"),
+            (markerHits(col("toks"), stop).cast("double") / size(col("toks"))).as("stop_ratio"),
+            (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("ttr")
+          )
+          .withColumn("quality", lit(0.5) * col("ttr") + lit(0.5) * (lit(1.0) - col("stop_ratio")))
+          .withColumn("is_low_quality", col("quality") < 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, stop_ratio, ttr,
+             |  0.5 * ttr + 0.5 * (1.0 - stop_ratio) AS quality,
+             |  0.5 * ttr + 0.5 * (1.0 - stop_ratio) < 0.5 AS is_low_quality
+             |FROM (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE) / len(toks) AS stop_ratio,
+             |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+             |ORDER BY doc_id""".stripMargin),
+      doc = "quality scoring: stopword ratio + type-token ratio; exact int-derived doubles"
+    ),
+    // ---------------------------------------------------------------- langid
+    Q(
+      "t4_langid_markers",
+      (s, d) => {
+        val t = tokens(col("text"))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            markerHits(t, EnMarkers).as("en_hits"),
+            markerHits(t, DeMarkers).as("de_hits"),
+            markerHits(t, FrMarkers).as("fr_hits"),
+            markerHits(t, EsMarkers).as("es_hits")
+          )
+          .withColumn(
+            "predicted",
+            when(
+              col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+                col("en_hits") >= col("es_hits"),
+              lit("en")
+            ).when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), lit("de"))
+              .when(col("fr_hits") >= col("es_hits"), lit("fr"))
+              .otherwise(lit("es"))
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def hits(m: Seq[String]) =
+          s"len(list_filter(toks, x -> x IN (${m.map(w => s"'$w'").mkString(",")})))"
+        s"""SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+           |  CASE
+           |    WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+           |    WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+           |    WHEN fr_hits >= es_hits THEN 'fr'
+           |    ELSE 'es' END AS predicted
+           |FROM (
+           |  SELECT doc_id,
+           |    ${hits(EnMarkers)} AS en_hits,
+           |    ${hits(DeMarkers)} AS de_hits,
+           |    ${hits(FrMarkers)} AS fr_hits,
+           |    ${hits(EsMarkers)} AS es_hits
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      },
+      doc = "stopword-marker language ID with deterministic argmax tie order"
+    ),
+    // ---------------------------------------------------------------- fingerprint
+    Q(
+      "t5_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(
+            col("doc_id"),
+            fingerprint(col("toks")).as("fp"),
+            size(col("toks")).as("n_tokens")
+          )
+          .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  list_aggregate(list_transform(toks, (x, i) -> ${thSql("x")} * ((i*1315423911) % 1000000007) % 1000000007), 'sum') % 1000000007 AS fp,
+              |  len(toks) AS n_tokens
+              |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+      doc = "position-weighted rolling-hash document fingerprint, pure int arithmetic"
+    ),
+    // ---------------------------------------------------------------- bpe-ish
+    Q(
+      "t6_regex_tokens",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("n_regex_tokens"),
+            size(expr("regexp_extract_all(text, '[aeiou]+', 0)")).as("n_vowel_runs")
+          )
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_regex_tokens,
+             |  len(regexp_extract_all(text, '[aeiou]+')) AS n_vowel_runs
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      doc = "BPE-ish regex token counting (regexp_extract_all both engines)"
+    )
+  )
+}
