@@ -7,7 +7,9 @@ object AllPacks {
   def packs: Seq[QueryPack] = Seq(
     RelationalPack,
     TextPack,
-    DedupPack
+    DedupPack,
+    SimilarityPack,
+    EventsPack
   )
 
   lazy val all: Seq[Q] = {

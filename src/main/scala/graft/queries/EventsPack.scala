@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-series / streaming-shaped operators over `events` (SURVEY.md §2.8):
+  * tumbling and sliding window aggregates, gap-based sessionization, and
+  * JSON property extraction (reference T7, `/root/reference/task.ts:172`).
+  * These are the batch twins of the Structured Streaming pipeline in
+  * `graft.streaming` — same window semantics, verifiable against DuckDB.
+  */
+object EventsPack extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- tumbling
+    Q(
+      "e1_tumbling_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(
+            fts(col("w.start")).as("window_start"),
+            col("event_type"),
+            col("n"),
+            col("sum_value")
+          )
+          .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin),
+      doc = "tumbling 1-day window agg — batch twin of streaming window(ts, '1 day')"
+    ),
+    // ---------------------------------------------------------------- sliding
+    Q(
+      "e2_sliding_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+          .select(fts(col("w.start")).as("window_start"), col("n"), col("sum_value"))
+          .orderBy(col("window_start")),
+      Some("""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM (
+             |  SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+             |                 date_trunc('hour', ts)]) AS ws, value
+             |  FROM events)
+             |GROUP BY ws
+             |ORDER BY window_start""".stripMargin),
+      doc = "sliding 2h/1h windows: each event lands in 2 overlapping windows"
+    ),
+    // ---------------------------------------------------------------- sessionize
+    Q(
+      "e3_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn(
+            "new_session",
+            when(
+              col("prev_ts").isNull ||
+                unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800,
+              1L
+            ).otherwise(0L)
+          )
+          .withColumn(
+            "session_seq",
+            sum(col("new_session")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+          )
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            fts(min(col("ts"))).as("session_start"),
+            (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+              .as("duration_sec")
+          )
+          .orderBy(col("user_id"), col("session_seq"))
+      },
+      Some("""SELECT user_id, session_seq, COUNT(*) AS n_events,
+             |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+             |FROM (
+             |  SELECT user_id, ts,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+             |  FROM (
+             |    SELECT user_id, ts, event_id,
+             |      CASE WHEN prev_ts IS NULL
+             |             OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+             |           THEN 1 ELSE 0 END AS new_session
+             |    FROM (
+             |      SELECT user_id, ts, event_id,
+             |        LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |      FROM events) a) b) c
+             |GROUP BY user_id, session_seq
+             |ORDER BY user_id, session_seq""".stripMargin),
+      doc = "30-min-gap sessionization: lag + running sum = session ids; batch twin of " +
+        "session_window / flatMapGroupsWithState"
+    ),
+    // ---------------------------------------------------------------- json
+    Q(
+      "e4_json_extract",
+      (s, d) =>
+        Tables.events(s, d)
+          .select(
+            col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k")
+          )
+          .groupBy(col("event_type"))
+          .agg(
+            sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k"),
+            count(lit(1)).as("n")
+          )
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+             |  COUNT(*) AS n
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin),
+      doc = "JSON property parse (reference T7 from_json path) + agg"
+    ),
+    // ---------------------------------------------------------------- top users
+    Q(
+      "e5_top_users_by_day",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(
+            date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+            col("user_id")
+          )
+          .agg(count(lit(1)).as("n_events"))
+        val w = Window.partitionBy(col("day")).orderBy(col("n_events").desc, col("user_id"))
+        daily
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .orderBy(col("day"), col("rnk"))
+      },
+      Some("""SELECT day, user_id, n_events, rnk FROM (
+             |  SELECT day, user_id, n_events,
+             |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY n_events DESC, user_id) AS rnk
+             |  FROM (
+             |    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id,
+             |      COUNT(*) AS n_events
+             |    FROM events GROUP BY 1, 2) a) b
+             |WHERE rnk <= 3
+             |ORDER BY day, rnk""".stripMargin),
+      doc = "daily top-3 active users: agg then per-day top-k window"
+    )
+  )
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.9):
+  * brute-force cosine top-k (baseline), label-blocked pairwise similarity
+  * (IVF-style partition), and random-hyperplane LSH bucketing (the scale
+  * path: candidate generation becomes an equi-join on the bucket key).
+  *
+  * Float arrays are cast to double element-wise and summed left-to-right on
+  * both engines; cosines are floor-quantized to 1e-6 before compare/sort so
+  * a last-ulp libm difference can't flip the hash.
+  */
+object SimilarityPack extends QueryPack {
+
+  /** DuckDB twins of the VectorOps kernels (i is 1-based in DuckDB lambdas). */
+  private val sqDot =
+    "list_sum(list_transform(list_zip(%s, %s), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def dotSql(a: String, b: String) = sqDot.format(a, b)
+  private def normSql(a: String) =
+    s"sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+  private def planeSql(j: Int) =
+    s"list_sum(list_transform(emb, (x, i) -> CAST(x AS DOUBLE) * (((($j*64 + (i-1)) * 2654435761) % 1000000007) / 1000000000.0 - 0.5)))"
+
+  override def queries: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- topk
+    Q(
+      "s1_cosine_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+        e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(
+            col("vec_id"),
+            quant(cosine(col("embedding"), col("q_emb")), 1e6).as("cos_sim")
+          )
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some(s"""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+              |SELECT vec_id,
+              |  floor(${dotSql("embedding", "q_emb")} /
+              |        (${normSql("embedding")} * ${normSql("q_emb")}) * 1000000) / 1000000 AS cos_sim
+              |FROM embeddings, q
+              |WHERE vec_id <> 0
+              |ORDER BY cos_sim DESC, vec_id
+              |LIMIT 20""".stripMargin),
+      doc = "brute-force cosine top-k: broadcast query vector, one scan, final top-k only"
+    ),
+    // ---------------------------------------------------------------- blocked pairs
+    Q(
+      "s2_blocked_pair_sim",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
+        val b = e.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"))
+        a.join(b, Seq("label"))
+          .filter(col("a_id") < col("b_id"))
+          .select(
+            col("label"),
+            quant(cosine(col("a_emb"), col("b_emb")), 1e6).as("cos_sim")
+          )
+          .groupBy(col("label"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(when(col("cos_sim") >= 0.8, 1L).otherwise(0L)).as("n_close")
+          )
+          .orderBy(col("label"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+              |SELECT label, COUNT(*) AS n_pairs,
+              |  SUM(CASE WHEN cos_sim >= 0.8 THEN 1 ELSE 0 END) AS n_close
+              |FROM (
+              |  SELECT a.label AS label,
+              |    floor(${dotSql("a.embedding", "b.embedding")} /
+              |          (${normSql("a.embedding")} * ${normSql("b.embedding")}) * 1000000) / 1000000 AS cos_sim
+              |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) p
+              |GROUP BY label
+              |ORDER BY label""".stripMargin),
+      doc = "IVF-style blocked all-pairs: partition key = label bounds the pair count"
+    ),
+    // ---------------------------------------------------------------- lsh buckets
+    Q(
+      "s3_lsh_bucket_histogram",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), lshBucket(col("embedding"), 4).as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy(col("bucket")),
+      Some {
+        val bits = (0 until 4)
+          .map(j => s"CASE WHEN ${planeSql(j)} > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""SELECT bucket, COUNT(*) AS n_vectors
+           |FROM (SELECT vec_id, $bits AS bucket
+           |      FROM (SELECT vec_id, embedding AS emb FROM embeddings))
+           |GROUP BY bucket
+           |ORDER BY bucket""".stripMargin
+      },
+      doc = "random-hyperplane LSH: 4 deterministic planes -> 16 buckets; ANN candidates " +
+        "come from an equi-join on bucket at scale"
+    ),
+    // ---------------------------------------------------------------- knn join via lsh
+    Q(
+      "s4_lsh_candidate_pairs",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), 4).as("bucket"))
+        val a = e.select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("a_emb"))
+        val b = e.select(col("vec_id").as("b_id"), col("bucket"), col("embedding").as("b_emb"))
+        a.join(b, Seq("bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("bucket"), quant(cosine(col("a_emb"), col("b_emb")), 1e6).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.8)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_close_candidates"))
+          .orderBy(col("bucket"))
+      },
+      Some {
+        val bits = (0 until 4)
+          .map(j => s"CASE WHEN ${planeSql(j)} > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, emb AS embedding, $bits AS bucket
+           |  FROM (SELECT vec_id, embedding AS emb FROM embeddings))
+           |SELECT bucket, COUNT(*) AS n_close_candidates
+           |FROM (
+           |  SELECT a.bucket AS bucket,
+           |    floor(${dotSql("a.embedding", "b.embedding")} /
+           |          (${normSql("a.embedding")} * ${normSql("b.embedding")}) * 1000000) / 1000000 AS cos_sim
+           |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+           |WHERE cos_sim >= 0.8
+           |GROUP BY bucket
+           |ORDER BY bucket""".stripMargin
+      },
+      doc = "end-to-end ANN: LSH bucket equi-join generates candidates, exact cosine re-ranks"
+    )
+  )
+}
