@@ -14,7 +14,8 @@ case class Geometry(
     gtype: String, // "Point" | "LineString" | "Polygon" | "Multi*"
     point: Option[Seq[Double]] = None, // Point [x,y]
     lines: Option[Seq[Seq[Double]]] = None, // LineString / MultiPoint
-    rings: Option[Seq[Seq[Seq[Double]]]] = None // Polygon / MultiLineString
+    rings: Option[Seq[Seq[Seq[Double]]]] = None, // Polygon / MultiLineString
+    polys: Option[Seq[Seq[Seq[Seq[Double]]]]] = None // MultiPolygon
 )
 
 object Geometry {
@@ -28,6 +29,8 @@ object Geometry {
     Geometry("MultiPoint", lines = Some(pts))
   def multiLineString(ls: Seq[Seq[Seq[Double]]]): Geometry =
     Geometry("MultiLineString", rings = Some(ls))
+  def multiPolygon(ps: Seq[Seq[Seq[Seq[Double]]]]): Geometry =
+    Geometry("MultiPolygon", polys = Some(ps))
 }
 
 /** A feature row as emitted by the incoming scan (reference `task.ts:426`).

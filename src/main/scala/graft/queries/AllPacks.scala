@@ -9,7 +9,8 @@ object AllPacks {
     TextPack,
     DedupPack,
     SimilarityPack,
-    EventsPack
+    EventsPack,
+    FeaturePack
   )
 
   lazy val all: Seq[Q] = {

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{FeatureOps, Merge}
+import graft.functions.WebMercator
+
+/** Reference-parity feature operators (SURVEY.md §2.2-2.4) exercised through
+  * the `graft.ops` library against the driver corpus: id namespacing (T1),
+  * Multi-geometry explode (T3), Web-Mercator reprojection (T5),
+  * geometry-type routing (P3), coalesce-default asymmetry (P2), and the
+  * upsert/MERGE (J1). Geometry inputs are synthesized deterministically from
+  * integer keys so DuckDB can reproduce them exactly.
+  */
+object FeaturePack extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- T1
+    Q(
+      "f1_id_namespace",
+      (s, d) => {
+        val feats = Tables.events(s, d)
+          .select(col("event_id"), col("event_id").cast("string").as("id"), col("event_type"))
+        FeatureOps.idNamespace("7")(feats)
+          .select(col("event_id"), col("id"), col("event_type"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, 'layer-7-' || CAST(event_id AS VARCHAR) AS id, event_type
+             |FROM events
+             |ORDER BY event_id""".stripMargin),
+      doc = "T1 id rewrite (task.ts:427) via FeatureOps.idNamespace"
+    ),
+    // ---------------------------------------------------------------- T3
+    Q(
+      "f2_multi_explode",
+      (s, d) => {
+        def xy(k: org.apache.spark.sql.Column) = array(
+          (k % 360 - 180).cast("double"),
+          (k % 170 - 85).cast("double")
+        )
+        val feats = Tables.orders(s, d).select(
+          col("o_orderkey").cast("string").as("id"),
+          map(lit("src"), lit("orders")).as("properties"),
+          struct(
+            lit("MultiPoint").as("gtype"),
+            lit(null).cast("array<double>").as("point"),
+            array(xy(col("o_orderkey")), xy(col("o_orderkey") + 1), xy(col("o_orderkey") + 2))
+              .as("lines"),
+            lit(null).cast("array<array<array<double>>>").as("rings"),
+            lit(null).cast("array<array<array<array<double>>>>").as("polys")
+          ).as("geometry")
+        )
+        FeatureOps.explodeMulti(feats)
+          .select(
+            col("id"),
+            col("geometry.gtype").as("gtype"),
+            col("geometry.point").getItem(0).as("x"),
+            col("geometry.point").getItem(1).as("y")
+          )
+          .orderBy(col("id"))
+      },
+      Some("""SELECT CAST(o_orderkey AS VARCHAR) || '-' || CAST(u.pos AS VARCHAR) AS id,
+             |  'Point' AS gtype, u.pt[1] AS x, u.pt[2] AS y
+             |FROM (
+             |  SELECT o_orderkey,
+             |    unnest(list_transform(
+             |      [[CAST(o_orderkey % 360 - 180 AS DOUBLE), CAST(o_orderkey % 170 - 85 AS DOUBLE)],
+             |       [CAST((o_orderkey+1) % 360 - 180 AS DOUBLE), CAST((o_orderkey+1) % 170 - 85 AS DOUBLE)],
+             |       [CAST((o_orderkey+2) % 360 - 180 AS DOUBLE), CAST((o_orderkey+2) % 170 - 85 AS DOUBLE)]],
+             |      (p, i) -> {'pos': i - 1, 'pt': p})) AS u
+             |  FROM orders)
+             |ORDER BY id""".stripMargin),
+      doc = "T3 UnMulti explode (task.ts:433-447): child id '<id>-<idx>', Multi prefix " +
+        "stripped, properties duplicated; posexplode generator, no shuffle"
+    ),
+    // ---------------------------------------------------------------- T5
+    Q(
+      "f3_webmercator",
+      (s, d) =>
+        Tables.customer(s, d)
+          .select(
+            col("c_custkey"),
+            (col("c_custkey") % 360 - 180).cast("double").as("lon"),
+            (col("c_custkey") % 170 - 85).cast("double").as("lat")
+          )
+          .select(
+            col("c_custkey"),
+            quant(WebMercator.mercatorX(col("lon")), 100).as("merc_x"),
+            quant(WebMercator.mercatorY(col("lat")), 100).as("merc_y")
+          )
+          .orderBy(col("c_custkey")),
+      Some("""SELECT c_custkey,
+             |  floor(6378137.0 * (lon * 0.017453292519943295) * 100) / 100 AS merc_x,
+             |  floor(6378137.0 * ln(tan(0.7853981633974483 + (lat * 0.017453292519943295) / 2.0)) * 100) / 100 AS merc_y
+             |FROM (SELECT c_custkey,
+             |        CAST(c_custkey % 360 - 180 AS DOUBLE) AS lon,
+             |        CAST(c_custkey % 170 - 85 AS DOUBLE) AS lat
+             |      FROM customer)
+             |ORDER BY c_custkey""".stripMargin),
+      doc = "T5 EPSG:4326->3857 via the codegen'd MercatorX/Y Catalyst expressions " +
+        "(task.ts:192-219 proj4 equivalent); cm-quantized for cross-libm parity"
+    ),
+    // ---------------------------------------------------------------- P3
+    Q(
+      "f4_route_by_geom_type",
+      (s, d) => {
+        val typed = Tables.events(s, d).select(
+          col("event_id").cast("string").as("id"),
+          expr("map()").cast("map<string,string>").as("properties"),
+          struct(
+            when(col("event_type") === "click", "Point")
+              .when(col("event_type") === "view", "LineString")
+              .when(col("event_type") === "purchase", "Polygon")
+              .when(col("event_type") === "error", "MultiPoint")
+              .otherwise("MultiLineString").as("gtype"),
+            lit(null).cast("array<double>").as("point"),
+            lit(null).cast("array<array<double>>").as("lines"),
+            lit(null).cast("array<array<array<double>>>").as("rings"),
+            lit(null).cast("array<array<array<array<double>>>>").as("polys")
+          ).as("geometry")
+        )
+        val routed = FeatureOps.routeByGeomType(typed, Seq("Point", "LineString", "Polygon"))
+        routed
+          .map { case (t, df) => df.agg(count(lit(1)).as("n")).select(lit(t).as("gtype"), col("n")) }
+          .reduce(_ unionByName _)
+          .orderBy(col("gtype"))
+      },
+      Some("""SELECT gtype, COUNT(*) AS n FROM (
+             |  SELECT CASE event_type
+             |    WHEN 'click' THEN 'Point'
+             |    WHEN 'view' THEN 'LineString'
+             |    WHEN 'purchase' THEN 'Polygon'
+             |    WHEN 'error' THEN 'MultiPoint'
+             |    ELSE 'MultiLineString' END AS gtype
+             |  FROM events) t
+             |WHERE gtype IN ('Point', 'LineString', 'Polygon')
+             |GROUP BY gtype
+             |ORDER BY gtype""".stripMargin),
+      doc = "P3 geometry-type routing (task.ts:177-187): configured sinks get their " +
+        "split, unconfigured types skipped"
+    ),
+    // ---------------------------------------------------------------- P2
+    Q(
+      "f6_coalesce_asymmetry",
+      (s, d) => {
+        val cot = Tables.events(s, d).select(
+          col("event_id"),
+          when(col("user_id") % 7 =!= 0, concat(lit("u"), col("user_id"))).as("callsign"),
+          when(col("user_id") % 3 =!= 0, col("props")).as("remarks")
+        )
+        val ins = FeatureOps.insertDefaults(cot).select(
+          col("event_id"),
+          col("callsign").as("ins_callsign"),
+          col("remarks").as("ins_remarks")
+        )
+        val upd = FeatureOps.updateDefaults(cot).select(
+          col("event_id"),
+          col("callsign").as("upd_callsign"),
+          col("remarks").as("upd_remarks")
+        )
+        ins.join(upd, Seq("event_id")).orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |  coalesce(callsign, 'Unknown') AS ins_callsign,
+             |  coalesce(remarks, '') AS ins_remarks,
+             |  callsign AS upd_callsign,
+             |  coalesce(remarks, '') AS upd_remarks
+             |FROM (
+             |  SELECT event_id,
+             |    CASE WHEN user_id % 7 <> 0 THEN 'u' || CAST(user_id AS VARCHAR) END AS callsign,
+             |    CASE WHEN user_id % 3 <> 0 THEN props END AS remarks
+             |  FROM events)
+             |ORDER BY event_id""".stripMargin),
+      doc = "P2 default asymmetry (task.ts:244-245 vs :327-328): insert defaults " +
+        "callsign+remarks, update defaults only remarks — replicated exactly"
+    ),
+    // ---------------------------------------------------------------- J1
+    Q(
+      "f5_upsert_merge",
+      (s, d) => {
+        val target = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val source = Tables.orders(s, d)
+          .groupBy(
+            when(col("o_custkey") % 10 === 0, col("o_custkey") + 100000)
+              .otherwise(col("o_custkey")).as("c_custkey")
+          )
+          .agg(dsum(col("o_totalprice")).as("c_acctbal"))
+        Merge.upsert(target, source, "c_custkey")
+          .select(
+            col("c_custkey"),
+            coalesce(col("c_name"), lit("Unknown")).as("name"),
+            col("c_acctbal").as("acctbal"),
+            col("merge_action")
+          )
+          .orderBy(col("c_custkey"))
+      },
+      Some("""WITH src AS (
+             |  SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 100000 ELSE o_custkey END AS k,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bal
+             |  FROM orders GROUP BY 1)
+             |SELECT c_custkey, name, acctbal, merge_action FROM (
+             |  SELECT c.c_custkey, c.c_name AS name, s.bal AS acctbal, 'updated' AS merge_action
+             |  FROM customer c JOIN src s ON c.c_custkey = s.k
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_acctbal, 'kept'
+             |  FROM customer WHERE NOT EXISTS (SELECT 1 FROM src WHERE k = c_custkey)
+             |  UNION ALL
+             |  SELECT s.k, 'Unknown', s.bal, 'inserted'
+             |  FROM src s WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = s.k)) m
+             |ORDER BY c_custkey""".stripMargin),
+      doc = "J1 upsert/MERGE (task.ts:235-350) via Merge.upsert: one join split into " +
+        "updated/kept/inserted, P2 'Unknown' default on inserts"
+    )
+  )
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark 4's `private[sql]` Column ↔ Expression conversions for
+  * graft's custom Catalyst expressions (e.g. [[graft.functions.MercatorX]]).
+  * Lives in the spark.sql package solely to widen access — the standard
+  * pattern for third-party Catalyst extensions.
+  */
+object GraftShims {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
