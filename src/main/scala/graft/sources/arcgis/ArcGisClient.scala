@@ -1,0 +1,190 @@
+package graft.sources.arcgis
+
+import scala.collection.concurrent.TrieMap
+
+/** One ArcGIS layer field, as returned by the layer metadata endpoint
+  * (`fields[]` with esriFieldType* — reference [lib] esri-dump behavior,
+  * SURVEY.md S5, pin `/root/reference/package-lock.json:2234-2237`).
+  */
+case class ArcGisField(name: String, esriType: String)
+
+case class LayerInfo(
+    fields: Seq[ArcGisField],
+    maxRecordCount: Int,
+    totalCount: Long
+)
+
+/** A feature as the ArcGIS REST API represents it: flat attribute map plus
+  * (for point layers) an `{x, y}` geometry.
+  */
+case class EsriFeature(
+    attributes: Map[String, Any],
+    geometry: Option[(Double, Double)]
+)
+
+/** Transport abstraction over the ArcGIS Feature/MapServer REST surface the
+  * reference drives (scan S1/S2, key lookup S10, add/update sinks S8/S9 —
+  * `/root/reference/task.ts:236-349,398-418`). The DSv2 source and the sink
+  * writers only talk to this trait; tests inject [[MockArcGisClient]], a real
+  * deployment registers an HTTP implementation. Implementations must be
+  * thread-safe: partitions call concurrently from executor tasks.
+  */
+trait ArcGisClient extends Serializable {
+  def layerInfo(): LayerInfo
+
+  /** Offset-window page of `/query` (EsriDumpConfigApproach.ITER). `where`
+    * is an ArcGIS SQL-92 predicate ("1=1" for none); `outFields` the
+    * server-side projection (`*` for all).
+    */
+  def queryPage(
+      offset: Long,
+      count: Int,
+      where: String,
+      outFields: Seq[String]
+  ): Seq[EsriFeature]
+
+  /** `queryTopFeatures` endpoint (strategy S2, `task.ts:16-19,400`). */
+  def queryTopFeatures(
+      topCount: Int,
+      groupByField: String,
+      orderByField: String,
+      where: String,
+      outFields: Seq[String]
+  ): Seq[EsriFeature]
+
+  /** Point lookup by key equality (upsert existence probe S10,
+    * `task.ts:267-284`).
+    */
+  def queryByKey(keyCol: String, key: String): Seq[EsriFeature]
+
+  /** `addFeatures` POST (S8). Per-feature result: Right(objectid) or
+    * Left(error) — the reference surfaces `addResults[0].error`
+    * (`task.ts:263,312`).
+    */
+  def addFeatures(feats: Seq[EsriFeature]): Seq[Either[String, Long]]
+
+  /** `updateFeatures` POST (S9, keyed on server `objectid`). */
+  def updateFeatures(feats: Seq[EsriFeature]): Seq[Either[String, Long]]
+}
+
+/** Executor-side client lookup. DSv2 instantiates sources reflectively from
+  * an options map, so tests and deployments register a client under a key
+  * and pass `client=<key>` as a read option. (An HTTP deployment would
+  * register a lazily-connecting client per layer URL — the auth-token cache
+  * with expiry refresh, reference `task.ts:92-135`, lives inside that
+  * client, amortized per executor.)
+  */
+object ArcGisClientRegistry {
+  private val clients = TrieMap.empty[String, ArcGisClient]
+  def register(key: String, client: ArcGisClient): Unit = clients.put(key, client)
+  def get(key: String): ArcGisClient =
+    clients.getOrElse(key, throw new IllegalArgumentException(s"no ArcGIS client registered under '$key'"))
+}
+
+/** In-memory mock with request capture — the test double standing in for a
+  * Feature/MapServer. Thread-safe via synchronized capture lists.
+  */
+class MockArcGisClient(
+    val fields: Seq[ArcGisField],
+    val rows: Seq[EsriFeature],
+    val pageSize: Int = 100
+) extends ArcGisClient {
+
+  val whereLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  val outFieldsLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  val added = new java.util.concurrent.CopyOnWriteArrayList[EsriFeature]()
+  val updated = new java.util.concurrent.CopyOnWriteArrayList[EsriFeature]()
+
+  override def layerInfo(): LayerInfo = LayerInfo(fields, pageSize, rows.size.toLong)
+
+  /** Server-side predicate evaluation for a tiny SQL subset (the mock plays
+    * the ArcGIS server role: equality/comparison on one column, AND-joined).
+    */
+  private def matches(f: EsriFeature, where: String): Boolean = {
+    if (where.trim.isEmpty || where == "1=1") return true
+    val cmp = "\\s*\"?(\\w+)\"?\\s*(>=|<=|<>|=|>|<)\\s*'?([^']*)'?\\s*".r
+    val isNull = "(?i)\\s*\"?(\\w+)\"?\\s+IS\\s+NULL\\s*".r
+    val isNotNull = "(?i)\\s*\"?(\\w+)\"?\\s+IS\\s+NOT\\s+NULL\\s*".r
+    val like = "(?i)\\s*\"?(\\w+)\"?\\s+LIKE\\s+'([^']*)%'\\s*".r
+
+    // The AND-split can leave unbalanced parens on clause edges; strip them
+    // independently (values in this mock never contain parens).
+    def deparen(s: String): String =
+      s.trim.replaceAll("^[(\\s]+", "").replaceAll("[)\\s]+$", "")
+
+    where.split("(?i)\\)\\s*AND\\s*\\(|(?i)\\sAND\\s").forall { raw =>
+      deparen(raw) match {
+        case cmp(col, op, v) =>
+          f.attributes.get(col) match {
+            case Some(x: String) =>
+              op match {
+                case "=" => x == v; case "<>" => x != v
+                case ">" => x > v; case "<" => x < v
+                case ">=" => x >= v; case "<=" => x <= v
+              }
+            case Some(n: Number) =>
+              val d = n.doubleValue(); val w = v.toDouble
+              op match {
+                case "=" => d == w; case "<>" => d != w
+                case ">" => d > w; case "<" => d < w
+                case ">=" => d >= w; case "<=" => d <= w
+              }
+            case _ => false
+          }
+        case isNotNull(col) => f.attributes.get(col).exists(_ != null)
+        case isNull(col) => !f.attributes.get(col).exists(_ != null)
+        case like(col, prefix) =>
+          f.attributes.get(col).exists(_.toString.startsWith(prefix))
+        case _ => true // unparseable clause: mock accepts (a real server would error)
+      }
+    }
+  }
+
+  private def project(f: EsriFeature, outFields: Seq[String]): EsriFeature =
+    if (outFields.isEmpty || outFields == Seq("*")) f
+    else f.copy(attributes = f.attributes.view.filterKeys(outFields.contains).toMap)
+
+  override def queryPage(
+      offset: Long,
+      count: Int,
+      where: String,
+      outFields: Seq[String]
+  ): Seq[EsriFeature] = {
+    whereLog.add(where)
+    outFieldsLog.add(outFields.mkString(","))
+    rows.filter(matches(_, where)).slice(offset.toInt, offset.toInt + count)
+      .map(project(_, outFields))
+  }
+
+  override def queryTopFeatures(
+      topCount: Int,
+      groupByField: String,
+      orderByField: String,
+      where: String,
+      outFields: Seq[String]
+  ): Seq[EsriFeature] = {
+    whereLog.add(where)
+    rows.filter(matches(_, where))
+      .groupBy(_.attributes(groupByField))
+      .values.flatMap { g =>
+        g.sortBy(_.attributes(orderByField).toString).take(topCount)
+      }
+      .toSeq.map(project(_, outFields))
+  }
+
+  override def queryByKey(keyCol: String, key: String): Seq[EsriFeature] =
+    rows.filter(_.attributes.get(keyCol).exists(_.toString == key))
+
+  override def addFeatures(feats: Seq[EsriFeature]): Seq[Either[String, Long]] = {
+    feats.foreach(added.add)
+    feats.zipWithIndex.map { case (_, i) => Right(rows.size + added.size - feats.size + i.toLong) }
+  }
+
+  override def updateFeatures(feats: Seq[EsriFeature]): Seq[Either[String, Long]] = {
+    feats.foreach(updated.add)
+    feats.map(f => f.attributes.get("objectid") match {
+      case Some(oid: Number) => Right(oid.longValue())
+      case _ => Left("missing objectid")
+    })
+  }
+}

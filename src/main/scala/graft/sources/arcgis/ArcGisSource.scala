@@ -1,0 +1,241 @@
+package graft.sources.arcgis
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** ArcGIS layer scan as a Spark DataSource V2 (SURVEY.md §2.1 S1-S5):
+  *
+  * {{{
+  * spark.read.format("arcgis")
+  *   .option("client", "<registry key>")        // transport (HTTP or mock)
+  *   .option("where", "status = 'active'")      // ARCGIS_QUERY passthrough (S3)
+  *   .option("strategy", "query")               // or "queryTopFeatures" (S2)
+  *   .load()
+  * }}}
+  *
+  * Improvements over the reference's esri-dump pagination
+  * (`/root/reference/task.ts:398-418`), per SURVEY.md §4:
+  *   - **parallel pagination**: one InputPartition per offset window, so a
+  *     1000-executor cluster fans the HTTP pages out instead of the
+  *     reference's sequential single-threaded loop;
+  *   - **typed predicate pushdown** (`SupportsPushDownFilters`): Catalyst
+  *     filters compile to an ArcGIS SQL-92 `where`; what can't compile stays
+  *     a residual Spark Filter (the reference only forwards raw user
+  *     strings);
+  *   - **column pruning** (`SupportsPushDownRequiredColumns`) → `outFields`,
+  *     where the reference always requests `*` (`task.ts:273`).
+  */
+class ArcGisTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "arcgis"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ArcGisSchema.structFor(
+      ArcGisClientRegistry.get(options.get("client")).layerInfo().fields
+    )
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = new ArcGisTable(schema, new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+/** ArcGIS `fields[]` metadata → Catalyst schema (S5). Dates surface as
+  * strings to match the reference pipeline's esri-dump >= 3.8.0 behavior
+  * (`/root/reference/CHANGELOG.md:265-266`). Point-layer geometry appears as
+  * nullable `geom_x`/`geom_y` doubles.
+  */
+object ArcGisSchema {
+  def typeFor(esriType: String): DataType = esriType match {
+    case "esriFieldTypeOID" => LongType
+    case "esriFieldTypeInteger" => IntegerType
+    case "esriFieldTypeSmallInteger" => IntegerType
+    case "esriFieldTypeDouble" => DoubleType
+    case "esriFieldTypeSingle" => FloatType
+    case "esriFieldTypeDate" => StringType
+    case _ => StringType // String, GlobalID, GUID, unknown
+  }
+
+  def structFor(fields: Seq[ArcGisField]): StructType =
+    StructType(
+      fields.map(f => StructField(f.name, typeFor(f.esriType), nullable = true)) ++
+        Seq(StructField("geom_x", DoubleType), StructField("geom_y", DoubleType))
+    )
+}
+
+/** Catalyst [[Filter]] → ArcGIS SQL-92 `where` clause (the compiler the
+  * reference never needed because it pushed raw user strings,
+  * `task.ts:406-408`). Returns None for predicates the remote dialect can't
+  * express — those stay in Spark as residual filters.
+  */
+object ArcGisFilterCompiler {
+  private def lit(v: Any): Option[String] = v match {
+    case s: String => Some("'" + s.replace("'", "''") + "'")
+    case n @ (_: Int | _: Long | _: Short | _: Byte | _: Float | _: Double) => Some(n.toString)
+    case b: Boolean => Some(if (b) "1" else "0")
+    case _ => None // timestamps/decimals: stay residual for fidelity
+  }
+
+  def compile(f: Filter): Option[String] = f match {
+    case EqualTo(a, v) => lit(v).map(l => s"$a = $l")
+    case GreaterThan(a, v) => lit(v).map(l => s"$a > $l")
+    case GreaterThanOrEqual(a, v) => lit(v).map(l => s"$a >= $l")
+    case LessThan(a, v) => lit(v).map(l => s"$a < $l")
+    case LessThanOrEqual(a, v) => lit(v).map(l => s"$a <= $l")
+    case In(a, vs) =>
+      val ls = vs.toSeq.map(lit)
+      if (ls.forall(_.isDefined)) Some(s"$a IN (${ls.flatten.mkString(", ")})") else None
+    case IsNull(a) => Some(s"$a IS NULL")
+    case IsNotNull(a) => Some(s"$a IS NOT NULL")
+    case StringStartsWith(a, v) => Some(s"$a LIKE '${v.replace("'", "''")}%'")
+    case And(l, r) => for (cl <- compile(l); cr <- compile(r)) yield s"($cl AND $cr)"
+    case Or(l, r) => for (cl <- compile(l); cr <- compile(r)) yield s"($cl OR $cr)"
+    case Not(c) => compile(c).map(cc => s"NOT ($cc)")
+    case _ => None
+  }
+}
+
+class ArcGisTable(schema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"arcgis(${options.get("client")})"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ArcGisScanBuilder(schema, opts)
+}
+
+class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (supported, residual) =
+      filters.partition(f => ArcGisFilterCompiler.compile(f).isDefined)
+    pushed = supported
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = {
+    // S3+S4: user-supplied ARCGIS_QUERY where-string ANDed with compiled
+    // Catalyst predicates (reference merges params at task.ts:404-414).
+    val userWhere = Option(options.get("where")).filter(_.nonEmpty)
+    val compiled = pushed.flatMap(ArcGisFilterCompiler.compile)
+    val where = (userWhere.toSeq ++ compiled) match {
+      case Seq() => "1=1"
+      case cs => cs.mkString("(", ") AND (", ")")
+    }
+    new ArcGisScan(required, options, where)
+  }
+}
+
+/** One offset window of the remote `/query` endpoint. */
+case class ArcGisInputPartition(offset: Long, count: Int) extends InputPartition
+
+class ArcGisScan(schema: StructType, options: CaseInsensitiveStringMap, where: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ArcGisScan(where=$where, outFields=${schema.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val clientKey = options.get("client")
+    val strategy = Option(options.get("strategy")).getOrElse("query")
+    if (strategy.equalsIgnoreCase("queryTopFeatures")) {
+      // S2: the topFeatures endpoint is one remote group-top-k call.
+      Array(ArcGisInputPartition(-1, -1))
+    } else {
+      val info = ArcGisClientRegistry.get(clientKey).layerInfo()
+      val page = Option(options.get("pageSize")).map(_.toInt)
+        .getOrElse(info.maxRecordCount.max(1))
+      val n = ((info.totalCount + page - 1) / page).toInt.max(1)
+      (0 until n).map(i => ArcGisInputPartition(i.toLong * page, page)).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArcGisReaderFactory(schema, options.asCaseSensitiveMap().asScala.toMap, where)
+}
+
+class ArcGisReaderFactory(
+    schema: StructType,
+    options: Map[String, String],
+    where: String
+) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new ArcGisPartitionReader(schema, options, where,
+      partition.asInstanceOf[ArcGisInputPartition])
+}
+
+/** Executor-side page fetch + row materialization. The HTTP round-trip
+  * happens here, inside the task — this is the cluster's fan-out point.
+  */
+class ArcGisPartitionReader(
+    schema: StructType,
+    options: Map[String, String],
+    where: String,
+    partition: ArcGisInputPartition
+) extends PartitionReader[InternalRow] {
+
+  private lazy val features: Iterator[EsriFeature] = {
+    val client = ArcGisClientRegistry.get(options("client"))
+    val attrFields = schema.fieldNames.filterNot(n => n == "geom_x" || n == "geom_y")
+    val outFields = if (attrFields.isEmpty) Seq("*") else attrFields.toSeq
+    val page =
+      if (partition.offset < 0)
+        client.queryTopFeatures(
+          options.getOrElse("topCount", "1").toInt,
+          options("groupByField"),
+          options("orderByField"),
+          where,
+          outFields
+        )
+      else client.queryPage(partition.offset, partition.count, where, outFields)
+    page.iterator
+  }
+
+  private var current: EsriFeature = _
+
+  override def next(): Boolean = {
+    if (features.hasNext) { current = features.next(); true } else false
+  }
+
+  override def get(): InternalRow = {
+    val values = schema.fields.map { f =>
+      f.name match {
+        case "geom_x" => current.geometry.map(_._1).map(Double.box).orNull
+        case "geom_y" => current.geometry.map(_._2).map(Double.box).orNull
+        case n =>
+          current.attributes.get(n).map { v =>
+            (f.dataType, v) match {
+              case (StringType, s) => UTF8String.fromString(s.toString)
+              case (LongType, n: Number) => Long.box(n.longValue())
+              case (IntegerType, n: Number) => Int.box(n.intValue())
+              case (DoubleType, n: Number) => Double.box(n.doubleValue())
+              case (FloatType, n: Number) => Float.box(n.floatValue())
+              case _ => null
+            }
+          }.orNull
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = ()
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.arcgis._
+
+class ArcGisSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def mkClient(n: Int, pageSize: Int = 10): MockArcGisClient = {
+    val fields = Seq(
+      ArcGisField("objectid", "esriFieldTypeOID"),
+      ArcGisField("name", "esriFieldTypeString"),
+      ArcGisField("status", "esriFieldTypeString"),
+      ArcGisField("score", "esriFieldTypeDouble"),
+      ArcGisField("created", "esriFieldTypeDate")
+    )
+    val rows = (0 until n).map { i =>
+      EsriFeature(
+        Map(
+          "objectid" -> i.toLong,
+          "name" -> s"feat-$i",
+          "status" -> (if (i % 3 == 0) "active" else "idle"),
+          "score" -> (i * 1.5),
+          "created" -> s"2024-01-${1 + i % 28}"
+        ),
+        Some((i * 1.0, -i * 1.0))
+      )
+    }
+    new MockArcGisClient(fields, rows, pageSize)
+  }
+
+  test("S1 full scan paginates across offset partitions") {
+    val client = mkClient(37, pageSize = 10)
+    ArcGisClientRegistry.register("scan37", client)
+    val df = spark.read.format("arcgis").option("client", "scan37").load()
+    assert(df.count() == 37)
+    // 4 offset windows of 10
+    assert(df.rdd.getNumPartitions == 4)
+    // schema inferred from layer metadata (S5), dates as strings
+    assert(df.schema("created").dataType.typeName == "string")
+    assert(df.schema("objectid").dataType.typeName == "long")
+    val r = df.filter(col("objectid") === 5).select("name", "geom_x", "geom_y").head()
+    assert(r.getString(0) == "feat-5" && r.getDouble(1) == 5.0 && r.getDouble(2) == -5.0)
+  }
+
+  test("S3 predicate pushdown compiles to ArcGIS where, residual stays in Spark") {
+    val client = mkClient(30)
+    ArcGisClientRegistry.register("push30", client)
+    val df = spark.read.format("arcgis").option("client", "push30").load()
+      .filter(col("status") === "active" && col("score") > 10.0)
+    val got = df.select("objectid").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0 until 30).filter(i => i % 3 == 0 && i * 1.5 > 10.0).map(_.toLong))
+    // the server saw the compiled conjunction
+    assert(client.whereLog.toArray.exists(_.toString.contains("status = 'active'")))
+    assert(client.whereLog.toArray.exists(_.toString.contains("score > 10.0")))
+    // and the plan records the push
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ArcGisScan"), plan)
+  }
+
+  test("S3 user where-string (ARCGIS_QUERY) merges with pushed filters") {
+    val client = mkClient(30)
+    ArcGisClientRegistry.register("userwhere", client)
+    val df = spark.read.format("arcgis")
+      .option("client", "userwhere")
+      .option("where", "status = 'idle'")
+      .load()
+      .filter(col("score") <= 6.0)
+    val got = df.select("objectid").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0 until 30).filter(i => i % 3 != 0 && i * 1.5 <= 6.0).map(_.toLong))
+    assert(client.whereLog.toArray.exists { w =>
+      val s = w.toString; s.contains("status = 'idle'") && s.contains("score <= 6.0")
+    })
+  }
+
+  test("column pruning reaches outFields") {
+    val client = mkClient(12)
+    ArcGisClientRegistry.register("prune12", client)
+    val df = spark.read.format("arcgis").option("client", "prune12").load()
+      .select("name")
+    assert(df.collect().length == 12)
+    assert(client.outFieldsLog.toArray.exists(_.toString == "name"))
+  }
+
+  test("S2 queryTopFeatures strategy delegates group-top-k to the server") {
+    val client = mkClient(30)
+    ArcGisClientRegistry.register("top30", client)
+    val df = spark.read.format("arcgis")
+      .option("client", "top30")
+      .option("strategy", "queryTopFeatures")
+      .option("topCount", "2")
+      .option("groupByField", "status")
+      .option("orderByField", "name")
+      .load()
+    // 2 statuses × top-2 per group
+    assert(df.count() == 4)
+  }
+
+  test("filter compiler: unsupported predicates become None (residual)") {
+    import org.apache.spark.sql.sources._
+    assert(ArcGisFilterCompiler.compile(EqualTo("a", "x'y")).contains("a = 'x''y'"))
+    assert(ArcGisFilterCompiler.compile(
+      And(EqualTo("a", 1), Or(IsNull("b"), StringStartsWith("c", "p")))
+    ).contains("(a = 1 AND (b IS NULL OR c LIKE 'p%'))"))
+    assert(ArcGisFilterCompiler.compile(EqualTo("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).isEmpty)
+    assert(ArcGisFilterCompiler.compile(StringContains("a", "z")).isEmpty)
+  }
+
+  test("S7-S9 sink: append and upsert split add vs update") {
+    val client = mkClient(10)
+    ArcGisClientRegistry.register("sink10", client)
+    import spark.implicits._
+    // source batch: 3 rows matching existing objectids via key 'name', 2 new
+    val batch = Seq(
+      ("feat-1", 100.0), ("feat-2", 101.0), ("feat-3", 102.0),
+      ("feat-new-a", 1.0), ("feat-new-b", 2.0)
+    ).toDF("name", "score")
+
+    val (ins, upd) = EsriSink.upsert(batch, "sink10", "name")
+    assert(ins == 2 && upd == 3)
+    assert(client.added.size() == 2 && client.updated.size() == 3)
+    // updates carry the matched server objectid (reference task.ts:325)
+    val updNames = client.updated.toArray.map(_.asInstanceOf[EsriFeature].attributes("objectid"))
+    assert(updNames.toSet == Set(1L, 2L, 3L))
+  }
+}
