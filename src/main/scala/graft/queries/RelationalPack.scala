@@ -12,9 +12,13 @@ import graft.Tables
   * sort/limit, set ops, rollup, scalar function inventory (§2.7).
   *
   * Scale notes (100 TB): all plans are shuffle-planar — filters and column
-  * pruning reach the parquet scan; small dims (region/nation/supplier/
-  * customer) are broadcast; aggregations are partial (map-side combine)
-  * before the key shuffle; no driver-side collection anywhere.
+  * pruning reach the parquet scan; aggregations are partial (map-side
+  * combine) before the key shuffle; no driver-side collection anywhere.
+  * Broadcast hints appear ONLY on fixed-cardinality dims (region=5,
+  * nation=25). SF-scaled tables (customer, supplier, per-part aggregates)
+  * carry no hint: statistics/AQE pick broadcast at small SF and switch to
+  * shuffle joins when the side outgrows the threshold — forcing broadcast
+  * there would OOM a 100 TB run.
   */
 object RelationalPack extends QueryPack {
 
@@ -90,7 +94,7 @@ object RelationalPack extends QueryPack {
         val o = ord(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         val l = li(s, d).filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(
             sum(dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))
@@ -117,7 +121,8 @@ object RelationalPack extends QueryPack {
              |GROUP BY l_orderkey, o_orderdate, o_orderpriority
              |ORDER BY revenue DESC, l_orderkey
              |LIMIT 10""".stripMargin),
-      doc = "3-way join, broadcast dim, agg, top-10; AQE picks broadcast for orders side at small SF"
+      doc = "3-way join, agg, top-10; no hints — stats/AQE choose broadcast at small SF, " +
+        "shuffle join once customer outgrows the threshold"
     ),
     // ---------------------------------------------------------------- q5
     Q(
@@ -133,9 +138,9 @@ object RelationalPack extends QueryPack {
         )
         li(s, d)
           .join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
           .join(
-            broadcast(sup),
+            sup,
             col("l_suppkey") === col("s_suppkey") &&
               col("c_nationkey") === col("s_nationkey")
           )
@@ -392,7 +397,7 @@ object RelationalPack extends QueryPack {
         val l = li(s, d)
         val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
           .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
-        l.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+        l.join(avgQty, col("l_partkey") === col("ap_partkey"))
           .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
           .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
       },

@@ -63,7 +63,9 @@ object EsriSink {
       .load()
       .select(col(keyCol), col("objectid"))
 
-    val annotated = df.join(broadcast(targetKeys), Seq(keyCol), "left_outer")
+    // No broadcast hint: the target layer's key set scales with the sink, so
+    // the planner/AQE must choose (broadcast when small, shuffle join at scale).
+    val annotated = df.join(targetKeys, Seq(keyCol), "left_outer")
 
     val inserted = append(annotated.filter(col("objectid").isNull).drop("objectid"), clientKey)
     val updates = annotated.filter(col("objectid").isNotNull)
