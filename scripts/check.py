@@ -42,13 +42,18 @@ def main():
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
             n_bad += 1; continue
         # compare as-is order (queries ORDER BY a unique key on both sides)
+        def is_null(v):
+            return v is None or (isinstance(v, float) and v != v)
+        def cell_eq(x, y):
+            if is_null(x) or is_null(y):
+                return is_null(x) and is_null(y)
+            return x == y
         mism = []
         for c in sdf.columns:
             a, b = sdf[c].tolist(), odf[c].tolist()
-            if a != b:
-                for i, (x, y) in enumerate(zip(a, b)):
-                    if x != y and not (x is None and y is None):
-                        mism.append((c, i, x, y)); break
+            for i, (x, y) in enumerate(zip(a, b)):
+                if not cell_eq(x, y):
+                    mism.append((c, i, x, y)); break
         if mism:
             print(f"FAIL {name}: first mismatches {mism[:3]}")
             n_bad += 1

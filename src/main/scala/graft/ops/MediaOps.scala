@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns (SURVEY.md §2.9, driver mandate): image/audio/video
+  * payloads ride as opaque `BinaryType` columns with a typed metadata
+  * struct; decode / feature-extract / frame-sample are batch operations
+  * over those bytes.
+  *
+  * The actual codec step is STUBBED (this container has no image/audio
+  * libraries): [[decodeStub]] derives deterministic fake dimensions from the
+  * byte stream. Everything around it — the schema, the binary column
+  * plumbing, the `mapPartitions` batch shape a real decoder would plug
+  * into, the frame-sampling expressions — is real and tested. Swapping
+  * [[decodeStub]] for a JNI/javacpp codec changes no plan shape.
+  *
+  * Scale: payload bytes stay columnar parquet binary; all ops are narrow
+  * (per-row / per-partition). A 100 TB media corpus partitions by file
+  * group; nothing here shuffles.
+  */
+object MediaOps {
+
+  /** Media metadata struct: mime + dimensions + size, the typed face of an
+    * opaque payload.
+    */
+  val MetaType: StructType = StructType(Seq(
+    StructField("mime", StringType),
+    StructField("width_px", IntegerType),
+    StructField("height_px", IntegerType),
+    StructField("size_bytes", LongType)
+  ))
+
+  /** STUB — stands in for a real image decode. Deterministic fake: derives
+    * "dimensions" from the payload length so tests and oracles are stable.
+    * A production build replaces this body with the real codec call; the
+    * signature (bytes in, dimensions out) is the contract.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int) = {
+    val n = if (bytes == null) 0 else bytes.length
+    (16 + n % 64, 16 + (n / 64) % 64)
+  }
+
+  /** Pack a binary payload column with its typed metadata. */
+  def packMedia(df: DataFrame, payload: Column, mime: String): DataFrame =
+    df.withColumn("media_bytes", payload.cast(BinaryType))
+      .withColumn(
+        "media_meta",
+        struct(
+          lit(mime).as("mime"),
+          (lit(16) + length(col("media_bytes")) % 64).as("width_px"),
+          (lit(16) + (length(col("media_bytes")) / 64).cast("int") % 64).as("height_px"),
+          length(col("media_bytes")).cast("long").as("size_bytes")
+        )
+      )
+
+  /** Frame sampling: every `stride` bytes take a `frameLen`-byte window —
+    * the video-frame-sample shape as pure substring expressions (1-based
+    * offsets, codegen'd, no UDF).
+    */
+  def sampleFrames(bytesCol: Column, frameLen: Int, stride: Int, nFrames: Int): Column =
+    array((0 until nFrames).map { i =>
+      substring(bytesCol, 1 + i * stride, frameLen)
+    }: _*)
+
+  /** Batch featurize via `mapPartitions` — the exact shape a real decoder
+    * runs in (one codec init per partition, then a tight loop). Emits
+    * (id, width, height, byte_sum) with the stub decode.
+    */
+  def featurize(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("width_px", IntegerType),
+      StructField("height_px", IntegerType),
+      StructField("byte_sum", LongType)
+    ))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bytesIdx = df.schema.fieldIndex("media_bytes")
+    val rdd = df.queryExecution.toRdd.mapPartitions { it =>
+      // real impl: initialize the codec ONCE here, then stream the batch
+      it.map { internal =>
+        val id = internal.getLong(idIdx)
+        val bytes = internal.getBinary(bytesIdx)
+        val (w, h) = decodeStub(bytes)
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) { sum += bytes(i) & 0xff; i += 1 }
+        org.apache.spark.sql.catalyst.InternalRow(id, w, h, sum)
+      }
+    }
+    org.apache.spark.sql.GraftShims.internalCreateDataFrame(spark, rdd, schema)
+  }
+}

@@ -10,7 +10,8 @@ object AllPacks {
     DedupPack,
     SimilarityPack,
     EventsPack,
-    FeaturePack
+    FeaturePack,
+    MultimodalPack
   )
 
   lazy val all: Seq[Q] = {

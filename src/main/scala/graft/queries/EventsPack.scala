@@ -157,6 +157,52 @@ object EventsPack extends QueryPack {
              |WHERE rnk <= 3
              |ORDER BY day, rnk""".stripMargin),
       doc = "daily top-3 active users: agg then per-day top-k window"
+    ),
+    // ---------------------------------------------------------------- asof
+    Q(
+      "e6_asof_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        graft.ops.AsOfJoin
+          .backward(purchases, views, "user_id", "ts",
+            Seq("event_id" -> "view_event_id", "value" -> "view_value"))
+          .select(col("event_id"), col("user_id"), col("view_event_id"), col("view_value"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, v.event_id AS view_event_id, v.value AS view_value
+             |FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'view') v
+             |  ON p.user_id = v.user_id AND p.ts >= v.ts
+             |ORDER BY p.event_id""".stripMargin),
+      doc = "backward as-of join (operator Spark lacks) composed as tag-union + " +
+        "forward-fill window: one key shuffle, no range-join explosion; oracle = " +
+        "DuckDB's native ASOF JOIN"
+    ),
+    // ---------------------------------------------------------------- pivot
+    Q(
+      "e7_pivot",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy(col("user_id")),
+      Some("""SELECT user_id,
+             |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+             |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+             |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+             |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+             |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+             |FROM events
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin),
+      doc = "pivot with explicit value list (no extra distinct-values scan) = " +
+        "conditional aggregation"
     )
   )
 }

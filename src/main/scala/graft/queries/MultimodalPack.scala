@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.MediaOps
+
+/** Multimodal-column operators (SURVEY.md §2.9, driver mandate): binary
+  * payloads + typed metadata, frame sampling, batch feature extraction.
+  * The corpus has no real media files, so document text bytes stand in as
+  * the payload (ASCII → byte ops are reproducible in the DuckDB oracle via
+  * char ops); the codec itself is the documented stub in
+  * [[graft.ops.MediaOps.decodeStub]] — schema, plumbing and batch shape are
+  * the real thing.
+  */
+object MultimodalPack extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- pack
+    Q(
+      "m1_binary_metadata",
+      (s, d) => {
+        val packed = MediaOps.packMedia(Tables.documents(s, d), col("text"), "text/plain")
+        packed.select(
+          col("doc_id"),
+          col("media_meta.mime").as("mime"),
+          col("media_meta.size_bytes").as("size_bytes"),
+          col("media_meta.width_px").as("width_px"),
+          col("media_meta.height_px").as("height_px"),
+          hex(substring(col("media_bytes"), 1, 8)).as("head_hex"),
+          ((length(col("media_bytes")) + 63) / 64).cast("int").as("n_frames")
+        ).orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'text/plain' AS mime,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+             |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width_px,
+             |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height_px,
+             |  hex(encode(substring(text, 1, 8))) AS head_hex,
+             |  CAST((octet_length(encode(text)) + 63) // 64 AS INT) AS n_frames
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      doc = "binary payload column + typed media metadata struct (BinaryType plumbing)"
+    ),
+    // ---------------------------------------------------------------- frames
+    Q(
+      "m2_frame_sample",
+      (s, d) => {
+        val packed = MediaOps.packMedia(Tables.documents(s, d), col("text"), "video/fake")
+        val frames = MediaOps.sampleFrames(col("media_bytes"), 4, 64, 3)
+        packed
+          .filter(length(col("media_bytes")) >= 132)
+          .select(
+            col("doc_id"),
+            hex(frames.getItem(0)).as("f0"),
+            hex(frames.getItem(1)).as("f1"),
+            hex(frames.getItem(2)).as("f2")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  hex(encode(substring(text, 1, 4))) AS f0,
+             |  hex(encode(substring(text, 65, 4))) AS f1,
+             |  hex(encode(substring(text, 129, 4))) AS f2
+             |FROM documents
+             |WHERE octet_length(encode(text)) >= 132
+             |ORDER BY doc_id""".stripMargin),
+      doc = "frame sampling: every 64th byte window as pure substring expressions " +
+        "(the video frame-sample shape, stub-decoded)"
+    ),
+    // ---------------------------------------------------------------- featurize
+    Q(
+      "m3_batch_featurize",
+      (s, d) => {
+        val packed = MediaOps.packMedia(Tables.documents(s, d), col("text"), "image/fake")
+        MediaOps.featurize(packed.select(col("doc_id"), col("media_bytes")), "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width_px,
+             |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height_px,
+             |  CAST(list_aggregate(list_transform(string_split(text, ''), x -> ascii(x)), 'sum') AS BIGINT) AS byte_sum
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      doc = "mapPartitions batch featurize (codec-per-partition shape) with stub decode; " +
+        "byte histogram sum checked against per-char oracle"
+    )
+  )
+}
