@@ -11,7 +11,8 @@ object AllPacks {
     SimilarityPack,
     EventsPack,
     FeaturePack,
-    MultimodalPack
+    MultimodalPack,
+    StatsPack
   )
 
   lazy val all: Seq[Q] = {

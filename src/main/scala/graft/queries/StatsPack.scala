@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Salting
+
+/** Statistical + skew-tooling coverage: exact interpolated percentiles,
+  * approximate sketches (rows-only check — HLL/KLL internals differ across
+  * engines by design), and the salted-join utility proven equivalent to the
+  * plain join via the oracle.
+  */
+object StatsPack extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- salted join
+    Q(
+      "x1_salted_join",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+        val o = Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        Salting.saltedJoin(l, o, Seq("l_orderkey"), "l_linenumber", nSalts = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n")
+          )
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin),
+      doc = "salted join (hot-key spreading over 8 salt buckets) — oracle proves it " +
+        "computes exactly the plain join"
+    ),
+    // ---------------------------------------------------------------- percentiles
+    Q(
+      "x2_percentiles",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.5)").as("median_qty"),
+            expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty")
+          )
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.5) AS median_qty,
+             |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+             |  MIN(l_quantity) AS min_qty,
+             |  MAX(l_quantity) AS max_qty
+             |FROM lineitem
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      doc = "exact interpolated percentiles (both engines implement continuous quantile)"
+    ),
+    // ---------------------------------------------------------------- sketches
+    Q(
+      "x3_approx_sketches",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_partkey")).as("approx_parts"),
+            expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_median_price"),
+            count(lit(1)).as("n")
+          )
+          .orderBy(col("l_returnflag")),
+      None, // sketch internals (HLL++/KLL) are engine-specific → rows-only check
+      doc = "approximate sketches: HLL++ count-distinct + quantile sketch; the " +
+        "constant-memory path for 100 TB cardinality/quantile estimation"
+    )
+  )
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Salting
+import graft.sources.arcgis.AuthCache
+
+class SaltingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("salted join equals plain join, spreads the hot key") {
+    // 90% of probe rows share one hot key
+    val probe = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i)).toDF("key", "seq")
+    val build = Seq(("hot", 1.0), ("k901", 2.0), ("k950", 3.0)).toDF("key", "w")
+
+    val plain = probe.join(build, Seq("key")).agg(sum($"w"), count(lit(1))).head()
+    val salted = Salting.saltedJoin(probe, build, Seq("key"), "seq", nSalts = 8)
+      .agg(sum($"w"), count(lit(1))).head()
+    assert(plain == salted)
+
+    // the hot key occupies several salt buckets, not one
+    val buckets = Salting.withSalt(probe.filter($"key" === "hot"), "seq", 8)
+      .select("__salt").distinct().count()
+    assert(buckets > 4)
+  }
+
+  test("salt is deterministic (stable across retries)") {
+    val df = (1 to 100).map(i => ("k", i)).toDF("key", "seq")
+    val a = Salting.withSalt(df, "seq", 16).select("seq", "__salt").collect().toSet
+    val b = Salting.withSalt(df, "seq", 16).select("seq", "__salt").collect().toSet
+    assert(a == b)
+  }
+}
+
+class AuthCacheSpec extends AnyFunSuite {
+  test("P6: token cached until within refresh margin of expiry") {
+    var clock = 1000L
+    var fetches = 0
+    val cache = new AuthCache(
+      fetchToken = () => { fetches += 1; (s"tok$fetches", clock + 60000) },
+      refreshMarginMs = 5000,
+      now = () => clock
+    )
+    assert(cache.token() == "tok1" && fetches == 1)
+    clock += 30000
+    assert(cache.token() == "tok1" && fetches == 1) // still fresh
+    clock += 26000 // 56s elapsed: 4s to expiry < 5s margin → refresh
+    assert(cache.token() == "tok2" && fetches == 2)
+    cache.invalidate()
+    assert(cache.token() == "tok3" && fetches == 3)
+  }
+}
+
+class StreamingWindowSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("§2.8: watermarked tumbling-window aggregate over a stream") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = input.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 10:05:00"), "click", 1.0),
+      (t("2024-01-01 10:55:00"), "click", 2.0),
+      (t("2024-01-01 11:05:00"), "click", 4.0)
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("win_out")
+      .select(col("window.start").cast("string"), $"n", $"v")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("2024-01-01 10:00:00", 2L, 3.0),
+      ("2024-01-01 11:00:00", 1L, 4.0)
+    ))
+  }
+}
