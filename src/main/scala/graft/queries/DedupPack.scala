@@ -182,6 +182,94 @@ object DedupPack extends QueryPack {
            |ORDER BY doc_id""".stripMargin
       },
       doc = "8-bit SimHash from per-bit majority votes over token hashes"
+    ),
+    // ---------------------------------------------------------------- shingles
+    Q(
+      "d7_shingle_jaccard",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val shingles = array_distinct(
+          transform(
+            sequence(lit(1), size(toks) - 2),
+            i => concat_ws(" ",
+              element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+          )
+        )
+        val t = Tables.documents(s, d)
+          .filter(size(toks) >= 3)
+          .select(col("doc_id"), col("source"), shingles.as("sh"))
+        val a = t.select(col("doc_id").as("a_id"), col("source"), col("sh").as("a_sh"))
+        val b = t.select(col("doc_id").as("b_id"), col("source"), col("sh").as("b_sh"))
+        a.join(b, Seq("source"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+          .withColumn(
+            "jaccard",
+            col("inter").cast("double") /
+              (size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+          )
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a_id"), col("b_id"), col("jaccard"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+             |  WHERE len(toks) >= 3)
+             |SELECT a_id, b_id, jaccard FROM (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+             |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id) p
+             |WHERE jaccard >= 0.5
+             |ORDER BY a_id, b_id""".stripMargin),
+      doc = "token-trigram shingle Jaccard: order-sensitive n-gram near-dup (far more " +
+        "discriminative than token sets — one true near-dup pair survives 0.5)"
+    ),
+    // ---------------------------------------------------------------- knn dedup
+    Q(
+      "d8_embedding_nn",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.VectorOps.cosine
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
+        val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
+        val b = e.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"))
+        val w = Window.partitionBy(col("a_id")).orderBy(col("cos_sim").desc, col("b_id"))
+        a.join(b, Seq("label"))
+          .filter(col("a_id") =!= col("b_id"))
+          .select(
+            col("a_id"), col("b_id"),
+            quant(cosine(col("a_emb"), col("b_emb")), 1e6).as("cos_sim")
+          )
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(
+            col("a_id").as("vec_id"),
+            col("b_id").as("nn_id"),
+            col("cos_sim"),
+            (col("cos_sim") >= 0.8).as("is_near_dup")
+          )
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+             |p AS (
+             |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             |    floor(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             |            z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+             |      (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             |       sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1000000) / 1000000 AS cos_sim
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id)
+             |SELECT a_id AS vec_id, b_id AS nn_id, cos_sim, cos_sim >= 0.8 AS is_near_dup
+             |FROM (SELECT a_id, b_id, cos_sim,
+             |        ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id) AS rnk
+             |      FROM p) r
+             |WHERE rnk = 1
+             |ORDER BY vec_id""".stripMargin),
+      doc = "embedding-cosine nearest neighbor within label blocks (IVF-style): the " +
+        "near-dup primitive — is_near_dup thresholds the top match"
     )
   )
 }

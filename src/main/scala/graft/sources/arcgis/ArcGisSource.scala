@@ -123,8 +123,12 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   private var required: StructType = schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (supported, residual) =
-      filters.partition(f => ArcGisFilterCompiler.compile(f).isDefined)
+    // geom_x/geom_y are synthetic (engine-side) columns, not remote layer
+    // fields — predicates touching them must stay residual in Spark.
+    val (supported, residual) = filters.partition { f =>
+      ArcGisFilterCompiler.compile(f).isDefined &&
+        !f.references.exists(r => r == "geom_x" || r == "geom_y")
+    }
     pushed = supported
     residual
   }

