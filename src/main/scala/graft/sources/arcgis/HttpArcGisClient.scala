@@ -1,0 +1,250 @@
+package graft.sources.arcgis
+
+import java.net.URI
+import java.net.URLEncoder
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+
+/** Production transport for [[ArcGisClient]] over the ArcGIS REST API —
+  * the endpoints the reference drives: `/query` (`/root/reference/
+  * task.ts:270`), `/queryTopFeatures` (`task.ts:400`), `/addFeatures`
+  * (`task.ts:239`), `/updateFeatures` (`task.ts:321`). Auth is the
+  * reference's token/referer pattern (`task.ts:373-388`) behind an
+  * expiry-aware [[AuthCache]] amortized per executor.
+  *
+  * Deliberately dependency-free (java.net.http + the minimal JSON
+  * read/write below) since the build is offline. Untestable in this
+  * container (zero egress) — all engine logic above the transport is
+  * exercised through [[MockArcGisClient]].
+  */
+class HttpArcGisClient(
+    layerUrl: String,
+    auth: Option[AuthCache] = None,
+    referer: Option[String] = None
+) extends ArcGisClient {
+
+  @transient private lazy val http = HttpClient.newHttpClient()
+
+  private def enc(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+  private def withAuth(params: Seq[(String, String)]): Seq[(String, String)] =
+    params ++ auth.map(a => "token" -> a.token()).toSeq
+
+  private def get(path: String, params: Seq[(String, String)]): String = {
+    val qs = (withAuth(params) :+ ("f" -> "json"))
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    val builder = HttpRequest.newBuilder(URI.create(s"$layerUrl$path?$qs")).GET()
+    referer.foreach(r => builder.header("Referer", r))
+    val resp = http.send(builder.build(), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() >= 400)
+      throw new RuntimeException(s"ArcGIS GET $path failed: HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  private def post(path: String, params: Seq[(String, String)]): String = {
+    val body = (withAuth(params) :+ ("f" -> "json"))
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    val builder = HttpRequest.newBuilder(URI.create(s"$layerUrl$path"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    referer.foreach(r => builder.header("Referer", r))
+    val resp = http.send(builder.build(), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() >= 400)
+      throw new RuntimeException(s"ArcGIS POST $path failed: HTTP ${resp.statusCode()}")
+    resp.body()
+  }
+
+  override def layerInfo(): LayerInfo = {
+    val json = MiniJson.parse(get("", Seq.empty))
+    val fields = json.arr("fields").map { f =>
+      ArcGisField(f.str("name"), f.str("type"))
+    }
+    val count = MiniJson.parse(get("/query", Seq("where" -> "1=1", "returnCountOnly" -> "true")))
+    LayerInfo(
+      fields,
+      json.num("maxRecordCount").map(_.toInt).getOrElse(1000),
+      count.num("count").map(_.toLong).getOrElse(0L)
+    )
+  }
+
+  private def parseFeatures(body: String): Seq[EsriFeature] =
+    MiniJson.parse(body).arr("features").map { f =>
+      val attrs = f.obj("attributes").map(_.fields).getOrElse(Map.empty)
+      val geom = for {
+        g <- f.obj("geometry")
+        x <- g.num("x"); y <- g.num("y")
+      } yield (x, y)
+      EsriFeature(attrs.collect { case (k, v: Any) => k -> v }, geom)
+    }
+
+  override def queryPage(
+      offset: Long, count: Int, where: String, outFields: Seq[String]
+  ): Seq[EsriFeature] =
+    parseFeatures(get("/query", Seq(
+      "where" -> where,
+      "outFields" -> (if (outFields.isEmpty) "*" else outFields.mkString(",")),
+      "resultOffset" -> offset.toString,
+      "resultRecordCount" -> count.toString,
+      "orderByFields" -> "OBJECTID" // stable pagination order
+    )))
+
+  override def queryTopFeatures(
+      topCount: Int, groupByField: String, orderByField: String,
+      where: String, outFields: Seq[String]
+  ): Seq[EsriFeature] =
+    parseFeatures(get("/queryTopFeatures", Seq(
+      "where" -> where,
+      "outFields" -> (if (outFields.isEmpty) "*" else outFields.mkString(",")),
+      "topFilter" -> s"""{"groupByFields":"$groupByField","topCount":$topCount,"orderByFields":"$orderByField"}"""
+    )))
+
+  override def queryByKey(keyCol: String, key: String): Seq[EsriFeature] =
+    parseFeatures(get("/query", Seq(
+      "where" -> s"$keyCol = '${key.replace("'", "''")}'",
+      "outFields" -> "*"
+    )))
+
+  private def writeResults(body: String, resultKey: String): Seq[Either[String, Long]] =
+    MiniJson.parse(body).arr(resultKey).map { r =>
+      if (r.bool("success").contains(true))
+        Right(r.num("objectId").map(_.toLong).getOrElse(-1L))
+      else Left(r.obj("error").flatMap(_.strOpt("description")).getOrElse("unknown error"))
+    }
+
+  override def addFeatures(feats: Seq[EsriFeature]): Seq[Either[String, Long]] =
+    writeResults(
+      post("/addFeatures", Seq("features" -> MiniJson.featuresJson(feats))),
+      "addResults"
+    )
+
+  override def updateFeatures(feats: Seq[EsriFeature]): Seq[Either[String, Long]] =
+    writeResults(
+      post("/updateFeatures", Seq("features" -> MiniJson.featuresJson(feats))),
+      "updateResults"
+    )
+}
+
+/** Minimal JSON reader/writer for the ArcGIS REST envelope — enough for
+  * fields/features/results; avoids any external dependency (offline build).
+  */
+private[graft] object MiniJson {
+  final case class JValue(value: Any) {
+    def fields: Map[String, Any] = value match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => Map.empty
+    }
+    def obj(k: String): Option[JValue] =
+      fields.get(k).collect { case m: Map[_, _] => JValue(m) }
+    def arr(k: String): Seq[JValue] = fields.get(k) match {
+      case Some(s: Seq[_]) => s.map(JValue(_))
+      case _ => Seq.empty
+    }
+    def str(k: String): String = fields.get(k).map(_.toString).getOrElse("")
+    def strOpt(k: String): Option[String] = fields.get(k).map(_.toString)
+    def num(k: String): Option[Double] = fields.get(k).collect {
+      case d: Double => d
+      case l: Long => l.toDouble
+      case i: Int => i.toDouble
+    }
+    def bool(k: String): Option[Boolean] = fields.get(k).collect { case b: Boolean => b }
+  }
+
+  def parse(s: String): JValue =
+    try JValue(new Parser(s).parseValue())
+    catch {
+      case e: RuntimeException =>
+        throw new RuntimeException(
+          s"malformed ArcGIS JSON response (${e.getClass.getSimpleName}): ${s.take(120)}", e)
+    }
+
+  /** Serialize features to the ESRI JSON array `addFeatures` expects. */
+  def featuresJson(feats: Seq[EsriFeature]): String =
+    feats.map { f =>
+      val attrs = f.attributes.map { case (k, v) =>
+        val jv = v match {
+          case s: String => "\"" + escape(s) + "\""
+          case other => other.toString
+        }
+        "\"" + escape(k) + "\":" + jv
+      }.mkString(",")
+      val geom = f.geometry
+        .map { case (x, y) => s""","geometry":{"x":$x,"y":$y,"spatialReference":{"wkid":102100}}""" }
+        .getOrElse("")
+      s"""{"attributes":{$attrs}$geom}"""
+    }.mkString("[", ",", "]")
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private final class Parser(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def expect(c: Char): Unit = { ws(); require(s.charAt(i) == c, s"expected $c at $i"); i += 1 }
+
+    def parseValue(): Any = {
+      ws()
+      s.charAt(i) match {
+        case '{' => parseObj()
+        case '[' => parseArr()
+        case '"' => parseStr()
+        case 't' => i += 4; true
+        case 'f' => i += 5; false
+        case 'n' => i += 4; null
+        case _ => parseNum()
+      }
+    }
+    private def parseObj(): Map[String, Any] = {
+      expect('{'); ws()
+      if (s.charAt(i) == '}') { i += 1; return Map.empty }
+      val b = Map.newBuilder[String, Any]
+      var done = false
+      while (!done) {
+        ws(); val k = parseStr(); expect(':'); b += (k -> parseValue()); ws()
+        if (s.charAt(i) == ',') i += 1 else { expect('}'); done = true }
+      }
+      b.result()
+    }
+    private def parseArr(): Seq[Any] = {
+      expect('['); ws()
+      if (s.charAt(i) == ']') { i += 1; return Seq.empty }
+      val b = Seq.newBuilder[Any]
+      var done = false
+      while (!done) {
+        b += parseValue(); ws()
+        if (s.charAt(i) == ',') i += 1 else { expect(']'); done = true }
+      }
+      b.result()
+    }
+    private def parseStr(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') {
+          i += 1
+          s.charAt(i) match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case 'u' => sb.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar); i += 4
+            case other => sb.append(other)
+          }
+        } else sb.append(c)
+        i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    private def parseNum(): Any = {
+      val start = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      val t = s.substring(start, i)
+      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble else t.toLong
+    }
+  }
+}
