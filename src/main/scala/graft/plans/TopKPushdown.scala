@@ -1,0 +1,94 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.sources.arcgis.ArcGisTable
+import scala.jdk.CollectionConverters._
+
+/** SURVEY.md §4 stretch goal — the one custom optimizer rule: a per-group
+  * top-k window over an ArcGIS scan
+  *
+  * {{{ scan.withColumn("rn", row_number.over(partitionBy(g).orderBy(o)))
+  *       .filter(rn <= k).drop("rn") }}}
+  *
+  * is exactly what the remote `queryTopFeatures` endpoint computes (S2,
+  * reference `/root/reference/task.ts:16-19,400`), so rewrite the
+  * Project–Filter–Window subtree into a new ArcGIS relation with the
+  * topFeatures strategy — the engine-side window (full scan + shuffle +
+  * sort) disappears and the server returns only k rows per group.
+  *
+  * Guardrails: fires only when the window is a single `row_number` over one
+  * partition attribute and one ascending order attribute, the filter is a
+  * literal top-k bound on that row number, and no parent expression still
+  * references the rank column. Column pruning may have inserted a
+  * pass-through Project (and later batches a WindowGroupLimit) between the
+  * Window and the relation — the search descends through both and the
+  * replacement relation reproduces the pruned output exactly.
+  */
+case class TopKPushdown() extends Rule[LogicalPlan] {
+
+  private def topK(cond: Expression, rn: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k)
+    case LessThan(a: Attribute, Literal(k: Int, _)) if a.semanticEquals(rn) => Some(k - 1)
+    case EqualTo(a: Attribute, Literal(1, _)) if a.semanticEquals(rn) => Some(1)
+    case _ => None
+  }
+
+  private def findArcGisRelation(plan: LogicalPlan): Option[DataSourceV2Relation] =
+    plan match {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[ArcGisTable] => Some(r)
+      case WindowGroupLimit(_, _, _, _, child) => findArcGisRelation(child)
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        findArcGisRelation(child)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(projectList,
+          Filter(cond,
+            Window(
+              Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+              Seq(part: AttributeReference),
+              Seq(SortOrder(order: AttributeReference, Ascending, _, _)),
+              child,
+              _)))
+        if findArcGisRelation(child).isDefined &&
+          !projectList.exists(_.references.contains(alias.toAttribute)) &&
+          child.output.forall(_.isInstanceOf[AttributeReference]) =>
+      (topK(cond, alias.toAttribute), findArcGisRelation(child)) match {
+        case (Some(k), Some(rel)) if k >= 1 =>
+          val outAttrs = child.output.map(_.asInstanceOf[AttributeReference])
+          val newOpts = new CaseInsensitiveStringMap(
+            (rel.options.asCaseSensitiveMap().asScala.toMap ++ Map(
+              "strategy" -> "queryTopFeatures",
+              "topCount" -> k.toString,
+              "groupByField" -> part.name,
+              "orderByField" -> order.name
+            )).asJava
+          )
+          val newSchema = StructType(
+            outAttrs.map(a => StructField(a.name, a.dataType, a.nullable))
+          )
+          val newRel = rel.copy(
+            table = new ArcGisTable(newSchema, newOpts),
+            output = outAttrs,
+            options = newOpts
+          )
+          Project(projectList, newRel)
+        case _ => p
+      }
+  }
+}
+
+/** Register with `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => TopKPushdown())
+}

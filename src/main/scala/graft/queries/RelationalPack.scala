@@ -434,6 +434,136 @@ object RelationalPack extends QueryPack {
              |WHERE o_custkey < 100
              |ORDER BY o_custkey, o_orderkey""".stripMargin),
       doc = "running-total window; decimal accumulator keeps the prefix sums exact cross-engine"
+    ),
+    // ---------------------------------------------------------------- q20 (TPC-H Q7 shape)
+    Q(
+      "q20_nation_volume",
+      (s, d) => {
+        val n1 = Tables.nation(s, d).select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d).select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+        li(s, d)
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+          .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+          .filter(
+            (col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
+              (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE")
+          )
+          .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))
+              .cast("double").as("revenue")
+          )
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |    CAST(year(l_shipdate) AS INT) AS l_year, l_extendedprice, l_discount
+             |  FROM lineitem, supplier, orders, customer, nation n1, nation n2
+             |  WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+             |    AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+             |    AND c_nationkey = n2.n_nationkey
+             |    AND ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+             |      OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))) t
+             |GROUP BY supp_nation, cust_nation, l_year
+             |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+      doc = "TPC-H Q7 shape: nation-pair volume by year; self-joined broadcast dim, " +
+        "OR-of-ANDs pair filter"
+    ),
+    // ---------------------------------------------------------------- q21 (TPC-H Q14 shape)
+    Q(
+      "q21_promo_ratio",
+      (s, d) =>
+        li(s, d)
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .filter(
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-07-01").cast("timestamp")
+          )
+          .agg(
+            (lit(100.0) * sum(
+              when(col("p_type").startsWith("PROMO"),
+                dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))
+                .otherwise(lit(0).cast("decimal(18,4)"))
+            ).cast("double") /
+              sum(dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))
+                .cast("double")).as("promo_revenue_pct")
+          ),
+      Some("""SELECT 100.0 * CAST(SUM(CASE WHEN starts_with(p_type, 'PROMO')
+             |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |  AS promo_revenue_pct
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey
+             |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin),
+      doc = "TPC-H Q14 shape: conditional revenue ratio; both sums exact-decimal, one " +
+        "double division"
+    ),
+    // ---------------------------------------------------------------- q22 (TPC-H Q19 shape)
+    Q(
+      "q22_complex_or_filter",
+      (s, d) =>
+        li(s, d)
+          .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+              (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+                col("l_quantity").between(10, 20)) ||
+              (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+                col("l_quantity").between(20, 30))
+          )
+          .agg(
+            dsum(col("l_extendedprice")).as("revenue"),
+            count(lit(1)).as("n")
+          ),
+      Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             |  COUNT(*) AS n
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey
+             |  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+             |    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+             |    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))""".stripMargin),
+      doc = "TPC-H Q19 shape: disjunction of conjunctive range predicates across both " +
+        "join sides (exercises CNF conversion / partial pushdown)"
+    ),
+    // ---------------------------------------------------------------- q23 (TPC-H Q22 shape)
+    Q(
+      "q23_dormant_customers",
+      (s, d) => {
+        val c = cust(s, d)
+        val avgBal = c.filter(col("c_acctbal") > 0.0)
+          .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(
+            ord(s, d).filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"),
+            "left_anti"
+          )
+          .groupBy(substring(col("c_name"), 1, 9).as("name_prefix"))
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+          .orderBy(col("name_prefix"))
+      },
+      Some("""WITH avg_bal AS (
+             |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+             |  FROM customer WHERE c_acctbal > 0.0)
+             |SELECT substring(c_name, 1, 9) AS name_prefix, COUNT(*) AS n_cust,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+             |FROM customer, avg_bal
+             |WHERE c_acctbal > avg_bal
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+             |GROUP BY 1
+             |ORDER BY name_prefix""".stripMargin),
+      doc = "TPC-H Q22 shape: scalar-subquery threshold (broadcast single row) + " +
+        "anti join + substring grouping"
     )
   )
 }
