@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -40,6 +40,9 @@ object WebMercator {
     GraftShims.column(MercatorY(GraftShims.expression(lat)))
 }
 
+/** Input must be DoubleType — construct via [[MercatorX.cast]] (or the
+  * Column API) so non-double inputs (e.g. SQL decimal literals) are coerced.
+  */
 case class MercatorX(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(v: Any): Any =
@@ -50,6 +53,12 @@ case class MercatorX(child: Expression) extends UnaryExpression {
   override def prettyName: String = "mercator_x"
 }
 
+object MercatorX {
+  /** Coerce any numeric input to double before projection. */
+  def cast(e: Expression): MercatorX =
+    MercatorX(if (e.dataType == DoubleType) e else Cast(e, DoubleType))
+}
+
 case class MercatorY(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override protected def nullSafeEval(v: Any): Any =
@@ -58,4 +67,9 @@ case class MercatorY(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.WebMercator.y($c)")
   override protected def withNewChildInternal(c: Expression): MercatorY = copy(child = c)
   override def prettyName: String = "mercator_y"
+}
+
+object MercatorY {
+  def cast(e: Expression): MercatorY =
+    MercatorY(if (e.dataType == DoubleType) e else Cast(e, DoubleType))
 }

@@ -86,9 +86,26 @@ case class TopKPushdown() extends Rule[LogicalPlan] {
 }
 
 /** Register with `.withExtensions(new GraftExtensions)` (or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`).
+  * `spark.sql.extensions=graft.plans.GraftExtensions`). Adds the top-k
+  * pushdown rule and exposes the geo kernel to SQL users
+  * (`SELECT mercator_x(lon), mercator_y(lat) ...`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions.{MercatorX, MercatorY}
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TopKPushdown())
+    e.injectFunction((
+      new FunctionIdentifier("mercator_x"),
+      new ExpressionInfo(classOf[MercatorX].getName, "mercator_x"),
+      (args: Seq[Expression]) => MercatorX.cast(args.head)
+    ))
+    e.injectFunction((
+      new FunctionIdentifier("mercator_y"),
+      new ExpressionInfo(classOf[MercatorY].getName, "mercator_y"),
+      (args: Seq[Expression]) => MercatorY.cast(args.head)
+    ))
+  }
 }

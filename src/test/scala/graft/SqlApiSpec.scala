@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.SafeParse
+
+/** The engine is also consumable through plain `spark.sql` — temp views over
+  * the corpus plus the SQL-registered custom functions.
+  */
+class SqlApiSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("spark.sql over registered views matches the DataFrame plan") {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem_v")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ).collect()
+    val viaDf = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+      .collect()
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+
+  test("mercator_x/mercator_y callable from SQL via GraftExtensions") {
+    import org.apache.spark.sql.SparkSession
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s.sql("SELECT mercator_x(CAST(10.0 AS DOUBLE)) AS x, mercator_y(CAST(45.0 AS DOUBLE)) AS y").head()
+      assert(r.getDouble(0) == graft.functions.WebMercator.x(10.0))
+      assert(r.getDouble(1) == graft.functions.WebMercator.y(45.0))
+    } finally {
+      prior.foreach { p =>
+        SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
+  test("T8 SafeParse splits good rows from corrupt records without failing") {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("v", LongType)))
+    val df = Seq(
+      """{"id":"a","v":1}""",
+      """{"id":"b","v":2}""",
+      """{not json at all""",
+      """{"id":"c","v":"not-a-number"}"""
+    ).toDF("body")
+    val (good, bad) = SafeParse.parseJson(df, "body", schema)
+    val g = good.select("id", "v").as[(String, Option[Long])].collect().sortBy(_._1)
+    assert(g.map(_._1).toSeq == Seq("a", "b"))
+    assert(g.collect { case (_, Some(v)) => v }.toSeq == Seq(1L, 2L))
+    // both the unparseable row AND the type-mismatched row land on the side
+    // channel with their raw payloads intact for replay
+    val b = bad.as[String].collect().sorted
+    assert(b.length == 2)
+    assert(b.exists(_.contains("not json")) && b.exists(_.contains("not-a-number")))
+  }
+}
