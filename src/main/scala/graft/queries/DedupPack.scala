@@ -270,6 +270,35 @@ object DedupPack extends QueryPack {
              |ORDER BY vec_id""".stripMargin),
       doc = "embedding-cosine nearest neighbor within label blocks (IVF-style): the " +
         "near-dup primitive — is_near_dup thresholds the top match"
+    ),
+    // ---------------------------------------------------------------- cross-source
+    Q(
+      "d9_cross_source_dup",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            col("source"),
+            array_join(slice(tokens(col("text")), 1, 5), " ").as("prefix_key")
+          )
+          .groupBy(col("prefix_key"))
+          .agg(
+            countDistinct(col("source")).as("n_sources"),
+            count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("first_doc")
+          )
+          .filter(col("n_sources") >= 2)
+          .orderBy(col("prefix_key")),
+      Some("""SELECT prefix_key, COUNT(DISTINCT source) AS n_sources, COUNT(*) AS n_docs,
+             |  MIN(doc_id) AS first_doc
+             |FROM (SELECT doc_id, source,
+             |        array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix_key
+             |      FROM documents)
+             |GROUP BY prefix_key
+             |HAVING COUNT(DISTINCT source) >= 2
+             |ORDER BY prefix_key""".stripMargin),
+      doc = "cross-source duplicate detection: same content key appearing in 2+ sources " +
+        "(provenance-aware dedup, one shuffle on the content key)"
     )
   )
 }

@@ -203,6 +203,33 @@ object EventsPack extends QueryPack {
              |ORDER BY user_id""".stripMargin),
       doc = "pivot with explicit value list (no extra distinct-values scan) = " +
         "conditional aggregation"
+    ),
+    // ---------------------------------------------------------------- retention
+    Q(
+      "e8_retention",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .select(col("user_id"), date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+          .distinct()
+        val a = daily.select(col("user_id"), col("day").as("d0"))
+        val b = daily.select(col("user_id"), col("day").as("d1"))
+        a.join(b, Seq("user_id"))
+          .filter(date_add(to_date(col("d0")), 1) === to_date(col("d1")))
+          .groupBy(col("d0"))
+          .agg(countDistinct(col("user_id")).as("retained_users"))
+          .orderBy(col("d0"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+             |  FROM events)
+             |SELECT a.day AS d0, COUNT(DISTINCT a.user_id) AS retained_users
+             |FROM daily a JOIN daily b
+             |  ON a.user_id = b.user_id
+             | AND CAST(a.day AS DATE) + INTERVAL 1 DAY = CAST(b.day AS DATE)
+             |GROUP BY a.day
+             |ORDER BY d0""".stripMargin),
+      doc = "next-day retention cohort: distinct user-days self-joined on day+1 " +
+        "(the activity-overlap join shape)"
     )
   )
 }

@@ -139,6 +139,49 @@ object SimilarityPack extends QueryPack {
            |ORDER BY bucket""".stripMargin
       },
       doc = "end-to-end ANN: LSH bucket equi-join generates candidates, exact cosine re-ranks"
+    ),
+    // ---------------------------------------------------------------- centroids
+    Q(
+      "s5_centroid_assign",
+      (s, d) => {
+        // 4 deterministic centroids from the same integer-hash formula as the
+        // LSH planes: centroid j, element i = ((j*64+i)*2654435761 % P)/1e9
+        def centroidDot(emb: org.apache.spark.sql.Column, j: Int) =
+          dsumArr(transform(emb, (x, i) =>
+            x.cast("double") * ((((lit(j * 64L) + i.cast("long")) * lit(2654435761L)) % lit(1000000007L))
+              .cast("double") / lit(1e9))))
+        val e = Tables.embeddings(s, d)
+        val scored = (0 until 4).foldLeft(e.select(col("vec_id"), col("embedding"))) {
+          case (df, j) => df.withColumn(s"s$j", quant(centroidDot(col("embedding"), j), 1e6))
+        }
+        scored
+          .withColumn(
+            "centroid",
+            when(col("s0") >= col("s1") && col("s0") >= col("s2") && col("s0") >= col("s3"), 0)
+              .when(col("s1") >= col("s2") && col("s1") >= col("s3"), 1)
+              .when(col("s2") >= col("s3"), 2)
+              .otherwise(3)
+          )
+          .groupBy(col("centroid"))
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy(col("centroid"))
+      },
+      Some {
+        def dot(j: Int) =
+          s"floor(list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * (((($j*64 + (i-1)) * 2654435761) % 1000000007) / 1000000000.0))) * 1000000) / 1000000"
+        s"""SELECT centroid, COUNT(*) AS n_vectors FROM (
+           |  SELECT CASE
+           |    WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+           |    WHEN s1 >= s2 AND s1 >= s3 THEN 1
+           |    WHEN s2 >= s3 THEN 2
+           |    ELSE 3 END AS centroid
+           |  FROM (SELECT ${dot(0)} AS s0, ${dot(1)} AS s1, ${dot(2)} AS s2, ${dot(3)} AS s3
+           |        FROM embeddings) t) a
+           |GROUP BY centroid
+           |ORDER BY centroid""".stripMargin
+      },
+      doc = "IVF coarse-quantizer assignment step: argmax similarity over 4 deterministic " +
+        "centroids with fixed tie order — the partition-pruning key for ANN at scale"
     )
   )
 }

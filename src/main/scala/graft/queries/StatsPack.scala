@@ -75,6 +75,35 @@ object StatsPack extends QueryPack {
       None, // sketch internals (HLL++/KLL) are engine-specific → rows-only check
       doc = "approximate sketches: HLL++ count-distinct + quantile sketch; the " +
         "constant-memory path for 100 TB cardinality/quantile estimation"
+    ),
+    // ---------------------------------------------------------------- set ops
+    Q(
+      "x4_intersect_except",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val bigSpenders = Tables.orders(s, d)
+          .groupBy(col("o_custkey")).agg(dsum(col("o_totalprice")).as("spend"))
+          .filter(col("spend") > 400000.0)
+          .select(col("o_custkey").as("k"))
+        val building = c.filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("k"))
+        val both = building.intersect(bigSpenders).withColumn("set_op", lit("intersect"))
+        val onlyBuilding = building.except(bigSpenders).withColumn("set_op", lit("except"))
+        both.unionByName(onlyBuilding)
+          .groupBy(col("set_op")).agg(count(lit(1)).as("n"))
+          .orderBy(col("set_op"))
+      },
+      Some("""WITH big AS (
+             |  SELECT o_custkey AS k FROM orders GROUP BY o_custkey
+             |  HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 400000.0),
+             |bld AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+             |SELECT set_op, COUNT(*) AS n FROM (
+             |  SELECT k, 'intersect' AS set_op FROM (SELECT k FROM bld INTERSECT SELECT k FROM big) i
+             |  UNION ALL
+             |  SELECT k, 'except' FROM (SELECT k FROM bld EXCEPT SELECT k FROM big) e) u
+             |GROUP BY set_op
+             |ORDER BY set_op""".stripMargin),
+      doc = "INTERSECT / EXCEPT set operations (left-semi/anti under the hood)"
     )
   )
 }

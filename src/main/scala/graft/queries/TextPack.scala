@@ -160,6 +160,44 @@ object TextPack extends QueryPack {
              |FROM documents
              |ORDER BY doc_id""".stripMargin),
       doc = "BPE-ish regex token counting (regexp_extract_all both engines)"
+    ),
+    // ---------------------------------------------------------------- tfidf
+    Q(
+      "t7_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+        val tf = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+        tf.join(df_, Seq("token"))
+          .crossJoin(broadcast(nDocs))
+          .select(
+            col("doc_id"),
+            col("token"),
+            col("tf"),
+            col("df"),
+            quant(col("tf") * log(col("n_docs").cast("double") / col("df")), 1e6)
+              .as("tfidf")
+          )
+          .filter(col("doc_id") < 20)
+          .orderBy(col("doc_id"), col("token"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, token, COUNT(*) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY doc_id, token),
+             |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+             |SELECT doc_id, tf.token AS token, tf, df,
+             |  floor(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000) / 1000000 AS tfidf
+             |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+             |WHERE doc_id < 20
+             |ORDER BY doc_id, token""".stripMargin),
+      doc = "TF-IDF: explode->tf agg, token df agg, broadcast corpus size; ln() output " +
+        "floor-quantized for cross-libm parity"
     )
   )
 }

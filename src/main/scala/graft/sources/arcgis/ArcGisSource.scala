@@ -37,8 +37,13 @@ import scala.jdk.CollectionConverters._
 class ArcGisTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "arcgis"
 
+  /** Unconfigured source → empty schema rather than an error, matching the
+    * reference's `schema()` behavior when no layer/URL is set
+    * (`task.ts:64,69,86,89`, v7.2.0/v5.7.0 `CHANGELOG.md:143,183`).
+    */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ArcGisSchema.structFor(
+    if (options.get("client") == null) new StructType()
+    else ArcGisSchema.structFor(
       ArcGisClientRegistry.get(options.get("client")).layerInfo().fields
     )
 
