@@ -37,6 +37,14 @@ object TextOps {
   def minhash(toks: Column, a: Long, b: Long): Column =
     array_min(transform(toks, t => (lit(a) * tokenHash(t) + lit(b)) % lit(P)))
 
+  /** Token hashes materialized once; feed [[minhashFromHashes]] when
+    * computing several permutations so h(t) isn't re-evaluated per seed.
+    */
+  def tokenHashes(toks: Column): Column = transform(toks, t => tokenHash(t))
+
+  def minhashFromHashes(hashes: Column, a: Long, b: Long): Column =
+    array_min(transform(hashes, h => (lit(a) * h + lit(b)) % lit(P)))
+
   /** 8-bit SimHash over token hashes: bit b is set iff more tokens have bit b
     * of their hash set than clear.
     */

@@ -103,11 +103,13 @@ object DedupPack extends QueryPack {
     Q(
       "d4_minhash_signatures",
       (s, d) => {
+        // hash each token once, then derive all 4 permutations from the
+        // materialized hash array (4x fewer tokenHash evaluations)
         val base = Tables.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
         MhSeeds.zipWithIndex
           .foldLeft(base) { case (df, ((a, b), i)) =>
-            df.withColumn(s"mh$i", minhash(col("toks"), a, b))
+            df.withColumn(s"mh$i", minhashFromHashes(col("th"), a, b))
           }
           .select(col("doc_id") +: MhSeeds.indices.map(i => col(s"mh$i")): _*)
           .orderBy(col("doc_id"))
@@ -127,10 +129,10 @@ object DedupPack extends QueryPack {
       "d5_lsh_candidates",
       (s, d) => {
         val base = Tables.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
         val sigs = MhSeeds.zipWithIndex
           .foldLeft(base) { case (df, ((a, b), i)) =>
-            df.withColumn(s"mh$i", minhash(col("toks"), a, b))
+            df.withColumn(s"mh$i", minhashFromHashes(col("th"), a, b))
           }
         def bandPairs(bandId: Int, c1: String, c2: String) = {
           val x = sigs.select(col("doc_id").as("a_id"), col(c1), col(c2))
@@ -195,18 +197,36 @@ object DedupPack extends QueryPack {
               element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
           )
         )
-        val t = Tables.documents(s, d)
+        // Inverted-index formulation (the 100 TB plan): explode shingles to
+        // postings, self-join postings on (source, shingle) so only pairs
+        // that SHARE a shingle are ever materialized, count shared shingles
+        // per pair, then Jaccard from precomputed set sizes. Same result as
+        // the all-pairs set-intersection (the DuckDB oracle keeps that
+        // formulation — a cross-formulation differential check) at a cost
+        // proportional to shared postings, not |pairs| x |set|.
+        // Each posting row carries its document's set size, so the pair
+        // aggregation has everything it needs — no extra size-join and no
+        // recomputation of the shingle arrays for additional subtrees.
+        val postings = Tables.documents(s, d)
           .filter(size(toks) >= 3)
           .select(col("doc_id"), col("source"), shingles.as("sh"))
-        val a = t.select(col("doc_id").as("a_id"), col("source"), col("sh").as("a_sh"))
-        val b = t.select(col("doc_id").as("b_id"), col("source"), col("sh").as("b_sh"))
-        a.join(b, Seq("source"))
+          .select(
+            col("doc_id"),
+            col("source"),
+            size(col("sh")).as("n_sh"),
+            explode(col("sh")).as("shingle")
+          )
+        val pa = postings.select(
+          col("doc_id").as("a_id"), col("source"), col("shingle"), col("n_sh").as("a_n"))
+        val pb = postings.select(
+          col("doc_id").as("b_id"), col("source"), col("shingle"), col("n_sh").as("b_n"))
+        pa.join(pb, Seq("source", "shingle"))
           .filter(col("a_id") < col("b_id"))
-          .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+          .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
+          .agg(count(lit(1)).as("inter"))
           .withColumn(
             "jaccard",
-            col("inter").cast("double") /
-              (size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+            col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))
           )
           .filter(col("jaccard") >= 0.5)
           .select(col("a_id"), col("b_id"), col("jaccard"))
@@ -234,15 +254,17 @@ object DedupPack extends QueryPack {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         import graft.functions.VectorOps.cosine
-        val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"), col("embedding"))
-        val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"))
-        val b = e.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"))
+        import graft.functions.VectorOps.{dot, norm}
+        val e = Tables.embeddings(s, d).select(
+          col("vec_id"), col("label"), col("embedding"), norm(col("embedding")).as("nrm"))
+        val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+        val b = e.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
         val w = Window.partitionBy(col("a_id")).orderBy(col("cos_sim").desc, col("b_id"))
         a.join(b, Seq("label"))
           .filter(col("a_id") =!= col("b_id"))
           .select(
             col("a_id"), col("b_id"),
-            quant(cosine(col("a_emb"), col("b_emb")), 1e6).as("cos_sim")
+            quant(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 1e6).as("cos_sim")
           )
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") === 1)
