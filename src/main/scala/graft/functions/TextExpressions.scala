@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hot text kernels as native Catalyst expressions. Bench showed Spark's
+  * higher-order functions (`transform`/`aggregate` lambdas) evaluate
+  * interpreted — shingle construction alone cost ~6 s/pass at sf0.1 — so
+  * per SURVEY.md §7.3's promotion rule these run the whole token loop in
+  * one compiled helper per row instead of per-element lambda dispatch.
+  *
+  * The arithmetic is bit-identical to the Column/SQL formulations in
+  * [[TextOps]] (same token hash, same distinct-shingle sets), so the DuckDB
+  * oracles are unchanged.
+  */
+object TextExpressions {
+
+  /** Whitespace split matching `split(text, ' ')` (limit -1: keeps empty
+    * tokens, including trailing).
+    */
+  private def splitTokens(s: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        out += s.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** [[TextOps.tokenHash]] twin on JVM strings. */
+  private def tokenHash(t: String): Long = {
+    val first = if (t.isEmpty) 0 else t.charAt(0).toInt
+    val last = if (t.isEmpty) 0 else t.charAt(t.length - 1).toInt
+    (t.length.toLong * 2654435761L + first * 131L + last) % TextOps.P
+  }
+
+  /** Distinct n-token shingles, first-occurrence order. */
+  def shingleArrayEval(text: UTF8String, n: Int): ArrayData = {
+    val toks = splitTokens(text.toString)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** All MinHash permutations in one token loop: element p of the result is
+    * min over tokens of (a_p*h(t)+b_p) mod P.
+    */
+  def minhashSigEval(text: UTF8String, abs: Array[Long]): ArrayData = {
+    val toks = splitTokens(text.toString)
+    val k = abs.length / 2
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < toks.length) {
+      val h = tokenHash(toks(i))
+      var p = 0
+      while (p < k) {
+        val v = (abs(2 * p) * h + abs(2 * p + 1)) % TextOps.P
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](k)
+    var q = 0
+    while (q < k) { out(q) = mins(q); q += 1 }
+    new GenericArrayData(out)
+  }
+
+  def shingles(text: Column, n: Int): Column =
+    GraftShims.column(ShingleArray(GraftShims.expression(text), n))
+
+  def minhashSignature(text: Column, seeds: Seq[(Long, Long)]): Column =
+    GraftShims.column(
+      MinHashSignature(GraftShims.expression(text), seeds.flatMap(p => Seq(p._1, p._2)).toArray)
+    )
+}
+
+case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextExpressions.shingleArrayEval(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.shingleArrayEval($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleArray = copy(child = c)
+  override def prettyName: String = "shingle_array"
+}
+
+case class MinHashSignature(child: Expression, abs: Array[Long]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextExpressions.minhashSigEval(v.asInstanceOf[UTF8String], abs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val absRef = ctx.addReferenceObj("mhAbs", abs, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.minhashSigEval($c, $absRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}

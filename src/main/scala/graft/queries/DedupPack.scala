@@ -103,15 +103,15 @@ object DedupPack extends QueryPack {
     Q(
       "d4_minhash_signatures",
       (s, d) => {
-        // hash each token once, then derive all 4 permutations from the
-        // materialized hash array (4x fewer tokenHash evaluations)
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
-        MhSeeds.zipWithIndex
-          .foldLeft(base) { case (df, ((a, b), i)) =>
-            df.withColumn(s"mh$i", minhashFromHashes(col("th"), a, b))
-          }
-          .select(col("doc_id") +: MhSeeds.indices.map(i => col(s"mh$i")): _*)
+        // all 4 permutations in one compiled token loop (HOF lambdas are
+        // interpreted — the codegen'd MinHashSignature expression is the
+        // promoted form, SURVEY §7.3)
+        import graft.functions.TextExpressions
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextExpressions.minhashSignature(col("text"), MhSeeds).as("sig"))
+          .select(
+            col("doc_id") +: MhSeeds.indices.map(i => col("sig").getItem(i).as(s"mh$i")): _*
+          )
           .orderBy(col("doc_id"))
       },
       Some {
@@ -128,12 +128,12 @@ object DedupPack extends QueryPack {
     Q(
       "d5_lsh_candidates",
       (s, d) => {
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
-        val sigs = MhSeeds.zipWithIndex
-          .foldLeft(base) { case (df, ((a, b), i)) =>
-            df.withColumn(s"mh$i", minhashFromHashes(col("th"), a, b))
-          }
+        import graft.functions.TextExpressions
+        val sigs = Tables.documents(s, d)
+          .select(col("doc_id"), TextExpressions.minhashSignature(col("text"), MhSeeds).as("sig"))
+          .select(
+            col("doc_id") +: MhSeeds.indices.map(i => col("sig").getItem(i).as(s"mh$i")): _*
+          )
         def bandPairs(bandId: Int, c1: String, c2: String) = {
           val x = sigs.select(col("doc_id").as("a_id"), col(c1), col(c2))
           val y = sigs.select(col("doc_id").as("b_id"), col(c1), col(c2))
@@ -189,14 +189,11 @@ object DedupPack extends QueryPack {
     Q(
       "d7_shingle_jaccard",
       (s, d) => {
+        // distinct trigram shingles via the codegen'd ShingleArray
+        // expression — one compiled pass per row instead of interpreted
+        // HOF lambdas (same set as array_distinct(transform(sequence...)))
         val toks = tokens(col("text"))
-        val shingles = array_distinct(
-          transform(
-            sequence(lit(1), size(toks) - 2),
-            i => concat_ws(" ",
-              element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
-          )
-        )
+        val shingles = graft.functions.TextExpressions.shingles(col("text"), 3)
         // Inverted-index formulation (the 100 TB plan): explode shingles to
         // postings, self-join postings on (source, shingle) so only pairs
         // that SHARE a shingle are ever materialized, count shared shingles
