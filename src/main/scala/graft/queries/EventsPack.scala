@@ -230,6 +230,39 @@ object EventsPack extends QueryPack {
              |ORDER BY d0""".stripMargin),
       doc = "next-day retention cohort: distinct user-days self-joined on day+1 " +
         "(the activity-overlap join shape)"
+    ),
+    // ---------------------------------------------------------------- interarrival
+    Q(
+      "e9_interarrival",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .filter(col("prev_ts").isNotNull)
+          .withColumn("gap_sec", unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_gaps"),
+            (sum(col("gap_sec")).cast("double") / count(lit(1))).as("avg_gap_sec"),
+            max(col("gap_sec")).as("max_gap_sec")
+          )
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_gaps,
+             |  CAST(SUM(gap_sec) AS DOUBLE) / COUNT(*) AS avg_gap_sec,
+             |  MAX(gap_sec) AS max_gap_sec
+             |FROM (
+             |  SELECT user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) AS gap_sec
+             |  FROM (
+             |    SELECT user_id, ts,
+             |      LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |    FROM events) t
+             |  WHERE prev_ts IS NOT NULL) g
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin),
+      doc = "inter-arrival gap statistics per user: lag + floored epoch diff + exact " +
+        "integer sums"
     )
   )
 }

@@ -104,6 +104,40 @@ object StatsPack extends QueryPack {
              |GROUP BY set_op
              |ORDER BY set_op""".stripMargin),
       doc = "INTERSECT / EXCEPT set operations (left-semi/anti under the hood)"
+    ),
+    // ---------------------------------------------------------------- window suite
+    Q(
+      "x5_window_suite",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val order = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 50)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            lag(col("o_totalprice"), 1).over(order).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(order).as("next_price"),
+            first(col("o_orderkey")).over(full).as("first_order"),
+            last(col("o_orderkey")).over(full).as("last_order"),
+            ntile(4).over(order).as("quartile")
+          )
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  LAG(o_totalprice, 1) OVER w AS prev_price,
+             |  LEAD(o_totalprice, 1) OVER w AS next_price,
+             |  FIRST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+             |  LAST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+             |  NTILE(4) OVER w AS quartile
+             |FROM orders
+             |WHERE o_custkey < 50
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      doc = "window-function suite: lag/lead/first/last/ntile with explicit frames and " +
+        "total ordering"
     )
   )
 }

@@ -198,6 +198,38 @@ object TextPack extends QueryPack {
              |ORDER BY doc_id, token""".stripMargin),
       doc = "TF-IDF: explode->tf agg, token df agg, broadcast corpus size; ln() output " +
         "floor-quantized for cross-libm parity"
+    ),
+    // ---------------------------------------------------------------- zipf
+    Q(
+      "t8_zipf_rank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+        val rankW = Window.orderBy(col("n").desc, col("token"))
+        counts
+          .withColumn("rank", row_number().over(rankW))
+          .withColumn("top_n", max(col("n")).over(Window.partitionBy()))
+          .select(
+            col("rank"),
+            col("token"),
+            col("n"),
+            (col("n").cast("double") / col("top_n")).as("freq_ratio")
+          )
+          .orderBy(col("rank"))
+      },
+      Some("""WITH counts AS (
+             |  SELECT token, COUNT(*) AS n
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY token)
+             |SELECT ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank, token, n,
+             |  CAST(n AS DOUBLE) / MAX(n) OVER () AS freq_ratio
+             |FROM counts
+             |ORDER BY rank""".stripMargin),
+      doc = "Zipf rank-frequency: global window rank + ratio to top term (single-reducer " +
+        "global window is fine — input is the aggregated vocabulary, not the corpus)"
     )
   )
 }
