@@ -6,6 +6,7 @@ package graft.queries
 object AllPacks {
   def packs: Seq[QueryPack] = Seq(
     RelationalPack,
+    SubqueryPack,
     TextPack,
     DedupPack,
     SimilarityPack,

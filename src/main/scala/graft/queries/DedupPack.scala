@@ -318,6 +318,86 @@ object DedupPack extends QueryPack {
              |ORDER BY prefix_key""".stripMargin),
       doc = "cross-source duplicate detection: same content key appearing in 2+ sources " +
         "(provenance-aware dedup, one shuffle on the content key)"
+    ),
+    // ---------------------------------------------------------------- clusters
+    Q(
+      "d10_dedup_clusters",
+      (s, d) => {
+        // near-dup pairs (d3 formulation, looser 0.8 threshold) are the edges;
+        // each document's dedup cluster = min doc id transitively reachable.
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), array_distinct(tokens(col("text"))).as("toks"))
+        val a = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("a_toks"))
+        val b = t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("b_toks"))
+        val inter = size(array_intersect(col("a_toks"), col("b_toks")))
+        val edges = a.join(b, Seq("source"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(
+            inter.cast("double") /
+              (size(col("a_toks")) + size(col("b_toks")) - inter) >= 0.8
+          )
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+        graft.ops.ConnectedComponents.run(nodes, edges)
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE toksets AS (
+             |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM toksets a JOIN toksets b ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+             |edges AS (SELECT a_id AS es, b_id AS ed FROM pairs UNION SELECT b_id, a_id FROM pairs),
+             |reach AS (
+             |  SELECT doc_id AS node, doc_id AS r FROM documents
+             |  UNION
+             |  SELECT reach.node, e.ed FROM reach JOIN edges e ON reach.r = e.es)
+             |SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+      doc = "dedup-cluster assignment: near-dup pairs as edges → distributed connected " +
+        "components (iterative min-label propagation, ops/ConnectedComponents) vs a " +
+        "DuckDB recursive-CTE transitive closure — the canonical-doc-per-cluster step"
+    ),
+    // ---------------------------------------------------------------- edit dist
+    Q(
+      "d11_edit_distance",
+      (s, d) => {
+        // candidate generation: (lang, 12-char prefix) block key — near-dups
+        // share a prefix; the equi-join bounds pairs independent of corpus
+        // size (1.5k pairs at sf0.1 vs 590k with length-band blocking).
+        // Exact Levenshtein then verifies candidates.
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+            substring(col("text"), 1, 12).as("pfx"))
+        val a = t.select(col("doc_id").as("a_id"), col("lang"), col("pfx"),
+          col("text").as("a_text"), col("n_chars").as("a_len"))
+        val b = t.select(col("doc_id").as("b_id"), col("lang"), col("pfx"),
+          col("text").as("b_text"), col("n_chars").as("b_len"))
+        a.join(b, Seq("lang", "pfx"))
+          .filter(col("a_id") < col("b_id"))
+          .select(
+            col("a_id"), col("b_id"),
+            levenshtein(col("a_text"), col("b_text")).as("edit_dist"),
+            greatest(col("a_len"), col("b_len")).as("max_len")
+          )
+          .withColumn("rel_dist", quant(col("edit_dist").cast("double") / col("max_len"), 1e6))
+          .filter(col("rel_dist") <= 0.3)
+          .select(col("a_id"), col("b_id"), col("edit_dist"), col("rel_dist"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, text, n_chars, substring(text, 1, 12) AS pfx
+             |           FROM documents)
+             |SELECT a_id, b_id, edit_dist, rel_dist FROM (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    levenshtein(a.text, b.text) AS edit_dist,
+             |    floor(CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+             |          GREATEST(a.n_chars, b.n_chars) * 1000000) / 1000000 AS rel_dist
+             |  FROM t a JOIN t b ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id) p
+             |WHERE rel_dist <= 0.3
+             |ORDER BY a_id, b_id""".stripMargin),
+      doc = "edit-distance near-dup: prefix-fingerprint blocking (candidate equi-join) " +
+        "+ exact Levenshtein verify with relative-distance threshold"
     )
   )
 }

@@ -263,6 +263,67 @@ object EventsPack extends QueryPack {
              |ORDER BY user_id""".stripMargin),
       doc = "inter-arrival gap statistics per user: lag + floored epoch diff + exact " +
         "integer sums"
+    ),
+    // ---------------------------------------------------------------- range join
+    Q(
+      "e10_temporal_self_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+        p.join(
+            c,
+            col("user_id") === col("c_uid") &&
+              col("c_ts") > col("p_ts") - expr("INTERVAL 1 HOUR") &&
+              col("c_ts") < col("p_ts"),
+            "left_outer"
+          )
+          .groupBy(col("event_id"))
+          .agg(count(col("c_ts")).as("n_clicks_1h"))
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, COUNT(c.ts) AS n_clicks_1h
+             |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+             |  ON c.user_id = p.user_id
+             |  AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+             |GROUP BY p.event_id
+             |ORDER BY p.event_id""".stripMargin),
+      doc = "interval/range join: clicks within the hour before each purchase. The " +
+        "equi-key (user_id) carries the shuffle — the range predicate is a residual " +
+        "on co-partitioned rows, so no quadratic blowup; keyless time-range joins " +
+        "would instead band ts into overlapping buckets as the equi-key"
+    ),
+    // ---------------------------------------------------------------- islands
+    Q(
+      "e11_streaks",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val days = Tables.events(s, d)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        days
+          .withColumn("rn", row_number().over(byUser))
+          .withColumn("island", date_sub(col("day"), col("rn")))
+          .groupBy(col("user_id"), col("island"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy(col("user_id"))
+          .agg(max(col("len")).as("max_streak"), sum(col("len")).cast("long").as("n_active_days"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |isl AS (
+             |  SELECT user_id, day,
+             |    day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+             |  FROM days)
+             |SELECT user_id, MAX(len) AS max_streak, CAST(SUM(len) AS BIGINT) AS n_active_days
+             |FROM (SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY user_id, island) g
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin),
+      doc = "gaps-and-islands: longest consecutive-day activity streak per user via " +
+        "the date-minus-row_number island key — two partial-agg shuffles, no self-join"
     )
   )
 }

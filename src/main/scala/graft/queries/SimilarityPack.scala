@@ -186,6 +186,87 @@ object SimilarityPack extends QueryPack {
       },
       doc = "IVF coarse-quantizer assignment step: argmax similarity over 4 deterministic " +
         "centroids with fixed tie order — the partition-pruning key for ANN at scale"
+    ),
+    // ---------------------------------------------------------------- ivf search
+    Q(
+      "s6_ivf_topk",
+      (s, d) => {
+        import org.apache.spark.sql.Column
+        // same deterministic coarse quantizer as s5
+        def centroidDot(emb: Column, j: Int) =
+          quant(
+            dsumArr(transform(emb, (x, i) =>
+              x.cast("double") * ((((lit(j * 64L) + i.cast("long")) * lit(2654435761L)) % lit(1000000007L))
+                .cast("double") / lit(1e9)))),
+            1e6)
+        val e = Tables.embeddings(s, d)
+        val scored = (0 until 4)
+          .foldLeft(e.select(col("vec_id"), col("embedding"))) { case (df, j) =>
+            df.withColumn(s"s$j", centroidDot(col("embedding"), j))
+          }
+          .withColumn(
+            "centroid",
+            when(col("s0") >= col("s1") && col("s0") >= col("s2") && col("s0") >= col("s3"), 0)
+              .when(col("s1") >= col("s2") && col("s1") >= col("s3"), 1)
+              .when(col("s2") >= col("s3"), 2)
+              .otherwise(3)
+          )
+        // query's nprobe=2 partitions, picked by (score desc, centroid asc) —
+        // all inside the plan (array_sort on (-score, id) structs), no collect
+        val q = scored
+          .filter(col("vec_id") === 0)
+          .select(
+            col("embedding").as("q_emb"),
+            slice(
+              array_sort(array((0 until 4).map(j =>
+                struct((-col(s"s$j")).as("neg"), lit(j).as("c"))): _*)),
+              1, 2
+            ).as("probe_structs")
+          )
+          .select(col("q_emb"),
+            transform(col("probe_structs"), p => p.getField("c")).as("probes"))
+        scored
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .filter(array_contains(col("probes"), col("centroid")))
+          .select(
+            col("vec_id"),
+            col("centroid"),
+            quant(cosine(col("embedding"), col("q_emb")), 1e6).as("cos_sim")
+          )
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some {
+        def dotj(j: Int, emb: String = "embedding") =
+          s"floor(list_sum(list_transform($emb, (x, i) -> CAST(x AS DOUBLE) * (((($j*64 + (i-1)) * 2654435761) % 1000000007) / 1000000000.0))) * 1000000) / 1000000"
+        s"""WITH scored AS (
+           |  SELECT vec_id, embedding, s0, s1, s2, s3, CASE
+           |    WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+           |    WHEN s1 >= s2 AND s1 >= s3 THEN 1
+           |    WHEN s2 >= s3 THEN 2
+           |    ELSE 3 END AS centroid
+           |  FROM (SELECT vec_id, embedding,
+           |          ${dotj(0)} AS s0, ${dotj(1)} AS s1, ${dotj(2)} AS s2, ${dotj(3)} AS s3
+           |        FROM embeddings) t),
+           |q AS (SELECT * FROM scored WHERE vec_id = 0),
+           |probes AS (
+           |  SELECT c FROM (
+           |    SELECT 0 AS c, s0 AS sc FROM q UNION ALL SELECT 1, s1 FROM q
+           |    UNION ALL SELECT 2, s2 FROM q UNION ALL SELECT 3, s3 FROM q) u
+           |  ORDER BY sc DESC, c LIMIT 2)
+           |SELECT s.vec_id, s.centroid,
+           |  floor(${dotSql("s.embedding", "q.embedding")} /
+           |        (${normSql("s.embedding")} * ${normSql("q.embedding")}) * 1000000) / 1000000 AS cos_sim
+           |FROM scored s, q
+           |WHERE s.vec_id <> 0 AND s.centroid IN (SELECT c FROM probes)
+           |ORDER BY cos_sim DESC, s.vec_id
+           |LIMIT 10""".stripMargin
+      },
+      doc = "IVF ANN search end-to-end: coarse-quantize every vector (s5), probe only " +
+        "the query's top-2 centroid partitions (nprobe=2 prunes the scan to ~half " +
+        "the corpus; at 100 TB the centroid id is the physical partition key so " +
+        "pruning is I/O, not compute), exact-cosine re-rank inside the probed subset"
     )
   )
 }

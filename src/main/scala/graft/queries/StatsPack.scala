@@ -138,6 +138,64 @@ object StatsPack extends QueryPack {
              |ORDER BY o_custkey, o_orderkey""".stripMargin),
       doc = "window-function suite: lag/lead/first/last/ntile with explicit frames and " +
         "total ordering"
+    ),
+    // ---------------------------------------------------------------- grouping sets
+    Q(
+      "x6_grouping_sets",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(GroupingSetsSql)
+      },
+      Some(GroupingSetsSql),
+      doc = "arbitrary GROUPING SETS (beyond rollup/cube): two independent 1-D cuts " +
+        "plus the grand total in ONE pass — Catalyst expands to a single Expand+Agg, " +
+        "not three scans; same SQL text runs on both engines"
+    ),
+    // ---------------------------------------------------------------- rank suite
+    Q(
+      "x7_rank_suite",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+        val rng = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+          .rangeBetween(-10, 0)
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 50)
+          .select(
+            col("o_custkey"),
+            col("o_orderkey"),
+            rank().over(byPrice).as("rnk"),
+            dense_rank().over(byPrice).as("drnk"),
+            percent_rank().over(byPrice).as("prnk"),
+            cume_dist().over(byPrice).as("cumed"),
+            sum(dec(col("o_totalprice"))).over(rng).cast("double").as("range_sum")
+          )
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  RANK() OVER wp AS rnk,
+             |  DENSE_RANK() OVER wp AS drnk,
+             |  PERCENT_RANK() OVER wp AS prnk,
+             |  CUME_DIST() OVER wp AS cumed,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderkey
+             |    RANGE BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+             |FROM orders
+             |WHERE o_custkey < 50
+             |WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      doc = "rank/dense_rank/percent_rank/cume_dist + a RANGE-frame running sum " +
+        "(value-based frame, not row-based) — tie semantics must match the oracle"
     )
   )
+
+  private val GroupingSetsSql =
+    """SELECT
+      |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS returnflag,
+      |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus""".stripMargin
 }
