@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import scala.collection.mutable
+
+/** Custom aggregates (SURVEY.md §2.10) via the public `Aggregator` API —
+  * the idiomatic Spark extension point for stateful aggregation; registered
+  * through `functions.udaf` so it composes with groupBy/window like any
+  * built-in and gets map-side partial aggregation for free.
+  */
+object Aggregates {
+
+  final case class TermCount(term: String, n: Long)
+
+  /** Exact per-group top-k heavy hitters over token arrays.
+    *
+    * reduce/merge accumulate a term→count map (Spark runs these map-side,
+    * so the shuffle carries ONE buffer per group per mapper, not one row
+    * per token occurrence — at 100 TB that is the difference between
+    * shuffling buffers and shuffling the corpus); finish sorts by
+    * (count desc, term asc) and truncates to k, making the result
+    * deterministic and oracle-comparable.
+    *
+    * This is the exact form of the SpaceSaving/Misra-Gries sketch: the
+    * buffer is unbounded in the number of DISTINCT terms per group. For
+    * corpora where per-group vocabulary outgrows executor memory, cap the
+    * buffer by periodically evicting min-count entries (Misra-Gries) and
+    * the result becomes approximate with the usual ±N/cap guarantee.
+    */
+  final class TopKTerms(k: Int)
+      extends Aggregator[Seq[String], mutable.HashMap[String, Long], Seq[TermCount]] {
+
+    override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+
+    override def reduce(
+        buf: mutable.HashMap[String, Long],
+        toks: Seq[String]
+    ): mutable.HashMap[String, Long] = {
+      if (toks != null) toks.foreach { t => buf.update(t, buf.getOrElse(t, 0L) + 1L) }
+      buf
+    }
+
+    override def merge(
+        a: mutable.HashMap[String, Long],
+        b: mutable.HashMap[String, Long]
+    ): mutable.HashMap[String, Long] = {
+      val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+      small.foreach { case (t, n) => big.update(t, big.getOrElse(t, 0L) + n) }
+      big
+    }
+
+    override def finish(buf: mutable.HashMap[String, Long]): Seq[TermCount] =
+      buf.toSeq
+        .sortBy { case (t, n) => (-n, t) }
+        .take(k)
+        .map { case (t, n) => TermCount(t, n) }
+
+    override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      Encoders.kryo[mutable.HashMap[String, Long]]
+
+    override def outputEncoder: Encoder[Seq[TermCount]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermCount]]()
+  }
+}

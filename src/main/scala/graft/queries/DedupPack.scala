@@ -78,6 +78,13 @@ object DedupPack extends QueryPack {
         val b = t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("b_toks"))
         a.join(b, Seq("source"))
           .filter(col("a_id") < col("b_id"))
+          // lossless length filter (PPJoin-style): jaccard >= t forces
+          // min(|A|,|B|) >= t*max(|A|,|B|) — an int compare that prunes
+          // most pairs BEFORE the O(|A|+|B|) set intersection
+          .filter(
+            size(col("a_toks")).cast("double") >= lit(0.95) * size(col("b_toks")) &&
+              size(col("b_toks")).cast("double") >= lit(0.95) * size(col("a_toks"))
+          )
           .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
           .withColumn(
             "jaccard",
@@ -332,6 +339,11 @@ object DedupPack extends QueryPack {
         val inter = size(array_intersect(col("a_toks"), col("b_toks")))
         val edges = a.join(b, Seq("source"))
           .filter(col("a_id") < col("b_id"))
+          // lossless length filter (see d3): prunes before the intersection
+          .filter(
+            size(col("a_toks")).cast("double") >= lit(0.8) * size(col("b_toks")) &&
+              size(col("b_toks")).cast("double") >= lit(0.8) * size(col("a_toks"))
+          )
           .filter(
             inter.cast("double") /
               (size(col("a_toks")) + size(col("b_toks")) - inter) >= 0.8

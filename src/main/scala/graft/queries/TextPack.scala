@@ -230,6 +230,43 @@ object TextPack extends QueryPack {
              |ORDER BY rank""".stripMargin),
       doc = "Zipf rank-frequency: global window rank + ratio to top term (single-reducer " +
         "global window is fine — input is the aggregated vocabulary, not the corpus)"
+    ),
+    // ---------------------------------------------------------------- top terms
+    Q(
+      "t9_top_terms",
+      (s, d) => {
+        import s.implicits._
+        // custom Aggregator (§2.10) via the public udaf() API: the term→count
+        // buffer is built map-side, so the shuffle carries one buffer per
+        // (group, mapper) instead of one row per token occurrence — compare
+        // the explode+groupBy formulation the oracle uses, which shuffles
+        // every occurrence
+        val topk = udaf(new graft.functions.Aggregates.TopKTerms(3))
+        Tables.documents(s, d)
+          .select(col("lang"), tokens(col("text")).as("toks"))
+          .groupBy(col("lang"))
+          .agg(topk(col("toks")).as("top"))
+          .select(col("lang"), posexplode(col("top")))
+          .select(
+            col("lang"),
+            (col("pos") + 1).cast("long").as("rnk"),
+            col("col.term").as("term"),
+            col("col.n").as("n")
+          )
+          .orderBy(col("lang"), col("rnk"))
+      },
+      Some("""SELECT lang, rnk, term, n FROM (
+             |  SELECT lang, term, n,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+             |  FROM (SELECT lang, term, COUNT(*) AS n
+             |        FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+             |              FROM documents) u
+             |        GROUP BY lang, term) c) r
+             |WHERE rnk <= 3
+             |ORDER BY lang, rnk""".stripMargin),
+      doc = "per-group top-k heavy hitters via a custom Aggregator (exact SpaceSaving " +
+        "form): deterministic (count desc, term asc) tie-break, cross-formulation " +
+        "oracle (explode+groupBy+window on the DuckDB side)"
     )
   )
 }
