@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShims
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Hot vector kernels as native Catalyst expressions (SURVEY.md §7.3
+  * promotion rule — same reasoning as [[TextExpressions]]): the
+  * `aggregate(zip_with(...))` higher-order formulations in [[VectorOps]]
+  * evaluate interpreted, dispatching a lambda per element per row; these run
+  * the whole float-array loop in one compiled helper. The arithmetic is
+  * bit-identical (element-wise float→double cast, left-to-right summation),
+  * so every DuckDB oracle is unchanged.
+  *
+  * All kernels expect `ArrayType(FloatType)` embedding columns (the
+  * `embeddings.embedding` schema); a dot over unequal lengths uses the
+  * common prefix (matching `zip_with`'s non-null overlap).
+  */
+object VectorExpressions {
+
+  def dotEval(a: ArrayData, b: ArrayData): Double = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def normEval(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    Math.sqrt(s)
+  }
+
+  /** Dot with the deterministic hash plane `j` (element i value
+    * `((j*64+i)*2654435761 mod 1e9+7)/1e9 - shift`): shift=0.5 gives the
+    * LSH hyperplane family, shift=0 the IVF centroid family.
+    */
+  def planeDotEval(a: ArrayData, j: Int, shift: Double): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = (((j * 64L + i) * 2654435761L) % 1000000007L).toDouble / 1e9 - shift
+      s += a.getFloat(i).toDouble * v
+      i += 1
+    }
+    s
+  }
+
+  def dot(a: Column, b: Column): Column =
+    GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+
+  def norm(a: Column): Column =
+    GraftShims.column(L2Norm(GraftShims.expression(a)))
+
+  def planeDot(a: Column, j: Int, shift: Double): Column =
+    GraftShims.column(PlaneDot(GraftShims.expression(a), j, shift))
+}
+
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorExpressions.dotEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorExpressions.dotEval($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    VectorExpressions.normEval(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorExpressions.normEval($c)")
+  override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
+  override def prettyName: String = "vec_norm"
+}
+
+case class PlaneDot(child: Expression, j: Int, shift: Double) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(v: Any): Any =
+    VectorExpressions.planeDotEval(v.asInstanceOf[ArrayData], j, shift)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorExpressions.planeDotEval($c, $j, $shift)")
+  override protected def withNewChildInternal(c: Expression): PlaneDot = copy(child = c)
+  override def prettyName: String = "vec_plane_dot"
+}

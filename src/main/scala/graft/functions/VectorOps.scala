@@ -17,28 +17,29 @@ object VectorOps {
   /** Sequential left-to-right double sum of an array column. */
   def dsumArr(a: Column): Column = aggregate(a, lit(0.0d), (s, v) => s + v)
 
-  /** Dot product of two float-array columns in double precision. */
-  def dot(a: Column, b: Column): Column =
-    dsumArr(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+  /** Dot product of two float-array columns in double precision.
+    * Codegen'd kernel ([[VectorExpressions.DotProduct]]); bit-identical to
+    * `dsumArr(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))`.
+    */
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
-  /** L2 norm in double precision. */
-  def norm(a: Column): Column =
-    sqrt(dsumArr(transform(a, x => x.cast("double") * x.cast("double"))))
+  /** L2 norm in double precision (codegen'd; bit-identical to
+    * `sqrt(dsumArr(transform(a, x => x*x)))`).
+    */
+  def norm(a: Column): Column = VectorExpressions.norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Deterministic pseudo-random hyperplane component for plane `j`,
-    * element index `i` (0-based): uniform in [-0.5, 0.5).
-    * SQL twin: ((((j*64 + i) * 2654435761) % 1000000007) / 1000000000.0 - 0.5)
+  /** Dot with deterministic hash plane `j`: element i is
+    * `(((j*64 + i) * 2654435761) % 1000000007) / 1e9 - shift`.
+    * shift=0.5 → LSH hyperplane family; shift=0 → IVF centroid family.
     */
-  private def planeVal(j: Int, i0: Column): Column =
-    (((lit(j * 64L) + i0.cast("long")) * lit(2654435761L)) % lit(1000000007L))
-      .cast("double") / lit(1e9) - lit(0.5)
+  def hashPlaneDot(emb: Column, j: Int, shift: Double): Column =
+    VectorExpressions.planeDot(emb, j, shift)
 
   /** Random-hyperplane LSH bucket id over `nPlanes` sign bits. */
   def lshBucket(emb: Column, nPlanes: Int): Column =
     (0 until nPlanes).map { j =>
-      val d = dsumArr(transform(emb, (x, i) => x.cast("double") * planeVal(j, i)))
-      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+      when(hashPlaneDot(emb, j, 0.5) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

@@ -256,27 +256,33 @@ object DedupPack extends QueryPack {
     Q(
       "d8_embedding_nn",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        import graft.functions.VectorOps.cosine
         import graft.functions.VectorOps.{dot, norm}
         val e = Tables.embeddings(s, d).select(
           col("vec_id"), col("label"), col("embedding"), norm(col("embedding")).as("nrm"))
         val a = e.select(col("vec_id").as("a_id"), col("label"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
         val b = e.select(col("vec_id").as("b_id"), col("label"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
-        val w = Window.partitionBy(col("a_id")).orderBy(col("cos_sim").desc, col("b_id"))
+        // top-1 neighbor as max_by with a (cos desc, b_id asc) key struct —
+        // partial-aggregable (map-side combine), so the shuffle carries one
+        // candidate per (a_id, mapper) instead of every pair through a
+        // row_number window (the oracle keeps the window formulation)
         a.join(b, Seq("label"))
           .filter(col("a_id") =!= col("b_id"))
           .select(
             col("a_id"), col("b_id"),
             quant(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 1e6).as("cos_sim")
           )
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") === 1)
+          .groupBy(col("a_id"))
+          .agg(
+            max_by(
+              struct(col("b_id"), col("cos_sim")),
+              struct(col("cos_sim"), (-col("b_id")).as("nb"))
+            ).as("best")
+          )
           .select(
             col("a_id").as("vec_id"),
-            col("b_id").as("nn_id"),
-            col("cos_sim"),
-            (col("cos_sim") >= 0.8).as("is_near_dup")
+            col("best.b_id").as("nn_id"),
+            col("best.cos_sim").as("cos_sim"),
+            (col("best.cos_sim") >= 0.8).as("is_near_dup")
           )
           .orderBy(col("vec_id"))
       },

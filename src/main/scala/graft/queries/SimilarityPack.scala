@@ -120,7 +120,7 @@ object SimilarityPack extends QueryPack {
           .filter(col("a_id") < col("b_id"))
           .select(col("bucket"),
             quant(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 1e6).as("cos_sim"))
-          .filter(col("cos_sim") >= 0.8)
+          .filter(col("cos_sim") >= 0.25)
           .groupBy(col("bucket"))
           .agg(count(lit(1)).as("n_close_candidates"))
           .orderBy(col("bucket"))
@@ -138,7 +138,7 @@ object SimilarityPack extends QueryPack {
            |    floor(${dotSql("a.embedding", "b.embedding")} /
            |          (${normSql("a.embedding")} * ${normSql("b.embedding")}) * 1000000) / 1000000 AS cos_sim
            |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
-           |WHERE cos_sim >= 0.8
+           |WHERE cos_sim >= 0.25
            |GROUP BY bucket
            |ORDER BY bucket""".stripMargin
       },
@@ -150,13 +150,10 @@ object SimilarityPack extends QueryPack {
       (s, d) => {
         // 4 deterministic centroids from the same integer-hash formula as the
         // LSH planes: centroid j, element i = ((j*64+i)*2654435761 % P)/1e9
-        def centroidDot(emb: org.apache.spark.sql.Column, j: Int) =
-          dsumArr(transform(emb, (x, i) =>
-            x.cast("double") * ((((lit(j * 64L) + i.cast("long")) * lit(2654435761L)) % lit(1000000007L))
-              .cast("double") / lit(1e9))))
+        // (codegen'd hashPlaneDot kernel, shift=0)
         val e = Tables.embeddings(s, d)
         val scored = (0 until 4).foldLeft(e.select(col("vec_id"), col("embedding"))) {
-          case (df, j) => df.withColumn(s"s$j", quant(centroidDot(col("embedding"), j), 1e6))
+          case (df, j) => df.withColumn(s"s$j", quant(hashPlaneDot(col("embedding"), j, 0.0), 1e6))
         }
         scored
           .withColumn(
@@ -191,18 +188,11 @@ object SimilarityPack extends QueryPack {
     Q(
       "s6_ivf_topk",
       (s, d) => {
-        import org.apache.spark.sql.Column
-        // same deterministic coarse quantizer as s5
-        def centroidDot(emb: Column, j: Int) =
-          quant(
-            dsumArr(transform(emb, (x, i) =>
-              x.cast("double") * ((((lit(j * 64L) + i.cast("long")) * lit(2654435761L)) % lit(1000000007L))
-                .cast("double") / lit(1e9)))),
-            1e6)
+        // same deterministic coarse quantizer as s5 (codegen'd kernel)
         val e = Tables.embeddings(s, d)
         val scored = (0 until 4)
           .foldLeft(e.select(col("vec_id"), col("embedding"))) { case (df, j) =>
-            df.withColumn(s"s$j", centroidDot(col("embedding"), j))
+            df.withColumn(s"s$j", quant(hashPlaneDot(col("embedding"), j, 0.0), 1e6))
           }
           .withColumn(
             "centroid",

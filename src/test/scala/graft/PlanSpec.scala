@@ -63,4 +63,41 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Broadcast"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("b2: correlated scalar subquery decorrelates to one aggregate + join") {
+    val plan = planOf("b2_correlated_scalar_avg")
+    // no per-row subquery execution: the physical plan is agg + join
+    assert(!plan.contains("Subquery"), plan)
+    assert(plan.contains("HashAggregate") && plan.contains("Join"), plan)
+  }
+
+  test("b3/b4: EXISTS and NOT IN become semi / anti hash joins") {
+    val exists = planOf("b3_exists_returns")
+    assert(exists.contains("LeftSemi"), exists)
+    val notIn = planOf("b4_not_in_subquery")
+    assert(notIn.contains("LeftAnti"), notIn)
+  }
+
+  test("b9: EXISTS + NOT EXISTS plan has both semi and anti joins, no nested loops over the fact") {
+    val plan = planOf("b9_multi_exists")
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("d8: top-1 neighbor is a partial aggregate (max_by), not a window over all pairs") {
+    val plan = planOf("d8_embedding_nn")
+    assert(plan.contains("partial_max_by") || plan.contains("partial_maxby"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("t9: custom top-k aggregator runs with map-side partial aggregation") {
+    val plan = planOf("t9_top_terms")
+    assert(plan.contains("partial_topkterms") || plan.toLowerCase.contains("partial_"), plan)
+  }
+
+  test("s6: IVF probe keeps the embedding scan columnar and broadcasts the 1-row query") {
+    val plan = planOf("s6_ivf_topk")
+    assert(plan.contains("Broadcast"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
