@@ -448,8 +448,8 @@ object RelationalPack extends QueryPack {
           .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
           .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
           .filter(
-            (col("supp_nation") === "FRANCE" && col("cust_nation") === "GERMANY") ||
-              (col("supp_nation") === "GERMANY" && col("cust_nation") === "FRANCE")
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+              (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
           )
           .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
           .agg(
@@ -467,8 +467,8 @@ object RelationalPack extends QueryPack {
              |  WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
              |    AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
              |    AND c_nationkey = n2.n_nationkey
-             |    AND ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-             |      OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))) t
+             |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) t
              |GROUP BY supp_nation, cust_nation, l_year
              |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
       doc = "TPC-H Q7 shape: nation-pair volume by year; self-joined broadcast dim, " +
@@ -564,6 +564,116 @@ object RelationalPack extends QueryPack {
              |ORDER BY name_prefix""".stripMargin),
       doc = "TPC-H Q22 shape: scalar-subquery threshold (broadcast single row) + " +
         "anti join + substring grouping"
+    ),
+    // ---------------------------------------------------------------- q24 (TPC-H Q8 shape)
+    Q(
+      "q24_market_share",
+      (s, d) => {
+        val nS = Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val nC = Tables.nation(s, d)
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cr_key"))
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val o = ord(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+        )
+        val rev = dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount")))
+        li(s, d)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nC), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(r), col("cr_key") === col("r_regionkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nS), col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            (sum(when(col("supp_nation") === "NATION_5", rev).otherwise(lit(0).cast("decimal(18,4)")))
+              .cast("double") /
+              sum(rev).cast("double")).as("mkt_share")
+          )
+          .orderBy(col("o_year"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+             |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |  AS mkt_share
+             |FROM lineitem, orders, customer, nation n1, region, supplier, nation n2
+             |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+             |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+             |  AND r_name = 'ASIA'
+             |  AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+             |GROUP BY 1
+             |ORDER BY o_year""".stripMargin),
+      doc = "TPC-H Q8 shape: one nation's share of a region's yearly revenue — " +
+        "double-role nation dim (customer-side region filter, supplier-side share), " +
+        "conditional/total decimal sums, one double division"
+    ),
+    // ---------------------------------------------------------------- q25 (TPC-H Q13 shape)
+    Q(
+      "q25_cust_distribution",
+      (s, d) =>
+        cust(s, d)
+          .join(
+            ord(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+            col("c_custkey") === col("o_custkey"),
+            "left_outer"
+          )
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |  FROM customer LEFT OUTER JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY c_custkey) c_orders
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      doc = "TPC-H Q13 shape: customer order-count distribution — left-outer join " +
+        "with an ON-clause filter (kept pre-join, not WHERE), null-skipping count, " +
+        "double aggregation"
+    ),
+    // ---------------------------------------------------------------- q26 (TPC-H Q10 shape)
+    Q(
+      "q26_returned_items",
+      (s, d) =>
+        li(s, d)
+          .filter(col("l_returnflag") === "R")
+          .join(
+            ord(s, d).filter(
+              col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-10-01").cast("timestamp")
+            ),
+            col("l_orderkey") === col("o_orderkey")
+          )
+          .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))
+              .cast("double").as("revenue")
+          )
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20),
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM customer, orders, lineitem, nation
+             |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+             |  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+             |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+             |  AND l_returnflag = 'R'
+             |  AND c_nationkey = n_nationkey
+             |GROUP BY c_custkey, c_name, c_acctbal, n_name
+             |ORDER BY revenue DESC, c_custkey
+             |LIMIT 20""".stripMargin),
+      doc = "TPC-H Q10 shape: returned-item revenue per customer, top 20 — selective " +
+        "fact filter first, broadcast nation, TakeOrdered top-k"
     )
   )
 }

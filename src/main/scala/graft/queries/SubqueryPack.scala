@@ -98,8 +98,7 @@ object SubqueryPack extends QueryPack {
       Seq("part", "lineitem"),
       """SELECT p_partkey, p_brand
         |FROM part
-        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
-        |                        WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00')
+        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 48)
         |ORDER BY p_partkey""".stripMargin,
       doc = "NOT IN over a null-free key → left-anti join (the J1 'insert' branch); " +
         "null-safety is static here (l_partkey is non-nullable by schema)"
