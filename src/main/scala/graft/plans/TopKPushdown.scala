@@ -87,25 +87,31 @@ case class TopKPushdown() extends Rule[LogicalPlan] {
 
 /** Register with `.withExtensions(new GraftExtensions)` (or
   * `spark.sql.extensions=graft.plans.GraftExtensions`). Adds the top-k
-  * pushdown rule and exposes the geo kernel to SQL users
-  * (`SELECT mercator_x(lon), mercator_y(lat) ...`).
+  * pushdown rule and exposes the engine's kernel catalog to SQL users:
+  * geo (`mercator_x/y`), vectors (`vec_dot`, `vec_norm`), and text
+  * (`shingle_array`) — so a pure-SQL caller gets the same codegen'd
+  * expressions the DataFrame API uses.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-  import graft.functions.{MercatorX, MercatorY}
+  import graft.functions.{DotProduct, L2Norm, MercatorX, MercatorY, ShingleArray}
+
+  private def fn(
+      e: SparkSessionExtensions,
+      name: String,
+      clazz: Class[_],
+      build: Seq[Expression] => Expression
+  ): Unit =
+    e.injectFunction((new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), build))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TopKPushdown())
-    e.injectFunction((
-      new FunctionIdentifier("mercator_x"),
-      new ExpressionInfo(classOf[MercatorX].getName, "mercator_x"),
-      (args: Seq[Expression]) => MercatorX.cast(args.head)
-    ))
-    e.injectFunction((
-      new FunctionIdentifier("mercator_y"),
-      new ExpressionInfo(classOf[MercatorY].getName, "mercator_y"),
-      (args: Seq[Expression]) => MercatorY.cast(args.head)
-    ))
+    fn(e, "mercator_x", classOf[MercatorX], args => MercatorX.cast(args.head))
+    fn(e, "mercator_y", classOf[MercatorY], args => MercatorY.cast(args.head))
+    fn(e, "vec_dot", classOf[DotProduct], args => DotProduct(args(0), args(1)))
+    fn(e, "vec_norm", classOf[L2Norm], args => L2Norm(args.head))
+    fn(e, "shingle_array", classOf[ShingleArray],
+      args => ShingleArray(args(0), args(1).eval().asInstanceOf[Int]))
   }
 }

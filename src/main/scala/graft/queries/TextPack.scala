@@ -267,6 +267,55 @@ object TextPack extends QueryPack {
       doc = "per-group top-k heavy hitters via a custom Aggregator (exact SpaceSaving " +
         "form): deterministic (count desc, term asc) tie-break, cross-formulation " +
         "oracle (explode+groupBy+window on the DuckDB side)"
+    ),
+    // ---------------------------------------------------------------- pipeline
+    Q(
+      "t10_corpus_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // the end-to-end training-corpus preparation flow, composed from the
+        // engine's own primitives: quality gate → exact dedup (keep first) →
+        // per-(source, lang) corpus stats. Each stage is one narrow pass or
+        // one key shuffle; nothing is quadratic.
+        val docs = Tables.documents(s, d)
+          .filter(col("n_chars") >= 100 && col("lang").isin("en", "de", "fr", "es", "zh"))
+          .withColumn("toks", tokens(col("text")))
+          .filter(size(col("toks")) >= 20)
+          .withColumn("prefix_key", array_join(slice(col("toks"), 1, 5), " "))
+        val keepFirst = Window.partitionBy(col("prefix_key")).orderBy(col("doc_id"))
+        docs
+          .withColumn("rn", row_number().over(keepFirst))
+          .filter(col("rn") === 1)
+          .groupBy(col("source"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            sum(size(col("toks")).cast("long")).cast("long").as("total_tokens")
+          )
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""WITH gated AS (
+             |  SELECT doc_id, source, lang, n_chars,
+             |    string_split(text, ' ') AS toks,
+             |    array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix_key
+             |  FROM documents
+             |  WHERE n_chars >= 100 AND lang IN ('en','de','fr','es','zh')
+             |    AND len(string_split(text, ' ')) >= 20),
+             |kept AS (
+             |  SELECT source, lang, n_chars, len(toks) AS n_toks FROM (
+             |    SELECT source, lang, n_chars, toks,
+             |      ROW_NUMBER() OVER (PARTITION BY prefix_key ORDER BY doc_id) AS rn
+             |    FROM gated) t
+             |  WHERE rn = 1)
+             |SELECT source, lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens
+             |FROM kept
+             |GROUP BY source, lang
+             |ORDER BY source, lang""".stripMargin),
+      doc = "end-to-end corpus preparation: quality gate (length floors, language " +
+        "allowlist) → exact dedup keep-first → per-(source, lang) token/char stats — " +
+        "the composed flagship of the LLM-pipeline primitives"
     )
   )
 }

@@ -40,4 +40,42 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
+
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    try {
+      // the P3 routing layout at rest: one directory per geometry/event type
+      Tables.events(spark, sf)
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+
+      val q = spark.read.parquet(dir)
+        .filter(col("event_type") === "purchase")
+        .agg(count(lit(1)).as("n"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      // the type predicate must become a PartitionFilter (directory pruning,
+      // zero I/O for other types), not a post-scan row filter
+      assert(plan.contains("PartitionFilters"), plan)
+      val scanLine = plan.linesIterator
+        .find(l => l.contains("PartitionFilters") && l.contains("event_type")).getOrElse("")
+      assert(scanLine.nonEmpty, plan)
+
+      // pruned scan touches strictly fewer files than the full corpus has
+      // (inputFiles ignores partition filters — use the executed scan metric)
+      val pruned = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+      pruned.collect()
+      val allFiles = spark.read.parquet(dir).inputFiles.length
+      val scanned = pruned.queryExecution.executedPlan
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .head.metrics("numFiles").value
+      assert(scanned < allFiles,
+        s"expected pruning: query reads $scanned of $allFiles files")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }

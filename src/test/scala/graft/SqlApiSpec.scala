@@ -38,6 +38,16 @@ class SqlApiSpec extends AnyFunSuite {
       val r = s.sql("SELECT mercator_x(CAST(10.0 AS DOUBLE)) AS x, mercator_y(CAST(45.0 AS DOUBLE)) AS y").head()
       assert(r.getDouble(0) == graft.functions.WebMercator.x(10.0))
       assert(r.getDouble(1) == graft.functions.WebMercator.y(45.0))
+      // vector + text kernels are SQL-callable through the same catalog
+      val v = s.sql(
+        """SELECT vec_dot(a, b) AS d, vec_norm(a) AS n,
+          |  shingle_array('x y z w', 3) AS sh
+          |FROM VALUES (array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |             array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS t(a, b)""".stripMargin
+      ).head()
+      assert(v.getDouble(0) == 11.0)
+      assert(v.getDouble(1) == Math.sqrt(5.0))
+      assert(v.getSeq[String](2) == Seq("x y z", "y z w"))
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p)
