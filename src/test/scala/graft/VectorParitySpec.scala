@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{VectorExpressions, VectorOps}
+
+/** Bit-parity of the codegen'd vector kernels against the interpreted
+  * higher-order-function formulations they replaced — any drift here would
+  * silently break the DuckDB oracle hashes, so it gets its own gate
+  * (mirrors the TextExpressions parity guarantee).
+  */
+class VectorParitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (s, v) => s + v)
+
+  private def hofNorm(a: org.apache.spark.sql.Column) =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (s, v) => s + v))
+
+  private def hofPlaneDot(emb: org.apache.spark.sql.Column, j: Int, shift: Double) =
+    aggregate(
+      transform(emb, (x, i) =>
+        x.cast("double") *
+          ((((lit(j * 64L) + i.cast("long")) * lit(2654435761L)) % lit(1000000007L))
+            .cast("double") / lit(1e9) - lit(shift))),
+      lit(0.0d), (s, v) => s + v)
+
+  test("codegen'd dot/norm/planeDot are bit-identical to the HOF formulations") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = e.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(
+        e.filter(col("vec_id") === 7).select(col("embedding").as("b")))
+    val rows = pairs.select(
+      VectorOps.dot(col("a"), col("b")).as("d1"),
+      hofDot(col("a"), col("b")).as("d2"),
+      VectorOps.norm(col("a")).as("n1"),
+      hofNorm(col("a")).as("n2"),
+      VectorOps.hashPlaneDot(col("a"), 2, 0.5).as("p1"),
+      hofPlaneDot(col("a"), 2, 0.5).as("p2"),
+      VectorOps.hashPlaneDot(col("a"), 3, 0.0).as("c1"),
+      hofPlaneDot(col("a"), 3, 0.0).as("c2")
+    ).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // exact double equality — bit parity, not epsilon closeness
+      assert(r.getDouble(0) == r.getDouble(1), s"dot: ${r.getDouble(0)} != ${r.getDouble(1)}")
+      assert(r.getDouble(2) == r.getDouble(3), s"norm: ${r.getDouble(2)} != ${r.getDouble(3)}")
+      assert(r.getDouble(4) == r.getDouble(5), s"lsh plane: ${r.getDouble(4)} != ${r.getDouble(5)}")
+      assert(r.getDouble(6) == r.getDouble(7), s"centroid plane: ${r.getDouble(6)} != ${r.getDouble(7)}")
+    }
+  }
+
+  test("interpreted (non-codegen) eval path agrees too") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val a = new GenericArrayData(Array[Any](1.5f, -2.25f, 3.0f))
+    val b = new GenericArrayData(Array[Any](0.5f, 4.0f, -1.0f))
+    assert(VectorExpressions.dotEval(a, b) == 1.5 * 0.5 + -2.25 * 4.0 + 3.0 * -1.0)
+    assert(VectorExpressions.normEval(a) ==
+      Math.sqrt(1.5 * 1.5 + 2.25 * 2.25 + 3.0 * 3.0))
+  }
+}
