@@ -62,4 +62,68 @@ object Aggregates {
     override def outputEncoder: Encoder[Seq[TermCount]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermCount]]()
   }
+
+  /** Bounded-memory heavy hitters: the Misra-Gries summary [[TopKTerms]]'s
+    * Scaladoc promises for vocabularies that outgrow executor memory.
+    *
+    * The buffer never exceeds `cap` entries. Guarantees (for N total token
+    * occurrences in the group, under ANY partition/merge order):
+    *   - reported(t) <= true(t)                  (never overcounts)
+    *   - reported(t) >= true(t) - N/cap          (bounded undercount)
+    *   - any t with true(t) > N/cap survives     (no false negatives among
+    *     genuinely heavy terms)
+    * Which LIGHT terms appear (with small residual counts) IS
+    * merge-order-dependent — that is inherent to the sketch, so this
+    * aggregate is spec-verified against its guarantees, not oracle-hashed.
+    */
+  final class TopKTermsCapped(k: Int, cap: Int)
+      extends Aggregator[Seq[String], mutable.HashMap[String, Long], Seq[TermCount]] {
+    require(cap >= k, "cap must be at least k")
+
+    override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+
+    private def shrinkTo(buf: mutable.HashMap[String, Long], size: Int): Unit =
+      while (buf.size > size) {
+        val m = buf.valuesIterator.min
+        val dead = buf.iterator.collect { case (t, n) if n <= m => t }.toList
+        buf.mapValuesInPlace((_, n) => n - m)
+        dead.foreach(buf.remove)
+      }
+
+    override def reduce(
+        buf: mutable.HashMap[String, Long],
+        toks: Seq[String]
+    ): mutable.HashMap[String, Long] = {
+      if (toks != null) toks.foreach { t =>
+        buf.get(t) match {
+          case Some(n) => buf.update(t, n + 1L)
+          case None =>
+            buf.update(t, 1L)
+            if (buf.size > cap) shrinkTo(buf, cap)
+        }
+      }
+      buf
+    }
+
+    override def merge(
+        a: mutable.HashMap[String, Long],
+        b: mutable.HashMap[String, Long]
+    ): mutable.HashMap[String, Long] = {
+      b.foreach { case (t, n) => a.update(t, a.getOrElse(t, 0L) + n) }
+      shrinkTo(a, cap)
+      a
+    }
+
+    override def finish(buf: mutable.HashMap[String, Long]): Seq[TermCount] =
+      buf.toSeq
+        .sortBy { case (t, n) => (-n, t) }
+        .take(k)
+        .map { case (t, n) => TermCount(t, n) }
+
+    override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      Encoders.kryo[mutable.HashMap[String, Long]]
+
+    override def outputEncoder: Encoder[Seq[TermCount]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermCount]]()
+  }
 }
