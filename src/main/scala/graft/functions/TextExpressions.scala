@@ -88,12 +88,38 @@ object TextExpressions {
     new GenericArrayData(out)
   }
 
+  /** Size of the intersection of two string arrays that are BOTH sorted
+    * ascending (UTF8String binary order — what `array_sort` produces) and
+    * distinct. One merge pass, no per-pair hash-set allocation; the caller
+    * sorts each document's set once, so a pair join does O(|A|+|B|)
+    * comparisons per pair instead of building a hash table per pair.
+    */
+  def sortedIntersectSizeEval(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
   def shingles(text: Column, n: Int): Column =
     GraftShims.column(ShingleArray(GraftShims.expression(text), n))
 
   def minhashSignature(text: Column, seeds: Seq[(Long, Long)]): Column =
     GraftShims.column(
       MinHashSignature(GraftShims.expression(text), seeds.flatMap(p => Seq(p._1, p._2)).toArray)
+    )
+
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftShims.column(
+      SortedIntersectSize(GraftShims.expression(a), GraftShims.expression(b))
     )
 }
 
@@ -105,6 +131,19 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.shingleArrayEval($c, $n)")
   override protected def withNewChildInternal(c: Expression): ShingleArray = copy(child = c)
   override def prettyName: String = "shingle_array"
+}
+
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextExpressions.sortedIntersectSizeEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextExpressions.sortedIntersectSizeEval($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_size"
 }
 
 case class MinHashSignature(child: Expression, abs: Array[Long]) extends UnaryExpression {

@@ -68,11 +68,14 @@ object DedupPack extends QueryPack {
     Q(
       "d3_jaccard_near_dup",
       (s, d) => {
+        import graft.functions.TextExpressions.sortedIntersectSize
+        // token sets sorted ONCE per document so the pair loop can use the
+        // codegen'd merge-intersect (no per-pair hash-set allocation)
         val t = Tables.documents(s, d)
           .select(
             col("doc_id"),
             col("source"),
-            array_distinct(tokens(col("text"))).as("toks")
+            array_sort(array_distinct(tokens(col("text")))).as("toks")
           )
         val a = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("a_toks"))
         val b = t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("b_toks"))
@@ -85,7 +88,7 @@ object DedupPack extends QueryPack {
             size(col("a_toks")).cast("double") >= lit(0.95) * size(col("b_toks")) &&
               size(col("b_toks")).cast("double") >= lit(0.95) * size(col("a_toks"))
           )
-          .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+          .withColumn("inter", sortedIntersectSize(col("a_toks"), col("b_toks")))
           .withColumn(
             "jaccard",
             col("inter").cast("double") /
@@ -336,13 +339,15 @@ object DedupPack extends QueryPack {
     Q(
       "d10_dedup_clusters",
       (s, d) => {
+        import graft.functions.TextExpressions.sortedIntersectSize
         // near-dup pairs (d3 formulation, looser 0.8 threshold) are the edges;
         // each document's dedup cluster = min doc id transitively reachable.
         val t = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), array_distinct(tokens(col("text"))).as("toks"))
+          .select(col("doc_id"), col("source"),
+            array_sort(array_distinct(tokens(col("text")))).as("toks"))
         val a = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("a_toks"))
         val b = t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("b_toks"))
-        val inter = size(array_intersect(col("a_toks"), col("b_toks")))
+        val inter = sortedIntersectSize(col("a_toks"), col("b_toks"))
         val edges = a.join(b, Seq("source"))
           .filter(col("a_id") < col("b_id"))
           // lossless length filter (see d3): prunes before the intersection
