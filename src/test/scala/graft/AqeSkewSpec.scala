@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -10,26 +9,27 @@ import org.scalatest.funsuite.AnyFunSuite
   * boundaries), and only becomes salting's problem where AQE can't reach
   * (non-shuffle stages, aggregate-before-join keys). This spec drops the
   * skew thresholds to test scale and proves the splitting actually fires.
+  *
+  * All knobs are runtime SQL confs, set/restored on the SHARED test session
+  * — never stop a shared SparkContext from a suite.
   */
 class AqeSkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
 
   test("AQE splits a skewed join partition (skew=true in the final plan)") {
-    val prior = SparkSession.getDefaultSession
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
-      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    val knobs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    )
+    val saved = knobs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
-      import s.implicits._
+      import spark.implicits._
       // 95% of the probe side lands on one key → one shuffle partition
       // dwarfs the rest
       val probe = (1 to 200000)
@@ -42,9 +42,9 @@ class AqeSkewSpec extends AnyFunSuite {
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"), s"AQE skew split did not fire:\n$plan")
     } finally {
-      s.stop()
-      prior.foreach { p =>
-        SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p)
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
       }
     }
   }
