@@ -186,6 +186,85 @@ object StatsPack extends QueryPack {
              |ORDER BY o_custkey, o_orderkey""".stripMargin),
       doc = "rank/dense_rank/percent_rank/cume_dist + a RANGE-frame running sum " +
         "(value-based frame, not row-based) — tie semantics must match the oracle"
+    ),
+    // ---------------------------------------------------------------- cube
+    Q(
+      "x8_cube",
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("o_totalprice")).as("total"),
+            grouping(col("o_orderstatus")).as("g_st"),
+            grouping(col("o_orderpriority")).as("g_pr")
+          )
+          .select(
+            when(col("g_st") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+            when(col("g_pr") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
+            col("n"),
+            col("total")
+          )
+          .orderBy(col("status"), col("priority")),
+      Some("""SELECT
+             |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+             |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+             |FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin),
+      doc = "full CUBE (all 4 grouping sets in one Expand+Agg pass) — completes the " +
+        "rollup (q12) / grouping-sets (x6) family"
+    ),
+    // ---------------------------------------------------------------- unpivot
+    Q(
+      "x9_unpivot",
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(col("p_partkey") <= 200)
+          .select(col("p_partkey"),
+            col("p_size").cast("double").as("size"),
+            col("p_retailprice").as("retailprice"))
+          .unpivot(
+            Array(col("p_partkey")),
+            Array(col("size"), col("retailprice")),
+            "measure",
+            "value"
+          )
+          .orderBy(col("p_partkey"), col("measure")),
+      Some("""SELECT p_partkey, measure, value FROM (
+             |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS retailprice
+             |  FROM part WHERE p_partkey <= 200)
+             |UNPIVOT (value FOR measure IN (size, retailprice))
+             |ORDER BY p_partkey, measure""".stripMargin),
+      doc = "UNPIVOT/melt (the inverse of e7's pivot): wide measures to long " +
+        "(key, measure, value) rows — a narrow Expand, no shuffle"
+    ),
+    // ---------------------------------------------------------------- array HOFs
+    Q(
+      "x10_array_hof",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(filter(toks, t => length(t) > 5)).as("n_long_tokens"),
+            exists(toks, t => t.startsWith("z")).as("has_z_token"),
+            aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("total_chars"),
+            array_max(transform(toks, t => length(t))).as("max_token_len")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  len(list_filter(toks, t -> len(t) > 5)) AS n_long_tokens,
+             |  list_bool_or(list_transform(toks, t -> starts_with(t, 'z'))) AS has_z_token,
+             |  CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS total_chars,
+             |  list_max(list_transform(toks, t -> len(t))) AS max_token_len
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "higher-order array functions (filter / exists / aggregate / transform) " +
+        "against DuckDB list lambdas — per-row, no shuffle, stays in codegen"
     )
   )
 
