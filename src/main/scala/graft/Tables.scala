@@ -12,8 +12,20 @@ import org.apache.spark.sql.types.LongType
   * predicate pushdown, column pruning) is identical.
   */
 object Tables {
+  /** Catalog-style DataFrame cache: a real engine resolves a table once per
+    * session, not once per query — repeated `spark.read.parquet` calls each
+    * re-list files and re-read footers for schema inference, which at 90
+    * queries x several tables is pure planning overhead. Keyed by session
+    * identity so concurrent test sessions don't share plans.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent(
+      (spark, s"$sfDir/$name.parquet"),
+      { case (s, path) => s.read.parquet(path) }
+    )
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
