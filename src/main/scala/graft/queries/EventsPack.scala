@@ -324,6 +324,51 @@ object EventsPack extends QueryPack {
              |ORDER BY user_id""".stripMargin),
       doc = "gaps-and-islands: longest consecutive-day activity streak per user via " +
         "the date-minus-row_number island key — two partial-agg shuffles, no self-join"
+    ),
+    // ---------------------------------------------------------------- resample
+    Q(
+      "e12_resample_gapfill",
+      (s, d) => {
+        // fixed hourly spine over the corpus window; sparse buckets (errors
+        // are rare) appear with zero counts instead of vanishing
+        val spine = s.sql(
+          """SELECT explode(sequence(TIMESTAMP '2024-01-01 00:00:00',
+            |                        TIMESTAMP '2024-01-30 23:00:00',
+            |                        INTERVAL 1 HOUR)) AS bucket""".stripMargin)
+        val hourly = Tables.events(s, d)
+          .filter(col("event_type") === "error")
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            min(col("value")).as("min_v"),
+            max(col("value")).as("max_v")
+          )
+        spine.join(hourly, Seq("bucket"), "left_outer")
+          .select(
+            fts(col("bucket")).as("bucket"),
+            coalesce(col("cnt"), lit(0L)).as("n_errors"),
+            col("min_v"),
+            col("max_v")
+          )
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH spine AS (
+             |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+             |                                TIMESTAMP '2024-01-30 23:00:00',
+             |                                INTERVAL 1 HOUR)) AS bucket),
+             |hourly AS (
+             |  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt,
+             |    MIN(value) AS min_v, MAX(value) AS max_v
+             |  FROM events WHERE event_type = 'error'
+             |  GROUP BY 1)
+             |SELECT strftime(spine.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+             |  COALESCE(cnt, 0) AS n_errors, min_v, max_v
+             |FROM spine LEFT JOIN hourly ON spine.bucket = hourly.bucket
+             |ORDER BY bucket""".stripMargin),
+      doc = "time-series resample with gap filling: generated hourly spine " +
+        "left-joined to sparse per-hour aggregates — empty buckets survive with " +
+        "zero counts (min/max stay NULL), the densification step before charting " +
+        "or windowed models"
     )
   )
 }
