@@ -64,6 +64,49 @@ object MediaOps {
       substring(bytesCol, 1 + i * stride, frameLen)
     }: _*)
 
+  /** STUB — stands in for decode→scale→re-encode. Deterministic fake:
+    * keeps every `stride`-th byte. The signature (bytes in, bytes out,
+    * metadata derived from the NEW payload) is the contract a real
+    * image-resize kernel drops into.
+    */
+  def resizeStub(bytes: Array[Byte], stride: Int): Array[Byte] = {
+    if (bytes == null) return Array.emptyByteArray
+    val out = new Array[Byte]((bytes.length + stride - 1) / stride)
+    var i = 0
+    var j = 0
+    while (i < bytes.length) { out(j) = bytes(i); i += stride; j += 1 }
+    out
+  }
+
+  /** Batch resize via `mapPartitions` (same codec-per-partition shape as
+    * [[featurize]]): emits the resized payload's metadata — size, stubbed
+    * dimensions, and byte sum over the NEW payload.
+    */
+  def resize(df: DataFrame, idCol: String, stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("resized_bytes_len", LongType),
+      StructField("width_px", IntegerType),
+      StructField("height_px", IntegerType),
+      StructField("byte_sum", LongType)
+    ))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val bytesIdx = df.schema.fieldIndex("media_bytes")
+    val rdd = df.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val id = internal.getLong(idIdx)
+        val resized = resizeStub(internal.getBinary(bytesIdx), stride)
+        val (w, h) = decodeStub(resized)
+        var sum = 0L
+        var i = 0
+        while (i < resized.length) { sum += resized(i) & 0xff; i += 1 }
+        org.apache.spark.sql.catalyst.InternalRow(id, resized.length.toLong, w, h, sum)
+      }
+    }
+    org.apache.spark.sql.GraftShims.internalCreateDataFrame(spark, rdd, schema)
+  }
+
   /** Batch featurize via `mapPartitions` — the exact shape a real decoder
     * runs in (one codec init per partition, then a tight loop). Emits
     * (id, width, height, byte_sum) with the stub decode.

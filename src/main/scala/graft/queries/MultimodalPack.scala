@@ -82,6 +82,26 @@ object MultimodalPack extends QueryPack {
              |ORDER BY doc_id""".stripMargin),
       doc = "mapPartitions batch featurize (codec-per-partition shape) with stub decode; " +
         "byte histogram sum checked against per-char oracle"
+    ),
+    // ---------------------------------------------------------------- resize
+    Q(
+      "m4_resize",
+      (s, d) => {
+        val packed = MediaOps.packMedia(Tables.documents(s, d), col("text"), "image/fake")
+        MediaOps.resize(packed.select(col("doc_id"), col("media_bytes")), "doc_id", stride = 4)
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_bytes_len,
+             |  CAST(16 + ((octet_length(encode(text)) + 3) // 4) % 64 AS INT) AS width_px,
+             |  CAST(16 + (((octet_length(encode(text)) + 3) // 4) // 64) % 64 AS INT) AS height_px,
+             |  CAST(list_aggregate(list_transform(
+             |    generate_series(1, octet_length(encode(text)), 4), i -> ascii(text[i])), 'sum') AS BIGINT) AS byte_sum
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      doc = "media resize in the same codec-per-partition mapPartitions shape: stub " +
+        "decimation stands in for decode-scale-reencode; the NEW payload's metadata " +
+        "(length, stub dimensions, byte sum) is oracle-checked per byte"
     )
   )
 }
