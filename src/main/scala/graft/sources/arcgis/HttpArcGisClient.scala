@@ -13,9 +13,11 @@ import java.nio.charset.StandardCharsets
   * expiry-aware [[AuthCache]] amortized per executor.
   *
   * Deliberately dependency-free (java.net.http + the minimal JSON
-  * read/write below) since the build is offline. Untestable in this
-  * container (zero egress) — all engine logic above the transport is
-  * exercised through [[MockArcGisClient]].
+  * read/write below) since the build is offline. Integration-tested
+  * against a loopback ArcGIS stub (`HttpArcGisClientSpec` — pagination,
+  * pushdown-over-the-wire, token/referer, write envelopes); engine logic
+  * above the transport is additionally exercised through
+  * [[MockArcGisClient]].
   */
 class HttpArcGisClient(
     layerUrl: String,
