@@ -1,9 +1,26 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{ByteType, FloatType, IntegerType, ShortType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Canonicalize output types for the oracle compare: DuckDB surfaces every
+    * integer as BIGINT (int64) and every float as DOUBLE in the comparison
+    * frame, while Spark emits int32 for size()/length()/row_number() etc.
+    * Equal values in different physical widths hash differently on the
+    * driver side, so widen narrow numeric columns uniformly. */
+  def canonical(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case ByteType | ShortType | IntegerType => col(f.name).cast("long").as(f.name)
+        case FloatType                          => col(f.name).cast("double").as(f.name)
+        case _                                  => col(f.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,7 +34,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try canonical(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

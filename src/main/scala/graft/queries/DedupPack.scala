@@ -159,7 +159,7 @@ object DedupPack extends QueryPack {
       },
       Some {
         def band(id: Int, s1: (Long, Long), s2: (Long, Long)) =
-          s"""SELECT $id AS band, COUNT(*) AS n_candidates FROM (
+          s"""SELECT CAST($id AS BIGINT) AS band, COUNT(*) AS n_candidates FROM (
              |  SELECT a.doc_id FROM sigs a JOIN sigs b
              |  ON a.s${id}1 = b.s${id}1 AND a.s${id}2 = b.s${id}2 AND a.doc_id < b.doc_id)""".stripMargin
         s"""WITH sigs AS (
@@ -189,7 +189,7 @@ object DedupPack extends QueryPack {
         val bits = (0 until 8).map { b =>
           s"CASE WHEN list_aggregate(list_transform(toks, x -> CASE WHEN (${thSql("x")} >> $b) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN ${1L << b} ELSE 0 END"
         }.mkString(" + ")
-        s"""SELECT doc_id, $bits AS simhash
+        s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
            |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
            |ORDER BY doc_id""".stripMargin
       },

@@ -85,7 +85,7 @@ object EventsPack extends QueryPack {
           )
           .orderBy(col("user_id"), col("session_seq"))
       },
-      Some("""SELECT user_id, session_seq, COUNT(*) AS n_events,
+      Some("""SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
              |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
              |  CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec
              |FROM (
@@ -123,7 +123,7 @@ object EventsPack extends QueryPack {
           )
           .orderBy(col("event_type")),
       Some("""SELECT event_type,
-             |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
              |  COUNT(*) AS n
              |FROM events
@@ -193,11 +193,11 @@ object EventsPack extends QueryPack {
           .na.fill(0L)
           .orderBy(col("user_id")),
       Some("""SELECT user_id,
-             |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-             |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-             |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-             |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-             |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+             |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
              |FROM events
              |GROUP BY user_id
              |ORDER BY user_id""".stripMargin),

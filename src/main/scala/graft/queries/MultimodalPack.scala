@@ -32,10 +32,10 @@ object MultimodalPack extends QueryPack {
       },
       Some("""SELECT doc_id, 'text/plain' AS mime,
              |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
-             |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width_px,
-             |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height_px,
+             |  CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width_px,
+             |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height_px,
              |  hex(encode(substring(text, 1, 8))) AS head_hex,
-             |  CAST((octet_length(encode(text)) + 63) // 64 AS INT) AS n_frames
+             |  CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames
              |FROM documents
              |ORDER BY doc_id""".stripMargin),
       doc = "binary payload column + typed media metadata struct (BinaryType plumbing)"
@@ -75,8 +75,8 @@ object MultimodalPack extends QueryPack {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT doc_id,
-             |  CAST(16 + octet_length(encode(text)) % 64 AS INT) AS width_px,
-             |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INT) AS height_px,
+             |  CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width_px,
+             |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height_px,
              |  CAST(list_aggregate(list_transform(string_split(text, ''), x -> ascii(x)), 'sum') AS BIGINT) AS byte_sum
              |FROM documents
              |ORDER BY doc_id""".stripMargin),
@@ -93,8 +93,8 @@ object MultimodalPack extends QueryPack {
       },
       Some("""SELECT doc_id,
              |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_bytes_len,
-             |  CAST(16 + ((octet_length(encode(text)) + 3) // 4) % 64 AS INT) AS width_px,
-             |  CAST(16 + (((octet_length(encode(text)) + 3) // 4) // 64) % 64 AS INT) AS height_px,
+             |  CAST(16 + ((octet_length(encode(text)) + 3) // 4) % 64 AS BIGINT) AS width_px,
+             |  CAST(16 + (((octet_length(encode(text)) + 3) // 4) // 64) % 64 AS BIGINT) AS height_px,
              |  CAST(list_aggregate(list_transform(
              |    generate_series(1, octet_length(encode(text)), 4), i -> ascii(text[i])), 'sum') AS BIGINT) AS byte_sum
              |FROM documents

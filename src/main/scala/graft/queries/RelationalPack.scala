@@ -78,7 +78,7 @@ object RelationalPack extends QueryPack {
             col("l_extendedprice")
           )
           .orderBy(col("l_orderkey"), col("l_linenumber")),
-      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey, l_quantity, l_extendedprice
              |FROM lineitem
              |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
              |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -316,8 +316,8 @@ object RelationalPack extends QueryPack {
           )
           .orderBy(col("l_returnflag")),
       Some("""SELECT l_returnflag,
-             |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-             |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
              |FROM lineitem, orders
              |WHERE l_orderkey = o_orderkey
              |GROUP BY l_returnflag
@@ -462,7 +462,7 @@ object RelationalPack extends QueryPack {
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
              |FROM (
              |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-             |    CAST(year(l_shipdate) AS INT) AS l_year, l_extendedprice, l_discount
+             |    CAST(year(l_shipdate) AS BIGINT) AS l_year, l_extendedprice, l_discount
              |  FROM lineitem, supplier, orders, customer, nation n1, nation n2
              |  WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
              |    AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
@@ -594,7 +594,7 @@ object RelationalPack extends QueryPack {
           )
           .orderBy(col("o_year"))
       },
-      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
              |  CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
              |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
              |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /

@@ -75,9 +75,9 @@ object SimilarityPack extends QueryPack {
       },
       Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
               |SELECT label, COUNT(*) AS n_pairs,
-              |  SUM(CASE WHEN cos_sim >= 0.8 THEN 1 ELSE 0 END) AS n_close
+              |  CAST(SUM(CASE WHEN cos_sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
               |FROM (
-              |  SELECT a.label AS label,
+              |  SELECT CAST(a.label AS BIGINT) AS label,
               |    floor(${dotSql("a.embedding", "b.embedding")} /
               |          (${normSql("a.embedding")} * ${normSql("b.embedding")}) * 1000000) / 1000000 AS cos_sim
               |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) p
@@ -99,7 +99,7 @@ object SimilarityPack extends QueryPack {
           .map(j => s"CASE WHEN ${planeSql(j)} > 0 THEN ${1L << j} ELSE 0 END")
           .mkString(" + ")
         s"""SELECT bucket, COUNT(*) AS n_vectors
-           |FROM (SELECT vec_id, $bits AS bucket
+           |FROM (SELECT vec_id, CAST($bits AS BIGINT) AS bucket
            |      FROM (SELECT vec_id, embedding AS emb FROM embeddings))
            |GROUP BY bucket
            |ORDER BY bucket""".stripMargin
@@ -130,7 +130,7 @@ object SimilarityPack extends QueryPack {
           .map(j => s"CASE WHEN ${planeSql(j)} > 0 THEN ${1L << j} ELSE 0 END")
           .mkString(" + ")
         s"""WITH e AS (
-           |  SELECT vec_id, emb AS embedding, $bits AS bucket
+           |  SELECT vec_id, emb AS embedding, CAST($bits AS BIGINT) AS bucket
            |  FROM (SELECT vec_id, embedding AS emb FROM embeddings))
            |SELECT bucket, COUNT(*) AS n_close_candidates
            |FROM (
@@ -171,11 +171,11 @@ object SimilarityPack extends QueryPack {
         def dot(j: Int) =
           s"floor(list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * (((($j*64 + (i-1)) * 2654435761) % 1000000007) / 1000000000.0))) * 1000000) / 1000000"
         s"""SELECT centroid, COUNT(*) AS n_vectors FROM (
-           |  SELECT CASE
+           |  SELECT CAST(CASE
            |    WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
            |    WHEN s1 >= s2 AND s1 >= s3 THEN 1
            |    WHEN s2 >= s3 THEN 2
-           |    ELSE 3 END AS centroid
+           |    ELSE 3 END AS BIGINT) AS centroid
            |  FROM (SELECT ${dot(0)} AS s0, ${dot(1)} AS s1, ${dot(2)} AS s2, ${dot(3)} AS s3
            |        FROM embeddings) t) a
            |GROUP BY centroid
@@ -231,11 +231,11 @@ object SimilarityPack extends QueryPack {
         def dotj(j: Int, emb: String = "embedding") =
           s"floor(list_sum(list_transform($emb, (x, i) -> CAST(x AS DOUBLE) * (((($j*64 + (i-1)) * 2654435761) % 1000000007) / 1000000000.0))) * 1000000) / 1000000"
         s"""WITH scored AS (
-           |  SELECT vec_id, embedding, s0, s1, s2, s3, CASE
+           |  SELECT vec_id, embedding, s0, s1, s2, s3, CAST(CASE
            |    WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
            |    WHEN s1 >= s2 AND s1 >= s3 THEN 1
            |    WHEN s2 >= s3 THEN 2
-           |    ELSE 3 END AS centroid
+           |    ELSE 3 END AS BIGINT) AS centroid
            |  FROM (SELECT vec_id, embedding,
            |          ${dotj(0)} AS s0, ${dotj(1)} AS s1, ${dotj(2)} AS s2, ${dotj(3)} AS s3
            |        FROM embeddings) t),

@@ -69,7 +69,7 @@ object SubqueryPack extends QueryPack {
     sharedSql(
       "b2_correlated_scalar_avg",
       Seq("customer"),
-      """SELECT c_custkey, c_nationkey, c_acctbal
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal
         |FROM customer c
         |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |                   FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
@@ -107,7 +107,7 @@ object SubqueryPack extends QueryPack {
     sharedSql(
       "b5_correlated_max",
       Seq("supplier"),
-      """SELECT s_suppkey, s_nationkey, s_acctbal
+      """SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
         |FROM supplier s
         |WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
         |                   WHERE s2.s_nationkey = s.s_nationkey)

@@ -137,7 +137,7 @@ object TextPack extends QueryPack {
           )
           .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id,
-              |  list_aggregate(list_transform(toks, (x, i) -> ${thSql("x")} * ((i*1315423911) % 1000000007) % 1000000007), 'sum') % 1000000007 AS fp,
+              |  CAST(list_aggregate(list_transform(toks, (x, i) -> ${thSql("x")} * ((i*1315423911) % 1000000007) % 1000000007), 'sum') % 1000000007 AS BIGINT) AS fp,
               |  len(toks) AS n_tokens
               |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
               |ORDER BY doc_id""".stripMargin),
