@@ -13,7 +13,8 @@ object AllPacks {
     EventsPack,
     FeaturePack,
     MultimodalPack,
-    StatsPack
+    StatsPack,
+    PipelinePack
   )
 
   lazy val all: Seq[Q] = {

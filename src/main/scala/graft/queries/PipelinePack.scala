@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps.{tokens, P}
+
+/** Training-data curation operators (SURVEY.md §2.9, driver north-star):
+  * the steps between "raw corpus" and "training shard" that the reference's
+  * ETL surface (filter → transform → route → sink,
+  * `/root/reference/task.ts:155-361`) would need at LLM-corpus scale —
+  * PII-style masking, corpus-driven stopword pruning, contamination/novelty
+  * scoring, deterministic train/val/test splitting, funnel analysis, and
+  * the k-means M-step that keeps an IVF index's centroids fresh.
+  *
+  * Scale notes (100 TB):
+  *   - p1/p4 are per-row (no shuffle); the split key is a pure hash of the
+  *     stable id, so shards are reproducible across re-runs and machines —
+  *     never rand()-based, which re-deals rows on retry.
+  *   - p2 broadcasts a tiny global vocabulary (top-k) into a map-side hash
+  *     join; the corpus-side explode never shuffles.
+  *   - p3 is two shuffles on the shingle key (doc-frequency + join back),
+  *     both partial-aggregated; posting lists, not O(n²) pairs.
+  *   - p6 reduces each partition to (label, sum, count) — pure partial
+  *     aggregation, output rows = k centroids.
+  */
+object PipelinePack extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+    // ------------------------------------------------------------ p1 masking
+    Q(
+      "p1_regex_redact",
+      (s, d) => {
+        val masked = regexp_replace(col("props"), "[0-9]+", "<NUM>")
+        Tables.events(s, d)
+          .select(
+            col("event_type"),
+            size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long").as("runs"),
+            masked.as("masked")
+          )
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("runs")).as("n_masked_runs"),
+            min(col("masked")).as("sample_masked")
+          )
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, COUNT(*) AS n_events,
+             |  CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS n_masked_runs,
+             |  MIN(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS sample_masked
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin),
+      doc = "PII-style masking of numeric runs in semi-structured payloads " +
+        "(regexp_replace, per-row, no shuffle) + audit counts per type"
+    ),
+    // ------------------------------------------------------------ p2 stopwords
+    Q(
+      "p2_stopword_prune",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        // corpus-driven vocabulary: top-5 tokens by global frequency,
+        // deterministic tie-break on the token itself
+        val top5 = tok.groupBy(col("token"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(5)
+          .select(col("token"), lit(1).as("is_stop"))
+        tok.join(broadcast(top5), Seq("token"), "left_outer")
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(when(col("is_stop").isNull, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("is_stop").isNotNull, 1L).otherwise(0L)).as("n_pruned")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |top5 AS (
+             |  SELECT token FROM (
+             |    SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+             |    ORDER BY n DESC, token LIMIT 5))
+             |SELECT doc_id,
+             |  CAST(SUM(CASE WHEN token IN (SELECT token FROM top5) THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(CASE WHEN token IN (SELECT token FROM top5) THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned
+             |FROM tok
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      doc = "corpus-frequency stopword pruning: global top-k vocabulary (two-level " +
+        "partial agg) broadcast into a map-side anti-probe over the exploded corpus"
+    ),
+    // ------------------------------------------------------------ p3 novelty
+    Q(
+      "p3_shingle_novelty",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val sh = Tables.documents(s, d)
+          .filter(size(toks) >= 3)
+          .select(
+            col("doc_id"),
+            explode(graft.functions.TextExpressions.shingles(col("text"), 3)).as("shingle")
+          )
+        // doc-frequency of each distinct-within-doc shingle; df = 1 ⇒ the
+        // shingle occurs in exactly one document ⇒ novel
+        val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        sh.join(df, Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_shingles"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel")
+          )
+          .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |  WHERE len(toks) >= 3),
+             |sh AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+             |df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+             |agg AS (
+             |  SELECT sh.doc_id, COUNT(*) AS n_shingles,
+             |    CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+             |  FROM sh JOIN df USING (shingle)
+             |  GROUP BY sh.doc_id)
+             |SELECT doc_id, n_shingles, n_novel,
+             |  CAST(n_novel AS DOUBLE) / n_shingles AS novelty
+             |FROM agg
+             |ORDER BY doc_id""".stripMargin),
+      doc = "contamination / novelty scoring: fraction of a doc's trigram shingles " +
+        "seen nowhere else — posting-list doc-frequency join, never O(n²) pairs"
+    ),
+    // ------------------------------------------------------------ p4 split
+    Q(
+      "p4_hash_split",
+      (s, d) => {
+        val bucket = (col("doc_id") * lit(2654435761L)) % lit(P) % 100
+        Tables.documents(s, d)
+          .select(
+            col("source"),
+            when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"),
+            col("n_chars")
+          )
+          .groupBy(col("source"), col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars")
+          )
+          .orderBy(col("source"), col("split"))
+      },
+      Some("""SELECT source, split, COUNT(*) AS n_docs,
+             |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_chars
+             |FROM (
+             |  SELECT source, n_chars,
+             |    CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+             |         WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM documents) t
+             |GROUP BY source, split
+             |ORDER BY source, split""".stripMargin),
+      doc = "deterministic train/val/test sharding: pure hash of the stable id " +
+        "(reproducible across re-runs/retries, unlike rand()), per-row, no shuffle " +
+        "before the stats agg"
+    ),
+    // ------------------------------------------------------------ p5 funnel
+    Q(
+      "p5_event_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        // stage k's clock starts at stage k-1's first qualifying event:
+        // min-aggregate per user, then an equi-join feeds the next stage —
+        // each stage is one shuffle on user_id, reused by AQE
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_v"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") > col("t_v"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_c"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("ts") > col("t_c"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_p"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, MIN(ts) AS t_v FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t_c FROM events e JOIN v USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > v.t_v GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, MIN(e.ts) AS t_p FROM events e JOIN c USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.t_c GROUP BY e.user_id)
+             |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+             |       (SELECT COUNT(*) FROM c) AS n_view_click,
+             |       (SELECT COUNT(*) FROM p) AS n_full_funnel""".stripMargin),
+      doc = "ordered view→click→purchase funnel: per-stage min-after-previous-stage " +
+        "aggregation chain, one user_id shuffle per stage"
+    ),
+    // ------------------------------------------------------------ p6 M-step
+    Q(
+      "p6_centroid_update",
+      (s, d) => {
+        // exact mean over a fixed 1e-6 grid: floor-quantize each float to a
+        // long BEFORE summing so the aggregation is integer (order-free),
+        // then one double division chain — bit-identical across engines
+        def qdim(i: Int) =
+          sum(floor(element_at(col("embedding"), i).cast("double") * 1e6).cast("long"))
+        Tables.embeddings(s, d)
+          .groupBy(col("label").cast("long").as("label"))
+          .agg(
+            count(lit(1)).as("n_vectors"),
+            qdim(1).as("s0"),
+            qdim(2).as("s1")
+          )
+          .select(
+            col("label"),
+            col("n_vectors"),
+            (col("s0").cast("double") / 1e6 / col("n_vectors")).as("mean_d0"),
+            (col("s1").cast("double") / 1e6 / col("n_vectors")).as("mean_d1")
+          )
+          .orderBy(col("label"))
+      },
+      Some("""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vectors,
+             |  CAST(CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000 / COUNT(*) AS mean_d0,
+             |  CAST(CAST(SUM(CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1000000 / COUNT(*) AS mean_d1
+             |FROM embeddings
+             |GROUP BY label
+             |ORDER BY label""".stripMargin),
+      doc = "k-means M-step (centroid recompute for the IVF index): per-label vector " +
+        "mean as integer partial aggregation on a fixed grid — map-side combine, " +
+        "output rows = k"
+    )
+  )
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Semantic tests for the training-data curation pack (PipelinePack) on a
+  * hand-built corpus where every expected value is derivable by eye. The
+  * sf-corpus oracle harness proves engine parity; this spec proves the
+  * operators mean what their docs say.
+  */
+class PipelinePackSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft-pipeline").toString
+    import spark.implicits._
+    Seq(
+      (0L, "a b c d", "en", "src0", 7L),
+      (1L, "a b c x", "en", "src0", 7L),
+      (2L, "z z z z z", "en", "src1", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Seq(
+      (0L, "2024-01-01 00:00:00", 1L, "view", 1.0, "{\"k\": 69}"),
+      (1L, "2024-01-01 00:10:00", 1L, "click", 1.0, "{\"k\": 7}"),
+      (2L, "2024-01-01 00:20:00", 1L, "purchase", 1.0, "{\"k\": 12, \"u\": 34}"),
+      // user 2: click BEFORE first view, purchase after — must not count
+      // past stage 1 (funnel is ordered, not a bag of event types)
+      (3L, "2024-01-01 00:05:00", 2L, "click", 1.0, "{\"k\": 1}"),
+      (4L, "2024-01-01 00:06:00", 2L, "view", 1.0, "{\"k\": 2}"),
+      (5L, "2024-01-01 00:07:00", 2L, "purchase", 1.0, "{\"k\": 3}"),
+      (6L, "2024-01-01 00:08:00", 3L, "view", 1.0, "{\"k\": 4}")
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    Seq(
+      (0L, Array(0.5f, 1.5f), 0),
+      (1L, Array(1.5f, 2.5f), 0),
+      (2L, Array(-0.5f, 0.25f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def run(name: String) =
+    queries.PipelinePack.queries.find(_.name == name).get.run(spark, dir)
+
+  test("p1: numeric runs in props are masked and counted per type") {
+    val rows = run("p1_regex_redact").collect()
+    val purchase = rows.find(_.getString(0) == "purchase").get
+    assert(purchase.getLong(1) == 2L) // two purchase events
+    assert(purchase.getLong(2) == 3L) // {"k": 12, "u": 34} has 2 runs + {"k": 3} has 1
+    assert(purchase.getString(3) == "{\"k\": <NUM>, \"u\": <NUM>}")
+  }
+
+  test("p2: corpus-driven top-5 stopwords are pruned per document") {
+    // token freqs: z=5, a=2, b=2, c=2, d=1, x=1 → top5 (n desc, token) = z,a,b,c,d
+    val rows = run("p2_stopword_prune").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((0L, 0L, 4L), (1L, 1L, 3L), (2L, 0L, 5L)))
+  }
+
+  test("p3: novelty = fraction of the doc's shingles seen in no other doc") {
+    // doc0 {a b c, b c d}: 'a b c' also in doc1 → 1/2; doc2 {z z z} → 1.0
+    val rows = run("p3_shingle_novelty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 1L, 1L, 1.0)))
+  }
+
+  test("p4: hash split is a deterministic partition of the corpus") {
+    val rows = run("p4_hash_split").collect()
+    assert(rows.map(_.getLong(2)).sum == 3L) // every doc lands in exactly one split
+    // formula-stable: same assignment on re-run (no rand())
+    assert(run("p4_hash_split").collect().toSeq == rows.toSeq)
+    val expected = Seq(0L, 1L, 2L).map { id =>
+      val b = id * 2654435761L % 1000000007L % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val bySplit = expected.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = rows.map(r => (r.getString(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(got == bySplit)
+  }
+
+  test("p5: funnel stages require strictly-ordered view -> click -> purchase") {
+    val r = run("p5_event_funnel").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 1L, 1L)))
+  }
+
+  test("p6: centroid update is the exact per-label mean") {
+    val rows = run("p6_centroid_update").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((0L, 2L, 1.0, 2.0), (1L, 1L, -0.5, 0.25)))
+  }
+
+  test("p2 plan: the stopword vocabulary probe is a broadcast join") {
+    val plan = run("p2_stopword_prune").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"expected broadcast vocabulary join:\n$plan")
+  }
+}
