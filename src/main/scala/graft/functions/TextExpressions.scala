@@ -109,6 +109,26 @@ object TextExpressions {
     n
   }
 
+  /** [[sortedIntersectSizeEval]] twin for dictionary-encoded int sets
+    * (sorted ascending, distinct) — int compares instead of UTF8String
+    * compares in the merge loop.
+    */
+  def sortedIntersectSizeIntEval(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getInt(i)
+      val y = b.getInt(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   def shingles(text: Column, n: Int): Column =
     GraftShims.column(ShingleArray(GraftShims.expression(text), n))
 
@@ -120,6 +140,11 @@ object TextExpressions {
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftShims.column(
       SortedIntersectSize(GraftShims.expression(a), GraftShims.expression(b))
+    )
+
+  def sortedIntersectSizeInt(a: Column, b: Column): Column =
+    GraftShims.column(
+      SortedIntersectSizeInt(GraftShims.expression(a), GraftShims.expression(b))
     )
 }
 
@@ -144,6 +169,19 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
     copy(left = l, right = r)
   override def prettyName: String = "sorted_intersect_size"
+}
+
+case class SortedIntersectSizeInt(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextExpressions.sortedIntersectSizeIntEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextExpressions.sortedIntersectSizeIntEval($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSizeInt =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_size_int"
 }
 
 case class MinHashSignature(child: Expression, abs: Array[Long]) extends UnaryExpression {

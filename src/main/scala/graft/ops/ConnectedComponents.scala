@@ -3,7 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed connected components by iterative min-label propagation.
+/** Distributed connected components by min-label propagation WITH edge
+  * contraction (star contraction).
   *
   * The dedup endgame: near-dup candidate pairs (MinHash-LSH bands, shingle
   * Jaccard, embedding-cosine — DedupPack d3/d5/d7/d8) are EDGES; the
@@ -12,22 +13,32 @@ import org.apache.spark.sql.functions._
   * collapse (`/root/reference/task.ts:267-349`); at corpus scale the
   * transitive closure must be computed in bulk.
   *
-  * Algorithm: seed every node's label with its own id, then repeat
-  *   label(v) ← min(label(v), min over neighbors u of label(u))
-  * until a fixpoint. Each round is one shuffle (join edges with labels on
-  * src + groupBy dst) — the hash-partitioning on node id is reused across
-  * rounds. Rounds needed = graph diameter; duplicate clusters are
-  * shallow (near-clique), so convergence is fast in practice. For
-  * adversarially long path graphs the large-star/small-star variant
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14)
-  * drops rounds to O(log n) — same join/agg primitives, more of them per
-  * round; the propagation loop below is the right trade for dedup-shaped
-  * graphs.
+  * Algorithm per round, operating on the CONTRACTED component graph (not
+  * the raw edges — this is the difference from plain label propagation,
+  * where every round re-joins the full edge set):
+  *   1. each component's new label = min over (self, neighbor components)
+  *   2. one pointer-jumping pass (label ← label(label)) so chains halve
+  *   3. edges re-written to (newLabel(src), newLabel(dst)), self-loops
+  *      dropped, duplicates merged — duplicate-cluster cliques vanish
+  *      after ONE round, so iteration cost collapses geometrically
+  * Node labels are NOT updated inside the loop: the per-round component
+  * maps are tiny and checkpointed, so the final labels are one chained
+  * plan (nodes ⋈ map₁ ⋈ … ⋈ mapₖ) — k extra joins in a single job instead
+  * of k materialization jobs of a node-sized frame.
+  * Convergence = the contracted edge set is empty (a limit-1 probe on a
+  * checkpointed frame, no extra fixpoint round and no label diffing).
   *
-  * Scale mechanics: `localCheckpoint` truncates the lineage each round so
-  * the plan does not grow with iterations (a 100-round plan would otherwise
-  * blow up optimizer time and executor stacks); the convergence test is a
-  * single `count` of changed labels, not a collect of the labels.
+  * Rounds needed: O(log diameter) with the jumping pass; duplicate
+  * clusters are near-cliques, so 1-2 rounds in practice. The
+  * large-star/small-star variant (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14) has the same primitives and bound; this
+  * formulation keeps one join fewer per round for dedup-shaped graphs.
+  *
+  * Scale mechanics: `localCheckpoint` truncates lineage each round so the
+  * plan never grows with iterations; every per-round frame after round 1 is
+  * component-sized (shrinking), not edge-sized; the only full-size joins
+  * are the first min-neighbor aggregation and the node-label re-map, both
+  * hash-partitioned on the id being grouped/joined.
   */
 object ConnectedComponents {
 
@@ -37,43 +48,54 @@ object ConnectedComponents {
     */
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
     // Materialize the (typically expensive — a near-dup pair join) edge set
-    // BEFORE mirroring it: union(e, swap(e)) would otherwise recompute the
-    // pair join once per branch, and then once per round.
-    val e0 = edges.select(col("src"), col("dst")).localCheckpoint()
-    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    // once, canonicalized undirected and deduplicated.
+    var ce = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
       .localCheckpoint()
 
-    var labels = nodes.select(col("id"), col("id").as("component")).localCheckpoint()
-    // Per-node labels are non-increasing (min over a set containing self),
-    // so the total label sum strictly decreases until the fixpoint — one
-    // cheap scalar aggregate per round detects convergence, no join.
-    var prevSum: java.math.BigDecimal = null
-    var converged = false
+    val maps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // min label over each node's closed neighborhood
-      val fromNeighbors = und
-        .join(labels, und("src") === labels("id"))
-        .select(col("dst").as("id"), col("component"))
-      val propagated = labels.select(col("id"), col("component"))
-        .union(fromNeighbors)
-        .groupBy(col("id"))
-        .agg(min(col("component")).as("component"))
-      // pointer jumping (path halving): component ← label(component).
-      // Chains collapse in O(log diameter) rounds instead of O(diameter).
-      val byId = propagated.select(col("id").as("p_id"), col("component").as("p_comp"))
-      val next = propagated
-        .join(byId, propagated("component") === byId("p_id"), "left_outer")
-        .select(col("id"), coalesce(col("p_comp"), col("component")).as("component"))
+    while (iter < maxIter && !ce.isEmpty) {
+      val und = ce.union(ce.select(col("dst").as("src"), col("src").as("dst")))
+      // 1. min over the closed neighborhood of each current component
+      val m = und
+        .groupBy(col("src"))
+        .agg(min(col("dst")).as("nbr"))
+        .select(col("src").as("c"), least(col("src"), col("nbr")).as("c1"))
+      // 2. pointer jumping: c1 ← c1(c1) (c1's target is itself a component
+      // present in m, so the left join always resolves)
+      val mj = m.select(col("c").as("jc"), col("c1").as("jc1"))
+      val m2 = m
+        .join(mj, m("c1") === mj("jc"), "left_outer")
+        .select(col("c"), coalesce(col("jc1"), col("c1")).as("c2"))
         .localCheckpoint()
-      val curSum = next
-        .agg(sum(col("component").cast("decimal(38,0)")).as("s"))
-        .head().getDecimal(0)
-      labels = next
-      converged = prevSum != null && curSum.compareTo(prevSum) == 0
-      prevSum = curSum
+      maps += m2
+      // 3. contract the component graph
+      val ms = m2.select(col("c").as("sc"), col("c2").as("sc2"))
+      val md = m2.select(col("c").as("dc"), col("c2").as("dc2"))
+      ce = und
+        .join(ms, und("src") === ms("sc"), "left_outer")
+        .join(md, und("dst") === md("dc"), "left_outer")
+        .select(
+          coalesce(col("sc2"), col("src")).as("rs"),
+          coalesce(col("dc2"), col("dst")).as("rd")
+        )
+        .filter(col("rs") =!= col("rd"))
+        .select(least(col("rs"), col("rd")).as("src"), greatest(col("rs"), col("rd")).as("dst"))
+        .distinct()
+        .localCheckpoint()
       iter += 1
     }
-    labels
+    // final labels: nodes through the composed per-round maps, one plan
+    // (components without edges are absent from every map and keep their id)
+    maps.zipWithIndex.foldLeft(nodes.select(col("id"), col("id").as("component"))) {
+      case (lab, (m2, i)) =>
+        val mm = m2.select(col("c").as(s"c_$i"), col("c2").as(s"c2_$i"))
+        lab
+          .join(mm, lab("component") === mm(s"c_$i"), "left_outer")
+          .select(col("id"), coalesce(col(s"c2_$i"), col("component")).as("component"))
+    }
   }
 }

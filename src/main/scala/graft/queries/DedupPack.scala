@@ -67,37 +67,16 @@ object DedupPack extends QueryPack {
     // ---------------------------------------------------------------- jaccard
     Q(
       "d3_jaccard_near_dup",
-      (s, d) => {
-        import graft.functions.TextExpressions.sortedIntersectSize
-        // token sets sorted ONCE per document so the pair loop can use the
-        // codegen'd merge-intersect (no per-pair hash-set allocation)
-        val t = Tables.documents(s, d)
-          .select(
-            col("doc_id"),
-            col("source"),
-            array_sort(array_distinct(tokens(col("text")))).as("toks")
-          )
-        val a = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("a_toks"))
-        val b = t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("b_toks"))
-        a.join(b, Seq("source"))
-          .filter(col("a_id") < col("b_id"))
-          // lossless length filter (PPJoin-style): jaccard >= t forces
-          // min(|A|,|B|) >= t*max(|A|,|B|) — an int compare that prunes
-          // most pairs BEFORE the O(|A|+|B|) set intersection
-          .filter(
-            size(col("a_toks")).cast("double") >= lit(0.95) * size(col("b_toks")) &&
-              size(col("b_toks")).cast("double") >= lit(0.95) * size(col("a_toks"))
-          )
-          .withColumn("inter", sortedIntersectSize(col("a_toks"), col("b_toks")))
-          .withColumn(
-            "jaccard",
-            col("inter").cast("double") /
-              (size(col("a_toks")) + size(col("b_toks")) - col("inter"))
-          )
-          .filter(col("jaccard") >= 0.95)
+      (s, d) =>
+        // dictionary-encoded token sets (ops/TokenSets): the vocabulary is
+        // mapped to dense ids once, each set becomes a bitmask / int array,
+        // and the per-pair intersection is popcount / int-merge instead of
+        // string compares — identical Jaccard integers, so the oracle's
+        // list_intersect formulation is unchanged
+        graft.ops.TokenSets
+          .jaccardPairs(Tables.documents(s, d), "doc_id", "source", tokens(col("text")), 0.95)
           .select(col("a_id"), col("b_id"), col("jaccard"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
+          .orderBy(col("a_id"), col("b_id")),
       Some("""WITH t AS (SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
              |           FROM documents)
              |SELECT a_id, b_id, jaccard FROM (
@@ -339,26 +318,11 @@ object DedupPack extends QueryPack {
     Q(
       "d10_dedup_clusters",
       (s, d) => {
-        import graft.functions.TextExpressions.sortedIntersectSize
         // near-dup pairs (d3 formulation, looser 0.8 threshold) are the edges;
         // each document's dedup cluster = min doc id transitively reachable.
-        val t = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"),
-            array_sort(array_distinct(tokens(col("text")))).as("toks"))
-        val a = t.select(col("doc_id").as("a_id"), col("source"), col("toks").as("a_toks"))
-        val b = t.select(col("doc_id").as("b_id"), col("source"), col("toks").as("b_toks"))
-        val inter = sortedIntersectSize(col("a_toks"), col("b_toks"))
-        val edges = a.join(b, Seq("source"))
-          .filter(col("a_id") < col("b_id"))
-          // lossless length filter (see d3): prunes before the intersection
-          .filter(
-            size(col("a_toks")).cast("double") >= lit(0.8) * size(col("b_toks")) &&
-              size(col("b_toks")).cast("double") >= lit(0.8) * size(col("a_toks"))
-          )
-          .filter(
-            inter.cast("double") /
-              (size(col("a_toks")) + size(col("b_toks")) - inter) >= 0.8
-          )
+        // Edge generation runs on dictionary-encoded sets (ops/TokenSets).
+        val edges = graft.ops.TokenSets
+          .jaccardPairs(Tables.documents(s, d), "doc_id", "source", tokens(col("text")), 0.8)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
         graft.ops.ConnectedComponents.run(nodes, edges)
