@@ -674,6 +674,85 @@ object RelationalPack extends QueryPack {
              |LIMIT 20""".stripMargin),
       doc = "TPC-H Q10 shape: returned-item revenue per customer, top 20 — selective " +
         "fact filter first, broadcast nation, TakeOrdered top-k"
+    ),
+    // ---------------------------------------------------------------- q27 (TPC-H Q9 shape)
+    Q(
+      "q27_profit_by_nation_year",
+      (s, d) =>
+        li(s, d)
+          .join(
+            Tables.part(s, d).filter(col("p_name").contains("widget")),
+            col("l_partkey") === col("p_partkey")
+          )
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))
+              .cast("double").as("profit")
+          )
+          .orderBy(col("nation"), col("l_year").desc),
+      Some("""SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+             |FROM lineitem, part, supplier, nation
+             |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+             |  AND s_nationkey = n_nationkey AND p_name LIKE '%widget%'
+             |GROUP BY 1, 2
+             |ORDER BY nation, l_year DESC""".stripMargin),
+      doc = "TPC-H Q9 shape: product-line profit per (nation, year) — selective part " +
+        "filter pushed below the fact joins, nation broadcast, two-key grouped agg"
+    ),
+    // ---------------------------------------------------------------- q28 (TPC-H Q11 shape)
+    Q(
+      "q28_important_nations",
+      (s, d) => {
+        val sup = Tables.supplier(s, d)
+        // global threshold = one single-row aggregate, broadcast into the
+        // HAVING comparison (never re-evaluated per group)
+        val total = sup.agg(sum(dec(col("s_acctbal"))).cast("double").as("t"))
+        sup
+          .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+          .agg(sum(dec(col("s_acctbal"))).cast("double").as("value"))
+          .crossJoin(broadcast(total))
+          .filter(col("value") > col("t") * 0.05)
+          .select(col("s_nationkey"), col("value"))
+          .orderBy(col("value").desc, col("s_nationkey"))
+      },
+      Some("""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+             |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS value
+             |FROM supplier
+             |GROUP BY s_nationkey
+             |HAVING CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) >
+             |  (SELECT CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) FROM supplier) * 0.05
+             |ORDER BY value DESC, s_nationkey""".stripMargin),
+      doc = "TPC-H Q11 shape: group value vs a global-fraction scalar subquery — " +
+        "single-row broadcast threshold, exact decimal sums on both sides"
+    ),
+    // ---------------------------------------------------------------- q29 (TPC-H Q16 shape)
+    Q(
+      "q29_supplier_cnt",
+      (s, d) => {
+        val bad = Tables.supplier(s, d)
+          .filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        li(s, d)
+          .join(
+            Tables.part(s, d).filter(col("p_brand") =!= "Brand#1"),
+            col("l_partkey") === col("p_partkey")
+          )
+          .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"))
+      },
+      Some("""SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem, part
+             |WHERE l_partkey = p_partkey AND p_brand <> 'Brand#1'
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand
+             |ORDER BY supplier_cnt DESC, p_brand""".stripMargin),
+      doc = "TPC-H Q16 shape: distinct-supplier counts with a NOT IN exclusion list — " +
+        "broadcast anti join + two-level distinct aggregation"
     )
   )
 }
