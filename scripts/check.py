@@ -45,6 +45,15 @@ def main():
         def is_null(v):
             return v is None or (isinstance(v, float) and v != v)
         def cell_eq(x, y):
+            # list/array cells come back as numpy arrays — compare as lists
+            if hasattr(x, "tolist"):
+                x = x.tolist()
+            if hasattr(y, "tolist"):
+                y = y.tolist()
+            if isinstance(x, list) or isinstance(y, list):
+                return (isinstance(x, list) and isinstance(y, list)
+                        and len(x) == len(y)
+                        and all(cell_eq(a, b) for a, b in zip(x, y)))
             if is_null(x) or is_null(y):
                 return is_null(x) and is_null(y)
             return x == y

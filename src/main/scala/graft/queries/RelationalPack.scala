@@ -753,6 +753,37 @@ object RelationalPack extends QueryPack {
              |ORDER BY supplier_cnt DESC, p_brand""".stripMargin),
       doc = "TPC-H Q16 shape: distinct-supplier counts with a NOT IN exclusion list — " +
         "broadcast anti join + two-level distinct aggregation"
+    ),
+    // ---------------------------------------------------------------- q30 strings
+    Q(
+      "q30_string_suite",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(
+            col("p_partkey"),
+            expr("translate(p_name, 'aeiou', 'AEIOU')").as("translated"),
+            lpad(col("p_brand"), 10, "0").as("padded_brand"),
+            rpad(col("p_type"), 12, ".").as("padded_type"),
+            reverse(col("p_name")).as("reversed"),
+            expr("repeat(p_brand, 2)").as("doubled"),
+            instr(col("p_name"), "a").cast("long").as("a_pos"),
+            expr("split_part(p_name, ' ', 1)").as("first_word"),
+            concat(upper(expr("left(p_name, 1)")), expr("substr(p_name, 2)")).as("initcapped")
+          )
+          .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  translate(p_name, 'aeiou', 'AEIOU') AS translated,
+             |  lpad(p_brand, 10, '0') AS padded_brand,
+             |  rpad(p_type, 12, '.') AS padded_type,
+             |  reverse(p_name) AS reversed,
+             |  repeat(p_brand, 2) AS doubled,
+             |  CAST(strpos(p_name, 'a') AS BIGINT) AS a_pos,
+             |  split_part(p_name, ' ', 1) AS first_word,
+             |  upper(left(p_name, 1)) || substr(p_name, 2) AS initcapped
+             |FROM part
+             |ORDER BY p_partkey""".stripMargin),
+      doc = "string-function inventory beyond q14: translate/pad/reverse/repeat/" +
+        "strpos/split_part + composed initcap — per-row, codegen'd, no shuffle"
     )
   )
 }

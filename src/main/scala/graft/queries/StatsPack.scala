@@ -265,6 +265,39 @@ object StatsPack extends QueryPack {
              |ORDER BY doc_id""".stripMargin),
       doc = "higher-order array functions (filter / exists / aggregate / transform) " +
         "against DuckDB list lambdas — per-row, no shuffle, stays in codegen"
+    ),
+    // ---------------------------------------------------------------- array set ops
+    Q(
+      "x11_array_setops",
+      (s, d) => {
+        import graft.functions.TextOps.tokens
+        val a = array_distinct(tokens(col("text")))
+        val ref = array(Seq("the", "a", "join", "fast").map(lit): _*)
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            // joined to strings: engine-neutral scalar output (the oracle
+            // compare frame treats list cells as opaque arrays)
+            array_join(array_sort(array_union(a, ref)), ",").as("union_sorted"),
+            array_join(array_sort(array_intersect(a, ref)), ",").as("inter_sorted"),
+            array_join(array_sort(array_except(a, ref)), ",").as("except_sorted"),
+            size(flatten(array(a, ref))).cast("long").as("flat_len"),
+            array_position(tokens(col("text")), "the").as("first_the")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  COALESCE(array_to_string(list_sort(list_distinct(list_concat(toks_d, ['the','a','join','fast']))), ','), '') AS union_sorted,
+             |  COALESCE(array_to_string(list_sort(list_intersect(toks_d, ['the','a','join','fast'])), ','), '') AS inter_sorted,
+             |  COALESCE(array_to_string(list_sort(list_filter(toks_d, x -> NOT list_contains(['the','a','join','fast'], x))), ','), '') AS except_sorted,
+             |  CAST(len(toks_d) + 4 AS BIGINT) AS flat_len,
+             |  CAST(COALESCE(list_position(toks, 'the'), 0) AS BIGINT) AS first_the
+             |FROM (SELECT doc_id, string_split(text, ' ') AS toks,
+             |             list_distinct(string_split(text, ' ')) AS toks_d
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "array set algebra (union / intersect / except, sorted for engine-neutral " +
+        "order) + flatten + first-occurrence position — per-row, no shuffle"
     )
   )
 
