@@ -369,6 +369,36 @@ object EventsPack extends QueryPack {
         "left-joined to sparse per-hour aggregates — empty buckets survive with " +
         "zero counts (min/max stay NULL), the densification step before charting " +
         "or windowed models"
+    ),
+    // ---------------------------------------------------------------- range frame
+    Q(
+      "e13_range_frame",
+      (s, d) => {
+        // trailing 1-hour window per user: RANGE frame over epoch seconds —
+        // a set-based frame (tie-safe, unlike ROWS) computed in one
+        // partition-sorted pass per user
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(unix_timestamp(col("ts")))
+          .rangeBetween(-3600, 0)
+        Tables.events(s, d)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            count(lit(1)).over(w).as("n_last_hour"),
+            sum(dec(col("value"))).over(w).cast("double").as("v_last_hour")
+          )
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  COUNT(*) OVER w AS n_last_hour,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_last_hour
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin),
+      doc = "trailing 1-hour RANGE window frame per user (exact decimal sums inside " +
+        "the frame) — the moving-aggregate shape for rate limiting / rolling features"
     )
   )
 }

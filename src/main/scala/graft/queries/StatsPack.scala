@@ -298,6 +298,56 @@ object StatsPack extends QueryPack {
              |ORDER BY doc_id""".stripMargin),
       doc = "array set algebra (union / intersect / except, sorted for engine-neutral " +
         "order) + flatten + first-occurrence position — per-row, no shuffle"
+    ),
+    // ---------------------------------------------------------------- manual corr
+    Q(
+      "x12_corr_manual",
+      (s, d) => {
+        // Pearson correlation from EXACT decimal moment sums: built-in corr()
+        // accumulates doubles in partition order (not reproducible across
+        // engines/partitionings); the five moments below are exact decimals,
+        // so the final double arithmetic is one deterministic expression.
+        val q = dec(col("l_quantity"))
+        val p = dec(col("l_extendedprice"))
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(q).cast("double").as("sx"),
+            sum(p).cast("double").as("sy"),
+            sum(q * q).cast("double").as("sxx"),
+            sum(p * p).cast("double").as("syy"),
+            sum(q * p).cast("double").as("sxy")
+          )
+          .select(
+            col("l_returnflag"),
+            col("n").cast("long").as("n"),
+            quant(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))),
+              1e6
+            ).as("corr_qty_price")
+          )
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+             |  floor((n * sxy - sx * sy) /
+             |        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000) / 1000000 AS corr_qty_price
+             |FROM (
+             |  SELECT l_returnflag,
+             |    CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             |  FROM lineitem
+             |  GROUP BY l_returnflag) m
+             |ORDER BY l_returnflag""".stripMargin),
+      doc = "Pearson correlation via exact decimal moment sums — order-independent " +
+        "partial aggregation, one deterministic double expression at the end " +
+        "(built-in corr() is partition-order-sensitive and never oracle-exact)"
     )
   )
 
