@@ -129,6 +129,26 @@ object TextExpressions {
     n
   }
 
+  /** [[sortedIntersectSizeIntEval]] twin for long ids (the scalable
+    * dictionary path assigns ids with monotonically_increasing_id, which
+    * are longs).
+    */
+  def sortedIntersectSizeLongEval(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
   def shingles(text: Column, n: Int): Column =
     GraftShims.column(ShingleArray(GraftShims.expression(text), n))
 
@@ -145,6 +165,11 @@ object TextExpressions {
   def sortedIntersectSizeInt(a: Column, b: Column): Column =
     GraftShims.column(
       SortedIntersectSizeInt(GraftShims.expression(a), GraftShims.expression(b))
+    )
+
+  def sortedIntersectSizeLong(a: Column, b: Column): Column =
+    GraftShims.column(
+      SortedIntersectSizeLong(GraftShims.expression(a), GraftShims.expression(b))
     )
 }
 
@@ -182,6 +207,19 @@ case class SortedIntersectSizeInt(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSizeInt =
     copy(left = l, right = r)
   override def prettyName: String = "sorted_intersect_size_int"
+}
+
+case class SortedIntersectSizeLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextExpressions.sortedIntersectSizeLongEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextExpressions.sortedIntersectSizeLongEval($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSizeLong =
+    copy(left = l, right = r)
+  override def prettyName: String = "sorted_intersect_size_long"
 }
 
 case class MinHashSignature(child: Expression, abs: Array[Long]) extends UnaryExpression {

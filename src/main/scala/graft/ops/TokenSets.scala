@@ -25,13 +25,15 @@ import org.apache.spark.sql.functions._
   * DuckDB oracles written against `list_intersect` are unchanged.
   *
   * Scale notes (100 TB): the dictionary is built with a two-level
-  * frequency aggregation (partial-agg shuffle on token). Id assignment here
-  * uses a single-partition window — fine for vocabularies that fit one
-  * task; for open-domain corpora assign ids by hash or zipWithIndex and
-  * skip the bitmask path (it requires ids < 64 anyway). The encode join is
-  * a broadcast when the dictionary is small, a shuffle join otherwise.
-  * The pair join itself stays blocked on the caller's key (source / LSH
-  * bucket), which bounds candidates independent of corpus size.
+  * frequency aggregation (partial-agg shuffle on token). Id assignment is
+  * representation-specific: the bitmask path needs dense ids < 64 and the
+  * vocabulary fits one task by definition (a tiny window); the array path
+  * only needs an INJECTIVE id, so it uses monotonically_increasing_id —
+  * fully parallel, collision-free, no global sort, arbitrarily large
+  * vocabularies. The encode join is a broadcast when the dictionary is
+  * small, a shuffle join otherwise. The pair join itself stays blocked on
+  * the caller's key (source / LSH bucket), which bounds candidates
+  * independent of corpus size.
   */
 object TokenSets {
 
@@ -52,15 +54,22 @@ object TokenSets {
   ): DataFrame = {
     val postings = docs
       .select(col(idCol).as("ts_id"), col(keyCol).as("ts_key"), explode(array_distinct(toks)).as("token"))
-    // dictionary materialized once (it is read again by the encode join and
-    // its size drives the representation choice — one job, not three)
-    val dict = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .select(
-        col("token"),
-        (row_number().over(Window.orderBy(col("df"), col("token"))) - 1).as("tid")
-      )
-      .localCheckpoint()
-    val vocabN = dict.count()
+    // distinct vocabulary materialized once (it is read again by the encode
+    // join and its size drives the representation choice — one job)
+    val vocab = postings.select(col("token")).distinct().localCheckpoint()
+    val vocabN = vocab.count()
+    val dict =
+      if (vocabN <= 63)
+        // dense ids 0..62 for the bitmask — the vocabulary fits one task by
+        // definition, so the global window is a 63-row sort
+        vocab.select(
+          col("token"),
+          (row_number().over(Window.orderBy(col("token"))) - 1).as("tid")
+        )
+      else
+        // array path needs only an injective id: fully parallel, no global
+        // sort, works at any vocabulary size
+        vocab.select(col("token"), monotonically_increasing_id().as("tid"))
 
     // encoded sets materialized once: BOTH sides of the self-join read this,
     // and without the checkpoint each side would re-run scan+explode+encode
@@ -92,7 +101,7 @@ object TokenSets {
       col("ts_key"), col("ts_id").as("b_id"), col("n").as("b_n"), col("sig").as("b_sig"))
     val inter =
       if (vocabN <= 63) expr("bit_count(a_sig & b_sig)")
-      else graft.functions.TextExpressions.sortedIntersectSizeInt(col("a_sig"), col("b_sig"))
+      else graft.functions.TextExpressions.sortedIntersectSizeLong(col("a_sig"), col("b_sig"))
 
     a.join(b, Seq("ts_key"))
       .filter(col("a_id") < col("b_id"))
