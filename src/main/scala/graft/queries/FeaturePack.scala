@@ -100,6 +100,55 @@ object FeaturePack extends QueryPack {
       doc = "T5 EPSG:4326->3857 via the codegen'd MercatorX/Y Catalyst expressions " +
         "(task.ts:192-219 proj4 equivalent); cm-quantized for cross-libm parity"
     ),
+    // ---------------------------------------------------------------- T5 inverse
+    Q(
+      "f7_reproject_roundtrip",
+      (s, d) => {
+        import graft.functions.WebMercator.{DegToRad, QuarterPi, R}
+        // forward → inverse → compare against the source coordinates.
+        // Row-level inverse values can't be floor-quantized (integral
+        // inputs sit exactly ON every decimal grid), so the oracle contract
+        // is the certification aggregate: |roundtrip − source| < 1e-6 deg is
+        // boundary-safe because the true error is ~1e-10.
+        val src = Tables.customer(s, d)
+          .select(
+            col("c_custkey"),
+            (col("c_custkey") % 360 - 180).cast("double").as("lon"),
+            (col("c_custkey") % 170 - 85).cast("double").as("lat")
+          )
+        val rt = src
+          .withColumn("mx", graft.functions.WebMercator.mercatorX(col("lon")))
+          .withColumn("my", graft.functions.WebMercator.mercatorY(col("lat")))
+          .withColumn("inv_lon", col("mx") / R / DegToRad)
+          .withColumn(
+            "inv_lat",
+            (lit(2.0) * atan(exp(col("my") / R)) - lit(2.0) * QuarterPi) / DegToRad
+          )
+        rt.agg(
+          count(lit(1)).as("n"),
+          sum(
+            when(
+              abs(col("inv_lon") - col("lon")) < 1e-6 &&
+                abs(col("inv_lat") - col("lat")) < 1e-6,
+              1L
+            ).otherwise(0L)
+          ).as("n_roundtrip_ok")
+        )
+      },
+      Some("""SELECT COUNT(*) AS n,
+             |  CAST(SUM(CASE WHEN ABS(mx / 6378137.0 / 0.017453292519943295 - lon) < 0.000001
+             |             AND ABS((2.0 * atan(exp(my / 6378137.0)) - 2.0 * 0.7853981633974483) / 0.017453292519943295 - lat) < 0.000001
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+             |FROM (
+             |  SELECT lon, lat,
+             |    6378137.0 * (lon * 0.017453292519943295) AS mx,
+             |    6378137.0 * ln(tan(0.7853981633974483 + (lat * 0.017453292519943295) / 2.0)) AS my
+             |  FROM (SELECT CAST(c_custkey % 360 - 180 AS DOUBLE) AS lon,
+             |               CAST(c_custkey % 170 - 85 AS DOUBLE) AS lat
+             |        FROM customer))""".stripMargin),
+      doc = "T5 inverse reprojection (3857->4326) certified by round-trip: every " +
+        "coordinate returns to its source within 1e-6 deg on BOTH engines"
+    ),
     // ---------------------------------------------------------------- P3
     Q(
       "f4_route_by_geom_type",
