@@ -199,6 +199,52 @@ object TextPack extends QueryPack {
       doc = "TF-IDF: explode->tf agg, token df agg, broadcast corpus size; ln() output " +
         "floor-quantized for cross-libm parity"
     ),
+    // ---------------------------------------------------------------- unigram LM
+    Q(
+      "t11_unigram_logprob",
+      (s, d) => {
+        // unigram language-model scoring (perplexity-style quality signal):
+        // avg log P(token) under the corpus unigram distribution. Each
+        // token's logprob is floor-quantized to an integer grid BEFORE the
+        // per-doc sum — double summation is order-dependent and would never
+        // hash-match across engines; integer sums are exact and order-free.
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("n_t"))
+        val total = tok.agg(count(lit(1)).as("total"))
+        tok
+          .join(freq, Seq("token"))
+          .crossJoin(broadcast(total))
+          .select(
+            col("doc_id"),
+            floor(log(col("n_t").cast("double") / col("total").cast("double")) * 1e6)
+              .cast("long").as("q")
+          )
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("sum_q"))
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            (col("sum_q").cast("double") / 1e6 / col("n_tokens")).as("avg_logprob")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |freq AS (SELECT token, COUNT(*) AS n_t FROM tok GROUP BY token),
+             |tot AS (SELECT COUNT(*) AS total FROM tok)
+             |SELECT doc_id, n_tokens,
+             |  CAST(sum_q AS DOUBLE) / 1000000 / n_tokens AS avg_logprob
+             |FROM (
+             |  SELECT doc_id, COUNT(*) AS n_tokens,
+             |    CAST(SUM(CAST(floor(ln(CAST(n_t AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q
+             |  FROM tok JOIN freq USING (token) CROSS JOIN tot
+             |  GROUP BY doc_id) s
+             |ORDER BY doc_id""".stripMargin),
+      doc = "unigram LM scoring (avg log-prob, the perplexity quality gate): corpus " +
+        "frequency join + broadcast total; per-token logprobs integer-grid-quantized " +
+        "so the per-doc sum is order-independent"
+    ),
     // ---------------------------------------------------------------- zipf
     Q(
       "t8_zipf_rank",
