@@ -234,6 +234,43 @@ object PipelinePack extends QueryPack {
       doc = "k-means M-step (centroid recompute for the IVF index): per-label vector " +
         "mean as integer partial aggregation on a fixed grid — map-side combine, " +
         "output rows = k"
+    ),
+    // ------------------------------------------------------------ p7 length band
+    Q(
+      "p7_quantile_band_filter",
+      (s, d) => {
+        // outlier-length pruning driven by corpus statistics: keep documents
+        // inside the global [p05, p95] length band. The bounds are one
+        // single-row aggregate broadcast into a scan-side filter —
+        // two passes total, no sort of the full corpus
+        val docs = Tables.documents(s, d)
+        val bounds = docs.agg(
+          expr("percentile(n_chars, 0.05)").as("p05"),
+          expr("percentile(n_chars, 0.95)").as("p95")
+        )
+        docs
+          .crossJoin(broadcast(bounds))
+          .filter(col("n_chars") >= col("p05") && col("n_chars") <= col("p95"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_kept"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""WITH b AS (
+             |  SELECT quantile_cont(n_chars, 0.05) AS p05,
+             |         quantile_cont(n_chars, 0.95) AS p95
+             |  FROM documents)
+             |SELECT source, COUNT(*) AS n_kept,
+             |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+             |FROM documents CROSS JOIN b
+             |WHERE n_chars >= p05 AND n_chars <= p95
+             |GROUP BY source
+             |ORDER BY source""".stripMargin),
+      doc = "corpus-statistics curation filter: global [p05,p95] length band from one " +
+        "broadcast single-row aggregate — the outlier-pruning step before training"
     )
   )
 }
