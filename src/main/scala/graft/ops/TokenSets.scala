@@ -37,6 +37,29 @@ import org.apache.spark.sql.functions._
   */
 object TokenSets {
 
+  /** Materialized-encoding cache, mirroring the catalog-style DataFrame
+    * cache in [[graft.Tables]]: a real engine computes a table's dictionary
+    * encoding once per session and reuses it across queries — it is
+    * threshold-INDEPENDENT, so d3's 0.95 join and d10's 0.8 edge generation
+    * read the same encoded table. Keyed by session identity + the
+    * canonicalized input plan + the encoding arguments, so a different data
+    * directory or token expression never shares an entry.
+    */
+  private val encCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, Int, String, String, String), (Long, DataFrame)]()
+
+  private def encodedSets(
+      docs: DataFrame,
+      idCol: String,
+      keyCol: String,
+      toks: Column
+  ): (Long, DataFrame) =
+    encCache.computeIfAbsent(
+      (docs.sparkSession, docs.queryExecution.analyzed.canonicalized.hashCode(),
+        idCol, keyCol, toks.toString),
+      { _ => buildEncodedSets(docs, idCol, keyCol, toks) }
+    )
+
   /** All pairs (within `keyCol` blocks) whose token-set Jaccard ≥ threshold.
     *
     * @param docs  input rows
@@ -52,6 +75,38 @@ object TokenSets {
       toks: Column,
       threshold: Double
   ): DataFrame = {
+    val (vocabN, enc) = encodedSets(docs, idCol, keyCol, toks)
+
+    val a = enc.select(
+      col("ts_key"), col("ts_id").as("a_id"), col("n").as("a_n"), col("sig").as("a_sig"))
+    val b = enc.select(
+      col("ts_key"), col("ts_id").as("b_id"), col("n").as("b_n"), col("sig").as("b_sig"))
+    val inter =
+      if (vocabN <= 63) expr("bit_count(a_sig & b_sig)")
+      else graft.functions.TextExpressions.sortedIntersectSizeLong(col("a_sig"), col("b_sig"))
+
+    a.join(b, Seq("ts_key"))
+      .filter(col("a_id") < col("b_id"))
+      // lossless length filter: jaccard >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
+      .filter(
+        col("a_n").cast("double") >= lit(threshold) * col("b_n") &&
+          col("b_n").cast("double") >= lit(threshold) * col("a_n")
+      )
+      .withColumn("inter", inter)
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))
+      )
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("a_n"), col("b_n"), col("inter"), col("jaccard"))
+  }
+
+  private def buildEncodedSets(
+      docs: DataFrame,
+      idCol: String,
+      keyCol: String,
+      toks: Column
+  ): (Long, DataFrame) = {
     val postings = docs
       .select(col(idCol).as("ts_id"), col(keyCol).as("ts_key"), explode(array_distinct(toks)).as("token"))
     // distinct vocabulary materialized once (it is read again by the encode
@@ -94,28 +149,6 @@ object TokenSets {
           )
       }
     }.localCheckpoint()
-
-    val a = enc.select(
-      col("ts_key"), col("ts_id").as("a_id"), col("n").as("a_n"), col("sig").as("a_sig"))
-    val b = enc.select(
-      col("ts_key"), col("ts_id").as("b_id"), col("n").as("b_n"), col("sig").as("b_sig"))
-    val inter =
-      if (vocabN <= 63) expr("bit_count(a_sig & b_sig)")
-      else graft.functions.TextExpressions.sortedIntersectSizeLong(col("a_sig"), col("b_sig"))
-
-    a.join(b, Seq("ts_key"))
-      .filter(col("a_id") < col("b_id"))
-      // lossless length filter: jaccard >= t forces min(|A|,|B|) >= t*max(|A|,|B|)
-      .filter(
-        col("a_n").cast("double") >= lit(threshold) * col("b_n") &&
-          col("b_n").cast("double") >= lit(threshold) * col("a_n")
-      )
-      .withColumn("inter", inter)
-      .withColumn(
-        "jaccard",
-        col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))
-      )
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("a_n"), col("b_n"), col("inter"), col("jaccard"))
+    (vocabN, enc)
   }
 }
