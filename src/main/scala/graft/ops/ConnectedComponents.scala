@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * the raw edges — this is the difference from plain label propagation,
   * where every round re-joins the full edge set):
   *   1. each component's new label = min over (self, neighbor components)
-  *   2. one pointer-jumping pass (label ← label(label)) so chains halve
+  *   2. pointer DOUBLING on the component map (label ← label(label),
+  *      iterated to fixpoint on the tiny map): pointer depth doubles per
+  *      iteration, so path-shaped graphs resolve in O(log diameter) map
+  *      joins instead of O(diameter) edge rounds
   *   3. edges re-written to (newLabel(src), newLabel(dst)), self-loops
   *      dropped, duplicates merged — duplicate-cluster cliques vanish
   *      after ONE round, so iteration cost collapses geometrically
@@ -64,17 +67,33 @@ object ConnectedComponents {
         .groupBy(col("src"))
         .agg(min(col("dst")).as("nbr"))
         .select(col("src").as("c"), least(col("src"), col("nbr")).as("c1"))
-      // 2. pointer jumping: c1 ← c1(c1) (c1's target is itself a component
-      // present in m, so the left join always resolves)
-      val mj = m.select(col("c").as("jc"), col("c1").as("jc1"))
-      val m2 = m
-        .join(mj, m("c1") === mj("jc"), "left_outer")
-        .select(col("c"), coalesce(col("jc1"), col("c1")).as("c2"))
         .localCheckpoint()
-      maps += m2
+      // 2. pointer DOUBLING to fixpoint: c1 ← c1(c1) repeated on the
+      // component-sized map until stable. Pointer depth doubles per
+      // iteration, so a chain of length d resolves in O(log d) tiny joins —
+      // a single jump would shrink chains by only a constant per round and
+      // blow the round budget on path-shaped graphs. The label sum is
+      // non-increasing and strictly decreases until the fixpoint, so one
+      // scalar aggregate per iteration detects convergence.
+      var m2 = m
+      var prevSum: java.math.BigDecimal = null
+      var jumping = true
+      while (jumping) {
+        val mj = m2.select(col("c").as("jc"), col("c1").as("jc1"))
+        val next = m2
+          .join(mj, m2("c1") === mj("jc"), "left_outer")
+          .select(col("c"), coalesce(col("jc1"), col("c1")).as("c1"))
+          .localCheckpoint()
+        val s = next.agg(sum(col("c1").cast("decimal(38,0)"))).head().getDecimal(0)
+        m2 = next
+        jumping = s != null && (prevSum == null || s.compareTo(prevSum) != 0)
+        prevSum = s
+      }
+      val m2f = m2.select(col("c"), col("c1").as("c2"))
+      maps += m2f
       // 3. contract the component graph
-      val ms = m2.select(col("c").as("sc"), col("c2").as("sc2"))
-      val md = m2.select(col("c").as("dc"), col("c2").as("dc2"))
+      val ms = m2f.select(col("c").as("sc"), col("c2").as("sc2"))
+      val md = m2f.select(col("c").as("dc"), col("c2").as("dc2"))
       ce = und
         .join(ms, und("src") === ms("sc"), "left_outer")
         .join(md, und("dst") === md("dc"), "left_outer")
