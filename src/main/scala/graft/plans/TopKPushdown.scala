@@ -95,7 +95,8 @@ case class TopKPushdown() extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-  import graft.functions.{DotProduct, L2Norm, MercatorX, MercatorY, ShingleArray}
+  import graft.functions.{DotProduct, L2Norm, MercatorX, MercatorY, ShingleArray,
+    SortedIntersectSize, SortedIntersectSizeInt, SortedIntersectSizeLong}
 
   private def fn(
       e: SparkSessionExtensions,
@@ -113,5 +114,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "vec_norm", classOf[L2Norm], args => L2Norm(args.head))
     fn(e, "shingle_array", classOf[ShingleArray],
       args => ShingleArray(args(0), args(1).eval().asInstanceOf[Int]))
+    fn(e, "set_intersect_size", classOf[SortedIntersectSize],
+      args => SortedIntersectSize(args(0), args(1)))
+    fn(e, "set_intersect_size_int", classOf[SortedIntersectSizeInt],
+      args => SortedIntersectSizeInt(args(0), args(1)))
+    fn(e, "set_intersect_size_long", classOf[SortedIntersectSizeLong],
+      args => SortedIntersectSizeLong(args(0), args(1)))
   }
 }

@@ -48,6 +48,13 @@ class SqlApiSpec extends AnyFunSuite {
       assert(v.getDouble(0) == 11.0)
       assert(v.getDouble(1) == Math.sqrt(5.0))
       assert(v.getSeq[String](2) == Seq("x y z", "y z w"))
+      // set-intersection merge kernels (string / int / long element types)
+      val si = s.sql(
+        """SELECT set_intersect_size(array('a','b','c'), array('b','c','d')) AS s,
+          |  set_intersect_size_int(array(1, 2, 3), array(2, 3, 9)) AS i,
+          |  set_intersect_size_long(array(1L, 5L), array(5L, 7L)) AS l""".stripMargin
+      ).head()
+      assert((si.getInt(0), si.getInt(1), si.getInt(2)) == ((2, 2, 1)))
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p)
