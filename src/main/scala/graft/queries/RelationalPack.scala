@@ -784,6 +784,36 @@ object RelationalPack extends QueryPack {
              |ORDER BY p_partkey""".stripMargin),
       doc = "string-function inventory beyond q14: translate/pad/reverse/repeat/" +
         "strpos/split_part + composed initcap — per-row, codegen'd, no shuffle"
+    ),
+    // ---------------------------------------------------------------- q31 full outer
+    Q(
+      "q31_full_outer",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+        clicks.join(purchases, Seq("user_id"), "full_outer")
+          .select(
+            col("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            coalesce(col("n_purchases"), lit(0L)).as("n_purchases")
+          )
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, COUNT(*) AS n_clicks FROM events
+             |  WHERE event_type = 'click' GROUP BY user_id),
+             |p AS (
+             |  SELECT user_id, COUNT(*) AS n_purchases FROM events
+             |  WHERE event_type = 'purchase' GROUP BY user_id)
+             |SELECT user_id, COALESCE(n_clicks, 0) AS n_clicks,
+             |  COALESCE(n_purchases, 0) AS n_purchases
+             |FROM c FULL JOIN p USING (user_id)
+             |ORDER BY user_id""".stripMargin),
+      doc = "FULL OUTER join of two per-user aggregates with coalesced key and " +
+        "zero-filled measures — users present on either side survive"
     )
   )
 }
