@@ -100,4 +100,29 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Broadcast"), plan)
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("p6: centroid M-step is partial aggregation (map-side combine, k output rows)") {
+    val plan = planOf("p6_centroid_update")
+    assert(plan.contains("partial_"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q29: NOT IN exclusion list plans as a broadcast anti join") {
+    val plan = planOf("q29_supplier_cnt")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+
+  test("q28: global-fraction threshold is a broadcast of a single-row aggregate") {
+    val plan = planOf("q28_important_nations")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("d3: pair join reads the checkpointed encoded table, intersects via popcount") {
+    val df = SparkEntry.queries("d3_jaccard_near_dup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Scan ExistingRDD"), plan)       // encode ran once, checkpointed
+    assert(plan.contains("bit_count"), plan)              // bitmask intersection in-plan
+  }
 }
