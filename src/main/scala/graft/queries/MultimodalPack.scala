@@ -102,6 +102,46 @@ object MultimodalPack extends QueryPack {
       doc = "media resize in the same codec-per-partition mapPartitions shape: stub " +
         "decimation stands in for decode-scale-reencode; the NEW payload's metadata " +
         "(length, stub dimensions, byte sum) is oracle-checked per byte"
+    ),
+    // ---------------------------------------------------------------- budget
+    Q(
+      "m5_modality_budget",
+      (s, d) => {
+        // storage-budget accounting per modality — the planning aggregate a
+        // mixed-media corpus runs before sharding (counts, bytes, size
+        // distribution), entirely over the metadata struct: the payload
+        // column is never touched, so the parquet scan prunes it away
+        val packed = MediaOps.packMedia(Tables.documents(s, d), col("text"), "text/plain")
+        packed
+          .select(
+            when(col("doc_id") % 3 === 0, "image")
+              .when(col("doc_id") % 3 === 1, "audio")
+              .otherwise("video").as("modality"),
+            col("media_meta.size_bytes").as("size_bytes")
+          )
+          .groupBy(col("modality"))
+          .agg(
+            count(lit(1)).as("n_assets"),
+            sum(col("size_bytes")).as("total_bytes"),
+            max(col("size_bytes")).as("max_bytes"),
+            expr("percentile(size_bytes, 0.5)").as("p50_bytes")
+          )
+          .orderBy(col("modality"))
+      },
+      Some("""SELECT modality, COUNT(*) AS n_assets,
+             |  CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+             |  MAX(size_bytes) AS max_bytes,
+             |  quantile_cont(size_bytes, 0.5) AS p50_bytes
+             |FROM (
+             |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |              WHEN doc_id % 3 = 1 THEN 'audio'
+             |              ELSE 'video' END AS modality,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes
+             |  FROM documents)
+             |GROUP BY modality
+             |ORDER BY modality""".stripMargin),
+      doc = "per-modality storage budget (counts, bytes, exact median size) over the " +
+        "metadata struct only — the binary payload is pruned from the scan"
     )
   )
 }
