@@ -348,6 +348,64 @@ object StatsPack extends QueryPack {
       doc = "Pearson correlation via exact decimal moment sums — order-independent " +
         "partial aggregation, one deterministic double expression at the end " +
         "(built-in corr() is partition-order-sensitive and never oracle-exact)"
+    ),
+    // ---------------------------------------------------------------- ALL set ops
+    Q(
+      "x13_setops_all",
+      (s, d) => {
+        // bag semantics: INTERSECT ALL keeps min(multiplicity), EXCEPT ALL
+        // subtracts multiplicities — the dedup-aware reconciliation between
+        // two event streams
+        val ev = Tables.events(s, d)
+        val a = ev.filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"))
+        val b = ev.filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"))
+        a.intersectAll(b).withColumn("set_op", lit("intersect_all"))
+          .unionByName(a.exceptAll(b).withColumn("set_op", lit("except_all")))
+          .groupBy(col("set_op")).agg(count(lit(1)).as("n"))
+          .orderBy(col("set_op"))
+      },
+      Some("""WITH a AS (SELECT user_id FROM events WHERE event_type IN ('click','view')),
+             |b AS (SELECT user_id FROM events WHERE event_type IN ('view','purchase'))
+             |SELECT set_op, COUNT(*) AS n FROM (
+             |  SELECT user_id, 'intersect_all' AS set_op FROM (
+             |    SELECT user_id FROM a INTERSECT ALL SELECT user_id FROM b) i
+             |  UNION ALL
+             |  SELECT user_id, 'except_all' FROM (
+             |    SELECT user_id FROM a EXCEPT ALL SELECT user_id FROM b) e) u
+             |GROUP BY set_op
+             |ORDER BY set_op""".stripMargin),
+      doc = "INTERSECT ALL / EXCEPT ALL bag semantics (multiplicity-aware, planned as " +
+        "count-compare aggregates + generate, not row-by-row)"
+    ),
+    // ---------------------------------------------------------------- value windows
+    Q(
+      "x14_value_windows",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.events(s, d)
+          .select(
+            col("event_id"),
+            col("user_id"),
+            first(col("event_type")).over(full).as("first_type"),
+            last(col("event_type")).over(full).as("last_type"),
+            nth_value(col("event_type"), 2).over(full).as("second_type")
+          )
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id, user_id,
+             |  first_value(event_type) OVER w AS first_type,
+             |  last_value(event_type) OVER w AS last_type,
+             |  nth_value(event_type, 2) OVER w AS second_type
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY event_id""".stripMargin),
+      doc = "first_value / last_value / nth_value over a full-partition ROWS frame — " +
+        "deterministic tie order via (ts, event_id)"
     )
   )
 
