@@ -22,7 +22,10 @@ import java.nio.charset.StandardCharsets
 class HttpArcGisClient(
     layerUrl: String,
     auth: Option[AuthCache] = None,
-    referer: Option[String] = None
+    referer: Option[String] = None,
+    maxAttempts: Int = 4,
+    backoffMs: Long = 200,
+    sleep: Long => Unit = Thread.sleep
 ) extends ArcGisClient {
 
   @transient private lazy val http = HttpClient.newHttpClient()
@@ -32,29 +35,60 @@ class HttpArcGisClient(
   private def withAuth(params: Seq[(String, String)]): Seq[(String, String)] =
     params ++ auth.map(a => "token" -> a.token()).toSeq
 
-  private def get(path: String, params: Seq[(String, String)]): String = {
-    val qs = (withAuth(params) :+ ("f" -> "json"))
-      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
-    val builder = HttpRequest.newBuilder(URI.create(s"$layerUrl$path?$qs")).GET()
-    referer.foreach(r => builder.header("Referer", r))
-    val resp = http.send(builder.build(), HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() >= 400)
-      throw new RuntimeException(s"ArcGIS GET $path failed: HTTP ${resp.statusCode()}")
-    resp.body()
+  /** Transient failures (throttling, server errors, connection resets) are
+    * retried with exponential backoff and deterministic jitter — a retried
+    * partition must behave identically on a task re-run, so no random
+    * jitter. 401/403 additionally invalidates the cached token so the next
+    * attempt re-authenticates (expiry races). 4xx other than 401/403/429 is
+    * permanent and fails fast.
+    */
+  private def retryable(code: Int): Boolean =
+    code == 429 || code == 401 || code == 403 || code >= 500
+
+  private def sendWithRetry(what: String, build: () => HttpRequest): String = {
+    var attempt = 1
+    while (true) {
+      val outcome =
+        try Right(http.send(build(), HttpResponse.BodyHandlers.ofString()))
+        catch { case e: java.io.IOException => Left(e) }
+      outcome match {
+        case Right(r) if r.statusCode() < 400 => return r.body()
+        case Right(r) =>
+          if (r.statusCode() == 401 || r.statusCode() == 403) auth.foreach(_.invalidate())
+          if (!retryable(r.statusCode()) || attempt >= maxAttempts)
+            throw new RuntimeException(
+              s"ArcGIS $what failed: HTTP ${r.statusCode()} after $attempt attempt(s)")
+        case Left(e) =>
+          if (attempt >= maxAttempts)
+            throw new RuntimeException(
+              s"ArcGIS $what failed after $attempt attempt(s): ${e.getMessage}", e)
+      }
+      sleep(backoffMs * (1L << (attempt - 1)) + (attempt * 37) % math.max(backoffMs, 1))
+      attempt += 1
+    }
+    throw new IllegalStateException("unreachable")
   }
 
-  private def post(path: String, params: Seq[(String, String)]): String = {
-    val body = (withAuth(params) :+ ("f" -> "json"))
-      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
-    val builder = HttpRequest.newBuilder(URI.create(s"$layerUrl$path"))
-      .header("Content-Type", "application/x-www-form-urlencoded")
-      .POST(HttpRequest.BodyPublishers.ofString(body))
-    referer.foreach(r => builder.header("Referer", r))
-    val resp = http.send(builder.build(), HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() >= 400)
-      throw new RuntimeException(s"ArcGIS POST $path failed: HTTP ${resp.statusCode()}")
-    resp.body()
-  }
+  private def get(path: String, params: Seq[(String, String)]): String =
+    sendWithRetry(s"GET $path", () => {
+      // params re-evaluated per attempt so an invalidated token is re-fetched
+      val qs = (withAuth(params) :+ ("f" -> "json"))
+        .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+      val builder = HttpRequest.newBuilder(URI.create(s"$layerUrl$path?$qs")).GET()
+      referer.foreach(r => builder.header("Referer", r))
+      builder.build()
+    })
+
+  private def post(path: String, params: Seq[(String, String)]): String =
+    sendWithRetry(s"POST $path", () => {
+      val body = (withAuth(params) :+ ("f" -> "json"))
+        .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+      val builder = HttpRequest.newBuilder(URI.create(s"$layerUrl$path"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+      referer.foreach(r => builder.header("Referer", r))
+      builder.build()
+    })
 
   override def layerInfo(): LayerInfo = {
     val json = MiniJson.parse(get("", Seq.empty))

@@ -119,4 +119,55 @@ class HttpArcGisClientSpec extends AnyFunSuite {
       server.stop(0)
     }
   }
+
+  test("transient 503s are retried with backoff; permanent 400 fails fast; 401 re-auths") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tokens = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val ok = """{"features":[{"attributes":{"objectid":7},"geometry":{"x":1.0,"y":2.0}}]}"""
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      val n = hits.incrementAndGet()
+      if (n <= 2) { ex.sendResponseHeaders(503, -1); ex.close() }
+      else reply(ex, ok)
+    })
+    server.createContext("/bad", (ex: HttpExchange) => {
+      hits.incrementAndGet(); ex.sendResponseHeaders(400, -1); ex.close()
+    })
+    server.createContext("/guarded", (ex: HttpExchange) => {
+      val p = params(ex)
+      p.get("token").foreach(tokens.add)
+      if (p.get("token").contains("tok-1")) { ex.sendResponseHeaders(401, -1); ex.close() }
+      else reply(ex, ok)
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val slept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    try {
+      // 503 x2 then success: exactly 3 requests, exponential backoff recorded
+      val flaky = new HttpArcGisClient(s"$base/flaky", maxAttempts = 4,
+        backoffMs = 10, sleep = slept += _)
+      assert(flaky.queryByKey("objectid", "7").head.attributes("objectid") == 7L)
+      assert(hits.get() == 3)
+      assert(slept.size == 2 && slept(1) > slept(0)) // backoff grows
+
+      // permanent 4xx: one request, no retries
+      hits.set(0); slept.clear()
+      val bad = new HttpArcGisClient(s"$base/bad", maxAttempts = 4,
+        backoffMs = 10, sleep = slept += _)
+      val e = intercept[RuntimeException](bad.queryByKey("objectid", "7"))
+      assert(e.getMessage.contains("HTTP 400") && hits.get() == 1 && slept.isEmpty)
+
+      // 401 invalidates the token cache so the retry carries a fresh token
+      var issued = 0
+      val auth = new AuthCache(
+        fetchToken = () => { issued += 1; (s"tok-$issued", Long.MaxValue) },
+        refreshMarginMs = 0, now = () => 0L)
+      val guarded = new HttpArcGisClient(s"$base/guarded", auth = Some(auth),
+        maxAttempts = 3, backoffMs = 1, sleep = _ => ())
+      assert(guarded.queryByKey("objectid", "7").nonEmpty)
+      assert(tokens.toArray.map(_.toString).toSeq == Seq("tok-1", "tok-2"))
+    } finally {
+      server.stop(0)
+    }
+  }
 }
