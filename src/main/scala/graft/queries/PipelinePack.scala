@@ -271,6 +271,45 @@ object PipelinePack extends QueryPack {
              |ORDER BY source""".stripMargin),
       doc = "corpus-statistics curation filter: global [p05,p95] length band from one " +
         "broadcast single-row aggregate — the outlier-pruning step before training"
+    ),
+    // ------------------------------------------------------------ p8 mixture
+    Q(
+      "p8_weighted_mixture",
+      (s, d) => {
+        // training-mixture construction: per-source sampling rates applied
+        // via the deterministic id hash (same bucket formula as p4), so the
+        // mixture is reproducible across re-runs and task retries. Rates
+        // ride a broadcast map join — at scale this is a tiny dim table.
+        val rates = s.createDataFrame(Seq(
+          ("src0", 100), ("src1", 75), ("src2", 50), ("src3", 25), ("src4", 10)
+        )).toDF("source", "rate_pct")
+        val bucket = (col("doc_id") * lit(2654435761L)) % lit(P) % 100
+        Tables.documents(s, d)
+          .withColumn("bucket", bucket)
+          .join(broadcast(rates), Seq("source"), "left_outer")
+          .filter(col("bucket") < coalesce(col("rate_pct"), lit(0)))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_sampled"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars")
+          )
+          .orderBy(col("source"))
+      },
+      Some("""SELECT source, COUNT(*) AS n_sampled,
+             |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_chars
+             |FROM (
+             |  SELECT d.source, d.n_chars,
+             |    (d.doc_id * 2654435761) % 1000000007 % 100 AS bucket,
+             |    CASE d.source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
+             |      WHEN 'src2' THEN 50 WHEN 'src3' THEN 25
+             |      WHEN 'src4' THEN 10 ELSE 0 END AS rate_pct
+             |  FROM documents d) t
+             |WHERE bucket < rate_pct
+             |GROUP BY source
+             |ORDER BY source""".stripMargin),
+      doc = "weighted training-mixture sampling: per-source rates from a broadcast dim, " +
+        "acceptance by deterministic id-hash bucket — reproducible on retry, " +
+        "unsampled sources drop out entirely"
     )
   )
 }
