@@ -92,6 +92,7 @@ class MockArcGisClient(
 
   val whereLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
   val outFieldsLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  val pageLog = new java.util.concurrent.CopyOnWriteArrayList[(Long, Int)]()
   val added = new java.util.concurrent.CopyOnWriteArrayList[EsriFeature]()
   val updated = new java.util.concurrent.CopyOnWriteArrayList[EsriFeature]()
 
@@ -152,6 +153,7 @@ class MockArcGisClient(
   ): Seq[EsriFeature] = {
     whereLog.add(where)
     outFieldsLog.add(outFields.mkString(","))
+    pageLog.add((offset, count))
     rows.filter(matches(_, where)).slice(offset.toInt, offset.toInt + count)
       .map(project(_, outFields))
   }

@@ -122,10 +122,19 @@ class ArcGisTable(schema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
+  private var limit: Option[Int] = None
+
+  /** LIMIT → the pagination planner stops issuing pages past the limit
+    * (`resultRecordCount` caps the last page). Spark still applies the
+    * final exact limit; the pushdown saves the remote round-trips the
+    * reference's full dump would have made.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // geom_x/geom_y are synthetic (engine-side) columns, not remote layer
@@ -149,19 +158,24 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
       case Seq() => "1=1"
       case cs => cs.mkString("(", ") AND (", ")")
     }
-    new ArcGisScan(required, options, where)
+    new ArcGisScan(required, options, where, limit)
   }
 }
 
 /** One offset window of the remote `/query` endpoint. */
 case class ArcGisInputPartition(offset: Long, count: Int) extends InputPartition
 
-class ArcGisScan(schema: StructType, options: CaseInsensitiveStringMap, where: String)
-    extends Scan with Batch {
+class ArcGisScan(
+    schema: StructType,
+    options: CaseInsensitiveStringMap,
+    where: String,
+    limit: Option[Int] = None
+) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"ArcGisScan(where=$where, outFields=${schema.fieldNames.mkString(",")})"
+    s"ArcGisScan(where=$where, outFields=${schema.fieldNames.mkString(",")}" +
+      limit.map(l => s", pushedLimit=$l").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val clientKey = options.get("client")
@@ -173,8 +187,15 @@ class ArcGisScan(schema: StructType, options: CaseInsensitiveStringMap, where: S
       val info = ArcGisClientRegistry.get(clientKey).layerInfo()
       val page = Option(options.get("pageSize")).map(_.toInt)
         .getOrElse(info.maxRecordCount.max(1))
-      val n = ((info.totalCount + page - 1) / page).toInt.max(1)
-      (0 until n).map(i => ArcGisInputPartition(i.toLong * page, page)).toArray
+      // pushed LIMIT caps the total row budget: pages past it are never
+      // requested, and the last page shrinks to the remainder (rows are
+      // served in stable OBJECTID order, so these ARE the first rows)
+      val budget = limit.map(l => math.min(l.toLong, info.totalCount)).getOrElse(info.totalCount)
+      val n = ((budget + page - 1) / page).toInt.max(1)
+      (0 until n).map { i =>
+        val off = i.toLong * page
+        ArcGisInputPartition(off, math.min(page.toLong, budget - off).toInt.max(0))
+      }.toArray
     }
   }
 

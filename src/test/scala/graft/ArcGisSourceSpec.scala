@@ -124,4 +124,17 @@ class ArcGisSourceSpec extends AnyFunSuite {
     val updNames = client.updated.toArray.map(_.asInstanceOf[EsriFeature].attributes("objectid"))
     assert(updNames.toSet == Set(1L, 2L, 3L))
   }
+
+  test("LIMIT pushes into the pagination planner: pages past the budget are never fetched") {
+    val client = mkClient(37, pageSize = 10)
+    ArcGisClientRegistry.register("limit37", client)
+    val df = spark.read.format("arcgis").option("client", "limit37").load().limit(7)
+    assert(df.count() == 7)
+    // one page of exactly 7 rows, not 4 pages of 10
+    val pages = client.pageLog.toArray.map(_.asInstanceOf[(Long, Int)])
+    assert(pages.toSeq == Seq((0L, 7)), pages.toSeq.toString)
+    // the pushed limit is visible in the scan description
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedLimit=7"), plan)
+  }
 }
