@@ -107,6 +107,8 @@ class MockArcGisClient(
     val isNull = "(?i)\\s*\"?(\\w+)\"?\\s+IS\\s+NULL\\s*".r
     val isNotNull = "(?i)\\s*\"?(\\w+)\"?\\s+IS\\s+NOT\\s+NULL\\s*".r
     val like = "(?i)\\s*\"?(\\w+)\"?\\s+LIKE\\s+'([^']*)%'\\s*".r
+    // close paren optional: the AND-split's deparen may have eaten it
+    val inList = "(?i)\\s*\"?(\\w+)\"?\\s+IN\\s*\\(?([^)]*)\\)?\\s*".r
 
     // The AND-split can leave unbalanced parens on clause edges; strip them
     // independently (values in this mock never contain parens).
@@ -136,6 +138,15 @@ class MockArcGisClient(
         case isNull(col) => !f.attributes.get(col).exists(_ != null)
         case like(col, prefix) =>
           f.attributes.get(col).exists(_.toString.startsWith(prefix))
+        case inList(col, list) =>
+          val vals = list.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+            .filter(_.nonEmpty).toSet
+          f.attributes.get(col).exists {
+            case s: String => vals.contains(s)
+            case n: Number =>
+              vals.exists(v => scala.util.Try(v.toDouble).toOption.contains(n.doubleValue()))
+            case _ => false
+          }
         case _ => true // unparseable clause: mock accepts (a real server would error)
       }
     }

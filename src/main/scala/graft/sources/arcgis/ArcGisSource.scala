@@ -162,27 +162,56 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   }
 }
 
-/** One offset window of the remote `/query` endpoint. */
-case class ArcGisInputPartition(offset: Long, count: Int) extends InputPartition
+/** One offset window of the remote `/query` endpoint. The effective `where`
+  * rides IN the partition (not the reader factory): runtime filters arrive
+  * via [[SupportsRuntimeFiltering.filter]] AFTER the factory may already be
+  * instantiated for planning (supportsColumnar probes it), but Spark always
+  * re-invokes `planInputPartitions()` post-filter — so the partition is the
+  * only carrier that reliably reflects runtime pruning.
+  */
+case class ArcGisInputPartition(offset: Long, count: Int, where: String) extends InputPartition
 
 class ArcGisScan(
     schema: StructType,
     options: CaseInsensitiveStringMap,
     where: String,
     limit: Option[Int] = None
-) extends Scan with Batch {
+) extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"ArcGisScan(where=$where, outFields=${schema.fieldNames.mkString(",")}" +
       limit.map(l => s", pushedLimit=$l").getOrElse("") + ")"
 
+  /** Runtime (DPP-style) filters: join-key values discovered at execution
+    * time — e.g. the broadcast side of a selective dim join — compile into
+    * the remote `where` like any static predicate, so the ArcGIS server
+    * never serves rows the join would drop. Geometry columns are synthetic
+    * and excluded. The join still applies the filter engine-side, so an
+    * inexpressible runtime predicate costs nothing in correctness.
+    */
+  private var runtimeWhere: Option[String] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    schema.fieldNames
+      .filterNot(n => n == "geom_x" || n == "geom_y")
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val compiled = filters.flatMap(ArcGisFilterCompiler.compile)
+    if (compiled.nonEmpty)
+      runtimeWhere = Some(compiled.mkString("(", ") AND (", ")"))
+  }
+
+  private def effectiveWhere: String =
+    runtimeWhere.map(rw => s"($where) AND ($rw)").getOrElse(where)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val clientKey = options.get("client")
     val strategy = Option(options.get("strategy")).getOrElse("query")
     if (strategy.equalsIgnoreCase("queryTopFeatures")) {
       // S2: the topFeatures endpoint is one remote group-top-k call.
-      Array(ArcGisInputPartition(-1, -1))
+      Array(ArcGisInputPartition(-1, -1, effectiveWhere))
     } else {
       val info = ArcGisClientRegistry.get(clientKey).layerInfo()
       val page = Option(options.get("pageSize")).map(_.toInt)
@@ -194,23 +223,23 @@ class ArcGisScan(
       val n = ((budget + page - 1) / page).toInt.max(1)
       (0 until n).map { i =>
         val off = i.toLong * page
-        ArcGisInputPartition(off, math.min(page.toLong, budget - off).toInt.max(0))
+        ArcGisInputPartition(off, math.min(page.toLong, budget - off).toInt.max(0), effectiveWhere)
       }.toArray
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArcGisReaderFactory(schema, options.asCaseSensitiveMap().asScala.toMap, where)
+    new ArcGisReaderFactory(schema, options.asCaseSensitiveMap().asScala.toMap)
 }
 
 class ArcGisReaderFactory(
     schema: StructType,
-    options: Map[String, String],
-    where: String
+    options: Map[String, String]
 ) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ArcGisPartitionReader(schema, options, where,
-      partition.asInstanceOf[ArcGisInputPartition])
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ArcGisInputPartition]
+    new ArcGisPartitionReader(schema, options, p.where, p)
+  }
 }
 
 /** Executor-side page fetch + row materialization. The HTTP round-trip

@@ -125,6 +125,39 @@ class ArcGisSourceSpec extends AnyFunSuite {
     assert(updNames.toSet == Set(1L, 2L, 3L))
   }
 
+  test("runtime (DPP) filters from a selective dim join reach the remote where") {
+    val knobs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10.0"
+    )
+    val spark2 = spark
+    val saved = knobs.map { case (k, _) => k -> spark2.conf.getOption(k) }
+    knobs.foreach { case (k, v) => spark2.conf.set(k, v) }
+    try {
+      import spark2.implicits._
+      val client = mkClient(37, pageSize = 10)
+      ArcGisClientRegistry.register("rtf37", client)
+      val fact = spark2.read.format("arcgis").option("client", "rtf37").load()
+      // dim must survive as a scan+filter (a LocalRelation would constant-fold
+      // the selective predicate away and DPP would not trigger)
+      val dimDir = java.nio.file.Files.createTempDirectory("rtf-dim").toString
+      Seq((3L, "x"), (5L, "y")).toDF("objectid", "tag").write.mode("overwrite").parquet(dimDir)
+      val dim = spark2.read.parquet(dimDir).filter(col("tag") === "x")
+      val j = fact.join(broadcast(dim), Seq("objectid"))
+      assert(j.count() == 1)
+      // the join-key values discovered at runtime were compiled into the
+      // remote where, so the server filtered every page
+      assert(client.whereLog.toArray.exists(_.toString.contains("objectid IN (3)")),
+        client.whereLog.toArray.mkString(" | "))
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark2.conf.set(k, v)
+        case (k, None)    => spark2.conf.unset(k)
+      }
+    }
+  }
+
   test("LIMIT pushes into the pagination planner: pages past the budget are never fetched") {
     val client = mkClient(37, pageSize = 10)
     ArcGisClientRegistry.register("limit37", client)
