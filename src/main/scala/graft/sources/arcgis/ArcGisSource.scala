@@ -176,9 +176,34 @@ class ArcGisScan(
     options: CaseInsensitiveStringMap,
     where: String,
     limit: Option[Int] = None
-) extends Scan with Batch with SupportsRuntimeFiltering {
+) extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Layer statistics for the planner: row count from the layer metadata
+    * (one cheap `returnCountOnly` probe, cached in the client) and a field-
+    * width size estimate — enough for Catalyst to pick a broadcast join for
+    * small layers WITHOUT a user hint, and to fall back to shuffle joins
+    * when the layer outgrows the threshold (the 100 TB failure mode a
+    * hard-coded hint would hit).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val total: Long =
+      try ArcGisClientRegistry.get(options.get("client")).layerInfo().totalCount
+      catch { case _: Throwable => -1L }
+    private def rowWidth: Long = schema.fields.map { f =>
+      f.dataType match {
+        case LongType | DoubleType => 8L
+        case IntegerType | FloatType => 4L
+        case _ => 24L // strings/dates: conservative average
+      }
+    }.sum.max(8L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (total < 0) java.util.OptionalLong.empty()
+      else java.util.OptionalLong.of(total * rowWidth)
+    override def numRows(): java.util.OptionalLong =
+      if (total < 0) java.util.OptionalLong.empty() else java.util.OptionalLong.of(total)
+  }
   override def description(): String =
     s"ArcGisScan(where=$where, outFields=${schema.fieldNames.mkString(",")}" +
       limit.map(l => s", pushedLimit=$l").getOrElse("") + ")"

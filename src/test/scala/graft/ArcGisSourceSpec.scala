@@ -158,6 +158,21 @@ class ArcGisSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("reported layer statistics let the planner broadcast a small layer without a hint") {
+    import spark.implicits._
+    val client = mkClient(20, pageSize = 10)
+    ArcGisClientRegistry.register("stats20", client)
+    val small = spark.read.format("arcgis").option("client", "stats20").load()
+    val big = (0L until 50000L).map(i => (i % 20, s"payload-$i")).toDF("objectid", "p")
+    val j = big.join(small, Seq("objectid"))
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    // 20 rows x ~56B ≈ 1KB → far under the broadcast threshold: the SOURCE's
+    // reported stats (not a hint) must drive a broadcast of the arcgis side
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.linesIterator.exists(l => l.contains("BroadcastExchange")), plan)
+  }
+
   test("LIMIT pushes into the pagination planner: pages past the budget are never fetched") {
     val client = mkClient(37, pageSize = 10)
     ArcGisClientRegistry.register("limit37", client)
