@@ -314,6 +314,45 @@ object DedupPack extends QueryPack {
       doc = "cross-source duplicate detection: same content key appearing in 2+ sources " +
         "(provenance-aware dedup, one shuffle on the content key)"
     ),
+    // ---------------------------------------------------------------- keep-best
+    Q(
+      "d12_keep_best",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // quality-aware canonical selection: within each exact-dup cluster
+        // keep the HIGHEST-QUALITY document (not the first id — d2's
+        // keep-first is the reference's features[0] semantics; curation
+        // wants the best exemplar). Quality = t3's type-token ratio;
+        // deterministic tie order (quality desc, doc_id).
+        val toks = tokens(col("text"))
+        val scored = Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            array_join(slice(toks, 1, 5), " ").as("prefix_key"),
+            (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr")
+          )
+        val w = Window.partitionBy(col("prefix_key"))
+          .orderBy(col("ttr").desc, col("doc_id"))
+        scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("prefix_key"), col("doc_id").as("keeper_doc_id"), col("ttr"))
+          .orderBy(col("prefix_key"))
+      },
+      Some("""SELECT prefix_key, doc_id AS keeper_doc_id, ttr FROM (
+             |  SELECT prefix_key, doc_id, ttr,
+             |    ROW_NUMBER() OVER (PARTITION BY prefix_key ORDER BY ttr DESC, doc_id) AS rn
+             |  FROM (
+             |    SELECT doc_id,
+             |      array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix_key,
+             |      CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+             |        len(string_split(text, ' ')) AS ttr
+             |    FROM documents) s) r
+             |WHERE rn = 1
+             |ORDER BY prefix_key""".stripMargin),
+      doc = "quality-aware dedup keeper: argmax-quality per cluster via a window " +
+        "with deterministic tie order — the curation alternative to keep-first"
+    ),
     // ---------------------------------------------------------------- clusters
     Q(
       "d10_dedup_clusters",

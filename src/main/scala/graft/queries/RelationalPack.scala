@@ -814,6 +814,32 @@ object RelationalPack extends QueryPack {
              |ORDER BY user_id""".stripMargin),
       doc = "FULL OUTER join of two per-user aggregates with coalesced key and " +
         "zero-filled measures — users present on either side survive"
+    ),
+    // ---------------------------------------------------------------- q32 division
+    Q(
+      "q32_relational_division",
+      (s, d) => {
+        // relational division: users who triggered EVERY event type — per-user
+        // distinct count equals the global distinct count (one single-row
+        // broadcast), never a nested NOT EXISTS double negation
+        val ev = Tables.events(s, d)
+        val total = ev.agg(countDistinct(col("event_type")).as("n_types"))
+        ev.groupBy(col("user_id"))
+          .agg(countDistinct(col("event_type")).as("u_types"), count(lit(1)).as("n_events"))
+          .crossJoin(broadcast(total))
+          .filter(col("u_types") === col("n_types"))
+          .select(col("user_id"), col("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, COUNT(*) AS n_events
+             |FROM events
+             |GROUP BY user_id
+             |HAVING COUNT(DISTINCT event_type) =
+             |  (SELECT COUNT(DISTINCT event_type) FROM events)
+             |ORDER BY user_id""".stripMargin),
+      doc = "relational division (FORALL): users covering every event type via " +
+        "distinct-count equality against a broadcast global — no NOT EXISTS " +
+        "double negation, two shuffles total"
     )
   )
 }
