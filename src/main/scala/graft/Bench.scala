@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entrypoint. Prints ONE compact JSON line (the driver keeps only
+  * the last ~2000 chars of stdout, so the line must stay well under that:
+  * total + per-family subtotals + the slowest individual queries; the full
+  * per-query map goes to BENCH_DETAIL.json next to the build).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,24 +21,40 @@ object Bench {
     // warm the session once (JVM JIT, codegen compiler, parquet footers,
     // shuffle machinery, OS page cache for every base table) so the first
     // measured query of each family isn't charged for first-touch I/O;
-    // query-specific codegen/JIT is still charged to the query
+    // query-specific codegen/JIT is still charged to the query. Each table
+    // warms independently so one missing file doesn't skip the rest.
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
-      Seq("orders", "customer", "supplier", "part", "nation", "region",
-        "events", "documents", "embeddings").foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet").count()
-      }
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    Seq("orders", "customer", "supplier", "part", "nation", "region",
+      "events", "documents", "embeddings").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val total = results.map(_._2).sum
+    // full detail to a file (unbounded size is fine there)
+    val detail = results.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json")
+      w.println(s"""{"total":${r3(total)},"sf":"$sfDir","queries":$detail}""")
+      w.close()
+    } catch { case _: Throwable => () }
+    // compact stdout line: family subtotals + slowest 30 queries
+    val families = results.groupBy(_._1.takeWhile(_ != '_').filter(_.isLetter))
+      .toSeq.sortBy(_._1)
+      .map { case (f, rs) => s"\"" + f + "\":" + r3(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val slowest = results.sortBy(-_._2).take(30)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"families":$families,"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

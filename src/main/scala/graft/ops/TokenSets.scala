@@ -16,9 +16,12 @@ import org.apache.spark.sql.functions._
   *     single 64-bit BITMASK; intersection size is `bit_count(a & b)` — one
   *     AND+popcount per pair instead of an O(|A|+|B|) merge. (The bitmap-
   *     index trick for low-cardinality dictionaries, as in Druid/Pinot.)
-  *   - larger vocabulary → sorted `array<int>` of dictionary ids; the
-  *     codegen'd [[graft.functions.SortedIntersectSizeInt]] merge kernel
-  *     does int compares instead of UTF8String compares.
+  *   - larger vocabulary → sorted `array<long>` of dictionary ids (ids come
+  *     from monotonically_increasing_id, which is 64-bit); the codegen'd
+  *     [[graft.functions.SortedIntersectSizeLong]] merge kernel does long
+  *     compares instead of UTF8String compares. (The int variant
+  *     [[graft.functions.SortedIntersectSizeInt]] is exposed to SQL callers
+  *     for pre-narrowed arrays.)
   *
   * Both paths produce bit-identical Jaccard values to the string
   * formulation (the intersection cardinality is the same integer), so
@@ -42,23 +45,33 @@ object TokenSets {
     * encoding once per session and reuses it across queries — it is
     * threshold-INDEPENDENT, so d3's 0.95 join and d10's 0.8 edge generation
     * read the same encoded table. Keyed by session identity + the
-    * canonicalized input plan + the encoding arguments, so a different data
-    * directory or token expression never shares an entry.
+    * canonicalized input plan OBJECT (structural equality, not its Int
+    * hashCode — two different plans that collide on hashCode must not share
+    * an entry) + the encoding arguments, so a different data directory or
+    * token expression never shares an entry. Bounded: entries of stopped
+    * sessions are purged on every access, and the whole cache is cleared if
+    * it ever exceeds [[MaxEntries]], so localCheckpoint'd blocks and session
+    * references cannot pin the JVM for its lifetime.
     */
   private val encCache =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, Int, String, String, String), (Long, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String, String, String), (Long, DataFrame)]()
+
+  private val MaxEntries = 64
 
   private def encodedSets(
       docs: DataFrame,
       idCol: String,
       keyCol: String,
       toks: Column
-  ): (Long, DataFrame) =
+  ): (Long, DataFrame) = {
+    encCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    if (encCache.size > MaxEntries) encCache.clear()
     encCache.computeIfAbsent(
-      (docs.sparkSession, docs.queryExecution.analyzed.canonicalized.hashCode(),
+      (docs.sparkSession, docs.queryExecution.analyzed.canonicalized,
         idCol, keyCol, toks.toString),
       { _ => buildEncodedSets(docs, idCol, keyCol, toks) }
     )
+  }
 
   /** All pairs (within `keyCol` blocks) whose token-set Jaccard ≥ threshold.
     *

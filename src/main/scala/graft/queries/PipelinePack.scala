@@ -136,7 +136,11 @@ object PipelinePack extends QueryPack {
     Q(
       "p4_hash_split",
       (s, d) => {
-        val bucket = (col("doc_id") * lit(2654435761L)) % lit(P) % 100
+        // overflow-safe: reduce BOTH factors mod P first — (id*2654435761)%P
+        // ≡ ((id%P)*(2654435761%P))%P, but the reduced product is ≤ ~6.5e17
+        // (fits a Long for ANY 64-bit doc_id), whereas the unreduced multiply
+        // wraps negative past id ~3.47e9 and overflows BIGINT in the oracle
+        val bucket = ((col("doc_id") % lit(P)) * lit(2654435761L % P)) % lit(P) % 100
         Tables.documents(s, d)
           .select(
             col("source"),
@@ -154,8 +158,8 @@ object PipelinePack extends QueryPack {
              |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_chars
              |FROM (
              |  SELECT source, n_chars,
-             |    CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
-             |         WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90 THEN 'val'
+             |    CASE WHEN ((doc_id % 1000000007) * 654435747) % 1000000007 % 100 < 80 THEN 'train'
+             |         WHEN ((doc_id % 1000000007) * 654435747) % 1000000007 % 100 < 90 THEN 'val'
              |         ELSE 'test' END AS split
              |  FROM documents) t
              |GROUP BY source, split
@@ -283,7 +287,8 @@ object PipelinePack extends QueryPack {
         val rates = s.createDataFrame(Seq(
           ("src0", 100), ("src1", 75), ("src2", 50), ("src3", 25), ("src4", 10)
         )).toDF("source", "rate_pct")
-        val bucket = (col("doc_id") * lit(2654435761L)) % lit(P) % 100
+        // same overflow-safe reduced-multiplier bucket as p4
+        val bucket = ((col("doc_id") % lit(P)) * lit(2654435761L % P)) % lit(P) % 100
         Tables.documents(s, d)
           .withColumn("bucket", bucket)
           .join(broadcast(rates), Seq("source"), "left_outer")
@@ -299,7 +304,7 @@ object PipelinePack extends QueryPack {
              |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_chars
              |FROM (
              |  SELECT d.source, d.n_chars,
-             |    (d.doc_id * 2654435761) % 1000000007 % 100 AS bucket,
+             |    ((d.doc_id % 1000000007) * 654435747) % 1000000007 % 100 AS bucket,
              |    CASE d.source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
              |      WHEN 'src2' THEN 50 WHEN 'src3' THEN 25
              |      WHEN 'src4' THEN 10 ELSE 0 END AS rate_pct

@@ -41,11 +41,27 @@ class HttpArcGisClient(
     * jitter. 401/403 additionally invalidates the cached token so the next
     * attempt re-authenticates (expiry races). 4xx other than 401/403/429 is
     * permanent and fails fast.
+    *
+    * Writes (`idempotent = false`: addFeatures/updateFeatures) are NOT
+    * retried on 5xx or mid-flight I/O loss — the server may have applied the
+    * edit before the reply was lost, and a blind re-submit would duplicate
+    * features (the reference client never retries writes, `task.ts:239,321`).
+    * Writes still retry the provably-not-applied cases: 401/403/429 (rejected
+    * before the edit ran) and connect-phase failures (the request never
+    * reached the server).
     */
-  private def retryable(code: Int): Boolean =
-    code == 429 || code == 401 || code == 403 || code >= 500
+  private def retryable(code: Int, idempotent: Boolean): Boolean =
+    code == 429 || code == 401 || code == 403 || (idempotent && code >= 500)
 
-  private def sendWithRetry(what: String, build: () => HttpRequest): String = {
+  private def connectPhase(e: java.io.IOException): Boolean = e match {
+    case _: java.net.ConnectException => true
+    case _: java.net.http.HttpConnectTimeoutException => true
+    case _: java.net.UnknownHostException => true
+    case _ => false
+  }
+
+  private def sendWithRetry(
+      what: String, build: () => HttpRequest, idempotent: Boolean = true): String = {
     var attempt = 1
     while (true) {
       val outcome =
@@ -55,11 +71,11 @@ class HttpArcGisClient(
         case Right(r) if r.statusCode() < 400 => return r.body()
         case Right(r) =>
           if (r.statusCode() == 401 || r.statusCode() == 403) auth.foreach(_.invalidate())
-          if (!retryable(r.statusCode()) || attempt >= maxAttempts)
+          if (!retryable(r.statusCode(), idempotent) || attempt >= maxAttempts)
             throw new RuntimeException(
               s"ArcGIS $what failed: HTTP ${r.statusCode()} after $attempt attempt(s)")
         case Left(e) =>
-          if (attempt >= maxAttempts)
+          if ((!idempotent && !connectPhase(e)) || attempt >= maxAttempts)
             throw new RuntimeException(
               s"ArcGIS $what failed after $attempt attempt(s): ${e.getMessage}", e)
       }
@@ -80,7 +96,7 @@ class HttpArcGisClient(
     })
 
   private def post(path: String, params: Seq[(String, String)]): String =
-    sendWithRetry(s"POST $path", () => {
+    sendWithRetry(s"POST $path", idempotent = false, build = () => {
       val body = (withAuth(params) :+ ("f" -> "json"))
         .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
       val builder = HttpRequest.newBuilder(URI.create(s"$layerUrl$path"))

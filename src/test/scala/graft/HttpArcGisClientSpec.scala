@@ -157,6 +157,29 @@ class HttpArcGisClientSpec extends AnyFunSuite {
       val e = intercept[RuntimeException](bad.queryByKey("objectid", "7"))
       assert(e.getMessage.contains("HTTP 400") && hits.get() == 1 && slept.isEmpty)
 
+      // non-idempotent writes: a 5xx after the server may have applied the
+      // edit is NOT retried (a blind re-submit would duplicate features) —
+      // one request, fail fast; throttling (429 = rejected before the edit
+      // ran) IS still retried
+      hits.set(0); slept.clear()
+      val feats = Seq(EsriFeature(Map("k" -> "v"), None))
+      server.createContext("/w500/addFeatures", (ex: HttpExchange) => {
+        hits.incrementAndGet(); ex.sendResponseHeaders(500, -1); ex.close()
+      })
+      val w500 = new HttpArcGisClient(s"$base/w500", maxAttempts = 4,
+        backoffMs = 10, sleep = slept += _)
+      val we = intercept[RuntimeException](w500.addFeatures(feats))
+      assert(we.getMessage.contains("HTTP 500") && hits.get() == 1 && slept.isEmpty)
+
+      hits.set(0)
+      server.createContext("/w429/addFeatures", (ex: HttpExchange) => {
+        if (hits.incrementAndGet() == 1) { ex.sendResponseHeaders(429, -1); ex.close() }
+        else reply(ex, """{"addResults":[{"objectId":9,"success":true}]}""")
+      })
+      val w429 = new HttpArcGisClient(s"$base/w429", maxAttempts = 4,
+        backoffMs = 1, sleep = _ => ())
+      assert(w429.addFeatures(feats) == Seq(Right(9L)) && hits.get() == 2)
+
       // 401 invalidates the token cache so the retry carries a fresh token
       var issued = 0
       val auth = new AuthCache(

@@ -73,7 +73,7 @@ class PipelinePackSpec extends AnyFunSuite {
     // formula-stable: same assignment on re-run (no rand())
     assert(run("p4_hash_split").collect().toSeq == rows.toSeq)
     val expected = Seq(0L, 1L, 2L).map { id =>
-      val b = id * 2654435761L % 1000000007L % 100
+      val b = (id % 1000000007L) * 654435747L % 1000000007L % 100
       if (b < 80) "train" else if (b < 90) "val" else "test"
     }
     val bySplit = expected.groupBy(identity).view.mapValues(_.size.toLong).toMap
