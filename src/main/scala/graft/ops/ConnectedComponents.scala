@@ -47,9 +47,22 @@ object ConnectedComponents {
 
   /** @param nodes single-column DataFrame of node ids (column `id`)
     * @param edges two-column DataFrame of undirected edges (columns `src`, `dst`)
+    * @param driverFinishEdges adaptive-finish guard: when the CONTRACTED edge
+    *   set of a round fits under this many edges, it is collected and the
+    *   remaining closure runs as in-memory union-find on the driver — the
+    *   "small remainder" hybrid (analogous to Spark collecting a small join
+    *   side to broadcast it). Edge sets shrink geometrically under
+    *   contraction, so at 100 TB the distributed rounds do the heavy
+    *   lifting and the hybrid only absorbs the long tail of tiny rounds;
+    *   at test scale it collapses the whole loop to one collect.
     * @return DataFrame (id, component) where component = min node id reachable
     */
-  def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(
+      nodes: DataFrame,
+      edges: DataFrame,
+      maxIter: Int = 50,
+      driverFinishEdges: Long = 1L << 22
+  ): DataFrame = {
     // Materialize the (typically expensive — a near-dup pair join) edge set
     // once, canonicalized undirected and deduplicated.
     var ce = edges
@@ -60,7 +73,8 @@ object ConnectedComponents {
 
     val maps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var iter = 0
-    while (iter < maxIter && !ce.isEmpty) {
+    var remaining = ce.count() // cheap: frame is checkpointed
+    while (iter < maxIter && remaining > driverFinishEdges) {
       val und = ce.union(ce.select(col("dst").as("src"), col("src").as("dst")))
       // 1. min over the closed neighborhood of each current component
       val m = und
@@ -72,22 +86,25 @@ object ConnectedComponents {
       // component-sized map until stable. Pointer depth doubles per
       // iteration, so a chain of length d resolves in O(log d) tiny joins —
       // a single jump would shrink chains by only a constant per round and
-      // blow the round budget on path-shaped graphs. The label sum is
-      // non-increasing and strictly decreases until the fixpoint, so one
-      // scalar aggregate per iteration detects convergence.
+      // blow the round budget on path-shaped graphs. Convergence detection
+      // is fused into the jump itself (a `changed` flag computed in the
+      // same checkpointed pass) and probed with a limit-1 filter — for the
+      // common dedup shape (near-cliques, where the min-neighbor map is
+      // already a fixpoint) that is one early-exiting probe instead of a
+      // full-scan aggregate and a second discovery iteration.
       var m2 = m
-      var prevSum: java.math.BigDecimal = null
       var jumping = true
       while (jumping) {
         val mj = m2.select(col("c").as("jc"), col("c1").as("jc1"))
         val next = m2
           .join(mj, m2("c1") === mj("jc"), "left_outer")
-          .select(col("c"), coalesce(col("jc1"), col("c1")).as("c1"))
+          .select(
+            col("c"),
+            coalesce(col("jc1"), col("c1")).as("c1"),
+            (coalesce(col("jc1"), col("c1")) =!= col("c1")).as("changed"))
           .localCheckpoint()
-        val s = next.agg(sum(col("c1").cast("decimal(38,0)"))).head().getDecimal(0)
-        m2 = next
-        jumping = s != null && (prevSum == null || s.compareTo(prevSum) != 0)
-        prevSum = s
+        jumping = !next.filter(col("changed")).isEmpty
+        if (jumping) m2 = next.select(col("c"), col("c1"))
       }
       val m2f = m2.select(col("c"), col("c1").as("c2"))
       maps += m2f
@@ -105,7 +122,45 @@ object ConnectedComponents {
         .select(least(col("rs"), col("rd")).as("src"), greatest(col("rs"), col("rd")).as("dst"))
         .distinct()
         .localCheckpoint()
+      remaining = ce.count()
       iter += 1
+    }
+    // adaptive finish: the surviving contracted edges fit the driver —
+    // union-find with path compression closes the remainder in memory, and
+    // the resulting component map rides the same composed-label chain (it
+    // is a LocalRelation, so the final join broadcasts it)
+    if (remaining > 0) {
+      val dt = ce.schema("src").dataType
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val seen = scala.collection.mutable.HashSet.empty[Any]
+      ce.collect().foreach { row =>
+        val (u, v) = (row.get(0), row.get(1))
+        seen += u; seen += v
+        val (a, b) = (find(u), find(v))
+        if (a != b) parent(a) = b
+      }
+      def lt(a: Any, b: Any): Boolean = a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val keys = seen.toSeq
+      val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+      keys.foreach { k =>
+        val r = find(k)
+        val cur = minOf.getOrElse(r, r)
+        minOf(r) = if (lt(k, cur)) k else cur
+      }
+      val rows = keys.map(k => org.apache.spark.sql.Row(k, minOf(find(k))))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c", dt),
+        org.apache.spark.sql.types.StructField("c2", dt)))
+      maps += nodes.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema)
     }
     // final labels: nodes through the composed per-round maps, one plan
     // (components without edges are absent from every map and keep their id)

@@ -424,6 +424,52 @@ object DedupPack extends QueryPack {
              |ORDER BY a_id, b_id""".stripMargin),
       doc = "edit-distance near-dup: prefix-fingerprint blocking (candidate equi-join) " +
         "+ exact Levenshtein verify with relative-distance threshold"
+    ),
+    // ---------------------------------------------------------------- decontam
+    Q(
+      "d13_decontaminate",
+      (s, d) => {
+        // benchmark decontamination: training documents sharing any trigram
+        // shingle with the held-out eval set are flagged (the standard
+        // n-gram-overlap contamination check run before training). The eval
+        // set here is a deterministic slice (doc_id % 29 = 0 — in production
+        // the benchmark corpus). Scale shape: the eval side is tiny relative
+        // to the corpus, so its postings BROADCAST into the train-side
+        // shingle explode — the 100 TB corpus is never shuffled before the
+        // per-doc aggregate; distinct-counts are partial-aggregated.
+        import org.apache.spark.sql.functions.broadcast
+        val sh = graft.functions.TextExpressions.shingles(col("text"), 3)
+        val postings = Tables.documents(s, d)
+          .filter(size(tokens(col("text"))) >= 3)
+          .select(col("doc_id"), explode(sh).as("shingle"))
+        val ev = postings.filter(col("doc_id") % 29 === 0)
+          .select(col("doc_id").as("eval_id"), col("shingle"))
+        val tr = postings.filter(col("doc_id") % 29 =!= 0)
+        tr.join(broadcast(ev), Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(
+            countDistinct(col("shingle")).as("n_shared_shingles"),
+            countDistinct(col("eval_id")).as("n_eval_docs")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |  WHERE len(toks) >= 3),
+             |s AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+             |ev AS (SELECT doc_id AS eval_id, shingle FROM s WHERE doc_id % 29 = 0),
+             |tr AS (SELECT doc_id, shingle FROM s WHERE doc_id % 29 <> 0)
+             |SELECT tr.doc_id,
+             |  COUNT(DISTINCT tr.shingle) AS n_shared_shingles,
+             |  COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+             |FROM tr JOIN ev ON tr.shingle = ev.shingle
+             |GROUP BY tr.doc_id
+             |ORDER BY tr.doc_id""".stripMargin),
+      doc = "benchmark decontamination: n-gram-overlap flagging of training docs " +
+        "against a broadcast eval corpus — shared-shingle and eval-doc counts " +
+        "per contaminated document"
     )
   )
 }

@@ -315,6 +315,109 @@ object PipelinePack extends QueryPack {
       doc = "weighted training-mixture sampling: per-source rates from a broadcast dim, " +
         "acceptance by deterministic id-hash bucket — reproducible on retry, " +
         "unsampled sources drop out entirely"
+    ),
+    // ------------------------------------------------------------ p9 repetition
+    Q(
+      "p9_repetition_stats",
+      (s, d) => {
+        // Gopher-style repetition quality signals: a document dominated by
+        // one token or one bigram is boilerplate/spam, and low type-token
+        // ratio means low information density. Shape: two posting-list
+        // aggregations (unigram and bigram term frequencies, both
+        // partial-aggregated map-side before the doc_id shuffle) joined
+        // per doc — never a per-doc sort or a driver loop.
+        val toks = tokens(col("text"))
+        val base = Tables.documents(s, d).select(col("doc_id"), toks.as("tk"))
+        val uni = base.select(col("doc_id"), explode(col("tk")).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("top_tok_n")
+          )
+        val big = base.filter(size(col("tk")) >= 2)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, size(tk) - 1), " +
+              "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")).as("bg"))
+          .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+        uni.join(big, Seq("doc_id"), "left_outer")
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_tok_n"),
+            coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+            (col("top_tok_n").cast("double") / col("n_tokens")).as("top_tok_frac"),
+            (col("top_tok_n").cast("double") / col("n_tokens") <= 0.12 &&
+              col("n_distinct").cast("double") / col("n_tokens") >= 0.4).as("keep")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |uni AS (
+             |  SELECT doc_id, tok, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY doc_id, tok),
+             |u AS (
+             |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+             |    CAST(MAX(c) AS BIGINT) AS top_tok_n
+             |  FROM uni GROUP BY doc_id),
+             |big AS (
+             |  SELECT doc_id, bg, COUNT(*) AS c
+             |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-1),
+             |          i -> tk[i] || ' ' || tk[i+1])) AS bg
+             |        FROM toks WHERE len(tk) >= 2) GROUP BY doc_id, bg),
+             |b AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n FROM big GROUP BY doc_id)
+             |SELECT u.doc_id, n_tokens, n_distinct, top_tok_n,
+             |  COALESCE(top_bigram_n, 0) AS top_bigram_n,
+             |  CAST(top_tok_n AS DOUBLE) / n_tokens AS top_tok_frac,
+             |  (CAST(top_tok_n AS DOUBLE) / n_tokens <= 0.12 AND
+             |   CAST(n_distinct AS DOUBLE) / n_tokens >= 0.4) AS keep
+             |FROM u LEFT JOIN b ON u.doc_id = b.doc_id
+             |ORDER BY u.doc_id""".stripMargin),
+      doc = "Gopher-style repetition filters: top-unigram fraction, top-bigram count, " +
+        "type-token ratio per document — posting-list aggregation, map-side combined"
+    ),
+    // ------------------------------------------------------------ p10 packing
+    Q(
+      "p10_pack_sequences",
+      (s, d) => {
+        // sequence packing: contiguous documents (per source, stable doc_id
+        // order) are chunked into fixed token-budget bins — the step that
+        // turns a curated corpus into training sequences. Deterministic:
+        // bin = floor(tokens-before-this-doc / budget), a running-sum window
+        // (one shuffle on source, in-partition sort). At 100 TB a single
+        // source would sub-partition by a (source, shard) composite key;
+        // the shape is unchanged.
+        val budget = 512.0
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("cum", sum(col("n_tok")).over(w))
+          .withColumn("bin",
+            floor((col("cum") - col("n_tok")).cast("double") / lit(budget)).cast("long"))
+          .groupBy(col("source"), col("bin"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens")
+          )
+          .orderBy(col("source"), col("bin"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_tok,
+             |    SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |                     ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM d)
+             |SELECT source,
+             |  CAST(FLOOR(CAST(cum - n_tok AS DOUBLE) / 512.0) AS BIGINT) AS bin,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY source, bin
+             |ORDER BY source, bin""".stripMargin),
+      doc = "training-sequence packing: per-source running token count chunked into " +
+        "fixed 512-token bins — deterministic window + aggregate, reproducible shards"
     )
   )
 }

@@ -24,6 +24,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("distributed contraction rounds (guard=0) agree with the driver finish") {
+    // same graphs as above, but force the star-contraction loop to do all
+    // the work (driverFinishEdges = 0 disables the in-memory remainder) —
+    // a differential between the two execution paths
+    val nodes = (1L to 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (7L, 8L), (8L, 9L))
+      .toDF("src", "dst")
+    val dist = ConnectedComponents.run(nodes, edges, driverFinishEdges = 0)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val drv = ConnectedComponents.run(nodes, edges)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(dist == drv)
+    assert(dist.toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("direction of the input edge does not matter") {
     val nodes = (1L to 3L).toDF("id")
     val fwd = Seq((1L, 3L), (3L, 2L)).toDF("src", "dst")

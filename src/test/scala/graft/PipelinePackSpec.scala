@@ -93,6 +93,34 @@ class PipelinePackSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((0L, 2L, 1.0, 2.0), (1L, 1L, -0.5, 0.25)))
   }
 
+  test("p9: repetition stats expose dominant tokens and type-token ratio") {
+    val rows = run("p9_repetition_stats").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    // doc0 "a b c d": 4 tokens all distinct, every bigram unique
+    // doc2 "z z z z z": one token repeated 5x, bigram "z z" appears 4x
+    assert(rows.toSeq == Seq(
+      (0L, 4L, 4L, 1L, 1L, 0.25, false),
+      (1L, 4L, 4L, 1L, 1L, 0.25, false),
+      (2L, 5L, 1L, 5L, 4L, 1.0, false)))
+  }
+
+  test("p10: sequence packing chunks per-source doc runs into token bins") {
+    val rows = run("p10_pack_sequences").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // budget 512 >> fixture sizes: one bin per source, token sums 4+4 and 5
+    assert(rows.toSeq == Seq(("src0", 0L, 2L, 8L), ("src1", 0L, 1L, 5L)))
+  }
+
+  test("d13: decontamination flags train docs sharing a shingle with the eval slice") {
+    // eval slice = doc_id % 29 == 0 -> doc0; doc1 shares trigram "a b c";
+    // doc2's only shingle "z z z" appears nowhere in the eval set
+    val rows = queries.DedupPack.queries.find(_.name == "d13_decontaminate").get
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 1L, 1L)))
+  }
+
   test("p2 plan: the stopword vocabulary probe is a broadcast join") {
     val plan = run("p2_stopword_prune").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
