@@ -32,6 +32,23 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // JIT/codegen warm for the shared physical shapes (shuffle hash join,
+    // window, decimal aggregate) so the first measured query of the run
+    // isn't charged for compiling machinery every later query reuses —
+    // row-limited, so warm-up stays O(1) in the scale factor
+    try {
+      import org.apache.spark.sql.functions._
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(5000)
+      val o = spark.read.parquet(s"$sfDir/orders.parquet").limit(5000)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("l_orderkey")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .count()
+    } catch { case _: Throwable => () }
     // iteration aid: SPARK_GRAFT_ONLY=q1,q3 times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val results = SparkEntry.queries.toSeq

@@ -185,6 +185,34 @@ object SubqueryPack extends QueryPack {
       doc = "TPC-H Q21 shape: simultaneous correlated EXISTS and NOT EXISTS against " +
         "the fact table itself — the hardest decorrelation in the TPC-H suite " +
         "(semi + anti join on the same key, non-equi correlation residue)"
+    ),
+    // ------------------------------------------------------------ b10 scalar in SELECT
+    sharedSql(
+      "b10_scalar_in_select",
+      Seq("nation", "customer", "supplier"),
+      """SELECT n.n_nationkey, n.n_name,
+        |  (SELECT COUNT(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS n_cust,
+        |  (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) AS n_supp
+        |FROM nation n
+        |ORDER BY n.n_nationkey""".stripMargin,
+      doc = "correlated scalar subqueries in the SELECT list (two different tables): " +
+        "each decorrelates to a grouped count + left join that preserves " +
+        "zero-count nations — never a per-row re-execution"
+    ),
+    // ------------------------------------------------------------ b11 disjunctive EXISTS
+    sharedSql(
+      "b11_disjunctive_exists",
+      Seq("customer", "orders"),
+      """SELECT c.c_custkey
+        |FROM customer c
+        |WHERE c.c_acctbal > 9900.0
+        |   OR EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 450000.0)
+        |ORDER BY c.c_custkey""".stripMargin,
+      doc = "EXISTS under OR (disjunctive predicate subquery): cannot rewrite to a " +
+        "plain semi join on its own — Catalyst plans an existence join that " +
+        "surfaces the match flag into the disjunction"
     )
   )
 }
