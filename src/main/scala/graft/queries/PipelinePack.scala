@@ -418,6 +418,36 @@ object PipelinePack extends QueryPack {
              |ORDER BY source, bin""".stripMargin),
       doc = "training-sequence packing: per-source running token count chunked into " +
         "fixed 512-token bins — deterministic window + aggregate, reproducible shards"
+    ),
+    // ------------------------------------------------------------ p11 sample
+    Q(
+      "p11_group_sample",
+      (s, d) => {
+        // deterministic per-stratum sampling: k docs per source, chosen by
+        // ranking on the id hash — the reservoir-sample shape but
+        // reproducible across re-runs, task retries, and engines (never
+        // rand()). One shuffle on source; the window's per-group sort is
+        // bounded by stratum size, and a top-k aggregate would replace it
+        // if strata outgrew memory.
+        import org.apache.spark.sql.expressions.Window
+        val h = ((col("doc_id") % lit(P)) * lit(2654435761L % P)) % lit(P)
+        val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"), h.as("h"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("source"), col("rk").cast("long").as("rk"), col("doc_id"), col("n_chars"))
+          .orderBy(col("source"), col("rk"))
+      },
+      Some("""SELECT source, rk, doc_id, n_chars FROM (
+             |  SELECT source, doc_id, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY ((doc_id % 1000000007) * 654435747) % 1000000007, doc_id) AS rk
+             |  FROM documents) t
+             |WHERE rk <= 3
+             |ORDER BY source, rk""".stripMargin),
+      doc = "deterministic per-stratum sampling: k docs per source ranked by the id " +
+        "hash — reservoir-sample semantics, reproducible on retry and across engines"
     )
   )
 }

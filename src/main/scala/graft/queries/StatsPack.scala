@@ -406,6 +406,42 @@ object StatsPack extends QueryPack {
              |ORDER BY event_id""".stripMargin),
       doc = "first_value / last_value / nth_value over a full-partition ROWS frame — " +
         "deterministic tie order via (ts, event_id)"
+    ),
+    // ---------------------------------------------------------------- ntile
+    Q(
+      "x15_ntile_quartiles",
+      (s, d) => {
+        // equi-depth quartile assignment per group (ntile) rolled up to a
+        // per-tile distribution profile — the windowed complement of x2's
+        // exact percentiles. Tie order pinned by the unique line key so
+        // tile boundaries are engine-reproducible.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+          .withColumn("tile", ntile(4).over(w).cast("long"))
+          .groupBy(col("l_returnflag"), col("tile"))
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty")
+          )
+          .orderBy(col("l_returnflag"), col("tile"))
+      },
+      Some("""SELECT l_returnflag, tile, COUNT(*) AS n,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+             |FROM (
+             |  SELECT l_returnflag, l_quantity,
+             |    ntile(4) OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS tile
+             |  FROM lineitem) t
+             |GROUP BY l_returnflag, tile
+             |ORDER BY l_returnflag, tile""".stripMargin),
+      doc = "ntile equi-depth quartiles per group + distribution profile — " +
+        "deterministic tie order via the unique line key"
     )
   )
 

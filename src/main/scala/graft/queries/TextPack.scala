@@ -362,6 +362,66 @@ object TextPack extends QueryPack {
       doc = "end-to-end corpus preparation: quality gate (length floors, language " +
         "allowlist) → exact dedup keep-first → per-(source, lang) token/char stats — " +
         "the composed flagship of the LLM-pipeline primitives"
+    ),
+    // ---------------------------------------------------------------- bigram LM
+    Q(
+      "t12_bigram_logprob",
+      (s, d) => {
+        // bigram language-model scoring with add-one smoothing: avg
+        // log P(w2 | w1) = ln((c(w1 w2) + 1) / (c(w1 ·) + V)) — the
+        // conditional upgrade of t11's unigram gate, catching word-salad
+        // documents whose unigram profile looks normal. Same parity
+        // discipline as t11: each bigram's logprob is floor-quantized to
+        // an integer grid BEFORE the per-doc sum (order-free, exact).
+        // Scale: two frequency shuffles (bigram, left-token) both
+        // map-side combined; V is one broadcast scalar.
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+        val bg = base.filter(size(col("tk")) >= 2)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, size(tk) - 1), " +
+              "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+        val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+        val v = base.select(explode(col("tk")).as("token"))
+          .agg(countDistinct(col("token")).as("vocab"))
+        bg.join(c2, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
+          .crossJoin(broadcast(v))
+          .select(
+            col("doc_id"),
+            floor(log((col("n2") + 1).cast("double") / (col("n1") + col("vocab")).cast("double")) * 1e6)
+              .cast("long").as("q")
+          )
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+          .select(
+            col("doc_id"), col("n_bigrams"),
+            (col("sum_q").cast("double") / 1e6 / col("n_bigrams")).as("avg_logprob")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |bg AS (
+             |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+             |  FROM toks, unnest(generate_series(1, len(tk)-1)) AS t(i)
+             |  WHERE len(tk) >= 2),
+             |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+             |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1),
+             |v AS (SELECT COUNT(DISTINCT token) AS vocab
+             |      FROM (SELECT unnest(tk) AS token FROM toks)),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(floor(ln(CAST(n2 + 1 AS DOUBLE) / CAST(n1 + vocab AS DOUBLE)) * 1000000) AS BIGINT) AS q
+             |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+             |SELECT doc_id, COUNT(*) AS n_bigrams,
+             |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / 1000000 / COUNT(*) AS avg_logprob
+             |FROM sc GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      doc = "bigram LM scoring (add-one-smoothed avg conditional log-prob): bigram + " +
+        "left-token frequency joins, broadcast vocabulary size, integer-grid " +
+        "quantization for order-free sums"
     )
   )
 }
