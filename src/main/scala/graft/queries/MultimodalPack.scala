@@ -142,6 +142,58 @@ object MultimodalPack extends QueryPack {
              |ORDER BY modality""".stripMargin),
       doc = "per-modality storage budget (counts, bytes, exact median size) over the " +
         "metadata struct only — the binary payload is pruned from the scan"
+    ),
+    // ---------------------------------------------------------------- manifest
+    Q(
+      "m6_shard_manifest",
+      (s, d) => {
+        // shard manifest for a multimodal training export: payloads are
+        // chunked per source into fixed byte-budget shards (the p10 packing
+        // shape, but on bytes) and each shard gets an integrity manifest —
+        // item count, total bytes, and order-free content checksums
+        // (min/max of the per-item md5, not a concatenation, so the
+        // aggregate never depends on intra-shard order). At scale the md5
+        // runs next to the scan (no shuffle of payload bytes; only the
+        // 16-byte digests and sizes reach the manifest aggregate).
+        import org.apache.spark.sql.expressions.Window
+        val packed = MediaOps.packMedia(Tables.documents(s, d), col("text"), "application/blob")
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        packed
+          .select(col("doc_id"), col("source"),
+            col("media_meta.size_bytes").as("sz"),
+            md5(col("media_bytes")).as("item_md5"))
+          .withColumn("cum", sum(col("sz")).over(w))
+          .withColumn("shard",
+            floor((col("cum") - col("sz")).cast("double") / lit(4096.0)).cast("long"))
+          .groupBy(col("source"), col("shard"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("sz")).as("total_bytes"),
+            min(col("item_md5")).as("min_md5"),
+            max(col("item_md5")).as("max_md5")
+          )
+          .orderBy(col("source"), col("shard"))
+      },
+      Some("""WITH it AS (
+             |  SELECT doc_id, source,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS sz,
+             |    md5(text) AS item_md5
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, sz, item_md5,
+             |    SUM(sz) OVER (PARTITION BY source ORDER BY doc_id
+             |                  ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM it)
+             |SELECT source,
+             |  CAST(FLOOR(CAST(cum - sz AS DOUBLE) / 4096.0) AS BIGINT) AS shard,
+             |  COUNT(*) AS n_items, CAST(SUM(sz) AS BIGINT) AS total_bytes,
+             |  MIN(item_md5) AS min_md5, MAX(item_md5) AS max_md5
+             |FROM c GROUP BY source, shard
+             |ORDER BY source, shard""".stripMargin),
+      doc = "multimodal shard manifest: per-source byte-budget chunking + order-free " +
+        "md5 integrity fields — the export step that makes a 100 TB media dump " +
+        "verifiable shard by shard"
     )
   )
 }
