@@ -108,6 +108,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TopKPushdown())
+    e.injectOptimizerRule(_ => TopKToNative())
+    e.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     fn(e, "mercator_x", classOf[MercatorX], args => MercatorX.cast(args.head))
     fn(e, "mercator_y", classOf[MercatorY], args => MercatorY.cast(args.head))
     fn(e, "vec_dot", classOf[DotProduct], args => DotProduct(args(0), args(1)))
