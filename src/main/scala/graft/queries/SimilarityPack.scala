@@ -257,6 +257,82 @@ object SimilarityPack extends QueryPack {
         "the query's top-2 centroid partitions (nprobe=2 prunes the scan to ~half " +
         "the corpus; at 100 TB the centroid id is the physical partition key so " +
         "pruning is I/O, not compute), exact-cosine re-rank inside the probed subset"
+    ),
+    // ---------------------------------------------------------------- s7 PQ/ADC
+    Q(
+      "s7_pq_adc",
+      (s, d) => {
+        Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+        s.sql(PqSql.text(spark = true))
+      },
+      Some(PqSql.text(spark = false)),
+      doc = "product-quantization ANN (PQ + ADC): 64-dim vectors split into 4 " +
+        "subspaces, each encoded to its nearest of 4 deterministic grid centroids " +
+        "(16 bytes -> 1 byte per subspace = 16x memory compression at corpus " +
+        "scale); query distances to every (subspace, centroid) are computed ONCE " +
+        "(the ADC lookup table, 16 doubles broadcast) and each vector's " +
+        "approximate distance is 4 table lookups — never a 64-dim scan per pair. " +
+        "Subspace distances floor-quantized so the argmin and the ADC sum are " +
+        "engine-reproducible"
     )
   )
+
+  /** Shared PQ/ADC formulation rendered in both dialects. The two texts are
+    * structurally identical; only the array-HOF spellings differ
+    * (transform/aggregate/sequence vs list_transform/list_sum/
+    * generate_series, element_at vs [] indexing).
+    */
+  private object PqSql {
+    private val P = "1000000007"
+
+    /** Quantized squared L2 between subvector m of `emb` and centroid j:
+      * elements i=1..16, centroid value = hash((m*4+j)*16 + i-1)/1e9 - 0.5.
+      */
+    private def dist(emb: String, m: Int, j: Int, spark: Boolean): String = {
+      val elem =
+        if (spark) s"CAST(element_at($emb, ${m * 16} + i) AS DOUBLE)"
+        else s"CAST($emb[${m * 16} + i] AS DOUBLE)"
+      val cval = s"(((${(m * 4 + j) * 16} + i - 1) * 2654435761) % $P) / 1000000000.0 - 0.5"
+      val term = s"power($elem - ($cval), 2)"
+      if (spark)
+        s"floor(aggregate(transform(sequence(1, 16), i -> $term), CAST(0 AS DOUBLE), (acc, x) -> acc + x) * 1000000) / 1000000"
+      else
+        s"floor(list_sum(list_transform(generate_series(1, 16), i -> $term)) * 1000000) / 1000000"
+    }
+
+    private def argmin(d: Int => String): String =
+      s"""CAST(CASE
+         |    WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)} AND ${d(0)} <= ${d(3)} THEN 0
+         |    WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1
+         |    WHEN ${d(2)} <= ${d(3)} THEN 2
+         |    ELSE 3 END AS BIGINT)""".stripMargin
+
+    def text(spark: Boolean): String = {
+      val enc = (0 until 4).map { m =>
+        s"${argmin(j => s"d_${m}_$j")} AS code$m"
+      }
+      val dcols = for { m <- 0 until 4; j <- 0 until 4 }
+        yield s"${dist("embedding", m, j, spark)} AS d_${m}_$j"
+      val qcols = for { m <- 0 until 4; j <- 0 until 4 }
+        yield s"${dist("embedding", m, j, spark)} AS q_${m}_$j"
+      val adc = (0 until 4).map { m =>
+        s"(CASE code$m WHEN 0 THEN q_${m}_0 WHEN 1 THEN q_${m}_1 WHEN 2 THEN q_${m}_2 ELSE q_${m}_3 END)"
+      }.mkString(" + ")
+      s"""WITH dists AS (
+         |  SELECT vec_id, ${dcols.mkString(",\n    ")}
+         |  FROM embeddings),
+         |enc AS (
+         |  SELECT vec_id, ${enc.mkString(",\n    ")}
+         |  FROM dists),
+         |q AS (
+         |  SELECT ${qcols.mkString(",\n    ")}
+         |  FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, code0, code1, code2, code3,
+         |  $adc AS adc_dist
+         |FROM enc CROSS JOIN q
+         |WHERE vec_id <> 0
+         |ORDER BY adc_dist, vec_id
+         |LIMIT 10""".stripMargin
+    }
+  }
 }
