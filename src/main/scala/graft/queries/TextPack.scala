@@ -211,7 +211,9 @@ object TextPack extends QueryPack {
         val tok = Tables.documents(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
         val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("n_t"))
-        val total = tok.agg(count(lit(1)).as("total"))
+        // corpus total derives from the aggregated frequencies — one fewer
+        // pass over the exploded corpus at any scale
+        val total = freq.agg(sum(col("n_t")).as("total"))
         tok
           .join(freq, Seq("token"))
           .crossJoin(broadcast(total))
@@ -232,7 +234,7 @@ object TextPack extends QueryPack {
       Some("""WITH tok AS (
              |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
              |freq AS (SELECT token, COUNT(*) AS n_t FROM tok GROUP BY token),
-             |tot AS (SELECT COUNT(*) AS total FROM tok)
+             |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS total FROM freq)
              |SELECT doc_id, n_tokens,
              |  CAST(sum_q AS DOUBLE) / 1000000 / n_tokens AS avg_logprob
              |FROM (
@@ -383,7 +385,9 @@ object TextPack extends QueryPack {
               "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
         val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
-        val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+        // left-token totals derive from the (much smaller) bigram counts —
+        // one fewer pass over the exploded corpus at any scale
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
         val v = base.select(explode(col("tk")).as("token"))
           .agg(countDistinct(col("token")).as("vocab"))
         bg.join(c2, Seq("w1", "w2"))
@@ -408,7 +412,7 @@ object TextPack extends QueryPack {
              |  FROM toks, unnest(generate_series(1, len(tk)-1)) AS t(i)
              |  WHERE len(tk) >= 2),
              |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
-             |c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY w1),
+             |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
              |v AS (SELECT COUNT(DISTINCT token) AS vocab
              |      FROM (SELECT unnest(tk) AS token FROM toks)),
              |sc AS (

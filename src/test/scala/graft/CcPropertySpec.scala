@@ -35,10 +35,15 @@ class CcPropertySpec extends AnyFunSuite {
         if (rnd.nextBoolean()) (a, b) else (b, a) // random direction
       } ++ Seq((0L, 0L)) // self-loop must be a no-op
       val nodes = (0L until n.toLong).toDF("id")
-      val got = ConnectedComponents.run(nodes, edges.toDF("src", "dst"))
+      // alternate execution paths: even trials take the adaptive driver
+      // finish (default guard), odd trials force the distributed
+      // star-contraction loop (guard = 0) — both must match ground truth
+      val guard = if (trial % 2 == 0) 1L << 22 else 0L
+      val got = ConnectedComponents
+        .run(nodes, edges.toDF("src", "dst"), driverFinishEdges = guard)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val want = unionFind(n, edges)
-      assert(got == want, s"trial $trial: n=$n edges=$edges")
+      assert(got == want, s"trial $trial (guard=$guard): n=$n edges=$edges")
     }
   }
 
