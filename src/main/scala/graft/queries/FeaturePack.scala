@@ -260,6 +260,41 @@ object FeaturePack extends QueryPack {
              |ORDER BY c_custkey""".stripMargin),
       doc = "J1 upsert/MERGE (task.ts:235-350) via Merge.upsert: one join split into " +
         "updated/kept/inserted, P2 'Unknown' default on inserts"
+    ),
+    // ---------------------------------------------------------------- f8 extent
+    Q(
+      "f8_layer_extent",
+      (s, d) =>
+        Tables.customer(s, d)
+          .select(
+            col("c_nationkey").cast("long").as("layer"),
+            (col("c_custkey") % 360 - 180).cast("double").as("lon"),
+            (col("c_custkey") % 170 - 85).cast("double").as("lat")
+          )
+          .select(
+            col("layer"),
+            quant(graft.functions.WebMercator.mercatorX(col("lon")), 100).as("mx"),
+            quant(graft.functions.WebMercator.mercatorY(col("lat")), 100).as("my")
+          )
+          .groupBy(col("layer"))
+          .agg(
+            count(lit(1)).as("n_features"),
+            min(col("mx")).as("xmin"), min(col("my")).as("ymin"),
+            max(col("mx")).as("xmax"), max(col("my")).as("ymax")
+          )
+          .orderBy(col("layer")),
+      Some("""SELECT CAST(c_nationkey AS BIGINT) AS layer, COUNT(*) AS n_features,
+             |  MIN(mx) AS xmin, MIN(my) AS ymin, MAX(mx) AS xmax, MAX(my) AS ymax
+             |FROM (SELECT c_nationkey,
+             |        floor(6378137.0 * ((CAST(c_custkey % 360 - 180 AS DOUBLE)) * 0.017453292519943295) * 100) / 100 AS mx,
+             |        floor(6378137.0 * ln(tan(0.7853981633974483 + ((CAST(c_custkey % 170 - 85 AS DOUBLE)) * 0.017453292519943295) / 2.0)) * 100) / 100 AS my
+             |      FROM customer) t
+             |GROUP BY c_nationkey
+             |ORDER BY layer""".stripMargin),
+      doc = "layer extent metadata (the ArcGIS layer 'extent' envelope the reference's " +
+        "schema introspection reads): per-layer bounding box as a min/max aggregate " +
+        "over reprojected coordinates — partial-aggregated, one shuffle of 4 doubles " +
+        "per layer"
     )
   )
 }
