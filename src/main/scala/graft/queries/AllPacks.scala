@@ -14,7 +14,8 @@ object AllPacks {
     FeaturePack,
     MultimodalPack,
     StatsPack,
-    PipelinePack
+    PipelinePack,
+    GeoPack
   )
 
   lazy val all: Seq[Q] = {

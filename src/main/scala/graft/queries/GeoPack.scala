@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GeoExpressions
+import graft.ops.SpatialJoin
+
+/** Spatial operators — the reference's GIS domain (ArcGIS envelopes,
+  * per-vertex reprojection `/root/reference/task.ts:192-219`, server-side
+  * spatial filters) expressed as engine-side bulk operators.
+  *
+  * Coordinates are derived DETERMINISTICALLY from integer keys (same idiom
+  * as `f3_webmercator`) so every predicate is integer-exact on both engines:
+  * the Spark side runs the scale-path plan (grid equi-join, broadcast
+  * polygon test, codegen'd Morton interleave) while the oracle runs the
+  * brute-force formulation (cross join + range predicate, unrolled bit/sign
+  * arithmetic) — a true cross-formulation differential.
+  */
+object GeoPack extends QueryPack {
+
+  /** Deterministic point cloud: one point per customer on an integer grid. */
+  private def pts(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      (col("c_custkey") % 360 - 180).cast("double").as("x"),
+      (col("c_custkey") % 170 - 85).cast("double").as("y"))
+
+  private val PtsSql =
+    "SELECT c_custkey, CAST(c_custkey % 360 - 180 AS DOUBLE) AS x, " +
+      "CAST(c_custkey % 170 - 85 AS DOUBLE) AS y FROM customer"
+
+  /** Convex-hexagon ring offsets around a nation centroid, CCW. */
+  private val HexOffsets =
+    Seq((8, 0), (4, 7), (-4, 7), (-8, 0), (-4, -7), (4, -7))
+
+  /** The 6 unrolled edge sign tests of the hexagon containment, integer
+    * arithmetic on (px, py) vs centroid (cx, cy) — the oracle twin of
+    * [[graft.functions.PointInConvexPolygon]].
+    */
+  private val HexContainsSql: String =
+    HexOffsets.indices.map { i =>
+      val (dx1, dy1) = HexOffsets(i)
+      val (dx2, dy2) = HexOffsets((i + 1) % HexOffsets.size)
+      // ((x2-x1)*(py-y1) - (y2-y1)*(px-x1)) >= 0, vertices v = (cx+dx, cy+dy)
+      s"(($dx2 - $dx1) * (py - (cy + $dy1)) - ($dy2 - $dy1) * (px - (cx + $dx1))) >= 0"
+    }.mkString("(", ") AND (", ")")
+
+  /** Unrolled Morton interleave: x contributes even bits 0..8, y odd bits
+    * 1..15 — the oracle twin of the magic-mask bit spread in
+    * [[graft.functions.ZOrderCurve]].
+    */
+  private val ZvalSql: String =
+    ((0 until 9).map(i => s"(((x >> $i) & 1) * ${1L << (2 * i)})") ++
+      (0 until 8).map(i => s"(((y >> $i) & 1) * ${1L << (2 * i + 1)})"))
+      .mkString(" + ")
+
+  override def queries: Seq[Q] = Seq(
+    // ------------------------------------------------------ g1 grid spatial join
+    Q(
+      "g1_grid_spatial_join",
+      (s, d) => {
+        val boxes = Tables.nation(s, d).select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          ((col("n_nationkey") * 14) % 340 - 170).cast("double").as("xmin"),
+          ((col("n_nationkey") * 11) % 150 - 75).cast("double").as("ymin"),
+          ((col("n_nationkey") * 14) % 340 - 170 + 24).cast("double").as("xmax"),
+          ((col("n_nationkey") * 11) % 150 - 75 + 18).cast("double").as("ymax"))
+        val hits = SpatialJoin.pointsInBoxes(pts(s, d), boxes, cellSize = 30.0)
+          .groupBy(col("n_nationkey"))
+          .agg(count(lit(1)).as("n_points"), sum(col("c_custkey")).as("sum_key"))
+        Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("n_nationkey"))
+          .join(hits, Seq("n_nationkey"), "left")
+          .select(
+            col("n_nationkey"),
+            coalesce(col("n_points"), lit(0L)).as("n_points"),
+            coalesce(col("sum_key"), lit(0L)).as("sum_key"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some(s"""WITH p AS ($PtsSql),
+             |b AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+             |        CAST((n_nationkey * 14) % 340 - 170 AS DOUBLE) AS xmin,
+             |        CAST((n_nationkey * 11) % 150 - 75 AS DOUBLE) AS ymin,
+             |        CAST((n_nationkey * 14) % 340 - 170 + 24 AS DOUBLE) AS xmax,
+             |        CAST((n_nationkey * 11) % 150 - 75 + 18 AS DOUBLE) AS ymax
+             |      FROM nation)
+             |SELECT b.n_nationkey, COUNT(p.c_custkey) AS n_points,
+             |  COALESCE(CAST(SUM(p.c_custkey) AS BIGINT), 0) AS sum_key
+             |FROM b LEFT JOIN p
+             |  ON p.x >= b.xmin AND p.x <= b.xmax AND p.y >= b.ymin AND p.y <= b.ymax
+             |GROUP BY b.n_nationkey
+             |ORDER BY b.n_nationkey""".stripMargin),
+      doc = "spatial join (points in envelopes) via PBSM grid binning — both sides " +
+        "mapped onto a 30° grid so Catalyst sees a plain equi-join on the cell key " +
+        "(ops/SpatialJoin); oracle is the brute-force cross join + range predicate"
+    ),
+    // ------------------------------------------------------ g2 z-order clustering
+    Q(
+      "g2_zorder_cluster",
+      (s, d) => {
+        val g = Tables.customer(s, d).select(
+          (col("c_custkey") % 360).as("x"),
+          (col("c_custkey") % 170).as("y"))
+        g.select(col("x"), col("y"),
+            GeoExpressions.zorder(col("x"), col("y")).as("zval"))
+          .groupBy(shiftright(col("zval"), 10).as("z_bucket"))
+          .agg(
+            count(lit(1)).as("n_points"),
+            min(col("zval")).as("z_min"),
+            max(col("zval")).as("z_max"),
+            (max(col("x")) - min(col("x"))).as("x_span"),
+            (max(col("y")) - min(col("y"))).as("y_span"))
+          .orderBy(col("z_bucket"))
+      },
+      Some(s"""WITH g AS (SELECT c_custkey % 360 AS x, c_custkey % 170 AS y FROM customer),
+             |z AS (SELECT x, y, $ZvalSql AS zval FROM g)
+             |SELECT zval >> 10 AS z_bucket, COUNT(*) AS n_points,
+             |  MIN(zval) AS z_min, MAX(zval) AS z_max,
+             |  MAX(x) - MIN(x) AS x_span, MAX(y) - MIN(y) AS y_span
+             |FROM z
+             |GROUP BY 1
+             |ORDER BY z_bucket""".stripMargin),
+      doc = "z-order clustering key: codegen'd Morton interleave (functions/ZOrderCurve) " +
+        "vs bit-unrolled oracle; per-z-bucket x/y spans stay tile-sized, the property " +
+        "that makes z-sorted parquet row-group min/max prune 2-D range scans"
+    ),
+    // ------------------------------------------------------ g3 point in polygon
+    Q(
+      "g3_point_in_polygon",
+      (s, d) => {
+        val cx = (col("n_nationkey") * 13) % 300 - 150
+        val cy = (col("n_nationkey") * 7) % 130 - 65
+        val hex = Tables.nation(s, d).select(
+          col("n_nationkey").cast("long").as("n_nationkey"),
+          array(HexOffsets.map { case (dx, _) => (cx + dx).cast("double") }: _*).as("xs"),
+          array(HexOffsets.map { case (_, dy) => (cy + dy).cast("double") }: _*).as("ys"))
+        val hits = pts(s, d)
+          .crossJoin(broadcast(hex))
+          .filter(GeoExpressions.pointInConvexPolygon(col("x"), col("y"), col("xs"), col("ys")))
+          .groupBy(col("n_nationkey"))
+          .agg(count(lit(1)).as("n_inside"), sum(col("c_custkey")).as("sum_key"))
+        Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("n_nationkey"))
+          .join(hits, Seq("n_nationkey"), "left")
+          .select(
+            col("n_nationkey"),
+            coalesce(col("n_inside"), lit(0L)).as("n_inside"),
+            coalesce(col("sum_key"), lit(0L)).as("sum_key"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some(s"""WITH p AS (SELECT c_custkey, c_custkey % 360 - 180 AS px, c_custkey % 170 - 85 AS py FROM customer),
+             |h AS (SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+             |        (n_nationkey * 13) % 300 - 150 AS cx,
+             |        (n_nationkey * 7) % 130 - 65 AS cy
+             |      FROM nation)
+             |SELECT h.n_nationkey, COUNT(p.c_custkey) AS n_inside,
+             |  COALESCE(CAST(SUM(p.c_custkey) AS BIGINT), 0) AS sum_key
+             |FROM h LEFT JOIN p ON $HexContainsSql
+             |GROUP BY h.n_nationkey
+             |ORDER BY h.n_nationkey""".stripMargin),
+      doc = "point-in-convex-polygon containment (codegen'd sign-of-cross-product " +
+        "expression, functions/PointInConvexPolygon) over a broadcast polygon table; " +
+        "oracle unrolls the 6 integer edge tests — integer-exact on both engines"
+    )
+  )
+}
