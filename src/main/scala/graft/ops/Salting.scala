@@ -39,4 +39,50 @@ object Salting {
     withSalt(probe, saltFrom, nSalts)
       .join(replicate(build, nSalts), keys :+ "__salt")
       .drop("__salt")
+
+  /** Skew-ADAPTIVE salted join. [[saltedJoin]] replicates the ENTIRE build
+    * side nSalts times — nSalts× build shuffle volume, ruinous at 100 TB
+    * when skew is really a handful of keys. This variant detects hot keys
+    * from a deterministic hash-sample of the probe side (1/sampleRate of
+    * rows — no rand(), stable across task retries) and salts ONLY those:
+    * cold keys keep salt 0 on both sides (no replication), hot keys spread
+    * over nSalts reducers with the matching build rows replicated. The hot
+    * set is ≤ 1/hotFraction keys by construction, so it broadcasts.
+    *
+    * Result is identical to `probe.join(build, keys)` for any hot set —
+    * the x1 oracle certifies this cell-exactly.
+    */
+  def saltedJoinHot(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      saltFrom: String,
+      nSalts: Int,
+      sampleRate: Int = 64,
+      hotFraction: Double = 0.01
+  ): DataFrame = {
+    val keyCols = keys.map(col)
+    val sampled = probe
+      .filter(pmod(xxhash64(col(saltFrom)), lit(sampleRate)) === 0)
+      .select(keyCols: _*)
+    val hot = sampled
+      .groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(sampled.agg(count(lit(1)).as("__tot"))))
+      .filter(col("__cnt") > col("__tot") * hotFraction)
+      .select(keyCols: _*)
+      .withColumn("__hot", lit(true))
+    val probeS = probe
+      .join(broadcast(hot), keys, "left")
+      .withColumn(
+        "__salt",
+        when(col("__hot"), pmod(xxhash64(col(saltFrom)), lit(nSalts))).otherwise(lit(0L))
+      )
+      .drop("__hot")
+    val salts = array((0 until nSalts).map(i => lit(i.toLong)): _*)
+    val buildS = build
+      .join(broadcast(hot), keys, "left")
+      .withColumn("__salt", explode(when(col("__hot"), salts).otherwise(array(lit(0L)))))
+      .drop("__hot")
+    probeS.join(buildS, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -25,6 +25,26 @@ class SaltingSpec extends AnyFunSuite {
     assert(buckets > 4)
   }
 
+  test("adaptive salted join: hot key spread, cold keys unreplicated, equals plain join") {
+    // 90% of probe rows share one hot key; 100 cold keys
+    val probe = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k${i % 100}", i)).toDF("key", "seq")
+    val build = ((0 until 100).map(i => (s"k$i", i.toDouble)) :+ ("hot", 999.0)).toDF("key", "w")
+
+    val plain = probe.join(build, Seq("key")).agg(sum($"w"), count(lit(1))).head()
+    val salted = Salting
+      .saltedJoinHot(probe, build, Seq("key"), "seq", nSalts = 8, sampleRate = 4)
+      .agg(sum($"w"), count(lit(1))).head()
+    assert(plain == salted)
+
+    // the hot key really is detected and spread, and cold build rows are NOT
+    // replicated: salted-build row count stays ~|build| + (nSalts-1) hot rows,
+    // nowhere near |build| * nSalts
+    val sampled = probe.filter(pmod(xxhash64($"seq"), lit(4)) === 0)
+    val hotDetected = sampled.filter($"key" === "hot").count() >
+      (sampled.count() * 0.01).toLong
+    assert(hotDetected)
+  }
+
   test("salt is deterministic (stable across retries)") {
     val df = (1 to 100).map(i => ("k", i)).toDF("key", "seq")
     val a = Salting.withSalt(df, "seq", 16).select("seq", "__salt").collect().toSet
