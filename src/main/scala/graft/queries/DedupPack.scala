@@ -470,6 +470,172 @@ object DedupPack extends QueryPack {
       doc = "benchmark decontamination: n-gram-overlap flagging of training docs " +
         "against a broadcast eval corpus — shared-shingle and eval-doc counts " +
         "per contaminated document"
+    ),
+    // ---------------------------------------------------------------- semdedup
+    Q(
+      "d14_semdedup",
+      (s, d) => {
+        // SemDeDup: coarse k-means cluster assignment (the s5 deterministic
+        // quantizer) partitions the corpus, then cosine near-dups are found
+        // ONLY within a cluster — the pair join is blocked on the centroid
+        // key, so its cost is sum of per-cluster squares, never corpus².
+        // A vector is a semantic duplicate if some LOWER-id vector in its
+        // cluster has cosine >= 0.85 (keep-lowest-id canonical exemplar).
+        import graft.functions.VectorOps.{dot, norm, hashPlaneDot}
+        val e = Tables.embeddings(s, d)
+        val assigned = (0 until 4)
+          .foldLeft(e.select(col("vec_id"), col("embedding"))) { case (df, j) =>
+            df.withColumn(s"s$j", quant(hashPlaneDot(col("embedding"), j, 0.0), 1e6))
+          }
+          .withColumn(
+            "centroid",
+            when(col("s0") >= col("s1") && col("s0") >= col("s2") && col("s0") >= col("s3"), 0L)
+              .when(col("s1") >= col("s2") && col("s1") >= col("s3"), 1L)
+              .when(col("s2") >= col("s3"), 2L)
+              .otherwise(3L)
+          )
+          .select(col("vec_id"), col("embedding"), col("centroid"), norm(col("embedding")).as("nrm"))
+        val a = assigned.select(col("vec_id").as("a_id"), col("centroid"),
+          col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+        val b = assigned.select(col("vec_id").as("b_id"), col("centroid"),
+          col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+        // best similarity to any PRIOR (lower-id) cluster member; map-side
+        // partial max, then a zero-preserving left join back to all vectors
+        val bestPrior = a.join(b, Seq("centroid"))
+          .filter(col("b_id") < col("a_id"))
+          .select(
+            col("a_id"),
+            quant(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 1e6).as("cos_sim")
+          )
+          .groupBy(col("a_id"))
+          .agg(max(col("cos_sim")).as("best_prior_sim"))
+        assigned
+          .join(bestPrior, assigned("vec_id") === bestPrior("a_id"), "left")
+          .select(
+            col("vec_id"),
+            col("centroid"),
+            coalesce(col("best_prior_sim") >= 0.85, lit(false)).as("is_sem_dup")
+          )
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def cdot(j: Int) =
+          s"floor(list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * (((($j*64 + (i-1)) * 2654435761) % 1000000007) / 1000000000.0))) * 1000000) / 1000000"
+        s"""WITH assigned AS (
+           |  SELECT vec_id, embedding, CAST(CASE
+           |    WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+           |    WHEN s1 >= s2 AND s1 >= s3 THEN 1
+           |    WHEN s2 >= s3 THEN 2
+           |    ELSE 3 END AS BIGINT) AS centroid
+           |  FROM (SELECT vec_id, embedding, ${cdot(0)} AS s0, ${cdot(1)} AS s1,
+           |               ${cdot(2)} AS s2, ${cdot(3)} AS s3
+           |        FROM embeddings) t),
+           |best AS (
+           |  SELECT a.vec_id AS a_id,
+           |    MAX(floor(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           |          z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+           |      (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+           |       sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1000000) / 1000000) AS best_prior_sim
+           |  FROM assigned a JOIN assigned b
+           |    ON a.centroid = b.centroid AND b.vec_id < a.vec_id
+           |  GROUP BY a.vec_id)
+           |SELECT assigned.vec_id, centroid,
+           |  COALESCE(best_prior_sim >= 0.85, FALSE) AS is_sem_dup
+           |FROM assigned LEFT JOIN best ON assigned.vec_id = best.a_id
+           |ORDER BY assigned.vec_id""".stripMargin
+      },
+      doc = "SemDeDup semantic dedup: coarse-cluster assignment blocks the cosine " +
+        "pair join, keep-lowest-id exemplar per semantic duplicate group"
+    ),
+    // ---------------------------------------------------------------- paragraph
+    Q(
+      "d15_paragraph_dedup",
+      (s, d) => {
+        // paragraph-level exact dedup: documents are chunked into 10-token
+        // "paragraphs", chunks are deduplicated globally by content, and each
+        // document reports how much of it is boilerplate (chunks that also
+        // appear in ≥1 other document). One explode + one hash agg + one
+        // equi-join back — every step is a plain hash shuffle at 100 TB.
+        val toks = tokens(col("text"))
+        val nChunks = ceil(size(toks) / lit(10.0)).cast("int")
+        val chunkArr = transform(
+          sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * lit(10) + 1, lit(10)), " ")
+        )
+        val chunks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(chunkArr).as("chunk"))
+        val freq = chunks
+          .groupBy(col("chunk"))
+          .agg(countDistinct(col("doc_id")).as("ndocs"))
+        chunks
+          .join(freq, Seq("chunk"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_chunks")
+          )
+          .withColumn(
+            "dup_fraction",
+            quant(col("n_dup_chunks").cast("double") / col("n_chunks"), 1e6)
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(0, CAST(ceil(len(toks)/10.0) AS INT)),
+             |      i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS chunk
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+             |f AS (SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM c GROUP BY chunk)
+             |SELECT doc_id, COUNT(*) AS n_chunks,
+             |  CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+             |  floor(CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) * 1000000) / 1000000 AS dup_fraction
+             |FROM c JOIN f USING (chunk)
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      doc = "paragraph-level exact dedup: 10-token chunking, global chunk dedup, " +
+        "per-document boilerplate fraction (the CCNet/RefinedWeb line-dedup step)"
+    ),
+    // ---------------------------------------------------------------- containment
+    Q(
+      "d16_containment",
+      (s, d) => {
+        // ASYMMETRIC containment C(A,B) = |A∩B| / |A| over trigram shingles:
+        // finds documents EMBEDDED inside larger ones, which symmetric
+        // Jaccard misses when sizes differ. Same inverted-index shape as d7
+        // but directed — both (a,b) and (b,a) scored.
+        val toks = tokens(col("text"))
+        val shingles = graft.functions.TextExpressions.shingles(col("text"), 3)
+        val postings = Tables.documents(s, d)
+          .filter(size(toks) >= 3)
+          .select(col("doc_id"), col("source"), size(shingles).as("n_sh"),
+            explode(shingles).as("shingle"))
+        val pa = postings.select(
+          col("doc_id").as("a_id"), col("source"), col("shingle"), col("n_sh").as("a_n"))
+        val pb = postings.select(
+          col("doc_id").as("b_id"), col("source"), col("shingle"))
+        pa.join(pb, Seq("source", "shingle"))
+          .filter(col("a_id") =!= col("b_id"))
+          .groupBy(col("a_id"), col("b_id"), col("a_n"))
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("containment", quant(col("inter").cast("double") / col("a_n"), 1e6))
+          .filter(col("containment") >= 0.5)
+          .select(col("a_id"), col("b_id"), col("containment"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+             |  WHERE len(toks) >= 3)
+             |SELECT a_id, b_id, containment FROM (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) * 1000000) / 1000000 AS containment
+             |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id <> b.doc_id) p
+             |WHERE containment >= 0.5
+             |ORDER BY a_id, b_id""".stripMargin),
+      doc = "asymmetric shingle containment |A∩B|/|A| (directed near-dup): catches " +
+        "documents embedded inside larger ones that symmetric Jaccard misses"
     )
   )
 }
