@@ -15,7 +15,8 @@ object AllPacks {
     MultimodalPack,
     StatsPack,
     PipelinePack,
-    GeoPack
+    GeoPack,
+    GraphPack
   )
 
   lazy val all: Seq[Q] = {

@@ -399,6 +399,69 @@ object EventsPack extends QueryPack {
              |ORDER BY event_id""".stripMargin),
       doc = "trailing 1-hour RANGE window frame per user (exact decimal sums inside " +
         "the frame) — the moving-aggregate shape for rate limiting / rolling features"
+    ),
+    // ---------------------------------------------------------------- interval union
+    Q(
+      "e14_interval_union",
+      (s, d) => {
+        // interval-union coverage: each event opens a 5-minute activity
+        // interval [ts, ts+300); overlapping/touching intervals per user are
+        // merged (gaps-and-islands over a running max of interval ends) and
+        // the TOTAL covered time is the sum of merged-island lengths —
+        // double-counting from overlaps eliminated exactly. All integer
+        // epoch-second math; one window pass + one aggregate.
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+        val prior = byUser.rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("es"))
+          .withColumn("en", col("es") + 300L)
+          .withColumn("prev_max_end", max(col("en")).over(prior))
+          .withColumn(
+            "new_island",
+            when(col("prev_max_end").isNull || col("es") > col("prev_max_end"), 1L)
+              .otherwise(0L)
+          )
+          .withColumn(
+            "island",
+            sum(col("new_island")).over(
+              byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+          )
+          .groupBy(col("user_id"), col("island"))
+          .agg((max(col("en")) - min(col("es"))).as("len"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_intervals"),
+            sum(col("len")).as("covered_seconds")
+          )
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             |         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS en
+             |  FROM events),
+             |mk AS (
+             |  SELECT user_id, es, en,
+             |    CASE WHEN MAX(en) OVER (PARTITION BY user_id ORDER BY es, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             |           OR es > MAX(en) OVER (PARTITION BY user_id ORDER BY es, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      THEN 1 ELSE 0 END AS new_island,
+             |    event_id
+             |  FROM iv),
+             |isl AS (
+             |  SELECT user_id, es, en,
+             |    SUM(new_island) OVER (PARTITION BY user_id ORDER BY es, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM mk)
+             |SELECT user_id, COUNT(*) AS n_intervals, CAST(SUM(len) AS BIGINT) AS covered_seconds
+             |FROM (SELECT user_id, island, MAX(en) - MIN(es) AS len
+             |      FROM isl GROUP BY user_id, island) t
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin),
+      doc = "interval-union coverage (merge overlapping activity intervals, total " +
+        "covered time per user) — gaps-and-islands over a running max of ends"
     )
   )
 }

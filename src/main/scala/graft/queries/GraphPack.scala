@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics over relationship tables derived from the star schema —
+  * the iterative-algorithm family (alongside ops/ConnectedComponents, d10).
+  *
+  * PageRank here is the FIXED-ITERATION, integer-grid formulation: every
+  * per-edge contribution is computed in exact 1e-9 integer units with
+  * explicit integer division, so the per-node sums are order-independent
+  * and the result is bit-identical on both engines (a floating-point
+  * PageRank is partition-order-sensitive and never oracle-exact). At scale
+  * the expensive part — the fact-table joins building the edge list — runs
+  * once; each unrolled iteration re-joins only the tiny aggregated edge
+  * table (Catalyst reuses the aggregation's shuffle exchange across
+  * iterations).
+  */
+object GraphPack extends QueryPack {
+
+  override def queries: Seq[Q] = Seq(
+    // ---------------------------------------------------------------- pagerank
+    Q(
+      "g4_pagerank",
+      (s, d) => {
+        // trade-flow graph: supplier nation → customer nation, weight =
+        // number of lineitems shipped. Fact-fact shuffle join (lineitem ⋈
+        // orders) + broadcast dims, then a 25×25-bounded edge aggregate.
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val edges = li
+          .join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .select(
+            col("s_nationkey").cast("long").as("src"),
+            col("c_nationkey").cast("long").as("dst")
+          )
+          .groupBy(col("src"), col("dst"))
+          .agg(count(lit(1)).as("w"))
+        val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+        val e = edges.join(outw, Seq("src"))
+        val nodes = Tables.nation(s, d).select(col("n_nationkey").cast("long").as("node"))
+        // pr in 1e-9 units: pr0 = 1/25 exactly; damping 0.85 and the edge
+        // split are explicit integer divisions (identical floor semantics
+        // on both engines for positive operands)
+        val pr0 = nodes.withColumn("pr", lit(40000000L))
+        val prFinal = (1 to 3).foldLeft(pr0) { (pr, _) =>
+          val contribs = pr
+            .join(e, pr("node") === e("src"))
+            .select(col("dst"), expr("(((pr * 85) div 100) * w) div outw").as("c"))
+            .groupBy(col("dst"))
+            .agg(sum(col("c")).as("in_sum"))
+          nodes
+            .join(contribs, nodes("node") === contribs("dst"), "left")
+            .select(col("node"), (lit(6000000L) + coalesce(col("in_sum"), lit(0L))).as("pr"))
+        }
+        prFinal
+          .select(col("node").as("nation_key"), (col("pr").cast("double") / 1e9).as("pagerank"))
+          .orderBy(col("nation_key"))
+      },
+      Some("""WITH edges AS (
+             |  SELECT CAST(s_nationkey AS BIGINT) AS src, CAST(c_nationkey AS BIGINT) AS dst,
+             |         COUNT(*) AS w
+             |  FROM lineitem
+             |  JOIN orders   ON l_orderkey = o_orderkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  GROUP BY 1, 2),
+             |e AS (
+             |  SELECT src, dst, w, outw
+             |  FROM edges JOIN (SELECT src, SUM(w) AS outw FROM edges GROUP BY src) o USING (src)),
+             |n AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+             |pr0 AS (SELECT node, CAST(40000000 AS BIGINT) AS pr FROM n),
+             |pr1 AS (
+             |  SELECT n.node, 6000000 + COALESCE(c.s, 0) AS pr
+             |  FROM n LEFT JOIN (
+             |    SELECT dst, SUM((((pr * 85) // 100) * w) // outw) AS s
+             |    FROM pr0 JOIN e ON pr0.node = e.src GROUP BY dst) c ON n.node = c.dst),
+             |pr2 AS (
+             |  SELECT n.node, 6000000 + COALESCE(c.s, 0) AS pr
+             |  FROM n LEFT JOIN (
+             |    SELECT dst, SUM((((pr * 85) // 100) * w) // outw) AS s
+             |    FROM pr1 JOIN e ON pr1.node = e.src GROUP BY dst) c ON n.node = c.dst),
+             |pr3 AS (
+             |  SELECT n.node, 6000000 + COALESCE(c.s, 0) AS pr
+             |  FROM n LEFT JOIN (
+             |    SELECT dst, SUM((((pr * 85) // 100) * w) // outw) AS s
+             |    FROM pr2 JOIN e ON pr2.node = e.src GROUP BY dst) c ON n.node = c.dst)
+             |SELECT node AS nation_key, CAST(pr AS DOUBLE) / 1000000000.0 AS pagerank
+             |FROM pr3
+             |ORDER BY nation_key""".stripMargin),
+      doc = "weighted PageRank (3 unrolled iterations, damping 0.85) over the " +
+        "supplier→customer nation trade graph — exact integer-grid arithmetic " +
+        "makes the iterative sums order-independent and oracle-exact"
+    )
+  )
+}
