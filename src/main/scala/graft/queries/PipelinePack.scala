@@ -448,6 +448,68 @@ object PipelinePack extends QueryPack {
              |ORDER BY source, rk""".stripMargin),
       doc = "deterministic per-stratum sampling: k docs per source ranked by the id " +
         "hash — reservoir-sample semantics, reproducible on retry and across engines"
+    ),
+    // ---------------------------------------------------------------- dsir
+    Q(
+      "p12_importance_weights",
+      (s, d) => {
+        // DSIR-style importance resampling weights: log w(doc) =
+        // Σ_tok [log P_target(tok) − log P_source(tok)], with the target
+        // distribution estimated from a trusted slice (source = 'src0') and
+        // the source distribution from the whole corpus, both add-one
+        // smoothed over the corpus vocabulary. Per-token log-ratios are
+        // integer-grid-quantized before the per-doc sum (order-free, exact).
+        // Scale shape: two token-frequency aggregates + one broadcast of the
+        // (tiny) per-token ratio table into the exploded corpus scan.
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("token"))
+        val freqS = tok.groupBy(col("token")).agg(count(lit(1)).as("n_s"))
+        val freqT = tok.filter(col("source") === "src0")
+          .groupBy(col("token")).agg(count(lit(1)).as("n_t"))
+        val stats = freqS.join(freqT, Seq("token"), "left")
+          .select(col("token"), col("n_s"), coalesce(col("n_t"), lit(0L)).as("n_t"))
+        val totals = freqS.agg(sum(col("n_s")).as("tot_s"), count(lit(1)).as("vocab"))
+          .crossJoin(freqT.agg(sum(col("n_t")).as("tot_t")))
+        val ratio = stats.crossJoin(broadcast(totals))
+          .select(
+            col("token"),
+            floor(
+              (log((col("n_t") + 1).cast("double") / (col("tot_t") + col("vocab")).cast("double")) -
+                log((col("n_s") + 1).cast("double") / (col("tot_s") + col("vocab")).cast("double"))) * 1e6
+            ).cast("long").as("q")
+          )
+        tok
+          .join(broadcast(ratio), Seq("token"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("sum_q"))
+          .select(
+            col("doc_id"),
+            col("n_tokens"),
+            (col("sum_q").cast("double") / 1e6).as("log_weight")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents),
+             |fs AS (SELECT token, COUNT(*) AS n_s FROM tok GROUP BY token),
+             |ft AS (SELECT token, COUNT(*) AS n_t FROM tok WHERE source = 'src0' GROUP BY token),
+             |st AS (SELECT fs.token, n_s, COALESCE(n_t, 0) AS n_t FROM fs LEFT JOIN ft USING (token)),
+             |tot AS (SELECT (SELECT CAST(SUM(n_s) AS BIGINT) FROM fs) AS tot_s,
+             |               (SELECT COUNT(*) FROM fs) AS vocab,
+             |               (SELECT CAST(SUM(n_t) AS BIGINT) FROM ft) AS tot_t),
+             |ratio AS (
+             |  SELECT token,
+             |    CAST(floor((ln(CAST(n_t + 1 AS DOUBLE) / CAST(tot_t + vocab AS DOUBLE)) -
+             |                ln(CAST(n_s + 1 AS DOUBLE) / CAST(tot_s + vocab AS DOUBLE))) * 1000000) AS BIGINT) AS q
+             |  FROM st CROSS JOIN tot)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) / 1000000 AS log_weight
+             |FROM tok JOIN ratio USING (token)
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      doc = "DSIR-style importance weights: per-token log ratio of a trusted-slice " +
+        "target distribution vs the corpus distribution (add-one smoothed), " +
+        "integer-grid summed per document — the data-selection resampling signal"
     )
   )
 }

@@ -274,6 +274,104 @@ object SimilarityPack extends QueryPack {
         "approximate distance is 4 table lookups — never a 64-dim scan per pair. " +
         "Subspace distances floor-quantized so the argmin and the ADC sum are " +
         "engine-reproducible"
+    ),
+    // ---------------------------------------------------------------- recall eval
+    Q(
+      "s8_recall_eval",
+      (s, d) => {
+        // ANN quality evaluation: recall@10 of the IVF nprobe=2 search (s6)
+        // against the exact brute-force top-10 (s1) for the same query —
+        // the measurement loop every approximate index needs before anyone
+        // trusts it at corpus scale. Both rankings are computed inside ONE
+        // plan and joined; the result is a single audited number.
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+        val bf = e.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), quant(cosine(col("embedding"), col("q_emb")), 1e6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+        val scored = (0 until 4)
+          .foldLeft(e.select(col("vec_id"), col("embedding"))) { case (df, j) =>
+            df.withColumn(s"s$j", quant(hashPlaneDot(col("embedding"), j, 0.0), 1e6))
+          }
+          .withColumn(
+            "centroid",
+            when(col("s0") >= col("s1") && col("s0") >= col("s2") && col("s0") >= col("s3"), 0)
+              .when(col("s1") >= col("s2") && col("s1") >= col("s3"), 1)
+              .when(col("s2") >= col("s3"), 2)
+              .otherwise(3)
+          )
+        val qp = scored
+          .filter(col("vec_id") === 0)
+          .select(
+            col("embedding").as("q_emb"),
+            slice(
+              array_sort(array((0 until 4).map(j =>
+                struct((-col(s"s$j")).as("neg"), lit(j).as("c"))): _*)),
+              1, 2
+            ).as("probe_structs")
+          )
+          .select(col("q_emb"),
+            transform(col("probe_structs"), p => p.getField("c")).as("probes"))
+        val ivf = scored
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qp))
+          .filter(array_contains(col("probes"), col("centroid")))
+          .select(
+            col("vec_id"),
+            quant(cosine(col("embedding"), col("q_emb")), 1e6).as("cos_sim")
+          )
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+        bf.select(col("vec_id"))
+          .join(ivf.select(col("vec_id")), Seq("vec_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(
+            lit(10L).as("k"),
+            col("n_overlap"),
+            (col("n_overlap").cast("double") / 10.0).as("recall_at_10")
+          )
+      },
+      Some {
+        def dotj(j: Int) =
+          s"floor(list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * (((($j*64 + (i-1)) * 2654435761) % 1000000007) / 1000000000.0))) * 1000000) / 1000000"
+        s"""WITH scored AS (
+           |  SELECT vec_id, embedding, s0, s1, s2, s3, CAST(CASE
+           |    WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+           |    WHEN s1 >= s2 AND s1 >= s3 THEN 1
+           |    WHEN s2 >= s3 THEN 2
+           |    ELSE 3 END AS BIGINT) AS centroid
+           |  FROM (SELECT vec_id, embedding,
+           |          ${dotj(0)} AS s0, ${dotj(1)} AS s1, ${dotj(2)} AS s2, ${dotj(3)} AS s3
+           |        FROM embeddings) t),
+           |q AS (SELECT * FROM scored WHERE vec_id = 0),
+           |probes AS (
+           |  SELECT c FROM (
+           |    SELECT 0 AS c, s0 AS sc FROM q UNION ALL SELECT 1, s1 FROM q
+           |    UNION ALL SELECT 2, s2 FROM q UNION ALL SELECT 3, s3 FROM q) u
+           |  ORDER BY sc DESC, c LIMIT 2),
+           |bf AS (
+           |  SELECT vec_id FROM (
+           |    SELECT s.vec_id,
+           |      floor(${dotSql("s.embedding", "q.embedding")} /
+           |            (${normSql("s.embedding")} * ${normSql("q.embedding")}) * 1000000) / 1000000 AS cos_sim
+           |    FROM scored s, q WHERE s.vec_id <> 0) t
+           |  ORDER BY cos_sim DESC, vec_id LIMIT 10),
+           |ivf AS (
+           |  SELECT vec_id FROM (
+           |    SELECT s.vec_id,
+           |      floor(${dotSql("s.embedding", "q.embedding")} /
+           |            (${normSql("s.embedding")} * ${normSql("q.embedding")}) * 1000000) / 1000000 AS cos_sim
+           |    FROM scored s, q
+           |    WHERE s.vec_id <> 0 AND s.centroid IN (SELECT c FROM probes)) t
+           |  ORDER BY cos_sim DESC, vec_id LIMIT 10)
+           |SELECT CAST(10 AS BIGINT) AS k, COUNT(*) AS n_overlap,
+           |  CAST(COUNT(*) AS DOUBLE) / 10.0 AS recall_at_10
+           |FROM bf JOIN ivf USING (vec_id)""".stripMargin
+      },
+      doc = "ANN recall@10 evaluation: exact brute-force top-10 vs IVF nprobe=2 " +
+        "top-10 in one plan — the audited quality number for the approximate index"
     )
   )
 

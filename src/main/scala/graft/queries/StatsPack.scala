@@ -443,6 +443,54 @@ object StatsPack extends QueryPack {
              |ORDER BY l_returnflag, tile""".stripMargin),
       doc = "ntile equi-depth quartiles per group + distribution profile — " +
         "deterministic tie order via the unique line key"
+    ),
+    // ---------------------------------------------------------------- robust z
+    Q(
+      "x16_robust_zscore",
+      (s, d) => {
+        // robust outlier detection: median + MAD (median absolute deviation)
+        // per group, then count points with |x − median| > 3·MAD. Unlike
+        // mean/stddev, median/MAD don't blow up under the very outliers
+        // they're meant to find. Two exact-percentile aggregates (x2 proved
+        // the interpolation parity) + broadcast joins of the tiny per-group
+        // stats back into the scan.
+        val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+        val med = li.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+        val dev = li.join(broadcast(med), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("med"),
+            abs(col("l_extendedprice") - col("med")).as("ad"),
+            col("l_extendedprice"))
+        val mad = dev.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(ad, 0.5)").as("mad"))
+        dev
+          .join(broadcast(mad), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            first(col("med")).as("median_price"),
+            first(col("mad")).as("mad_price"),
+            sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers")
+          )
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH med AS (
+             |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+             |  FROM lineitem GROUP BY l_returnflag),
+             |dev AS (
+             |  SELECT l.l_returnflag, med, abs(l_extendedprice - med) AS ad
+             |  FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag),
+             |mad AS (
+             |  SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad
+             |  FROM dev GROUP BY l_returnflag)
+             |SELECT dev.l_returnflag, COUNT(*) AS n,
+             |  MIN(med) AS median_price, MIN(mad.mad) AS mad_price,
+             |  CAST(SUM(CASE WHEN ad > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM dev JOIN mad ON dev.l_returnflag = mad.l_returnflag
+             |GROUP BY dev.l_returnflag
+             |ORDER BY dev.l_returnflag""".stripMargin),
+      doc = "median + MAD robust z-score outlier count per group — resistant to the " +
+        "outliers themselves, exact interpolated percentiles on both engines"
     )
   )
 

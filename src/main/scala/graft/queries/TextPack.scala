@@ -426,6 +426,53 @@ object TextPack extends QueryPack {
       doc = "bigram LM scoring (add-one-smoothed avg conditional log-prob): bigram + " +
         "left-token frequency joins, broadcast vocabulary size, integer-grid " +
         "quantization for order-free sums"
+    ),
+    // ---------------------------------------------------------------- keywords
+    Q(
+      "t13_keyword_degree",
+      (s, d) => {
+        // RAKE-style keyword scoring: degree(word) = number of adjacency
+        // co-occurrences the word participates in (left or right slot of any
+        // bigram occurrence), freq(word) = occurrences; score = degree/freq
+        // ranks words that appear in varied contexts over mere repetition.
+        // Two exploded aggregates + one join on the (small) vocabulary.
+        val toks = tokens(col("text"))
+        val bigrams = Tables.documents(s, d)
+          .filter(size(toks) >= 2)
+          .select(explode(transform(
+            sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))
+          )).as("bg"))
+        val deg = bigrams
+          .select(explode(array(col("bg.w1"), col("bg.w2"))).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("degree"))
+        val freq = Tables.documents(s, d)
+          .select(explode(toks).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        freq.join(deg, Seq("token"), "left")
+          .select(
+            col("token"),
+            col("freq"),
+            coalesce(col("degree"), lit(0L)).as("degree"),
+            quant(coalesce(col("degree"), lit(0L)).cast("double") / col("freq"), 1e6).as("score")
+          )
+          .orderBy(col("token"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |bg AS (
+             |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+             |           i -> [t[i], t[i+1]])) AS pair
+             |  FROM toks WHERE len(t) >= 2),
+             |deg AS (SELECT token, COUNT(*) AS degree
+             |        FROM (SELECT unnest(pair) AS token FROM bg) u GROUP BY token),
+             |freq AS (SELECT token, COUNT(*) AS freq
+             |         FROM (SELECT unnest(t) AS token FROM toks) u GROUP BY token)
+             |SELECT freq.token, freq, COALESCE(degree, 0) AS degree,
+             |  floor(CAST(COALESCE(degree, 0) AS DOUBLE) / freq * 1000000) / 1000000 AS score
+             |FROM freq LEFT JOIN deg USING (token)
+             |ORDER BY freq.token""".stripMargin),
+      doc = "RAKE-style keyword scoring: adjacency-degree / frequency per word — " +
+        "contextual-variety keyword signal from two exploded aggregates"
     )
   )
 }
