@@ -609,14 +609,22 @@ object DedupPack extends QueryPack {
           .filter(size(toks) >= 3)
           .select(col("doc_id"), col("source"), size(shingles).as("n_sh"),
             explode(shingles).as("shingle"))
+        // aggregate UNDIRECTED pairs once (half the join/agg volume), then
+        // emit both directions from the tiny aggregated pair table — the
+        // containment denominators differ per direction, the intersection
+        // count doesn't
         val pa = postings.select(
           col("doc_id").as("a_id"), col("source"), col("shingle"), col("n_sh").as("a_n"))
         val pb = postings.select(
-          col("doc_id").as("b_id"), col("source"), col("shingle"))
-        pa.join(pb, Seq("source", "shingle"))
-          .filter(col("a_id") =!= col("b_id"))
-          .groupBy(col("a_id"), col("b_id"), col("a_n"))
+          col("doc_id").as("b_id"), col("source"), col("shingle"), col("n_sh").as("b_n"))
+        val pairs = pa.join(pb, Seq("source", "shingle"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
           .agg(count(lit(1)).as("inter"))
+        pairs.select(col("a_id"), col("b_id"), col("a_n"), col("inter"))
+          .unionByName(pairs.select(
+            col("b_id").as("a_id"), col("a_id").as("b_id"),
+            col("b_n").as("a_n"), col("inter")))
           .withColumn("containment", quant(col("inter").cast("double") / col("a_n"), 1e6))
           .filter(col("containment") >= 0.5)
           .select(col("a_id"), col("b_id"), col("containment"))
