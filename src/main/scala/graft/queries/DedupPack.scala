@@ -605,10 +605,14 @@ object DedupPack extends QueryPack {
         // but directed — both (a,b) and (b,a) scored.
         val toks = tokens(col("text"))
         val shingles = graft.functions.TextExpressions.shingles(col("text"), 3)
+        // materialize the shingle array BEFORE the explode projection —
+        // size() next to explode() in one select re-evaluates the whole
+        // shingle_array per exploded row (d7 learned the same lesson)
         val postings = Tables.documents(s, d)
           .filter(size(toks) >= 3)
-          .select(col("doc_id"), col("source"), size(shingles).as("n_sh"),
-            explode(shingles).as("shingle"))
+          .select(col("doc_id"), col("source"), shingles.as("sh"))
+          .select(col("doc_id"), col("source"), size(col("sh")).as("n_sh"),
+            explode(col("sh")).as("shingle"))
         // aggregate UNDIRECTED pairs once (half the join/agg volume), then
         // emit both directions from the tiny aggregated pair table — the
         // containment denominators differ per direction, the intersection
@@ -621,10 +625,16 @@ object DedupPack extends QueryPack {
           .filter(col("a_id") < col("b_id"))
           .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
           .agg(count(lit(1)).as("inter"))
-        pairs.select(col("a_id"), col("b_id"), col("a_n"), col("inter"))
-          .unionByName(pairs.select(
-            col("b_id").as("a_id"), col("a_id").as("b_id"),
-            col("b_n").as("a_n"), col("inter")))
+        pairs
+          // both directions via a generator over the aggregated rows — a
+          // union of two projections would re-execute the join+agg subtree
+          .select(explode(array(
+            struct(col("a_id"), col("b_id"), col("a_n"), col("inter")),
+            struct(col("b_id").as("a_id"), col("a_id").as("b_id"),
+              col("b_n").as("a_n"), col("inter"))
+          )).as("r"))
+          .select(col("r.a_id").as("a_id"), col("r.b_id").as("b_id"),
+            col("r.a_n").as("a_n"), col("r.inter").as("inter"))
           .withColumn("containment", quant(col("inter").cast("double") / col("a_n"), 1e6))
           .filter(col("containment") >= 0.5)
           .select(col("a_id"), col("b_id"), col("containment"))
