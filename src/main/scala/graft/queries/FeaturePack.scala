@@ -295,6 +295,77 @@ object FeaturePack extends QueryPack {
         "schema introspection reads): per-layer bounding box as a min/max aggregate " +
         "over reprojected coordinates — partial-aggregated, one shuffle of 4 doubles " +
         "per layer"
+    ),
+    // ---------------------------------------------------------------- f9 scd2
+    Q(
+      "f9_scd2",
+      (s, d) => {
+        // SCD Type-2 dimension-history build from a change log: each
+        // customer's order stream is an attribute feed (o_orderpriority);
+        // consecutive orders with the SAME priority collapse into one
+        // validity interval, a priority change opens a new version. The
+        // companion to f5's Type-1 upsert — history preserved, not
+        // overwritten. One window pass (lag → change flag → running version
+        // count), one aggregate, one lead for the interval close.
+        import org.apache.spark.sql.expressions.Window
+        val byCust = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val byVersion = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+        Tables.orders(s, d)
+          .filter(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .withColumn("prev_prio", lag(col("o_orderpriority"), 1).over(byCust))
+          .withColumn(
+            "chg",
+            when(col("prev_prio").isNull || col("prev_prio") =!= col("o_orderpriority"), 1L)
+              .otherwise(0L)
+          )
+          .withColumn(
+            "version",
+            sum(col("chg")).over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          )
+          .groupBy(col("o_custkey"), col("version"))
+          .agg(
+            first(col("o_orderpriority")).as("priority"),
+            min(col("o_orderdate")).as("vf"),
+            count(lit(1)).as("n_orders")
+          )
+          .withColumn("valid_to_ts", lead(col("vf"), 1).over(byVersion))
+          .select(
+            col("o_custkey"),
+            col("version"),
+            col("priority"),
+            fts(col("vf")).as("valid_from"),
+            coalesce(fts(col("valid_to_ts")), lit("9999-12-31 00:00:00")).as("valid_to"),
+            col("n_orders")
+          )
+          .orderBy(col("o_custkey"), col("version"))
+      },
+      Some("""SELECT o_custkey, version, priority,
+             |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+             |  COALESCE(strftime(LEAD(vf, 1) OVER (PARTITION BY o_custkey ORDER BY version),
+             |                    '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
+             |  n_orders
+             |FROM (
+             |  SELECT o_custkey, version,
+             |    MIN(o_orderpriority) AS priority, MIN(o_orderdate) AS vf,
+             |    COUNT(*) AS n_orders
+             |  FROM (
+             |    SELECT o_custkey, o_orderdate, o_orderpriority,
+             |      SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+             |    FROM (
+             |      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+             |        CASE WHEN LAG(o_orderpriority, 1) OVER (PARTITION BY o_custkey
+             |               ORDER BY o_orderdate, o_orderkey) IS DISTINCT FROM o_orderpriority
+             |             THEN 1 ELSE 0 END AS chg
+             |      FROM orders WHERE o_custkey < 100) c) v
+             |  GROUP BY o_custkey, version) g
+             |ORDER BY o_custkey, version""".stripMargin),
+      doc = "SCD Type-2 dimension history: change-log stream collapsed into " +
+        "[valid_from, valid_to) attribute versions per entity — the " +
+        "history-preserving companion to f5's Type-1 upsert"
     )
   )
 }

@@ -194,6 +194,33 @@ object MultimodalPack extends QueryPack {
       doc = "multimodal shard manifest: per-source byte-budget chunking + order-free " +
         "md5 integrity fields — the export step that makes a 100 TB media dump " +
         "verifiable shard by shard"
+    ),
+    // ---------------------------------------------------------------- m7 hash dedup
+    Q(
+      "m7_media_hash_dedup",
+      (s, d) => {
+        // content-addressed media dedup: digest of the HEAD FRAME (first 64
+        // payload bytes — the keyframe-hash shape; a full-payload digest is
+        // the same plan) groups identical media; keeper = min id. At 100 TB
+        // this is the cheapest dedup there is: one map-side digest + one
+        // hash shuffle of (digest, id) pairs — payloads never move.
+        val packed = MediaOps.packMedia(Tables.documents(s, d), col("text"), "video/fake")
+        packed
+          .select(col("doc_id"), md5(substring(col("media_bytes"), 1, 64)).as("frame_digest"))
+          .groupBy(col("frame_digest"))
+          .agg(
+            min(col("doc_id")).as("keeper_doc_id"),
+            (count(lit(1)) - 1).as("n_dups")
+          )
+          .orderBy(col("frame_digest"))
+      },
+      Some("""SELECT md5(substring(text, 1, 64)) AS frame_digest,
+             |  MIN(doc_id) AS keeper_doc_id, COUNT(*) - 1 AS n_dups
+             |FROM documents
+             |GROUP BY 1
+             |ORDER BY frame_digest""".stripMargin),
+      doc = "content-addressed media dedup on the head-frame digest: map-side md5 + " +
+        "one hash shuffle of (digest, id) — payload bytes never shuffle"
     )
   )
 }

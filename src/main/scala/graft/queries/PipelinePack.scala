@@ -510,6 +510,48 @@ object PipelinePack extends QueryPack {
       doc = "DSIR-style importance weights: per-token log ratio of a trusted-slice " +
         "target distribution vs the corpus distribution (add-one smoothed), " +
         "integer-grid summed per document — the data-selection resampling signal"
+    ),
+    // ---------------------------------------------------------------- classifier
+    Q(
+      "p13_quality_classifier",
+      (s, d) => {
+        // in-plan model scoring: a fixed-weight logistic quality classifier
+        // (fastText-style linear model) over per-row engineered features —
+        // type-token ratio, chars-per-token, stopword ratio, log-length.
+        // Pure map stage: no shuffle, whole-stage codegen, the shape of any
+        // learned-filter deployment at 100 TB (weights broadcast or inlined).
+        // The logit is floor-quantized BEFORE the sigmoid so cross-libm ln()
+        // ulp noise can't flip a cell.
+        val toks = tokens(col("text"))
+        val n = size(toks).cast("double")
+        val ttr = size(array_distinct(toks)).cast("double") / n
+        val cpt = length(col("text")).cast("double") / n
+        val stopRatio = size(filter(toks, t => t.isin("the", "a", "of", "to", "and"))).cast("double") / n
+        val z = lit(-1.5) + lit(2.0) * ttr + lit(0.25) * cpt - lit(2.0) * stopRatio +
+          lit(0.1) * log(n)
+        val zq = floor(z * 1e6) / 1e6
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            quant(lit(1.0) / (lit(1.0) + exp(-zq)), 1e6).as("quality_score"),
+            (zq >= 0.0).as("keep")
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  floor(1.0 / (1.0 + exp(-zq)) * 1000000) / 1000000 AS quality_score,
+             |  zq >= 0.0 AS keep
+             |FROM (
+             |  SELECT doc_id,
+             |    floor((-1.5 + 2.0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+             |           + 0.25 * (CAST(len(text) AS DOUBLE) / len(toks))
+             |           - 2.0 * (CAST(len(list_filter(toks, t -> t IN ('the','a','of','to','and'))) AS DOUBLE) / len(toks))
+             |           + 0.1 * ln(CAST(len(toks) AS DOUBLE))) * 1000000) / 1000000 AS zq
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) t) s
+             |ORDER BY doc_id""".stripMargin),
+      doc = "fixed-weight logistic quality classifier scored inside the plan (no " +
+        "shuffle, codegen map stage) — the learned-filter deployment shape; logit " +
+        "quantized before the sigmoid for cross-engine determinism"
     )
   )
 }

@@ -473,6 +473,73 @@ object TextPack extends QueryPack {
              |ORDER BY freq.token""".stripMargin),
       doc = "RAKE-style keyword scoring: adjacency-degree / frequency per word — " +
         "contextual-variety keyword signal from two exploded aggregates"
+    ),
+    // ---------------------------------------------------------------- tfidf cosine
+    Q(
+      "t14_tfidf_cosine",
+      (s, d) => {
+        // document similarity on SPARSE TF-IDF vectors via the inverted
+        // index: weights are integer-grid (tf × idf quantized to 1e-4), so
+        // per-doc norms and per-pair dot products are exact integer sums —
+        // order-free, oracle-exact — and only token-sharing pairs are ever
+        // materialized (postings self-join blocked on source). The
+        // sparse-vector twin of d8's dense embedding similarity.
+        val docs = Tables.documents(s, d)
+        val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+        val tf = docs
+          .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("source"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+        val df_ = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+        val w = tf.join(broadcast(df_), Seq("token"))
+          .crossJoin(broadcast(nDocs))
+          .select(
+            col("doc_id"), col("source"), col("token"),
+            (col("tf") * floor(log(col("n_docs").cast("double") / col("df")) * 1e4).cast("long"))
+              .as("wq")
+          )
+        val norm2 = w.groupBy(col("doc_id")).agg(sum(col("wq") * col("wq")).as("n2"))
+        val postings = w.join(norm2, Seq("doc_id"))
+        val pa = postings.select(col("doc_id").as("a_id"), col("source"), col("token"),
+          col("wq").as("a_w"), col("n2").as("a_n2"))
+        val pb = postings.select(col("doc_id").as("b_id"), col("source"), col("token"),
+          col("wq").as("b_w"), col("n2").as("b_n2"))
+        pa.join(pb, Seq("source", "token"))
+          .filter(col("a_id") < col("b_id"))
+          .groupBy(col("a_id"), col("b_id"), col("a_n2"), col("b_n2"))
+          .agg(sum(col("a_w") * col("b_w")).as("dot"))
+          .withColumn(
+            "cos_sim",
+            quant(col("dot").cast("double") /
+              (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))), 1e6)
+          )
+          .filter(col("cos_sim") >= 0.85)
+          .select(col("a_id"), col("b_id"), col("cos_sim"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH tf AS (
+             |  SELECT doc_id, source, token, COUNT(*) AS tf
+             |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY doc_id, source, token),
+             |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+             |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+             |w AS (
+             |  SELECT doc_id, source, tf.token AS token,
+             |    tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT) AS wq
+             |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+             |norm2 AS (SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
+             |p AS (SELECT w.doc_id, source, token, wq, n2 FROM w JOIN norm2 ON w.doc_id = norm2.doc_id)
+             |SELECT a_id, b_id, cos_sim FROM (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    floor(CAST(SUM(a.wq * b.wq) AS DOUBLE) /
+             |          (sqrt(CAST(MIN(a.n2) AS DOUBLE)) * sqrt(CAST(MIN(b.n2) AS DOUBLE))) * 1000000) / 1000000 AS cos_sim
+             |  FROM p a JOIN p b ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+             |  GROUP BY a.doc_id, b.doc_id) t
+             |WHERE cos_sim >= 0.85
+             |ORDER BY a_id, b_id""".stripMargin),
+      doc = "sparse TF-IDF cosine similarity through the inverted index: integer-grid " +
+        "weights make norms and dot products exact integer sums; only " +
+        "token-sharing pairs materialize"
     )
   )
 }
