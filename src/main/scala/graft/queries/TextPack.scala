@@ -478,33 +478,40 @@ object TextPack extends QueryPack {
     Q(
       "t14_tfidf_cosine",
       (s, d) => {
-        // document similarity on SPARSE TF-IDF vectors via the inverted
-        // index: weights are integer-grid (tf × idf quantized to 1e-4), so
-        // per-doc norms and per-pair dot products are exact integer sums —
-        // order-free, oracle-exact — and only token-sharing pairs are ever
-        // materialized (postings self-join blocked on source). The
-        // sparse-vector twin of d8's dense embedding similarity.
+        // document similarity on SPARSE idf-weighted feature vectors via the
+        // inverted index. Features are trigram SHINGLES, not raw tokens —
+        // the feature choice IS the performance model: shingle postings are
+        // cold (df is small), so the self-join materializes only genuinely
+        // similar pairs, while a raw-token index on a small vocabulary
+        // degenerates to all-pairs (every posting hot). Weights are
+        // integer-grid idf (quantized to 1e-4), so per-doc norms and
+        // per-pair dot products are exact integer sums — order-free,
+        // oracle-exact. The sparse twin of d8's dense embedding similarity.
         val docs = Tables.documents(s, d)
         val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-        val tf = docs
-          .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("token"))
-          .groupBy(col("doc_id"), col("source"), col("token"))
-          .agg(count(lit(1)).as("tf"))
-        val df_ = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-        val w = tf.join(broadcast(df_), Seq("token"))
+        val sh = graft.functions.TextExpressions.shingles(col("text"), 3)
+        val feat = docs
+          .filter(size(tokens(col("text"))) >= 3)
+          .select(col("doc_id"), col("source"), sh.as("sh"))
+          .select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
+        // df and norms join back by SHUFFLE on purpose: they aggregate from
+        // the same exploded postings, so Catalyst reuses the postings
+        // exchange; broadcasting them would re-run the explode once per
+        // broadcast subtree (measured 40% slower here)
+        val df_ = feat.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        val w = feat.join(df_, Seq("shingle"))
           .crossJoin(broadcast(nDocs))
           .select(
-            col("doc_id"), col("source"), col("token"),
-            (col("tf") * floor(log(col("n_docs").cast("double") / col("df")) * 1e4).cast("long"))
-              .as("wq")
+            col("doc_id"), col("source"), col("shingle"),
+            floor(log(col("n_docs").cast("double") / col("df")) * 1e4).cast("long").as("wq")
           )
         val norm2 = w.groupBy(col("doc_id")).agg(sum(col("wq") * col("wq")).as("n2"))
         val postings = w.join(norm2, Seq("doc_id"))
-        val pa = postings.select(col("doc_id").as("a_id"), col("source"), col("token"),
+        val pa = postings.select(col("doc_id").as("a_id"), col("source"), col("shingle"),
           col("wq").as("a_w"), col("n2").as("a_n2"))
-        val pb = postings.select(col("doc_id").as("b_id"), col("source"), col("token"),
+        val pb = postings.select(col("doc_id").as("b_id"), col("source"), col("shingle"),
           col("wq").as("b_w"), col("n2").as("b_n2"))
-        pa.join(pb, Seq("source", "token"))
+        pa.join(pb, Seq("source", "shingle"))
           .filter(col("a_id") < col("b_id"))
           .groupBy(col("a_id"), col("b_id"), col("a_n2"), col("b_n2"))
           .agg(sum(col("a_w") * col("b_w")).as("dot"))
@@ -513,33 +520,36 @@ object TextPack extends QueryPack {
             quant(col("dot").cast("double") /
               (sqrt(col("a_n2").cast("double")) * sqrt(col("b_n2").cast("double"))), 1e6)
           )
-          .filter(col("cos_sim") >= 0.85)
+          .filter(col("cos_sim") >= 0.35)
           .select(col("a_id"), col("b_id"), col("cos_sim"))
           .orderBy(col("a_id"), col("b_id"))
       },
-      Some("""WITH tf AS (
-             |  SELECT doc_id, source, token, COUNT(*) AS tf
-             |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM documents)
-             |  GROUP BY doc_id, source, token),
-             |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+      Some("""WITH feat AS (
+             |  SELECT doc_id, source, unnest(sh) AS shingle FROM (
+             |    SELECT doc_id, source,
+             |      list_distinct(list_transform(generate_series(1, len(toks)-2),
+             |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+             |    WHERE len(toks) >= 3)),
+             |df AS (SELECT shingle, COUNT(*) AS df FROM feat GROUP BY shingle),
              |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
              |w AS (
-             |  SELECT doc_id, source, tf.token AS token,
-             |    tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT) AS wq
-             |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+             |  SELECT doc_id, source, feat.shingle AS shingle,
+             |    CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 10000) AS BIGINT) AS wq
+             |  FROM feat JOIN df ON feat.shingle = df.shingle CROSS JOIN n),
              |norm2 AS (SELECT doc_id, CAST(SUM(wq * wq) AS BIGINT) AS n2 FROM w GROUP BY doc_id),
-             |p AS (SELECT w.doc_id, source, token, wq, n2 FROM w JOIN norm2 ON w.doc_id = norm2.doc_id)
+             |p AS (SELECT w.doc_id, source, shingle, wq, n2 FROM w JOIN norm2 ON w.doc_id = norm2.doc_id)
              |SELECT a_id, b_id, cos_sim FROM (
              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              |    floor(CAST(SUM(a.wq * b.wq) AS DOUBLE) /
              |          (sqrt(CAST(MIN(a.n2) AS DOUBLE)) * sqrt(CAST(MIN(b.n2) AS DOUBLE))) * 1000000) / 1000000 AS cos_sim
-             |  FROM p a JOIN p b ON a.source = b.source AND a.token = b.token AND a.doc_id < b.doc_id
+             |  FROM p a JOIN p b ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
              |  GROUP BY a.doc_id, b.doc_id) t
-             |WHERE cos_sim >= 0.85
+             |WHERE cos_sim >= 0.35
              |ORDER BY a_id, b_id""".stripMargin),
-      doc = "sparse TF-IDF cosine similarity through the inverted index: integer-grid " +
-        "weights make norms and dot products exact integer sums; only " +
-        "token-sharing pairs materialize"
+      doc = "sparse idf-weighted cosine over trigram-shingle features through the " +
+        "inverted index: integer-grid weights make norms and dot products exact " +
+        "integer sums; cold shingle postings mean only near-dup pairs materialize"
     )
   )
 }
