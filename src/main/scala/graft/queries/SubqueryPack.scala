@@ -213,6 +213,24 @@ object SubqueryPack extends QueryPack {
       doc = "EXISTS under OR (disjunctive predicate subquery): cannot rewrite to a " +
         "plain semi join on its own — Catalyst plans an existence join that " +
         "surfaces the match flag into the disjunction"
+    ),
+    // ------------------------------------------------------------ b12 non-equi NOT EXISTS
+    sharedSql(
+      "b12_argmax_not_exists",
+      Seq("orders"),
+      """SELECT o.o_custkey, o.o_orderkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_custkey < 200
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM orders o2
+        |    WHERE o2.o_custkey = o.o_custkey
+        |      AND (o2.o_orderdate > o.o_orderdate
+        |           OR (o2.o_orderdate = o.o_orderdate AND o2.o_orderkey > o.o_orderkey)))
+        |ORDER BY o.o_custkey""".stripMargin,
+      doc = "argmax-per-group via correlated NOT EXISTS with an INEQUALITY " +
+        "correlation (\"no later order by the same customer\"): decorrelates to a " +
+        "left-anti join with an equi key plus non-equi residual — the hardest " +
+        "predicate-subquery shape, tie-broken to one row per group"
     )
   )
 }
