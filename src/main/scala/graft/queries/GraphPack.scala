@@ -95,6 +95,73 @@ object GraphPack extends QueryPack {
       doc = "weighted PageRank (3 unrolled iterations, damping 0.85) over the " +
         "supplier→customer nation trade graph — exact integer-grid arithmetic " +
         "makes the iterative sums order-independent and oracle-exact"
+    ),
+    // ---------------------------------------------------------------- triangles
+    Q(
+      "g5_triangle_count",
+      (s, d) => {
+        // triangle counting on the undirected trade graph — the clustering
+        // primitive (community density, spam-graph detection). Canonical
+        // a<b<c orientation makes each triangle materialize EXACTLY once:
+        // two joins over the (tiny, aggregated) oriented edge list, never
+        // the fact tables. Per-node participation via a generator over the
+        // triangle's three corners.
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val edges = li
+          .join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .select(
+            least(col("s_nationkey"), col("c_nationkey")).cast("long").as("u"),
+            greatest(col("s_nationkey"), col("c_nationkey")).cast("long").as("v")
+          )
+          .filter(col("u") =!= col("v"))
+          .groupBy(col("u"), col("v"))
+          .agg(count(lit(1)).as("w"))
+        // sparsify so triangles are non-trivial: keep edges with ABOVE-
+        // AVERAGE weight — scale-invariant (integer cross-multiply, exact)
+        val stats = edges.agg(sum(col("w")).as("tot"), count(lit(1)).as("n_pairs"))
+        val kept = edges.crossJoin(broadcast(stats))
+          .filter(col("w") * col("n_pairs") >= col("tot"))
+          .select(col("u"), col("v"))
+        val e1 = kept.select(col("u").as("a"), col("v").as("b"))
+        val e2 = kept.select(col("u").as("b"), col("v").as("c"))
+        val e3 = kept.select(col("u").as("a"), col("v").as("c"))
+        val tris = e1.join(e2, Seq("b")).join(e3, Seq("a", "c"))
+        tris
+          .select(explode(array(col("a"), col("b"), col("c"))).as("nation_key"))
+          .groupBy(col("nation_key"))
+          .agg(count(lit(1)).as("n_triangles"))
+          .orderBy(col("nation_key"))
+      },
+      Some("""WITH ew AS (
+             |  SELECT u, v, COUNT(*) AS w FROM (
+             |    SELECT LEAST(s_nationkey, c_nationkey) AS u,
+             |           GREATEST(s_nationkey, c_nationkey) AS v
+             |    FROM lineitem
+             |    JOIN orders   ON l_orderkey = o_orderkey
+             |    JOIN supplier ON l_suppkey = s_suppkey
+             |    JOIN customer ON o_custkey = c_custkey
+             |    WHERE s_nationkey <> c_nationkey) p
+             |  GROUP BY u, v),
+             |st AS (SELECT CAST(SUM(w) AS BIGINT) AS tot, COUNT(*) AS n_pairs FROM ew),
+             |e AS (SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v
+             |      FROM ew CROSS JOIN st WHERE w * n_pairs >= tot),
+             |tri AS (
+             |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |  FROM e e1
+             |  JOIN e e2 ON e1.v = e2.u
+             |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+             |SELECT nation_key, COUNT(*) AS n_triangles
+             |FROM (SELECT unnest([a, b, c]) AS nation_key FROM tri) x
+             |GROUP BY nation_key
+             |ORDER BY nation_key""".stripMargin),
+      doc = "per-node triangle counting on the thresholded trade graph: canonical " +
+        "a<b<c orientation (each triangle once), two joins over the aggregated " +
+        "edge list — clustering-coefficient primitive"
     )
   )
 }
