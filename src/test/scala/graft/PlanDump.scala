@@ -61,7 +61,25 @@ object PlanDump {
       "q9_topk_per_group" -> ("NATIVE per-group top-k (plans/TopKPerGroup): the " +
         "row_number <= k window rewrote to TopKPerGroupMerge over the hash " +
         "exchange over TopKPerGroupLocal — the shuffle carries at most k rows " +
-        "per (group, input partition) and no WindowExec partition sort remains.")
+        "per (group, input partition) and no WindowExec partition sort remains."),
+      "x1_salted_join" -> ("Skew-ADAPTIVE salted join (ops/Salting.saltedJoinHot): hot " +
+        "keys detected from a deterministic hash-sample (the tiny hot set and its " +
+        "threshold aggregate both broadcast); only hot keys replicate build rows — " +
+        "cold keys join at salt 0, so build shuffle volume stays ~1x."),
+      "g4_pagerank" -> ("Iterative PageRank, 3 unrolled rounds: the fact-fact edge " +
+        "build (SortMergeJoin lineitem ⋈ orders + broadcast dims) aggregates once; " +
+        "every iteration re-joins only the 25x25 edge table — look for ReusedExchange " +
+        "under rounds 2-3 instead of three fact scans."),
+      "t14_tfidf_cosine" -> ("Sparse idf-weighted cosine through the inverted index: " +
+        "df and norm aggregates REUSE the postings exchange (ReusedExchange) rather " +
+        "than broadcasting (which would re-run the explode per subtree); the pair " +
+        "join+agg is the only full shuffle."),
+      "d14_semdedup" -> ("SemDeDup: the coarse-quantizer assignment blocks the cosine " +
+        "pair join on the centroid key; best-prior-similarity is a partial max " +
+        "aggregate, then a zero-preserving left join back to all vectors."),
+      "e14_interval_union" -> ("Interval union: one window pass per user (running max " +
+        "of interval ends → island ids) feeding two hash aggregates — no self-join " +
+        "over intervals, state bounded by the window frame.")
     )
 
     val sb = new StringBuilder
