@@ -55,6 +55,8 @@ object Bench {
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        if (sys.env.contains("SPARK_GRAFT_TRACE"))
+          System.err.println(s"[bench-trace] ${java.time.Instant.now()} $name")
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         name -> (System.nanoTime() - t0) / 1e9

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ordering: exact global `row_number` without the
+  * single-task global window.
+  *
+  * `Window.orderBy(...)` with no PARTITION BY moves the ENTIRE input into one
+  * task (WindowExec logs "No Partition Defined ... Moving all data to a
+  * single partition") — one core sorts everything, which caps the operator at
+  * single-node scale. That is acceptable only for provably tiny inputs (e.g.
+  * [[TokenSets]]' ≤63-row dictionary); for anything data-sized — a corpus
+  * vocabulary, a packing manifest — the scalable formulation is the
+  * `RDD.zipWithIndex` two-job pattern, kept here in DataFrame land:
+  *
+  *   1. range-shuffle on the sort key (`repartitionByRange`, the same
+  *      sampling-based partitioner a distributed ORDER BY uses), so every
+  *      row in physical partition i sorts strictly before partition i+1;
+  *   2. `row_number` within each partition — P parallel sorts of ~N/P rows;
+  *   3. per-partition row counts (exactly P numbers, the same driver-side
+  *      metadata `RDD.zipWithIndex` collects) become prefix offsets,
+  *      attached as a broadcast literal map;
+  *   4. global row_number = local row_number + offset(partition).
+  *
+  * Exact and deterministic when `sortCols` is a total order (callers pass a
+  * unique tiebreak column, same as any reproducible rank); every task holds
+  * ~1/P of the data regardless of N.
+  */
+object GlobalOrder {
+
+  /** Adds `rnCol` = exact global row_number (1-based, LongType) of each row
+    * under `sortCols`. The range shuffle is materialized once
+    * (localCheckpoint) so the offsets job and the downstream consumer see the
+    * same sampled partition boundaries and the input is not recomputed.
+    */
+  def withRowNumber(df: DataFrame, rnCol: String, sortCols: Column*): DataFrame = {
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(p, sortCols: _*)
+      .withColumn("__go_pid", spark_partition_id())
+      .localCheckpoint()
+    // P rows of (pid, count) — bounded by the partition count, not the data
+    val counts = ranged
+      .groupBy(col("__go_pid")).agg(count(lit(1)).as("__go_n"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .sortBy(_._1)
+    // prefix-sum offsets in pid order (absent pids are empty → contribute 0)
+    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))
+    val offExpr =
+      if (offsets.isEmpty) lit(0L)
+      else
+        coalesce(
+          element_at(
+            map(offsets.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*),
+            col("__go_pid")),
+          lit(0L))
+    val localW = Window.partitionBy(col("__go_pid")).orderBy(sortCols: _*)
+    ranged
+      .withColumn(rnCol, row_number().over(localW).cast("long") + offExpr)
+      .drop("__go_pid")
+  }
+}

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dictionary-encoded token-set similarity join.
@@ -30,7 +29,8 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): the dictionary is built with a two-level
   * frequency aggregation (partial-agg shuffle on token). Id assignment is
   * representation-specific: the bitmask path needs dense ids < 64 and the
-  * vocabulary fits one task by definition (a tiny window); the array path
+  * vocabulary fits the driver by definition (sorted collect + zipWithIndex,
+  * ≤63 rows — no single-partition window anywhere); the array path
   * only needs an INJECTIVE id, so it uses monotonically_increasing_id —
   * fully parallel, collision-free, no global sort, arbitrarily large
   * vocabularies. The encode join is a broadcast when the dictionary is
@@ -127,14 +127,20 @@ object TokenSets {
     val vocab = postings.select(col("token")).distinct().localCheckpoint()
     val vocabN = vocab.count()
     val dict =
-      if (vocabN <= 63)
-        // dense ids 0..62 for the bitmask — the vocabulary fits one task by
-        // definition, so the global window is a 63-row sort
-        vocab.select(
-          col("token"),
-          (row_number().over(Window.orderBy(col("token"))) - 1).as("tid")
-        )
-      else
+      if (vocabN <= 63) {
+        // dense ids 0..62 for the bitmask: ≤63 rows by definition, so the
+        // sorted vocabulary is collected and numbered on the driver (the
+        // zipWithIndex pattern) — no single-partition window, and the ids
+        // are identical to a row_number over ORDER BY token
+        val spark = vocab.sparkSession
+        val rows = vocab.orderBy(col("token")).collect().zipWithIndex
+          .map { case (r, i) => org.apache.spark.sql.Row(r.get(0), i) }
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1),
+          org.apache.spark.sql.types.StructType(vocab.schema.fields :+
+            org.apache.spark.sql.types.StructField(
+              "tid", org.apache.spark.sql.types.IntegerType, nullable = false)))
+      } else
         // array path needs only an injective id: fully parallel, no global
         // sort, works at any vocabulary size
         vocab.select(col("token"), monotonically_increasing_id().as("tid"))

@@ -251,15 +251,19 @@ object TextPack extends QueryPack {
     Q(
       "t8_zipf_rank",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val counts = Tables.documents(s, d)
           .select(explode(tokens(col("text"))).as("token"))
           .groupBy(col("token"))
           .agg(count(lit(1)).as("n"))
-        val rankW = Window.orderBy(col("n").desc, col("token"))
-        counts
-          .withColumn("rank", row_number().over(rankW))
-          .withColumn("top_n", max(col("n")).over(Window.partitionBy()))
+        // distributed global rank (range shuffle + per-partition offsets) —
+        // the vocabulary is data-sized at scale, so no single-task window;
+        // the rank's internal materialization also feeds the 1-row max, so
+        // the corpus is tokenized exactly once
+        val ranked = graft.ops.GlobalOrder.withRowNumber(
+          counts, "rank", col("n").desc, col("token"))
+        val top = ranked.agg(max(col("n")).as("top_n"))
+        ranked
+          .crossJoin(broadcast(top))
           .select(
             col("rank"),
             col("token"),
@@ -276,8 +280,8 @@ object TextPack extends QueryPack {
              |  CAST(n AS DOUBLE) / MAX(n) OVER () AS freq_ratio
              |FROM counts
              |ORDER BY rank""".stripMargin),
-      doc = "Zipf rank-frequency: global window rank + ratio to top term (single-reducer " +
-        "global window is fine — input is the aggregated vocabulary, not the corpus)"
+      doc = "Zipf rank-frequency: distributed global rank (GlobalOrder: range shuffle " +
+        "+ per-partition prefix offsets, no single-task window) + broadcast 1-row max"
     ),
     // ---------------------------------------------------------------- top terms
     Q(

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.GlobalOrder
+
+class GlobalOrderSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("distributed global row_number equals single-partition window row_number") {
+    val n = 10000
+    // non-trivial distribution: many ties on the primary key, unique tiebreak
+    val df = (1 to n).map(i => (i % 97, s"k$i", i)).toDF("grp", "key", "v")
+
+    val got = GlobalOrder
+      .withRowNumber(df, "rn", col("grp").desc, col("key"))
+      .select($"key", $"rn")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val want = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("grp").desc, col("key"))))
+      .select($"key", $"rn")
+      .collect().map(r => r.getString(0) -> r.getInt(1).toLong).toMap
+
+    assert(got == want)
+  }
+
+  test("row numbers are a 1..N permutation and the plan has no single-partition window") {
+    val df = (1 to 5000).map(i => (scala.util.hashing.MurmurHash3.stringHash(i.toString), i))
+      .toDF("h", "v")
+    val out = GlobalOrder.withRowNumber(df, "rn", col("h"), col("v"))
+    val rns = out.select($"rn").as[Long].collect().sorted
+    assert(rns.toSeq == (1L to 5000L))
+
+    // every Window node in the plan is partitioned (no global window)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("empty input yields empty output with the rn column") {
+    val df = Seq.empty[(Int, String)].toDF("a", "b")
+    val out = GlobalOrder.withRowNumber(df, "rn", col("a"))
+    assert(out.columns.contains("rn") && out.count() == 0)
+  }
+}
