@@ -62,4 +62,69 @@ object GlobalOrder {
       .withColumn(rnCol, row_number().over(localW).cast("long") + offExpr)
       .drop("__go_pid")
   }
+
+  /** Adds `rnCol` = exact per-group row_number (1-based, LongType) under
+    * `sortCols`, plus `cntCol` = the group's total row count — WITHOUT
+    * hash-partitioning on the group key.
+    *
+    * `Window.partitionBy(g)` caps parallelism at the number of distinct
+    * groups: a 3-value grouping column sorts the whole table in 3 tasks no
+    * matter how many executors exist. Here the range shuffle spans
+    * (groupCols ++ sortCols), so ONE group's rows spread over many
+    * contiguous partitions and every task sorts ~1/P of the data; the
+    * per-(group, partition) counts (≤ groups×P tiny rows) are collected,
+    * prefix-summed per group in partition order, and joined back as a
+    * broadcast offsets table. Exact and deterministic when sortCols totally
+    * orders rows within a group. This is the scalable form of per-group
+    * rank / ntile over low-cardinality massive groups.
+    */
+  def withGroupedRowNumber(
+      df: DataFrame,
+      rnCol: String,
+      cntCol: String,
+      groupCols: Seq[String],
+      sortCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val rangeCols = groupCols.map(col) ++ sortCols
+    val ranged = df
+      .repartitionByRange(p, rangeCols: _*)
+      .withColumn("__go_pid", spark_partition_id())
+      .localCheckpoint()
+    // ≤ groups×P rows of (pid, group..., count) — partition-count-bounded
+    val counts = ranged
+      .groupBy(col("__go_pid") +: groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__go_n"))
+      .collect()
+    // per-group prefix offsets in pid order + per-group totals (no ordering
+    // needed ACROSS groups — only pid order within each group key)
+    val byGroup = counts.groupBy(r => groupCols.indices.map(i => r.get(i + 1)).toIndexedSeq)
+    val offRows = byGroup.toSeq.flatMap { case (gvals, rs) =>
+      val sorted = rs.sortBy(_.getInt(0))
+      val total = sorted.map(_.getLong(groupCols.size + 1)).sum
+      sorted.map(_.getInt(0))
+        .zip(sorted.scanLeft(0L)(_ + _.getLong(groupCols.size + 1)))
+        .map { case (pid, off) =>
+          org.apache.spark.sql.Row.fromSeq(pid +: gvals ++: Seq(off, total))
+        }
+    }
+    val gFields = groupCols.map(n => ranged.schema(n))
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__go_pid", org.apache.spark.sql.types.IntegerType) +:
+        gFields ++:
+        Seq(
+          org.apache.spark.sql.types.StructField("__go_off", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(cntCol, org.apache.spark.sql.types.LongType)))
+    val offDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava),
+      offSchema)
+    val localW = Window
+      .partitionBy((col("__go_pid") +: groupCols.map(col)): _*)
+      .orderBy(sortCols: _*)
+    ranged
+      .join(broadcast(offDf), "__go_pid" +: groupCols, "left_outer")
+      .withColumn(rnCol, row_number().over(localW).cast("long") + coalesce(col("__go_off"), lit(0L)))
+      .drop("__go_pid", "__go_off")
+  }
 }

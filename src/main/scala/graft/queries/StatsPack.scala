@@ -416,12 +416,25 @@ object StatsPack extends QueryPack {
         // per-tile distribution profile — the windowed complement of x2's
         // exact percentiles. Tie order pinned by the unique line key so
         // tile boundaries are engine-reproducible.
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-        Tables.lineitem(s, d)
-          .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-          .withColumn("tile", ntile(4).over(w).cast("long"))
+        //
+        // NOT Window.partitionBy(l_returnflag): the grouping column has 3
+        // distinct values, so a grouped window sorts the whole table in 3
+        // tasks regardless of cluster size. GlobalOrder.withGroupedRowNumber
+        // range-spreads each group over many partitions (P-way parallel
+        // sort + broadcast prefix offsets) and NTILE(4) is then pure
+        // arithmetic on (rank, group count): with q = n DIV 4 and r = n % 4,
+        // the first r tiles hold q+1 rows — identical to the window ntile.
+        val ranked = graft.ops.GlobalOrder.withGroupedRowNumber(
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
+          "rn", "grp_n", Seq("l_returnflag"),
+          Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")))
+        ranked
+          .withColumn("tile", expr(
+            """CASE WHEN rn <= (grp_n % 4) * (grp_n DIV 4 + 1)
+              |     THEN (rn - 1) DIV (grp_n DIV 4 + 1) + 1
+              |     ELSE (grp_n % 4) + (rn - 1 - (grp_n % 4) * (grp_n DIV 4 + 1)) DIV (grp_n DIV 4) + 1
+              |END""".stripMargin))
           .groupBy(col("l_returnflag"), col("tile"))
           .agg(
             count(lit(1)).as("n"),
@@ -442,6 +455,7 @@ object StatsPack extends QueryPack {
              |GROUP BY l_returnflag, tile
              |ORDER BY l_returnflag, tile""".stripMargin),
       doc = "ntile equi-depth quartiles per group + distribution profile — " +
+        "distributed grouped rank (no 3-task grouped window) + arithmetic NTILE, " +
         "deterministic tie order via the unique line key"
     ),
     // ---------------------------------------------------------------- robust z

@@ -41,6 +41,47 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("grouped row_number + count equal the grouped-window formulation") {
+    val n = 20000
+    // 3 massive groups (the low-cardinality worst case for grouped windows)
+    val df = (1 to n).map(i => (s"g${i % 3}", i % 17, i)).toDF("g", "v", "id")
+
+    val got = GlobalOrder
+      .withGroupedRowNumber(df, "rn", "cnt", Seq("g"), Seq(col("v"), col("id")))
+      .select($"id", $"rn", $"cnt")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val want = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .select($"id", $"rn", $"cnt")
+      .collect().map(r => r.getInt(0) -> (r.getInt(1).toLong, r.getLong(2))).toMap
+
+    assert(got == want)
+  }
+
+  test("arithmetic NTILE from grouped rank matches the ntile window function") {
+    // sizes not divisible by 4 exercise the uneven-tile remainder rule
+    val df = (1 to 1003).map(i => (s"g${i % 5}", i)).toDF("g", "id")
+    val ranked = GlobalOrder.withGroupedRowNumber(df, "rn", "cnt", Seq("g"), Seq(col("id")))
+    val got = ranked
+      .withColumn("tile", expr(
+        """CASE WHEN rn <= (cnt % 4) * (cnt DIV 4 + 1)
+          |     THEN (rn - 1) DIV (cnt DIV 4 + 1) + 1
+          |     ELSE (cnt % 4) + (rn - 1 - (cnt % 4) * (cnt DIV 4 + 1)) DIV (cnt DIV 4) + 1
+          |END""".stripMargin))
+      .select($"id", $"tile")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g")).orderBy(col("id"))
+    val want = df.withColumn("tile", ntile(4).over(w))
+      .select($"id", $"tile")
+      .collect().map(r => r.getInt(0) -> r.getInt(1).toLong).toMap
+    assert(got == want)
+  }
+
   test("empty input yields empty output with the rn column") {
     val df = Seq.empty[(Int, String)].toDF("a", "b")
     val out = GlobalOrder.withRowNumber(df, "rn", col("a"))
