@@ -65,7 +65,27 @@ trait ArcGisClient extends Serializable {
 
   /** `updateFeatures` POST (S9, keyed on server `objectid`). */
   def updateFeatures(feats: Seq[EsriFeature]): Seq[Either[String, Long]]
+
+  /** Server-side statistics (`/query` with `outStatistics` +
+    * `groupByFieldsForStatistics`) — the aggregation endpoint behind the
+    * engine's DSv2 aggregate pushdown. One result row per group (one total
+    * row when `groupBy` is empty); each row maps group fields and
+    * `StatSpec.outName`s to values. ArcGIS semantics: `count` is the number
+    * of non-null values of the field (the OID field therefore counts rows);
+    * min/max/sum/avg skip nulls — identical to the Spark aggregates they
+    * replace.
+    */
+  def queryStatistics(
+      where: String,
+      groupBy: Seq[String],
+      stats: Seq[StatSpec]
+  ): Seq[Map[String, Any]]
 }
+
+/** One `outStatistics` entry: `statisticType` ∈
+  * count|min|max|sum|avg, applied to `onField`, surfaced as `outName`.
+  */
+case class StatSpec(statisticType: String, onField: String, outName: String)
 
 /** Executor-side client lookup. DSv2 instantiates sources reflectively from
   * an options map, so tests and deployments register a client under a key
@@ -93,6 +113,7 @@ class MockArcGisClient(
   val whereLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
   val outFieldsLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
   val pageLog = new java.util.concurrent.CopyOnWriteArrayList[(Long, Int)]()
+  val statsLog = new java.util.concurrent.CopyOnWriteArrayList[(String, Seq[String], Seq[StatSpec])]()
   val added = new java.util.concurrent.CopyOnWriteArrayList[EsriFeature]()
   val updated = new java.util.concurrent.CopyOnWriteArrayList[EsriFeature]()
 
@@ -199,5 +220,42 @@ class MockArcGisClient(
       case Some(oid: Number) => Right(oid.longValue())
       case _ => Left("missing objectid")
     })
+  }
+
+  override def queryStatistics(
+      where: String,
+      groupBy: Seq[String],
+      stats: Seq[StatSpec]
+  ): Seq[Map[String, Any]] = {
+    statsLog.add((where, groupBy, stats))
+    val matched = rows.filter(matches(_, where))
+    def nonNull(g: Seq[EsriFeature], field: String): Seq[Any] =
+      g.flatMap(_.attributes.get(field)).filter(_ != null)
+    def stat(g: Seq[EsriFeature], s: StatSpec): Any = {
+      val vs = nonNull(g, s.onField)
+      s.statisticType match {
+        case "count" => vs.size.toLong
+        case "min" | "max" =>
+          if (vs.isEmpty) null
+          else vs.reduce { (a, b) =>
+            val less = (a, b) match {
+              case (x: Number, y: Number) => x.doubleValue() < y.doubleValue()
+              case (x, y) => x.toString < y.toString
+            }
+            if (less == (s.statisticType == "min")) a else b
+          }
+        case "sum" =>
+          if (vs.isEmpty) null else vs.collect { case n: Number => n.doubleValue() }.sum
+        case "avg" =>
+          val ns = vs.collect { case n: Number => n.doubleValue() }
+          if (ns.isEmpty) null else ns.sum / ns.size
+      }
+    }
+    val groups =
+      if (groupBy.isEmpty) Seq(Seq.empty[Any] -> matched)
+      else matched.groupBy(f => groupBy.map(c => f.attributes.getOrElse(c, null))).toSeq
+    groups.map { case (gvals, g) =>
+      groupBy.zip(gvals).toMap ++ stats.map(s => s.outName -> stat(g, s)).toMap
+    }
   }
 }

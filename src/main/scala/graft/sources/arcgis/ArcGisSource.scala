@@ -121,13 +121,117 @@ class ArcGisTable(schema: StructType, options: CaseInsensitiveStringMap)
     new ArcGisScanBuilder(schema, opts)
 }
 
+/** Catalyst V2 [[Aggregation]] → ArcGIS `outStatistics` (+
+  * `groupByFieldsForStatistics`). The remote statistics endpoint computes
+  * count/min/max/sum/avg server-side — at scale the scan then ships one row
+  * per group instead of the whole layer (the reference always dumps every
+  * feature and has no aggregation at all). Returns None when any piece is
+  * outside the remote dialect (distinct aggregates, expressions over
+  * columns, synthetic geometry fields, date fields whose remote
+  * representation — epoch millis — differs from the engine's string
+  * surface); those aggregations stay engine-side.
+  */
+object ArcGisAggCompiler {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference}
+
+  case class PushedAgg(groupBy: Seq[String], stats: Seq[StatSpec], readSchema: StructType)
+
+  private def fieldName(e: V2Expr): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  def compile(
+      agg: Aggregation,
+      schema: StructType,
+      layerFields: Seq[ArcGisField]
+  ): Option[PushedAgg] = {
+    val esriType = layerFields.map(f => f.name -> f.esriType).toMap
+    def attrField(n: String): Boolean =
+      n != "geom_x" && n != "geom_y" && schema.fieldNames.contains(n)
+    // dates surface engine-side as strings but aggregate remotely as epoch
+    // millis — keep their min/max/sum/avg engine-side for fidelity
+    def statField(n: String): Boolean =
+      attrField(n) && !esriType.get(n).contains("esriFieldTypeDate")
+    def numeric(n: String): Boolean = schema(n).dataType match {
+      case LongType | IntegerType | DoubleType | FloatType => true
+      case _ => false
+    }
+    def sumType(n: String): DataType = schema(n).dataType match {
+      case LongType | IntegerType => LongType
+      case _ => DoubleType
+    }
+    val oid = layerFields.find(_.esriType == "esriFieldTypeOID").map(_.name)
+
+    val gb = agg.groupByExpressions().toSeq.map(fieldName)
+    if (!gb.forall(_.exists(attrField))) return None
+    val groupBy = gb.flatten
+
+    val stats = agg.aggregateExpressions().toSeq.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        // count of the never-null OID field == row count
+        oid.map(o => (StatSpec("count", o, s"stat_$i"), LongType: DataType))
+      case (c: Count, i) if !c.isDistinct =>
+        fieldName(c.column).filter(attrField)
+          .map(f => (StatSpec("count", f, s"stat_$i"), LongType: DataType))
+      case (m: Min, i) =>
+        fieldName(m.column).filter(statField)
+          .map(f => (StatSpec("min", f, s"stat_$i"), schema(f).dataType))
+      case (m: Max, i) =>
+        fieldName(m.column).filter(statField)
+          .map(f => (StatSpec("max", f, s"stat_$i"), schema(f).dataType))
+      case (s: Sum, i) if !s.isDistinct =>
+        fieldName(s.column).filter(f => statField(f) && numeric(f))
+          .map(f => (StatSpec("sum", f, s"stat_$i"), sumType(f)))
+      case (a: Avg, i) if !a.isDistinct =>
+        fieldName(a.column).filter(f => statField(f) && numeric(f))
+          .map(f => (StatSpec("avg", f, s"stat_$i"), DoubleType: DataType))
+      case _ => None
+    }
+    if (stats.exists(_.isEmpty) || stats.isEmpty) return None
+
+    // contract with V2ScanRelationPushDown: readSchema = group cols (in
+    // group-by order, source types), then one field per aggregate (Spark's
+    // aggregate result types: count→long, sum(integral)→long, avg→double)
+    val fields = groupBy.map(n => StructField(n, schema(n).dataType)) ++
+      stats.flatten.map { case (s, dt) => StructField(s.outName, dt) }
+    Some(PushedAgg(groupBy, stats.flatten.map(_._1), StructType(fields)))
+  }
+}
+
 class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
   private var limit: Option[Int] = None
+  private var pushedAgg: Option[ArcGisAggCompiler.PushedAgg] = None
+
+  private def translatable(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) = {
+    // the topFeatures strategy is already a different remote computation —
+    // don't stack server-side statistics on top of it
+    val strategy = Option(options.get("strategy")).getOrElse("query")
+    if (!strategy.equalsIgnoreCase("query")) None
+    else ArcGisAggCompiler.compile(
+      agg, schema, ArcGisClientRegistry.get(options.get("client")).layerInfo().fields)
+  }
+
+  /** Results from `outStatistics` are final per group, so the pushdown is
+    * complete: Spark plans no re-aggregation. (A partial push of the same
+    * stats would also merge correctly — min of one min, sum of one count —
+    * but complete keeps the plan minimal.)
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    translatable(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    pushedAgg = translatable(agg)
+    pushedAgg.isDefined
+  }
 
   /** LIMIT → the pagination planner stops issuing pages past the limit
     * (`resultRecordCount` caps the last page). Spark still applies the
@@ -158,7 +262,10 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
       case Seq() => "1=1"
       case cs => cs.mkString("(", ") AND (", ")")
     }
-    new ArcGisScan(required, options, where, limit)
+    pushedAgg match {
+      case Some(pa) => new ArcGisScan(pa.readSchema, options, where, None, Some(pa))
+      case None => new ArcGisScan(required, options, where, limit)
+    }
   }
 }
 
@@ -171,11 +278,21 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   */
 case class ArcGisInputPartition(offset: Long, count: Int, where: String) extends InputPartition
 
+/** One remote `outStatistics` call: the whole (pushed-down) aggregation is a
+  * single group-count-sized result set, so one partition fetches it.
+  */
+case class ArcGisStatsPartition(
+    where: String,
+    groupBy: Seq[String],
+    stats: Seq[StatSpec]
+) extends InputPartition
+
 class ArcGisScan(
     schema: StructType,
     options: CaseInsensitiveStringMap,
     where: String,
-    limit: Option[Int] = None
+    limit: Option[Int] = None,
+    aggregation: Option[ArcGisAggCompiler.PushedAgg] = None
 ) extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -206,7 +323,11 @@ class ArcGisScan(
   }
   override def description(): String =
     s"ArcGisScan(where=$where, outFields=${schema.fieldNames.mkString(",")}" +
-      limit.map(l => s", pushedLimit=$l").getOrElse("") + ")"
+      limit.map(l => s", pushedLimit=$l").getOrElse("") +
+      aggregation.map(a =>
+        s", pushedAggregates=[${a.stats.map(s => s"${s.statisticType}(${s.onField})").mkString(",")}]" +
+          (if (a.groupBy.nonEmpty) s", pushedGroupBy=[${a.groupBy.mkString(",")}]" else "")
+      ).getOrElse("") + ")"
 
   /** Runtime (DPP-style) filters: join-key values discovered at execution
     * time — e.g. the broadcast side of a selective dim join — compile into
@@ -234,7 +355,10 @@ class ArcGisScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val clientKey = options.get("client")
     val strategy = Option(options.get("strategy")).getOrElse("query")
-    if (strategy.equalsIgnoreCase("queryTopFeatures")) {
+    if (aggregation.isDefined) {
+      val pa = aggregation.get
+      Array(ArcGisStatsPartition(effectiveWhere, pa.groupBy, pa.stats))
+    } else if (strategy.equalsIgnoreCase("queryTopFeatures")) {
       // S2: the topFeatures endpoint is one remote group-top-k call.
       Array(ArcGisInputPartition(-1, -1, effectiveWhere))
     } else {
@@ -261,10 +385,51 @@ class ArcGisReaderFactory(
     schema: StructType,
     options: Map[String, String]
 ) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ArcGisInputPartition]
-    new ArcGisPartitionReader(schema, options, p.where, p)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case p: ArcGisStatsPartition => new ArcGisStatsReader(schema, options, p)
+    case p: ArcGisInputPartition => new ArcGisPartitionReader(schema, options, p.where, p)
   }
+}
+
+/** Shared attribute-value → Catalyst coercion for rows materialized from the
+  * REST surface (feature attributes and statistics results alike).
+  */
+private[arcgis] object ArcGisValues {
+  def coerce(dataType: DataType, v: Any): Any = (dataType, v) match {
+    case (_, null) => null
+    case (StringType, s) => UTF8String.fromString(s.toString)
+    case (LongType, n: Number) => Long.box(n.longValue())
+    case (IntegerType, n: Number) => Int.box(n.intValue())
+    case (DoubleType, n: Number) => Double.box(n.doubleValue())
+    case (FloatType, n: Number) => Float.box(n.floatValue())
+    case _ => null
+  }
+}
+
+/** Executor-side fetch of the single pushed-aggregation result set. */
+class ArcGisStatsReader(
+    schema: StructType,
+    options: Map[String, String],
+    partition: ArcGisStatsPartition
+) extends PartitionReader[InternalRow] {
+
+  private lazy val rows: Iterator[Map[String, Any]] =
+    ArcGisClientRegistry.get(options("client"))
+      .queryStatistics(partition.where, partition.groupBy, partition.stats)
+      .iterator
+
+  private var current: Map[String, Any] = _
+
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+
+  override def get(): InternalRow = {
+    val values = schema.fields.map(f =>
+      ArcGisValues.coerce(f.dataType, current.getOrElse(f.name, null)))
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Executor-side page fetch + row materialization. The HTTP round-trip
@@ -306,16 +471,8 @@ class ArcGisPartitionReader(
         case "geom_x" => current.geometry.map(_._1).map(Double.box).orNull
         case "geom_y" => current.geometry.map(_._2).map(Double.box).orNull
         case n =>
-          current.attributes.get(n).map { v =>
-            (f.dataType, v) match {
-              case (StringType, s) => UTF8String.fromString(s.toString)
-              case (LongType, n: Number) => Long.box(n.longValue())
-              case (IntegerType, n: Number) => Int.box(n.intValue())
-              case (DoubleType, n: Number) => Double.box(n.doubleValue())
-              case (FloatType, n: Number) => Float.box(n.floatValue())
-              case _ => null
-            }
-          }.orNull
+          current.attributes.get(n)
+            .map(v => ArcGisValues.coerce(f.dataType, v)).orNull
       }
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])

@@ -174,6 +174,24 @@ class HttpArcGisClient(
       post("/updateFeatures", Seq("features" -> MiniJson.featuresJson(feats))),
       "updateResults"
     )
+
+  override def queryStatistics(
+      where: String, groupBy: Seq[String], stats: Seq[StatSpec]
+  ): Seq[Map[String, Any]] = {
+    val outStats = stats.map { s =>
+      s"""{"statisticType":"${s.statisticType}","onStatisticField":"${s.onField}",""" +
+        s""""outStatisticFieldName":"${s.outName}"}"""
+    }.mkString("[", ",", "]")
+    val params = Seq(
+      "where" -> where,
+      "outStatistics" -> outStats,
+      "returnGeometry" -> "false"
+    ) ++ (if (groupBy.nonEmpty) Seq("groupByFieldsForStatistics" -> groupBy.mkString(",")) else Seq.empty)
+    MiniJson.parse(get("/query", params)).arr("features").map { f =>
+      f.obj("attributes").map(_.fields).getOrElse(Map.empty)
+        .collect { case (k, v: Any) => k -> v }
+    }
+  }
 }
 
 /** Minimal JSON reader/writer for the ArcGIS REST envelope — enough for

@@ -185,4 +185,67 @@ class ArcGisSourceSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("pushedLimit=7"), plan)
   }
+
+  test("aggregate pushdown: grouped count/min/max/sum/avg run remotely, zero pages fetched") {
+    val client = mkClient(30)
+    ArcGisClientRegistry.register("agg30", client)
+    val df = spark.read.format("arcgis").option("client", "agg30").load()
+      .groupBy("status")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("score")).as("mn"),
+        max(col("score")).as("mx"),
+        sum(col("score")).as("sm"),
+        avg(col("score")).as("av"))
+    val got = df.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val scores = (0 until 30).groupBy(i => if (i % 3 == 0) "active" else "idle")
+      .view.mapValues(_.map(_ * 1.5)).toMap
+    scores.foreach { case (k, vs) =>
+      val (n, mn, mx, sm, av) = got(k)
+      assert(n == vs.size && mn == vs.min && mx == vs.max)
+      assert(math.abs(sm - vs.sum) < 1e-9 && math.abs(av - vs.sum / vs.size) < 1e-9)
+    }
+    // the aggregation ran server-side: a statistics call, NO page fetches
+    assert(client.statsLog.size() == 1 && client.pageLog.isEmpty,
+      s"stats=${client.statsLog.size()} pages=${client.pageLog.size()}")
+    val (_, gb, stats) = client.statsLog.get(0)
+    assert(gb == Seq("status"))
+    assert(stats.map(_.statisticType) == Seq("count", "min", "max", "sum", "avg"))
+    // CountStar counts via the never-null OID field
+    assert(stats.head.onField == "objectid")
+    // and the plan records the push
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAggregates="), plan)
+    assert(plan.contains("pushedGroupBy=[status]"), plan)
+  }
+
+  test("aggregate pushdown: ungrouped global aggregate with pushed filter") {
+    val client = mkClient(30)
+    ArcGisClientRegistry.register("aggGlobal", client)
+    val df = spark.read.format("arcgis").option("client", "aggGlobal").load()
+      .filter(col("status") === "active")
+      .agg(count(lit(1)).as("n"), sum(col("score")).as("sm"))
+    val r = df.head()
+    val vs = (0 until 30).filter(_ % 3 == 0).map(_ * 1.5)
+    assert(r.getLong(0) == vs.size && math.abs(r.getDouble(1) - vs.sum) < 1e-9)
+    assert(client.pageLog.isEmpty)
+    val (w, gb, _) = client.statsLog.get(client.statsLog.size() - 1)
+    assert(gb.isEmpty && w.contains("status = 'active'"))
+  }
+
+  test("aggregate pushdown declines date fields and distinct; scan falls back to pages") {
+    val client = mkClient(12)
+    ArcGisClientRegistry.register("aggDecline", client)
+    val base = spark.read.format("arcgis").option("client", "aggDecline").load()
+    // min over a date-typed layer field: remote epoch-millis vs engine
+    // string surface → engine-side aggregation over a normal page scan
+    val r1 = base.groupBy("status").agg(min(col("created"))).collect()
+    assert(r1.nonEmpty && client.pageLog.size() > 0)
+    client.pageLog.clear(); client.statsLog.clear()
+    // count(distinct) is outside the remote dialect
+    val r2 = base.agg(countDistinct(col("status"))).head()
+    assert(r2.getLong(0) == 2 && client.statsLog.isEmpty && client.pageLog.size() > 0)
+  }
 }

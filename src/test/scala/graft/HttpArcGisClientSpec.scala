@@ -73,6 +73,18 @@ class HttpArcGisClientSpec extends AnyFunSuite {
               |"maxRecordCount":10}""".stripMargin.replace("\n", ""))
         case "/layer/query" if p.get("returnCountOnly").contains("true") =>
           reply(ex, s"""{"count":${matching.size}}""")
+        case "/layer/query" if p.contains("outStatistics") =>
+          // minimal outStatistics evaluator: count(objectid) + sum(score),
+          // optionally grouped by status — enough to prove the wire format
+          val grouped =
+            if (p.get("groupByFieldsForStatistics").contains("status"))
+              matching.groupBy(_.status).toSeq
+            else Seq("" -> matching)
+          val feats = grouped.map { case (st, fs) =>
+            val gb = if (st.nonEmpty) s""""status":"$st",""" else ""
+            s"""{"attributes":{$gb"stat_0":${fs.size},"stat_1":${fs.map(_.id * 1.5).sum}}}"""
+          }
+          reply(ex, feats.mkString("""{"features":[""", ",", "]}"))
         case "/layer/query" =>
           val off = p.getOrElse("resultOffset", "0").toInt
           val cnt = p.getOrElse("resultRecordCount", "1000").toInt
@@ -110,6 +122,16 @@ class HttpArcGisClientSpec extends AnyFunSuite {
       // auth token and referer attached to every request
       assert(seenTokens.toArray.forall(_ == "tok-42") && !seenTokens.isEmpty)
       assert(seenReferers.toArray.forall(_ == "graft-test") && !seenReferers.isEmpty)
+
+      // aggregate pushdown travels the wire as outStatistics +
+      // groupByFieldsForStatistics and returns one row per group
+      val agg = spark.read.format("arcgis").option("client", "http-it").load()
+        .groupBy("status").agg(count(lit(1)).as("n"), sum(col("score")).as("sm"))
+      val byStatus = agg.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val activeScores = (0 until N).filter(_ % 3 == 0).map(_ * 1.5)
+      val idleScores = (0 until N).filterNot(_ % 3 == 0).map(_ * 1.5)
+      assert(byStatus("active") == ((activeScores.size.toLong, activeScores.sum)))
+      assert(byStatus("idle") == ((idleScores.size.toLong, idleScores.sum)))
 
       // S8/S9: write endpoints parse per-result success/error envelopes
       val feats = Seq(EsriFeature(Map("cotuid" -> "u-1", "callsign" -> "A"), Some((1.0, 2.0))))
