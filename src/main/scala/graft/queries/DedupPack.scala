@@ -654,6 +654,61 @@ object DedupPack extends QueryPack {
              |ORDER BY a_id, b_id""".stripMargin),
       doc = "asymmetric shingle containment |A∩B|/|A| (directed near-dup): catches " +
         "documents embedded inside larger ones that symmetric Jaccard misses"
+    ),
+    // ---------------------------------------------------------------- bloom
+    Q(
+      "d17_bloom_decontaminate",
+      (s, d) => {
+        // decontamination via BLOOM pre-filter + exact verify join — the
+        // shape for when the eval corpus is too big to broadcast as rows
+        // but its bloom filter (a few bits per element) fits on every
+        // executor. The bloom probe drops almost every clean train shingle
+        // NEXT TO THE SCAN (no shuffle, no join); only probable hits reach
+        // the exact join, which removes the false positives — so the result
+        // is bit-identical to the unfiltered join and the oracle needs no
+        // bloom at all. Built with the public DataFrameStatFunctions
+        // .bloomFilter aggregate (deterministic: seedless bitwise-OR build).
+        val sh = graft.functions.TextExpressions.shingles(col("text"), 3)
+        val postings = Tables.documents(s, d)
+          .filter(size(tokens(col("text"))) >= 3)
+          .select(col("doc_id"), explode(sh).as("shingle"))
+        val ev = postings.filter(col("doc_id") % 31 === 1)
+          .select(col("shingle")).distinct()
+        val nEval = ev.count()
+        val bf = ev.stat.bloomFilter("shingle", nEval.max(1L), 0.03)
+        val mightContain = udf((x: String) => x != null && bf.mightContain(x))
+        val tr = postings.filter(col("doc_id") % 31 =!= 1)
+        val totals = tr.groupBy(col("doc_id"))
+          .agg(countDistinct(col("shingle")).as("n_shingles"))
+        tr.filter(mightContain(col("shingle")))            // bloom: scan-side prune
+          .join(broadcast(ev), Seq("shingle"))             // exact: kills false positives
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("shingle")).as("n_shared"))
+          .join(totals, Seq("doc_id"))
+          .select(
+            col("doc_id"), col("n_shared"), col("n_shingles"),
+            quant(col("n_shared").cast("double") / col("n_shingles"), 1e6)
+              .as("contamination_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |  WHERE len(toks) >= 3),
+             |s AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+             |ev AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 31 = 1),
+             |tr AS (SELECT doc_id, shingle FROM s WHERE doc_id % 31 <> 1),
+             |tot AS (SELECT doc_id, COUNT(DISTINCT shingle) AS n_shingles FROM tr GROUP BY doc_id),
+             |hit AS (SELECT tr.doc_id, COUNT(DISTINCT tr.shingle) AS n_shared
+             |        FROM tr JOIN ev ON tr.shingle = ev.shingle GROUP BY tr.doc_id)
+             |SELECT hit.doc_id, n_shared, n_shingles,
+             |  floor(CAST(n_shared AS DOUBLE) / n_shingles * 1000000) / 1000000 AS contamination_frac
+             |FROM hit JOIN tot ON hit.doc_id = tot.doc_id
+             |ORDER BY hit.doc_id""".stripMargin),
+      doc = "bloom-prefiltered decontamination: eval-shingle bloom filter probes " +
+        "train postings scan-side (no shuffle), exact join verifies — result " +
+        "identical to the unfiltered join, at a fraction of the joined volume"
     )
   )
 }
