@@ -462,6 +462,48 @@ object EventsPack extends QueryPack {
              |ORDER BY user_id""".stripMargin),
       doc = "interval-union coverage (merge overlapping activity intervals, total " +
         "covered time per user) — gaps-and-islands over a running max of ends"
+    ),
+    // ---------------------------------------------------------------- markov
+    Q(
+      "e15_markov_transitions",
+      (s, d) => {
+        // first-order Markov transition matrix over per-user event streams:
+        // P(next_type | prev_type) estimated from ordered (prev, next)
+        // bigrams. The lag window partitions by user_id (cardinality grows
+        // with the data — parallelism scales, unlike a global window); the
+        // transition-count aggregate collapses to |types|² rows, so the
+        // per-prev totals join back as a broadcast. Probability is one IEEE
+        // division of two exact BIGINTs — deterministic across engines.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val bi = Tables.events(s, d)
+          .select(
+            col("user_id"),
+            lag(col("event_type"), 1).over(w).as("prev_type"),
+            col("event_type").as("next_type"))
+          .filter(col("prev_type").isNotNull)
+        val counts = bi.groupBy(col("prev_type"), col("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val totals = counts.groupBy(col("prev_type")).agg(sum(col("n")).as("n_prev"))
+        counts
+          .join(broadcast(totals), Seq("prev_type"))
+          .select(
+            col("prev_type"), col("next_type"), col("n"),
+            (col("n").cast("double") / col("n_prev")).as("p"))
+          .orderBy(col("prev_type"), col("next_type"))
+      },
+      Some("""WITH bi AS (
+             |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             |    event_type AS next_type
+             |  FROM events),
+             |c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM bi
+             |      WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+             |t AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_prev FROM c GROUP BY prev_type)
+             |SELECT prev_type, next_type, n, CAST(n AS DOUBLE) / n_prev AS p
+             |FROM c JOIN t USING (prev_type)
+             |ORDER BY prev_type, next_type""".stripMargin),
+      doc = "first-order Markov transition matrix P(next|prev) over per-user event " +
+        "streams — scaling lag window (per-user partitions) + broadcast row totals"
     )
   )
 }

@@ -506,14 +506,20 @@ object TextPack extends QueryPack {
         val w = feat.join(df_, Seq("shingle"))
           .crossJoin(broadcast(nDocs))
           .select(
-            col("doc_id"), col("source"), col("shingle"),
+            col("doc_id"), col("source"), col("shingle"), col("df"),
             floor(log(col("n_docs").cast("double") / col("df")) * 1e4).cast("long").as("wq")
           )
         val norm2 = w.groupBy(col("doc_id")).agg(sum(col("wq") * col("wq")).as("n2"))
         val postings = w.join(norm2, Seq("doc_id"))
-        val pa = postings.select(col("doc_id").as("a_id"), col("source"), col("shingle"),
+        // norms use EVERY posting, but the pair join can't match a shingle
+        // that occurs in only one document: df >= 2 prunes those postings
+        // from both join inputs for free (df already rides along) without
+        // changing any pair's dot product. Singleton shingles dominate a
+        // natural corpus, so this is most of the join volume.
+        val joinable = postings.filter(col("df") >= 2)
+        val pa = joinable.select(col("doc_id").as("a_id"), col("source"), col("shingle"),
           col("wq").as("a_w"), col("n2").as("a_n2"))
-        val pb = postings.select(col("doc_id").as("b_id"), col("source"), col("shingle"),
+        val pb = joinable.select(col("doc_id").as("b_id"), col("source"), col("shingle"),
           col("wq").as("b_w"), col("n2").as("b_n2"))
         pa.join(pb, Seq("source", "shingle"))
           .filter(col("a_id") < col("b_id"))
@@ -554,6 +560,94 @@ object TextPack extends QueryPack {
       doc = "sparse idf-weighted cosine over trigram-shingle features through the " +
         "inverted index: integer-grid weights make norms and dot products exact " +
         "integer sums; cold shingle postings mean only near-dup pairs materialize"
+    ),
+    // ---------------------------------------------------------------- KL divergence
+    Q(
+      "t15_kl_divergence",
+      (s, d) => {
+        // domain-shift measurement: KL(P_lang ‖ P_corpus) of each language's
+        // unigram distribution against the whole corpus — the statistic
+        // behind data-mixture rebalancing (which slices diverge from the
+        // blend). One explode pass; the corpus marginals DERIVE from the
+        // per-(lang, token) aggregate (vocab-sized, never re-reads the
+        // corpus), the 5-row language totals broadcast. Each KL term is
+        // floor-quantized to an integer grid before the order-dependent sum
+        // (same parity discipline as t11). P_lang ≪ P_corpus by
+        // construction (corpus ⊇ language), so no zero-q terms exist.
+        val tok = Tables.documents(s, d)
+          .select(col("lang"), explode(tokens(col("text"))).as("token"))
+        val lc = tok.groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n_lt"))
+        val ct = lc.groupBy(col("token")).agg(sum(col("n_lt")).as("n_t"))
+        val lt = lc.groupBy(col("lang")).agg(sum(col("n_lt")).as("n_l"))
+        val nn = ct.agg(sum(col("n_t")).as("n_total"))
+        val p = col("n_lt").cast("double") / col("n_l")
+        val q = col("n_t").cast("double") / col("n_total")
+        lc.join(ct, Seq("token"))
+          .join(broadcast(lt), Seq("lang"))
+          .crossJoin(broadcast(nn))
+          .select(col("lang"), col("n_l"),
+            floor(p * log(p / q) * 1e9).cast("long").as("term"))
+          .groupBy(col("lang"))
+          .agg(max(col("n_l")).as("n_tokens"), sum(col("term")).as("klq"))
+          .select(col("lang"), col("n_tokens"),
+            (col("klq").cast("double") / 1e9).as("kl"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+             |lc AS (SELECT lang, token, COUNT(*) AS n_lt FROM tok GROUP BY lang, token),
+             |ct AS (SELECT token, CAST(SUM(n_lt) AS BIGINT) AS n_t FROM lc GROUP BY token),
+             |lt AS (SELECT lang, CAST(SUM(n_lt) AS BIGINT) AS n_l FROM lc GROUP BY lang),
+             |n AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM ct)
+             |SELECT lang, MAX(n_l) AS n_tokens,
+             |  CAST(SUM(CAST(floor((CAST(n_lt AS DOUBLE) / n_l) *
+             |    ln((CAST(n_lt AS DOUBLE) / n_l) / (CAST(n_t AS DOUBLE) / n_total)) *
+             |    1000000000) AS BIGINT)) AS DOUBLE) / 1000000000 AS kl
+             |FROM lc JOIN ct USING (token) JOIN lt USING (lang) CROSS JOIN n
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin),
+      doc = "KL(P_lang ‖ P_corpus) unigram domain-shift per language — corpus " +
+        "marginals derived from the per-slice aggregate, integer-grid KL terms"
+    ),
+    // ---------------------------------------------------------------- entropy
+    Q(
+      "t16_token_entropy",
+      (s, d) => {
+        // per-document Shannon entropy of the token distribution — the
+        // information-theoretic repetition filter (low entropy = boilerplate
+        // / keyword-stuffed spam; complements p9's ratio-based repetition
+        // stats). Per-doc term counts shuffle once on doc_id; the doc-length
+        // marginal derives from the same aggregate and joins back on the
+        // SAME key, so the exchange is reused. Terms quantize to the integer
+        // grid before the per-doc sum (order-free, oracle-exact).
+        val tc = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("n"))
+        val dl = tc.groupBy(col("doc_id")).agg(sum(col("n")).as("len"))
+        val pr = col("n").cast("double") / col("len")
+        tc.join(dl, Seq("doc_id"))
+          .select(col("doc_id"), col("len"),
+            floor(-pr * log(pr) * 1e9).cast("long").as("term"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("len")).as("n_tokens"), sum(col("term")).as("hq"))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("hq").cast("double") / 1e9).as("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tc AS (
+             |  SELECT doc_id, token, COUNT(*) AS n FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY doc_id, token),
+             |dl AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS len FROM tc GROUP BY doc_id)
+             |SELECT doc_id, MAX(len) AS n_tokens,
+             |  CAST(SUM(CAST(floor(-(CAST(n AS DOUBLE) / len) *
+             |    ln(CAST(n AS DOUBLE) / len) * 1000000000) AS BIGINT)) AS DOUBLE)
+             |    / 1000000000 AS entropy
+             |FROM tc JOIN dl USING (doc_id)
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin),
+      doc = "per-document Shannon entropy of the token distribution (low-entropy " +
+        "boilerplate filter) — doc-keyed exchange reused between counts and marginal"
     )
   )
 }
