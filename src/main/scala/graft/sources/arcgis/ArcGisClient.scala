@@ -11,7 +11,13 @@ case class ArcGisField(name: String, esriType: String)
 case class LayerInfo(
     fields: Seq[ArcGisField],
     maxRecordCount: Int,
-    totalCount: Long
+    totalCount: Long,
+    /** `advancedQueryCapabilities.supportsPagination` from the layer
+      * metadata: whether `/query` honors `resultOffset`. Servers without it
+      * force the OBJECTID-range scan (reference [lib] esri-dump falls back
+      * the same way).
+      */
+    supportsPagination: Boolean = true
 )
 
 /** A feature as the ArcGIS REST API represents it: flat attribute map plus
@@ -107,7 +113,8 @@ object ArcGisClientRegistry {
 class MockArcGisClient(
     val fields: Seq[ArcGisField],
     val rows: Seq[EsriFeature],
-    val pageSize: Int = 100
+    val pageSize: Int = 100,
+    val supportsPagination: Boolean = true
 ) extends ArcGisClient {
 
   val whereLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
@@ -117,7 +124,8 @@ class MockArcGisClient(
   val added = new java.util.concurrent.CopyOnWriteArrayList[EsriFeature]()
   val updated = new java.util.concurrent.CopyOnWriteArrayList[EsriFeature]()
 
-  override def layerInfo(): LayerInfo = LayerInfo(fields, pageSize, rows.size.toLong)
+  override def layerInfo(): LayerInfo =
+    LayerInfo(fields, pageSize, rows.size.toLong, supportsPagination)
 
   /** Server-side predicate evaluation for a tiny SQL subset (the mock plays
     * the ArcGIS server role: equality/comparison on one column, AND-joined).
@@ -138,6 +146,7 @@ class MockArcGisClient(
 
     where.split("(?i)\\)\\s*AND\\s*\\(|(?i)\\sAND\\s").forall { raw =>
       deparen(raw) match {
+        case "1=1" => true
         case cmp(col, op, v) =>
           f.attributes.get(col) match {
             case Some(x: String) =>
@@ -186,7 +195,10 @@ class MockArcGisClient(
     whereLog.add(where)
     outFieldsLog.add(outFields.mkString(","))
     pageLog.add((offset, count))
-    rows.filter(matches(_, where)).slice(offset.toInt, offset.toInt + count)
+    // count < 0 = no resultRecordCount sent: the server caps the response at
+    // its maxRecordCount (which this mock plays via pageSize)
+    val cap = if (count < 0) pageSize else count
+    rows.filter(matches(_, where)).slice(offset.toInt, offset.toInt + cap)
       .map(project(_, outFields))
   }
 

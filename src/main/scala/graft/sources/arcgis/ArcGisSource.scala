@@ -278,6 +278,23 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   */
 case class ArcGisInputPartition(offset: Long, count: Int, where: String) extends InputPartition
 
+/** One OBJECTID interval `[lo, hi)` of the layer — the scan mode for servers
+  * whose `/query` lacks `resultOffset` support (reference [lib] esri-dump
+  * falls back to OID-range windows the same way), and the better deep-scan
+  * strategy in general: every range is an independent, stateless request
+  * (a deep `resultOffset` makes the server re-sort the whole layer per page),
+  * so 1000 executors can each own a slice with no server-side coupling.
+  * Ranges that return a full page can't prove completeness and are halved
+  * recursively inside the reader (the esri-dump ITER approach).
+  */
+case class ArcGisOidRangePartition(
+    lo: Long,
+    hi: Long,
+    oidField: String,
+    where: String,
+    page: Int
+) extends InputPartition
+
 /** One remote `outStatistics` call: the whole (pushed-down) aggregation is a
   * single group-count-sized result set, so one partition fetches it.
   */
@@ -362,18 +379,58 @@ class ArcGisScan(
       // S2: the topFeatures endpoint is one remote group-top-k call.
       Array(ArcGisInputPartition(-1, -1, effectiveWhere))
     } else {
-      val info = ArcGisClientRegistry.get(clientKey).layerInfo()
+      val client = ArcGisClientRegistry.get(clientKey)
+      val info = client.layerInfo()
       val page = Option(options.get("pageSize")).map(_.toInt)
         .getOrElse(info.maxRecordCount.max(1))
-      // pushed LIMIT caps the total row budget: pages past it are never
-      // requested, and the last page shrinks to the remainder (rows are
-      // served in stable OBJECTID order, so these ARE the first rows)
-      val budget = limit.map(l => math.min(l.toLong, info.totalCount)).getOrElse(info.totalCount)
-      val n = ((budget + page - 1) / page).toInt.max(1)
-      (0 until n).map { i =>
-        val off = i.toLong * page
-        ArcGisInputPartition(off, math.min(page.toLong, budget - off).toInt.max(0), effectiveWhere)
-      }.toArray
+      // OID-range mode: explicit opt-in, or forced when the server's /query
+      // lacks resultOffset. A pushed LIMIT keeps offset mode (the limit
+      // budget maps to offset pages, not to ranges) — only valid when the
+      // server paginates, which it does whenever a limit reaches here.
+      val oidRange = limit.isEmpty &&
+        (strategy.equalsIgnoreCase("oidRange") || !info.supportsPagination)
+      if (oidRange) {
+        val oid = info.fields.find(_.esriType == "esriFieldTypeOID").map(_.name)
+          .getOrElse(throw new IllegalArgumentException(
+            "oidRange scan requires an esriFieldTypeOID field in the layer metadata"))
+        // full-layer OID bounds (one stats round-trip at plan time); the
+        // effective where may cover fewer OIDs — empty sub-ranges cost one
+        // cheap remote probe each, never a wrong row
+        val mm = client
+          .queryStatistics("1=1", Nil,
+            Seq(StatSpec("min", oid, "__lo"), StatSpec("max", oid, "__hi")))
+          .headOption
+        val bounds = mm.flatMap { m =>
+          (m.get("__lo"), m.get("__hi")) match {
+            case (Some(lo: Number), Some(hi: Number)) =>
+              Some((lo.longValue(), hi.longValue() + 1))
+            case _ => None
+          }
+        }
+        bounds match {
+          case None => Array.empty[InputPartition]
+          case Some((lo, hi)) =>
+            val n = ((info.totalCount + page - 1) / page).toInt.max(1)
+            val width = math.max(1L, (hi - lo + n - 1) / n)
+            (0 until n).iterator
+              .map { i =>
+                val a = lo + i.toLong * width
+                ArcGisOidRangePartition(a, math.min(hi, a + width), oid, effectiveWhere, page)
+              }
+              .filter(p => p.lo < p.hi)
+              .toArray[InputPartition]
+        }
+      } else {
+        // pushed LIMIT caps the total row budget: pages past it are never
+        // requested, and the last page shrinks to the remainder (rows are
+        // served in stable OBJECTID order, so these ARE the first rows)
+        val budget = limit.map(l => math.min(l.toLong, info.totalCount)).getOrElse(info.totalCount)
+        val n = ((budget + page - 1) / page).toInt.max(1)
+        (0 until n).map { i =>
+          val off = i.toLong * page
+          ArcGisInputPartition(off, math.min(page.toLong, budget - off).toInt.max(0), effectiveWhere)
+        }.toArray
+      }
     }
   }
 
@@ -387,6 +444,7 @@ class ArcGisReaderFactory(
 ) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
     case p: ArcGisStatsPartition => new ArcGisStatsReader(schema, options, p)
+    case p: ArcGisOidRangePartition => new ArcGisOidRangeReader(schema, options, p)
     case p: ArcGisInputPartition => new ArcGisPartitionReader(schema, options, p.where, p)
   }
 }
@@ -395,6 +453,21 @@ class ArcGisReaderFactory(
   * REST surface (feature attributes and statistics results alike).
   */
 private[arcgis] object ArcGisValues {
+  /** Materialize one REST feature as an InternalRow of `schema` (shared by
+    * the offset-page and OID-range readers).
+    */
+  def toRow(schema: StructType, f: EsriFeature): InternalRow = {
+    val values = schema.fields.map { fld =>
+      fld.name match {
+        case "geom_x" => f.geometry.map(_._1).map(Double.box).orNull
+        case "geom_y" => f.geometry.map(_._2).map(Double.box).orNull
+        case n =>
+          f.attributes.get(n).map(v => coerce(fld.dataType, v)).orNull
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
   def coerce(dataType: DataType, v: Any): Any = (dataType, v) match {
     case (_, null) => null
     case (StringType, s) => UTF8String.fromString(s.toString)
@@ -465,18 +538,62 @@ class ArcGisPartitionReader(
     if (features.hasNext) { current = features.next(); true } else false
   }
 
-  override def get(): InternalRow = {
-    val values = schema.fields.map { f =>
-      f.name match {
-        case "geom_x" => current.geometry.map(_._1).map(Double.box).orNull
-        case "geom_y" => current.geometry.map(_._2).map(Double.box).orNull
-        case n =>
-          current.attributes.get(n)
-            .map(v => ArcGisValues.coerce(f.dataType, v)).orNull
+  override def get(): InternalRow = ArcGisValues.toRow(schema, current)
+
+  override def close(): Unit = ()
+}
+
+/** Executor-side OID-range scan: drains `[lo, hi)` with stateless range
+  * requests, halving any range whose response fills a page (a full page
+  * cannot prove the range was exhausted). No `resultOffset` is ever sent —
+  * this is the scan mode for servers without pagination support and the
+  * deep-scan-friendly mode everywhere else.
+  */
+class ArcGisOidRangeReader(
+    schema: StructType,
+    options: Map[String, String],
+    partition: ArcGisOidRangePartition
+) extends PartitionReader[InternalRow] {
+
+  private lazy val client = ArcGisClientRegistry.get(options("client"))
+  private val attrFields = schema.fieldNames.filterNot(n => n == "geom_x" || n == "geom_y")
+  private val outFields = if (attrFields.isEmpty) Seq("*") else attrFields.toSeq
+
+  private val pending = scala.collection.mutable.Stack[(Long, Long)]((partition.lo, partition.hi))
+  private var buffer: Iterator[EsriFeature] = Iterator.empty
+  private var current: EsriFeature = _
+
+  private def rangeWhere(lo: Long, hi: Long): String = {
+    val range = s"${partition.oidField} >= $lo AND ${partition.oidField} < $hi"
+    if (partition.where.trim.isEmpty || partition.where == "1=1") range
+    else s"(${partition.where}) AND ($range)"
+  }
+
+  private def refill(): Boolean = {
+    while (pending.nonEmpty) {
+      val (lo, hi) = pending.pop()
+      // count = -1: no resultRecordCount — pagination params are themselves
+      // unsupported on the servers this mode exists for; the server caps the
+      // response at its maxRecordCount (== partition.page by default), which
+      // is exactly the saturation signal the halving protocol reads
+      val rows = client.queryPage(0L, -1, rangeWhere(lo, hi), outFields)
+      if (rows.size >= partition.page && hi - lo > 1) {
+        // saturated response: discard, split, re-scan both halves
+        val mid = lo + (hi - lo) / 2
+        pending.push((mid, hi))
+        pending.push((lo, mid))
+      } else if (rows.nonEmpty) {
+        buffer = rows.iterator
+        return true
       }
     }
-    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+    false
   }
+
+  override def next(): Boolean =
+    if (buffer.hasNext || refill()) { current = buffer.next(); true } else false
+
+  override def get(): InternalRow = ArcGisValues.toRow(schema, current)
 
   override def close(): Unit = ()
 }

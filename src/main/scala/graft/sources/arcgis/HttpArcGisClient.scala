@@ -115,7 +115,9 @@ class HttpArcGisClient(
     LayerInfo(
       fields,
       json.num("maxRecordCount").map(_.toInt).getOrElse(1000),
-      count.num("count").map(_.toLong).getOrElse(0L)
+      count.num("count").map(_.toLong).getOrElse(0L),
+      json.obj("advancedQueryCapabilities")
+        .flatMap(_.bool("supportsPagination")).getOrElse(true)
     )
   }
 
@@ -129,16 +131,21 @@ class HttpArcGisClient(
       EsriFeature(attrs.collect { case (k, v: Any) => k -> v }, geom)
     }
 
+  /** `count < 0` = no explicit cap: the OID-range scan omits BOTH pagination
+    * parameters (they require `supportsPagination`, which is exactly what
+    * that mode works around) and lets the server cap at its maxRecordCount.
+    */
   override def queryPage(
       offset: Long, count: Int, where: String, outFields: Seq[String]
   ): Seq[EsriFeature] =
     parseFeatures(get("/query", Seq(
       "where" -> where,
-      "outFields" -> (if (outFields.isEmpty) "*" else outFields.mkString(",")),
+      "outFields" -> (if (outFields.isEmpty) "*" else outFields.mkString(","))
+    ) ++ (if (count >= 0) Seq(
       "resultOffset" -> offset.toString,
       "resultRecordCount" -> count.toString,
       "orderByFields" -> "OBJECTID" // stable pagination order
-    )))
+    ) else Seq.empty)))
 
   override def queryTopFeatures(
       topCount: Int, groupByField: String, orderByField: String,

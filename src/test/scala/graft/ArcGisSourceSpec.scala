@@ -186,6 +186,61 @@ class ArcGisSourceSpec extends AnyFunSuite {
     assert(plan.contains("pushedLimit=7"), plan)
   }
 
+  test("oidRange strategy scans by OBJECTID windows, never sends resultOffset") {
+    val client = mkClient(37, pageSize = 10)
+    ArcGisClientRegistry.register("oid37", client)
+    val df = spark.read.format("arcgis")
+      .option("client", "oid37").option("strategy", "oidRange").load()
+    assert(df.count() == 37)
+    assert(df.rdd.getNumPartitions == 4)
+    // every feature request is a range probe at offset 0 — no deep offsets
+    val pages = client.pageLog.toArray.map(_.asInstanceOf[(Long, Int)])
+    assert(pages.nonEmpty && pages.forall(_._1 == 0L), pages.toSeq.toString)
+    assert(client.whereLog.toArray.exists(_.toString.contains("objectid >= ")))
+    // no row lost, none duplicated
+    val ids = df.select("objectid").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 37L))
+  }
+
+  test("oidRange auto-fallback when the layer lacks pagination; pushed filters compose") {
+    val fields = mkClient(1).fields
+    val rows = (0 until 25).map { i =>
+      EsriFeature(
+        Map("objectid" -> i.toLong, "name" -> s"feat-$i",
+          "status" -> (if (i % 3 == 0) "active" else "idle"),
+          "score" -> (i * 1.5), "created" -> "2024-01-01"),
+        None)
+    }
+    val client = new MockArcGisClient(fields, rows, pageSize = 10, supportsPagination = false)
+    ArcGisClientRegistry.register("nopage25", client)
+    val df = spark.read.format("arcgis").option("client", "nopage25").load()
+      .filter(col("status") === "active")
+    val got = df.select("objectid").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0 until 25).filter(_ % 3 == 0).map(_.toLong))
+    // the compiled predicate AND the OID range ride in one remote where
+    assert(client.whereLog.toArray.exists { w =>
+      val s = w.toString
+      s.contains("status = 'active'") && s.contains("objectid >= ")
+    })
+  }
+
+  test("oidRange halves a range whose response saturates the page") {
+    // 40 dense OIDs with pageSize 10: each width-10 range returns a full
+    // page, which cannot prove exhaustion — the reader must split until
+    // responses come back short, and still produce exactly-once rows
+    val client = mkClient(40, pageSize = 10)
+    ArcGisClientRegistry.register("sat40", client)
+    val df = spark.read.format("arcgis")
+      .option("client", "sat40").option("strategy", "oidRange").load()
+    val ids = df.select("objectid").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 40L))
+    // evidence of halving: a narrower (width-5) range was probed
+    assert(client.whereLog.toArray.exists { w =>
+      val s = w.toString
+      s.contains("objectid >= 0 AND objectid < 5")
+    }, client.whereLog.toArray.mkString("\n"))
+  }
+
   test("aggregate pushdown: grouped count/min/max/sum/avg run remotely, zero pages fetched") {
     val client = mkClient(30)
     ArcGisClientRegistry.register("agg30", client)
