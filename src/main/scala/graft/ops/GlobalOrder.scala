@@ -127,4 +127,91 @@ object GlobalOrder {
       .withColumn(rnCol, row_number().over(localW).cast("long") + coalesce(col("__go_off"), lit(0L)))
       .drop("__go_pid", "__go_off")
   }
+
+  /** Adds `runCol` = exact per-group RUNNING SUM of `measure` under
+    * `sortCols`, plus `totCol` = the group's total — the prefix-sum
+    * generalization of [[withGroupedRowNumber]] (which is the special case
+    * `measure = 1`). Same scale mechanics: range shuffle over
+    * (groupCols ++ sortCols) spreads a low-cardinality group across many
+    * partitions; the per-(group, partition) partial sums (≤ groups×P tiny
+    * rows) collect to the driver, prefix-sum per group in partition order,
+    * and broadcast back as offsets added to each partition's local window
+    * sum. This is the distributed form of cumulative weight / running
+    * revenue over massive skewed groups — never a whole-group single task.
+    *
+    * Exactness: driver and window arithmetic follow `sum(measure)`'s Spark
+    * type; pass an exact type (decimal / integral) for order-free,
+    * oracle-exact prefix sums. Rows where `measure` is null contribute
+    * nothing (SQL SUM semantics) but still receive the running value.
+    */
+  def withGroupedRunningSum(
+      df: DataFrame,
+      runCol: String,
+      totCol: String,
+      measure: Column,
+      groupCols: Seq[String],
+      sortCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
+    val rangeCols = groupCols.map(col) ++ sortCols
+    val ranged = df
+      .withColumn("__go_m", measure)
+      .repartitionByRange(p, rangeCols: _*)
+      .withColumn("__go_pid", spark_partition_id())
+      .localCheckpoint()
+    val partials = ranged
+      .groupBy(col("__go_pid") +: groupCols.map(col): _*)
+      .agg(sum(col("__go_m")).as("__go_s"))
+    val sType = partials.schema("__go_s").dataType
+    val zero: Any = sType match {
+      case _: org.apache.spark.sql.types.DecimalType => java.math.BigDecimal.ZERO
+      case org.apache.spark.sql.types.LongType => 0L
+      case org.apache.spark.sql.types.IntegerType => 0
+      case org.apache.spark.sql.types.FloatType => 0.0f
+      case _ => 0.0
+    }
+    def plus(a: Any, b: Any): Any = (a, b) match {
+      case (x, null) => x
+      case (null, y) => y
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+      case (x: Long, y: Long) => x + y
+      case (x: Int, y: Int) => x + y
+      case (x: Float, y: Float) => x + y
+      case (x: Double, y: Double) => x + y
+      case (x, y) => throw new IllegalArgumentException(s"unsupported measure sum: $x + $y")
+    }
+    val counts = partials.collect()
+    val gN = groupCols.size
+    val byGroup = counts.groupBy(r => groupCols.indices.map(i => r.get(i + 1)).toIndexedSeq)
+    val offRows = byGroup.toSeq.flatMap { case (gvals, rs) =>
+      val sorted = rs.sortBy(_.getInt(0))
+      val total = sorted.map(_.get(gN + 1)).foldLeft(zero)(plus)
+      sorted.map(_.getInt(0))
+        .zip(sorted.scanLeft(zero)((acc, r) => plus(acc, r.get(gN + 1))))
+        .map { case (pid, off) =>
+          org.apache.spark.sql.Row.fromSeq(pid +: gvals ++: Seq(off, total))
+        }
+    }
+    val gFields = groupCols.map(n => ranged.schema(n))
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__go_pid", org.apache.spark.sql.types.IntegerType) +:
+        gFields ++:
+        Seq(
+          org.apache.spark.sql.types.StructField("__go_off", sType),
+          org.apache.spark.sql.types.StructField(totCol, sType)))
+    val offDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava),
+      offSchema)
+    val localW = Window
+      .partitionBy((col("__go_pid") +: groupCols.map(col)): _*)
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offDf), "__go_pid" +: groupCols, "left_outer")
+      .withColumn(runCol,
+        coalesce(sum(col("__go_m")).over(localW), lit(0).cast(sType)) +
+          coalesce(col("__go_off"), lit(0).cast(sType)))
+      .drop("__go_pid", "__go_off", "__go_m")
+  }
 }

@@ -505,6 +505,55 @@ object StatsPack extends QueryPack {
              |ORDER BY dev.l_returnflag""".stripMargin),
       doc = "median + MAD robust z-score outlier count per group — resistant to the " +
         "outliers themselves, exact interpolated percentiles on both engines"
+    ),
+    // ---------------------------------------------------------------- weighted median
+    Q(
+      "x17_weighted_median",
+      (s, d) => {
+        // exact weighted median: the smallest price whose cumulative
+        // quantity weight reaches half the group total. The cumulative
+        // weight comes from GlobalOrder.withGroupedRunningSum — a range
+        // shuffle spreads each 3-value group across every partition and
+        // per-partition decimal window sums get broadcast prefix offsets,
+        // instead of a grouped window that would sort the whole table in 3
+        // tasks. Decimal weights keep every comparison exact: the median
+        // test is cw*2 >= tw, no division, no doubles until output.
+        val base = Tables.lineitem(s, d)
+          .select(
+            col("l_returnflag"),
+            dec(col("l_extendedprice")).as("v"),
+            dec(col("l_quantity")).as("q"),
+            col("l_orderkey"), col("l_linenumber"))
+        graft.ops.GlobalOrder
+          .withGroupedRunningSum(
+            base, "cw", "tw", col("q"),
+            Seq("l_returnflag"),
+            Seq(col("v"), col("l_orderkey"), col("l_linenumber")))
+          .filter(col("cw") * 2 >= col("tw"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            min(col("v")).cast("double").as("wmedian_price"),
+            max(col("tw")).cast("double").as("total_weight"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH w AS (
+             |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+             |         CAST(l_quantity AS DECIMAL(18,2)) AS q, l_orderkey, l_linenumber
+             |  FROM lineitem),
+             |c AS (
+             |  SELECT l_returnflag, v,
+             |    SUM(q) OVER (PARTITION BY l_returnflag ORDER BY v, l_orderkey, l_linenumber
+             |                 ROWS UNBOUNDED PRECEDING) AS cw,
+             |    SUM(q) OVER (PARTITION BY l_returnflag) AS tw
+             |  FROM w)
+             |SELECT l_returnflag,
+             |  CAST(MIN(v) AS DOUBLE) AS wmedian_price,
+             |  CAST(MAX(tw) AS DOUBLE) AS total_weight
+             |FROM c WHERE cw * 2 >= tw
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      doc = "exact quantity-weighted median price per group — distributed decimal " +
+        "prefix sums (range-spread groups + broadcast offsets), no whole-group task"
     )
   )
 

@@ -82,6 +82,49 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("grouped running sum equals the grouped-window cumulative sum (decimal-exact)") {
+    val n = 20000
+    val df = (1 to n).map(i => (s"g${i % 3}", i % 23, i, (i % 700) / 100.0))
+      .toDF("g", "v", "id", "wRaw")
+      .withColumn("w", col("wRaw").cast("decimal(18,2)")).drop("wRaw")
+
+    val got = GlobalOrder
+      .withGroupedRunningSum(df, "cw", "tw", col("w"), Seq("g"), Seq(col("v"), col("id")))
+      .select($"id", $"cw".cast("string"), $"tw".cast("string"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("cw", sum(col("w")).over(w))
+      .withColumn("tw", sum(col("w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .select($"id", $"cw".cast("string"), $"tw".cast("string"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+
+    assert(got.size == n)
+    assert(got.keySet == want.keySet)
+    val diffs = got.collect { case (k, v) if want(k)._1 != v._1 || want(k)._2 != v._2 => k }
+    assert(diffs.isEmpty, s"mismatched ids: ${diffs.take(5)}")
+  }
+
+  test("grouped running sum over long measures matches and has no global window") {
+    val df = (1 to 5000).map(i => (s"g${i % 2}", i, i.toLong % 97)).toDF("g", "id", "m")
+    val out = GlobalOrder.withGroupedRunningSum(df, "cw", "tw", col("m"), Seq("g"), Seq(col("id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df.withColumn("cw", sum(col("m")).over(w))
+      .select($"id", $"cw").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val got = out.select($"id", $"cw").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("empty input yields empty output with the rn column") {
     val df = Seq.empty[(Int, String)].toDF("a", "b")
     val out = GlobalOrder.withRowNumber(df, "rn", col("a"))
