@@ -504,6 +504,46 @@ object EventsPack extends QueryPack {
              |ORDER BY prev_type, next_type""".stripMargin),
       doc = "first-order Markov transition matrix P(next|prev) over per-user event " +
         "streams — scaling lag window (per-user partitions) + broadcast row totals"
+    ),
+    // ---------------------------------------------------------------- attribution
+    Q(
+      "e16_attribution",
+      (s, d) => {
+        // last-touch revenue attribution: each purchase credits the user's
+        // most recent preceding click (the as-of join e6 certified), rolled
+        // up by the click's campaign bucket; purchases with no prior click
+        // land in 'none'. One key shuffle total — the as-of composition
+        // carries the campaign through the forward-fill, so attribution
+        // never re-joins history.
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(
+            col("user_id"), col("ts"),
+            (get_json_object(col("props"), "$.k").cast("long") % 5).as("campaign"))
+        graft.ops.AsOfJoin
+          .backward(purchases, clicks, "user_id", "ts", Seq("campaign" -> "campaign"))
+          .withColumn("bucket",
+            coalesce(col("campaign").cast("string"), lit("none")))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("attributed_value"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'),
+             |c AS (
+             |  SELECT user_id, ts,
+             |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS campaign
+             |  FROM events WHERE event_type = 'click')
+             |SELECT COALESCE(CAST(c.campaign AS VARCHAR), 'none') AS bucket,
+             |  COUNT(*) AS n_purchases,
+             |  CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+             |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+             |GROUP BY bucket
+             |ORDER BY bucket""".stripMargin),
+      doc = "last-touch attribution: purchases credit the latest preceding click's " +
+        "campaign via the as-of composition (one key shuffle), rollup per bucket"
     )
   )
 }
