@@ -58,4 +58,55 @@ object SpatialJoin {
           col("y") >= col("ymin") && col("y") <= col("ymax"))
       .drop("__sj_cx", "__sj_cy")
   }
+
+  /** Grid-blocked k-nearest-neighbors: for each query point, the `k`
+    * nearest data points among those in the query's 3×3 neighbor cells,
+    * by squared Euclidean distance (exact when coordinates are integral —
+    * no sqrt, no transcendental).
+    *
+    * Blocking is the same PBSM trick as [[pointsInBoxes]] flipped around:
+    * the QUERY side replicates ×9 (its cell plus the 8 neighbors), the data
+    * side lands in exactly one cell, so every (query, point) pair meets at
+    * most once and the candidate join is a plain equi-join on the cell key
+    * — never O(|Q|·|P|). The final rank is a window per query key: query
+    * cardinality scales with the data, so parallelism does too.
+    *
+    * The 3×3 neighborhood is the candidate scope, not a heuristic that can
+    * silently miss: callers choose `cellSize` ≥ the search radius they care
+    * about (a point farther than one cell is farther than `cellSize`).
+    *
+    * @param queries any columns + (`qx`, `qy`); `keyCol` must uniquely key a query
+    * @param points  any columns + (`x`, `y`)
+    * @param tie     deterministic tiebreak among equal distances (a unique
+    *                point id), so ranks are engine-reproducible
+    * @return query ∪ point columns + `dist2` + `rn` (1..k per query)
+    */
+  def knnInGrid(
+      queries: DataFrame,
+      points: DataFrame,
+      cellSize: Double,
+      k: Int,
+      keyCol: String,
+      tie: org.apache.spark.sql.Column): DataFrame = {
+    require(cellSize > 0 && k > 0, "cellSize and k must be positive")
+    val g = lit(cellSize)
+    val p = points
+      .withColumn("__sj_cx", floor(col("x") / g).cast("long"))
+      .withColumn("__sj_cy", floor(col("y") / g).cast("long"))
+    val q = queries
+      .withColumn("__sj_dx", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("__sj_dy", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("__sj_cx", floor(col("qx") / g).cast("long") + col("__sj_dx"))
+      .withColumn("__sj_cy", floor(col("qy") / g).cast("long") + col("__sj_dy"))
+      .drop("__sj_dx", "__sj_dy")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("dist2"), tie)
+    q.join(p, Seq("__sj_cx", "__sj_cy"))
+      .withColumn("dist2",
+        (col("qx") - col("x")) * (col("qx") - col("x")) +
+          (col("qy") - col("y")) * (col("qy") - col("y")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .drop("__sj_cx", "__sj_cy")
+  }
 }

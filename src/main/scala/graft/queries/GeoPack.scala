@@ -161,6 +161,51 @@ object GeoPack extends QueryPack {
       doc = "point-in-convex-polygon containment (codegen'd sign-of-cross-product " +
         "expression, functions/PointInConvexPolygon) over a broadcast polygon table; " +
         "oracle unrolls the 6 integer edge tests — integer-exact on both engines"
+    ),
+    // ---------------------------------------------------------------- grid knn
+    Q(
+      "g6_grid_knn",
+      (s, d) => {
+        // spatial k-nearest-neighbors via grid blocking: supplier "stations"
+        // find their 3 nearest customer points among the 3×3 neighbor cells
+        // (ops/SpatialJoin.knnInGrid — the query side replicates ×9, every
+        // pair meets at most once, candidates are a plain cell equi-join).
+        // Integer coordinates make dist² exact longs: no sqrt, no parity
+        // risk, ranks pinned by the customer key tiebreak.
+        val sp = Tables.supplier(s, d).select(
+          col("s_suppkey"),
+          ((col("s_suppkey") * 17) % 360).as("qx"),
+          ((col("s_suppkey") * 23) % 170).as("qy"))
+        val cp = Tables.customer(s, d).select(
+          col("c_custkey"),
+          ((col("c_custkey") * 29) % 360).as("x"),
+          ((col("c_custkey") * 31) % 170).as("y"))
+        graft.ops.SpatialJoin
+          .knnInGrid(sp, cp, cellSize = 30.0, k = 3, keyCol = "s_suppkey", tie = col("c_custkey"))
+          .select(col("s_suppkey"), col("rn"), col("c_custkey"), col("dist2"))
+          .orderBy(col("s_suppkey"), col("rn"))
+      },
+      Some("""WITH sp AS (
+             |  SELECT s_suppkey, (s_suppkey*17)%360 AS sx, (s_suppkey*23)%170 AS sy FROM supplier),
+             |cp AS (
+             |  SELECT c_custkey, (c_custkey*29)%360 AS cx, (c_custkey*31)%170 AS cy FROM customer),
+             |pairs AS (
+             |  SELECT s_suppkey, c_custkey,
+             |    (sx-cx)*(sx-cx) + (sy-cy)*(sy-cy) AS dist2
+             |  FROM sp JOIN cp
+             |    ON CAST(floor(cx/30.0) AS BIGINT)
+             |         BETWEEN CAST(floor(sx/30.0) AS BIGINT) - 1 AND CAST(floor(sx/30.0) AS BIGINT) + 1
+             |   AND CAST(floor(cy/30.0) AS BIGINT)
+             |         BETWEEN CAST(floor(sy/30.0) AS BIGINT) - 1 AND CAST(floor(sy/30.0) AS BIGINT) + 1),
+             |r AS (
+             |  SELECT s_suppkey, c_custkey, dist2,
+             |    row_number() OVER (PARTITION BY s_suppkey ORDER BY dist2, c_custkey) AS rn
+             |  FROM pairs)
+             |SELECT s_suppkey, rn, c_custkey, dist2 FROM r WHERE rn <= 3
+             |ORDER BY s_suppkey, rn""".stripMargin),
+      doc = "grid-blocked spatial kNN (3 nearest customers per supplier station " +
+        "within the 3×3 cell neighborhood) — cell equi-join candidates, exact " +
+        "integer dist², per-query rank windows that scale with the query count"
     )
   )
 }
