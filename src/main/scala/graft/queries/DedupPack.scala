@@ -709,6 +709,101 @@ object DedupPack extends QueryPack {
       doc = "bloom-prefiltered decontamination: eval-shingle bloom filter probes " +
         "train postings scan-side (no shuffle), exact join verifies — result " +
         "identical to the unfiltered join, at a fraction of the joined volume"
+    ),
+    // ---------------------------------------------------------------- estimator eval
+    Q(
+      "d18_minhash_estimate",
+      (s, d) => {
+        // estimator-quality eval for the dedup pipeline (the LSH analog of
+        // s8's ANN recall): for every LSH candidate pair, the MinHash
+        // Jaccard ESTIMATE (fraction of agreeing permutations) side by side
+        // with the EXACT token-set Jaccard and the absolute error. The
+        // exact side goes through the token postings (intersection counts
+        // only for candidate pairs — never all pairs); estimates are exact
+        // quarters, exact Jaccard is floor-quantized, so the error
+        // subtraction is exact double math.
+        import graft.functions.TextExpressions
+        val docs = Tables.documents(s, d)
+        val sigs = docs
+          .select(col("doc_id"), TextExpressions.minhashSignature(col("text"), MhSeeds).as("sig"))
+          .select(
+            col("doc_id") +: MhSeeds.indices.map(i => col("sig").getItem(i).as(s"mh$i")): _*)
+        // deterministic pair sample: an estimator eval measures error on a
+        // reproducible slice, not on every candidate (the candidate set
+        // grows superlinearly in corpus size; the eval must not). The hash
+        // predicate commutes with distinct, so it applies INSIDE each band
+        // join — sampled-out pairs never reach the union or the dedup.
+        def bandPairs(c1: String, c2: String) = {
+          val x = sigs.select(col("doc_id").as("a_id"), col(c1), col(c2))
+          val y = sigs.select(col("doc_id").as("b_id"), col(c1), col(c2))
+          x.join(y, Seq(c1, c2)).filter(col("a_id") < col("b_id"))
+            .filter((col("a_id") * 31 + col("b_id")) % 199 === 0)
+            .select(col("a_id"), col("b_id"))
+        }
+        val cands = bandPairs("mh0", "mh1").unionByName(bandPairs("mh2", "mh3")).distinct()
+        val tok = docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+        val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inter = cands
+          .join(tok.select(col("doc_id").as("a_id"), col("token")), Seq("a_id"))
+          .join(tok.select(col("doc_id").as("b_id"), col("token")), Seq("b_id", "token"))
+          .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+        val sa = sigs.select(
+          col("doc_id").as("a_id") +: MhSeeds.indices.map(i => col(s"mh$i").as(s"a$i")): _*)
+        val sb = sigs.select(
+          col("doc_id").as("b_id") +: MhSeeds.indices.map(i => col(s"mh$i").as(s"b$i")): _*)
+        val est = MhSeeds.indices
+          .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _).cast("double") / MhSeeds.size
+        val jac = quant(col("i").cast("double") / (col("na") + col("nb") - col("i")), 1e6)
+        cands
+          .join(inter, Seq("a_id", "b_id"), "left_outer")
+          .na.fill(0L, Seq("i"))
+          .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+          .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+          .join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            est.as("est_jaccard"), jac.as("jaccard"),
+            abs(est - jac).as("abs_err"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some {
+        s"""WITH t AS (
+           |  SELECT doc_id, string_split(text, ' ') AS toks,
+           |         list_distinct(string_split(text, ' ')) AS dtoks
+           |  FROM documents),
+           |sigs AS (
+           |  SELECT doc_id, dtoks,
+           |    ${mhSql(MhSeeds(0)._1, MhSeeds(0)._2)} AS mh0,
+           |    ${mhSql(MhSeeds(1)._1, MhSeeds(1)._2)} AS mh1,
+           |    ${mhSql(MhSeeds(2)._1, MhSeeds(2)._2)} AS mh2,
+           |    ${mhSql(MhSeeds(3)._1, MhSeeds(3)._2)} AS mh3
+           |  FROM t),
+           |cands AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sigs a JOIN sigs b
+           |    ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.doc_id < b.doc_id
+           |  UNION
+           |  SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b
+           |    ON a.mh2 = b.mh2 AND a.mh3 = b.mh3 AND a.doc_id < b.doc_id),
+           |sampled AS (
+           |  SELECT a_id, b_id FROM cands WHERE (a_id * 31 + b_id) % 199 = 0),
+           |scored AS (
+           |  SELECT c.a_id, c.b_id,
+           |    CAST(CAST(sa.mh0 = sb.mh0 AS INTEGER) + CAST(sa.mh1 = sb.mh1 AS INTEGER) +
+           |         CAST(sa.mh2 = sb.mh2 AS INTEGER) + CAST(sa.mh3 = sb.mh3 AS INTEGER)
+           |         AS DOUBLE) / 4 AS est_jaccard,
+           |    floor(CAST(len(list_intersect(sa.dtoks, sb.dtoks)) AS DOUBLE) /
+           |          (len(sa.dtoks) + len(sb.dtoks) - len(list_intersect(sa.dtoks, sb.dtoks)))
+           |          * 1000000) / 1000000 AS jaccard
+           |  FROM sampled c
+           |  JOIN sigs sa ON c.a_id = sa.doc_id
+           |  JOIN sigs sb ON c.b_id = sb.doc_id)
+           |SELECT a_id, b_id, est_jaccard, jaccard, abs(est_jaccard - jaccard) AS abs_err
+           |FROM scored
+           |ORDER BY a_id, b_id""".stripMargin
+      },
+      doc = "MinHash-estimate vs exact Jaccard per LSH candidate pair (estimator " +
+        "eval, the dedup analog of s8's ANN recall) — exact side via candidate-" +
+        "scoped posting intersections, never all pairs"
     )
   )
 }
