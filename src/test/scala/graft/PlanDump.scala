@@ -79,7 +79,16 @@ object PlanDump {
         "aggregate, then a zero-preserving left join back to all vectors."),
       "e14_interval_union" -> ("Interval union: one window pass per user (running max " +
         "of interval ends → island ids) feeding two hash aggregates — no self-join " +
-        "over intervals, state bounded by the window frame.")
+        "over intervals, state bounded by the window frame."),
+      "x17_weighted_median" -> ("Distributed decimal prefix sums (GlobalOrder." +
+        "withGroupedRunningSum): the range exchange spreads each 3-value group over " +
+        "every partition; the only Window is partitioned by (pid, group) — no " +
+        "whole-group single task — and the offsets join is a BroadcastHashJoin of " +
+        "a partition-count-sized frame."),
+      "g6_grid_knn" -> ("Grid-blocked spatial kNN: candidates come from a plain " +
+        "equi-join on the cell key (query side ×9 replication via explode), " +
+        "never a nested-loop range join; the rank window partitions by the " +
+        "query key, whose cardinality scales with the data.")
     )
 
     val sb = new StringBuilder
