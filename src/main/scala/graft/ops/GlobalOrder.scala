@@ -1,11 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-/** Distributed global ordering: exact global `row_number` without the
-  * single-task global window.
+/** Distributed global ordering: exact global `row_number` / running sums
+  * without the single-task global window.
   *
   * `Window.orderBy(...)` with no PARTITION BY moves the ENTIRE input into one
   * task (WindowExec logs "No Partition Defined ... Moving all data to a
@@ -18,11 +18,19 @@ import org.apache.spark.sql.functions._
   *   1. range-shuffle on the sort key (`repartitionByRange`, the same
   *      sampling-based partitioner a distributed ORDER BY uses), so every
   *      row in physical partition i sorts strictly before partition i+1;
-  *   2. `row_number` within each partition — P parallel sorts of ~N/P rows;
-  *   3. per-partition row counts (exactly P numbers, the same driver-side
-  *      metadata `RDD.zipWithIndex` collects) become prefix offsets,
-  *      attached as a broadcast literal map;
-  *   4. global row_number = local row_number + offset(partition).
+  *   2. partition-local sort (`sortWithinPartitions` — NO second exchange)
+  *      and a narrow per-partition scan assigning local ranks / running
+  *      sums: P parallel sorts of ~N/P rows;
+  *   3. per-partition counts/sums (≤ groups×P tiny rows, the same
+  *      driver-side metadata `RDD.zipWithIndex` collects) become prefix
+  *      offsets, shipped to executors inside the scan closure;
+  *   4. global value = local value + offset(partition [, group]).
+  *
+  * The scan is `mapPartitions` deliberately: the alternative — a Window over
+  * (partition-id, group) — satisfies its ClusteredDistribution with a SECOND
+  * full hash exchange, because Catalyst cannot know the data is already
+  * physically partitioned by the stamped partition id. One narrow operator
+  * in exchange for one fewer full shuffle is the right trade at any scale.
   *
   * Exact and deterministic when `sortCols` is a total order (callers pass a
   * unique tiebreak column, same as any reproducible rank); every task holds
@@ -48,19 +56,21 @@ object GlobalOrder {
       .map(r => r.getInt(0) -> r.getLong(1))
       .sortBy(_._1)
     // prefix-sum offsets in pid order (absent pids are empty → contribute 0)
-    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2))
-    val offExpr =
-      if (offsets.isEmpty) lit(0L)
-      else
-        coalesce(
-          element_at(
-            map(offsets.flatMap { case (k, v) => Seq(lit(k), lit(v)) }.toSeq: _*),
-            col("__go_pid")),
-          lit(0L))
-    val localW = Window.partitionBy(col("__go_pid")).orderBy(sortCols: _*)
-    ranged
-      .withColumn(rnCol, row_number().over(localW).cast("long") + offExpr)
-      .drop("__go_pid")
+    val offByPid: Map[Int, Long] =
+      counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2)).toMap
+    val sorted = ranged.sortWithinPartitions(sortCols: _*)
+    val pidIdx = sorted.schema.fieldIndex("__go_pid")
+    val outSchema = sorted.schema.add(rnCol, LongType, nullable = false)
+    sorted.mapPartitions { it =>
+      var rn = 0L
+      var off = 0L
+      var seen = false
+      it.map { r =>
+        if (!seen) { off = offByPid.getOrElse(r.getInt(pidIdx), 0L); seen = true }
+        rn += 1
+        Row.fromSeq(r.toSeq :+ (rn + off))
+      }
+    }(Encoders.row(outSchema)).drop("__go_pid")
   }
 
   /** Adds `rnCol` = exact per-group row_number (1-based, LongType) under
@@ -73,8 +83,8 @@ object GlobalOrder {
     * (groupCols ++ sortCols), so ONE group's rows spread over many
     * contiguous partitions and every task sorts ~1/P of the data; the
     * per-(group, partition) counts (≤ groups×P tiny rows) are collected,
-    * prefix-summed per group in partition order, and joined back as a
-    * broadcast offsets table. Exact and deterministic when sortCols totally
+    * prefix-summed per group in partition order, and shipped back inside
+    * the scan closure. Exact and deterministic when sortCols totally
     * orders rows within a group. This is the scalable form of per-group
     * rank / ntile over low-cardinality massive groups.
     */
@@ -96,36 +106,43 @@ object GlobalOrder {
       .groupBy(col("__go_pid") +: groupCols.map(col): _*)
       .agg(count(lit(1)).as("__go_n"))
       .collect()
+    val gN = groupCols.size
     // per-group prefix offsets in pid order + per-group totals (no ordering
     // needed ACROSS groups — only pid order within each group key)
     val byGroup = counts.groupBy(r => groupCols.indices.map(i => r.get(i + 1)).toIndexedSeq)
-    val offRows = byGroup.toSeq.flatMap { case (gvals, rs) =>
-      val sorted = rs.sortBy(_.getInt(0))
-      val total = sorted.map(_.getLong(groupCols.size + 1)).sum
-      sorted.map(_.getInt(0))
-        .zip(sorted.scanLeft(0L)(_ + _.getLong(groupCols.size + 1)))
-        .map { case (pid, off) =>
-          org.apache.spark.sql.Row.fromSeq(pid +: gvals ++: Seq(off, total))
+    val offTot: Map[(Int, IndexedSeq[Any]), (Long, Long)] = byGroup.toSeq.flatMap {
+      case (gvals, rs) =>
+        val sorted = rs.sortBy(_.getInt(0))
+        val total = sorted.map(_.getLong(gN + 1)).sum
+        sorted.map(_.getInt(0))
+          .zip(sorted.scanLeft(0L)(_ + _.getLong(gN + 1)))
+          .map { case (pid, off) => (pid, gvals) -> (off, total) }
+    }.toMap
+    val sorted = ranged.sortWithinPartitions(rangeCols: _*)
+    val pidIdx = sorted.schema.fieldIndex("__go_pid")
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val outSchema = sorted.schema
+      .add(rnCol, LongType, nullable = false)
+      .add(cntCol, LongType, nullable = false)
+    sorted.mapPartitions { it =>
+      var pid = -1
+      var curKey: IndexedSeq[Any] = null
+      var rn = 0L
+      var off = 0L
+      var tot = 0L
+      it.map { r =>
+        if (pid < 0) pid = r.getInt(pidIdx)
+        val k: IndexedSeq[Any] = gIdx.map(r.get(_)).toIndexedSeq
+        if (curKey == null || k != curKey) {
+          curKey = k
+          rn = 0L
+          val (o, t) = offTot.getOrElse((pid, k), (0L, 0L))
+          off = o; tot = t
         }
-    }
-    val gFields = groupCols.map(n => ranged.schema(n))
-    val offSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("__go_pid", org.apache.spark.sql.types.IntegerType) +:
-        gFields ++:
-        Seq(
-          org.apache.spark.sql.types.StructField("__go_off", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField(cntCol, org.apache.spark.sql.types.LongType)))
-    val offDf = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava),
-      offSchema)
-    val localW = Window
-      .partitionBy((col("__go_pid") +: groupCols.map(col)): _*)
-      .orderBy(sortCols: _*)
-    ranged
-      .join(broadcast(offDf), "__go_pid" +: groupCols, "left_outer")
-      .withColumn(rnCol, row_number().over(localW).cast("long") + coalesce(col("__go_off"), lit(0L)))
-      .drop("__go_pid", "__go_off")
+        rn += 1
+        Row.fromSeq(r.toSeq ++ Seq(rn + off, tot))
+      }
+    }(Encoders.row(outSchema)).drop("__go_pid")
   }
 
   /** Adds `runCol` = exact per-group RUNNING SUM of `measure` under
@@ -135,14 +152,15 @@ object GlobalOrder {
     * (groupCols ++ sortCols) spreads a low-cardinality group across many
     * partitions; the per-(group, partition) partial sums (≤ groups×P tiny
     * rows) collect to the driver, prefix-sum per group in partition order,
-    * and broadcast back as offsets added to each partition's local window
-    * sum. This is the distributed form of cumulative weight / running
-    * revenue over massive skewed groups — never a whole-group single task.
+    * and ride back inside the scan closure as offsets added to each
+    * partition's local running sum. This is the distributed form of
+    * cumulative weight / running revenue over massive skewed groups —
+    * never a whole-group single task, never a second exchange.
     *
-    * Exactness: driver and window arithmetic follow `sum(measure)`'s Spark
-    * type; pass an exact type (decimal / integral) for order-free,
-    * oracle-exact prefix sums. Rows where `measure` is null contribute
-    * nothing (SQL SUM semantics) but still receive the running value.
+    * Exactness: arithmetic follows `sum(measure)`'s Spark type; pass an
+    * exact type (decimal / integral) for order-free, oracle-exact prefix
+    * sums. Rows where `measure` is null contribute nothing (SQL SUM
+    * semantics) but still receive the running value.
     */
   def withGroupedRunningSum(
       df: DataFrame,
@@ -164,54 +182,63 @@ object GlobalOrder {
       .agg(sum(col("__go_m")).as("__go_s"))
     val sType = partials.schema("__go_s").dataType
     val zero: Any = sType match {
-      case _: org.apache.spark.sql.types.DecimalType => java.math.BigDecimal.ZERO
-      case org.apache.spark.sql.types.LongType => 0L
-      case org.apache.spark.sql.types.IntegerType => 0
-      case org.apache.spark.sql.types.FloatType => 0.0f
+      case _: DecimalType => java.math.BigDecimal.ZERO
+      case LongType => 0L
       case _ => 0.0
     }
-    def plus(a: Any, b: Any): Any = (a, b) match {
+    // widen raw measure values to the accumulator type (sum(int) is long,
+    // sum(float) is double — the scan must accumulate in the same type)
+    def widen(v: Any): Any = v match {
+      case i: java.lang.Integer => i.longValue()
+      case s: java.lang.Short => s.longValue()
+      case b: java.lang.Byte => b.longValue()
+      case f: java.lang.Float => f.doubleValue()
+      case x => x
+    }
+    def plus(a: Any, b: Any): Any = (a, widen(b)) match {
       case (x, null) => x
       case (null, y) => y
       case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
       case (x: Long, y: Long) => x + y
-      case (x: Int, y: Int) => x + y
-      case (x: Float, y: Float) => x + y
       case (x: Double, y: Double) => x + y
       case (x, y) => throw new IllegalArgumentException(s"unsupported measure sum: $x + $y")
     }
     val counts = partials.collect()
     val gN = groupCols.size
     val byGroup = counts.groupBy(r => groupCols.indices.map(i => r.get(i + 1)).toIndexedSeq)
-    val offRows = byGroup.toSeq.flatMap { case (gvals, rs) =>
-      val sorted = rs.sortBy(_.getInt(0))
-      val total = sorted.map(_.get(gN + 1)).foldLeft(zero)(plus)
-      sorted.map(_.getInt(0))
-        .zip(sorted.scanLeft(zero)((acc, r) => plus(acc, r.get(gN + 1))))
-        .map { case (pid, off) =>
-          org.apache.spark.sql.Row.fromSeq(pid +: gvals ++: Seq(off, total))
+    val offTot: Map[(Int, IndexedSeq[Any]), (Any, Any)] = byGroup.toSeq.flatMap {
+      case (gvals, rs) =>
+        val sorted = rs.sortBy(_.getInt(0))
+        val total = sorted.map(_.get(gN + 1)).foldLeft(zero)(plus)
+        sorted.map(_.getInt(0))
+          .zip(sorted.scanLeft(zero)((acc, r) => plus(acc, r.get(gN + 1))))
+          .map { case (pid, off) => (pid, gvals) -> (off, total) }
+    }.toMap
+    val sorted = ranged.sortWithinPartitions(rangeCols: _*)
+    val pidIdx = sorted.schema.fieldIndex("__go_pid")
+    val mIdx = sorted.schema.fieldIndex("__go_m")
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val outSchema = sorted.schema
+      .add(runCol, sType, nullable = true)
+      .add(totCol, sType, nullable = true)
+    sorted.mapPartitions { it =>
+      var pid = -1
+      var curKey: IndexedSeq[Any] = null
+      var local: Any = zero
+      var off: Any = zero
+      var tot: Any = zero
+      it.map { r =>
+        if (pid < 0) pid = r.getInt(pidIdx)
+        val k: IndexedSeq[Any] = gIdx.map(r.get(_)).toIndexedSeq
+        if (curKey == null || k != curKey) {
+          curKey = k
+          local = zero
+          val (o, t) = offTot.getOrElse((pid, k), (zero, zero))
+          off = o; tot = t
         }
-    }
-    val gFields = groupCols.map(n => ranged.schema(n))
-    val offSchema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("__go_pid", org.apache.spark.sql.types.IntegerType) +:
-        gFields ++:
-        Seq(
-          org.apache.spark.sql.types.StructField("__go_off", sType),
-          org.apache.spark.sql.types.StructField(totCol, sType)))
-    val offDf = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava),
-      offSchema)
-    val localW = Window
-      .partitionBy((col("__go_pid") +: groupCols.map(col)): _*)
-      .orderBy(sortCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .join(broadcast(offDf), "__go_pid" +: groupCols, "left_outer")
-      .withColumn(runCol,
-        coalesce(sum(col("__go_m")).over(localW), lit(0).cast(sType)) +
-          coalesce(col("__go_off"), lit(0).cast(sType)))
-      .drop("__go_pid", "__go_off", "__go_m")
+        local = plus(local, r.get(mIdx))
+        Row.fromSeq(r.toSeq ++ Seq(plus(local, off), tot))
+      }
+    }(Encoders.row(outSchema)).drop("__go_pid", "__go_m")
   }
 }

@@ -34,11 +34,16 @@ class GlobalOrderSpec extends AnyFunSuite {
     val rns = out.select($"rn").as[Long].collect().sorted
     assert(rns.toSeq == (1L to 5000L))
 
-    // every Window node in the plan is partitioned (no global window)
+    // the rank assignment is a narrow scan over the checkpointed range
+    // partitioning: no Window node and no further shuffle in the plan
     val windows = out.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
-    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+    assert(windows.isEmpty)
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty, out.queryExecution.executedPlan.toString)
   }
 
   test("grouped row_number + count equal the grouped-window formulation") {
@@ -119,10 +124,15 @@ class GlobalOrderSpec extends AnyFunSuite {
       .select($"id", $"cw").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val got = out.select($"id", $"cw").collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(got == want)
+    // prefix sums ride a narrow scan: no Window node, no second shuffle
     val windows = out.queryExecution.optimizedPlan.collect {
       case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
     }
-    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+    assert(windows.isEmpty)
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty, out.queryExecution.executedPlan.toString)
   }
 
   test("empty input yields empty output with the rn column") {
