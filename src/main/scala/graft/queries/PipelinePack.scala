@@ -552,6 +552,45 @@ object PipelinePack extends QueryPack {
       doc = "fixed-weight logistic quality classifier scored inside the plan (no " +
         "shuffle, codegen map stage) — the learned-filter deployment shape; logit " +
         "quantized before the sigmoid for cross-engine determinism"
+    ),
+    // ---------------------------------------------------------------- shards
+    Q(
+      "p14_balanced_shards",
+      (s, d) => {
+        // deterministic corpus shuffle + EXACTLY balanced sharding: docs are
+        // globally ordered by a multiplicative id hash (reproducible on
+        // retry, never rand()) and dealt round-robin into 16 shards — shard
+        // sizes differ by at most 1 BY CONSTRUCTION, unlike p4's modulo
+        // split which is only statistically balanced. The global rank is
+        // GlobalOrder.withRowNumber (range shuffle + prefix offsets), never
+        // a single-partition window over the corpus.
+        val hash = ((col("doc_id") % lit(P)) * lit(2654435761L % P)) % lit(P)
+        val ranked = graft.ops.GlobalOrder.withRowNumber(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars"), hash.as("h")),
+          "rank", col("h"), col("doc_id"))
+        ranked
+          .withColumn("shard", (col("rank") - 1) % 16)
+          .groupBy(col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"),
+            min(col("rank")).as("first_rank"))
+          .orderBy(col("shard"))
+      },
+      Some("""WITH ranked AS (
+             |  SELECT doc_id, n_chars,
+             |    row_number() OVER (
+             |      ORDER BY ((doc_id % 1000000007) * 654435747) % 1000000007, doc_id) AS rank
+             |  FROM documents)
+             |SELECT (rank - 1) % 16 AS shard, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             |  MIN(rank) AS first_rank
+             |FROM ranked
+             |GROUP BY shard
+             |ORDER BY shard""".stripMargin),
+      doc = "deterministic corpus shuffle + exactly balanced round-robin sharding " +
+        "(sizes differ by ≤1 by construction) — distributed global rank, no " +
+        "single-partition window, reproducible on retry"
     )
   )
 }
