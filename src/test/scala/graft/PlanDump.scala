@@ -82,9 +82,9 @@ object PlanDump {
         "over intervals, state bounded by the window frame."),
       "x17_weighted_median" -> ("Distributed decimal prefix sums (GlobalOrder." +
         "withGroupedRunningSum): the range exchange spreads each 3-value group over " +
-        "every partition; the only Window is partitioned by (pid, group) — no " +
-        "whole-group single task — and the offsets join is a BroadcastHashJoin of " +
-        "a partition-count-sized frame."),
+        "every partition; after the checkpointed shuffle the running sum is a " +
+        "partition-local Sort + MapPartitions (prefix offsets ride in the closure) — " +
+        "NO Window node, NO second exchange, no whole-group single task."),
       "g6_grid_knn" -> ("Grid-blocked spatial kNN: candidates come from a plain " +
         "equi-join on the cell key (query side ×9 replication via explode), " +
         "never a nested-loop range join; the rank window partitions by the " +
