@@ -544,6 +544,54 @@ object EventsPack extends QueryPack {
              |ORDER BY bucket""".stripMargin),
       doc = "last-touch attribution: purchases credit the latest preceding click's " +
         "campaign via the as-of composition (one key shuffle), rollup per bucket"
+    ),
+    // ---------------------------------------------------------------- bursts
+    Q(
+      "e17_burst_detect",
+      (s, d) => {
+        // burst detection: hours where an event type's volume exceeds 2× its
+        // trailing-24h average. The scale pattern is PRE-AGGREGATE, THEN
+        // WINDOW: the raw stream collapses to an (hour, type) series first,
+        // so the low-cardinality per-type window runs over an already
+        // aggregate-sized frame — the window input shrinks with time
+        // granularity, not with event volume. The burst test is
+        // n * trail_n > 2 * trail_sum: exact integer arithmetic, no
+        // mean division, no stddev parity risk.
+        import org.apache.spark.sql.expressions.Window
+        val hourly = Tables.events(s, d)
+          .groupBy(
+            date_trunc("hour", col("ts")).as("hr"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(-24, -1)
+        hourly
+          .withColumn("trail_sum", sum(col("n")).over(w))
+          .withColumn("trail_n", count(col("n")).over(w))
+          .filter(col("trail_n") >= 12 && col("n") * col("trail_n") > col("trail_sum") * 2)
+          .select(
+            fts(col("hr")).as("hour"),
+            col("event_type"), col("n"), col("trail_sum"), col("trail_n"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS hr, event_type, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |t AS (
+             |  SELECT hr, event_type, n,
+             |    SUM(n) OVER w AS trail_sum,
+             |    COUNT(n) OVER w AS trail_n
+             |  FROM hourly
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+             |SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+             |  event_type, n, CAST(trail_sum AS BIGINT) AS trail_sum, trail_n
+             |FROM t
+             |WHERE trail_n >= 12 AND n * trail_n > trail_sum * 2
+             |ORDER BY hour, event_type""".stripMargin),
+      doc = "burst detection (hour > 2× trailing-24h average per type) — " +
+        "pre-aggregate-then-window: the low-cardinality window runs over the " +
+        "hourly series, never the raw stream; exact integer burst test"
     )
   )
 }
