@@ -372,6 +372,101 @@ object SimilarityPack extends QueryPack {
       },
       doc = "ANN recall@10 evaluation: exact brute-force top-10 vs IVF nprobe=2 " +
         "top-10 in one plan — the audited quality number for the approximate index"
+    ),
+    // ---------------------------------------------------------------- kmeans
+    Q(
+      "s9_kmeans_iterations",
+      (s, d) => {
+        // two unrolled Lloyd iterations (the iterative-ML analog of g4's
+        // unrolled PageRank): assign → recompute centroids → re-assign →
+        // report. Coordinates floor-quantize to a 1e-6 integer grid, so
+        // squared distances and centroid means are EXACT integer / single-
+        // IEEE-division arithmetic — a deterministic distributed k-means
+        // both engines replay bit-identically. Scale shape per round: one
+        // map-side assignment (centroids ride as literals / a broadcast
+        // 1-row frame) + one partial aggregation; k rows ever shuffle.
+        import org.apache.spark.sql.{Column, DataFrame}
+        val seeds = Seq((-200000L, -200000L), (200000L, -200000L),
+          (-200000L, 200000L), (200000L, 200000L))
+        val q = Tables.embeddings(s, d).select(
+          col("vec_id"),
+          floor(element_at(col("embedding"), 1).cast("double") * 1e6).cast("long").as("qx"),
+          floor(element_at(col("embedding"), 2).cast("double") * 1e6).cast("long").as("qy"))
+
+        def assign(df: DataFrame, cx: Int => Column, cy: Int => Column): DataFrame = {
+          val dists = (0 until 4).map { j =>
+            ((col("qx") - cx(j)) * (col("qx") - cx(j)) +
+              (col("qy") - cy(j)) * (col("qy") - cy(j))).as(s"d$j")
+          }
+          df.select(col("vec_id") +: col("qx") +: col("qy") +: dists: _*)
+            .withColumn("cl",
+              when(col("d0") <= col("d1") && col("d0") <= col("d2") && col("d0") <= col("d3"), 0L)
+                .when(col("d1") <= col("d2") && col("d1") <= col("d3"), 1L)
+                .when(col("d2") <= col("d3"), 2L)
+                .otherwise(3L))
+            .drop("d0", "d1", "d2", "d3")
+        }
+        // round 1: literal seeds
+        val a1 = assign(q, j => lit(seeds(j)._1), j => lit(seeds(j)._2))
+        // M-step: one row of 8 centroid coords; empty cluster keeps its seed
+        val mCols = (0 until 4).flatMap { j =>
+          val n = count(when(col("cl") === j, lit(1)))
+          def m(c: String) = coalesce(
+            floor(sum(when(col("cl") === j, col(c))).cast("double") / n).cast("long"),
+            lit(if (c == "qx") seeds(j)._1 else seeds(j)._2))
+          Seq(m("qx").as(s"c${j}x"), m("qy").as(s"c${j}y"))
+        }
+        val m1 = a1.agg(mCols.head, mCols.tail: _*)
+        // round 2: recomputed centroids broadcast as a 1-row frame
+        val a2 = assign(q.crossJoin(broadcast(m1)), j => col(s"c${j}x"), j => col(s"c${j}y"))
+        a2.groupBy(col("cl").as("cluster"))
+          .agg(
+            count(lit(1)).as("n_vectors"),
+            (floor(sum(col("qx")).cast("double") / count(lit(1))).cast("double") / 1e6).as("cx"),
+            (floor(sum(col("qy")).cast("double") / count(lit(1))).cast("double") / 1e6).as("cy"))
+          .orderBy(col("cluster"))
+      },
+      Some {
+        def d(j: Int, cx: String, cy: String) =
+          s"(qx-($cx))*(qx-($cx)) + (qy-($cy))*(qy-($cy)) AS d$j"
+        def cl =
+          """CAST(CASE WHEN d0 <= d1 AND d0 <= d2 AND d0 <= d3 THEN 0
+            |          WHEN d1 <= d2 AND d1 <= d3 THEN 1
+            |          WHEN d2 <= d3 THEN 2 ELSE 3 END AS BIGINT)""".stripMargin
+        val seeds = Seq((-200000L, -200000L), (200000L, -200000L),
+          (-200000L, 200000L), (200000L, 200000L))
+        def m(j: Int, c: String, seed: Long) =
+          s"COALESCE(CAST(floor(CAST(SUM(CASE WHEN cl=$j THEN $c END) AS DOUBLE) / " +
+            s"COUNT(CASE WHEN cl=$j THEN 1 END)) AS BIGINT), $seed) AS c$j$c"
+        s"""WITH q AS (
+           |  SELECT vec_id,
+           |    CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS qx,
+           |    CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000) AS BIGINT) AS qy
+           |  FROM embeddings),
+           |a1 AS (
+           |  SELECT vec_id, qx, qy, $cl AS cl FROM (
+           |    SELECT vec_id, qx, qy,
+           |      ${seeds.zipWithIndex.map { case ((x, y), j) => d(j, x.toString, y.toString) }.mkString(",\n      ")}
+           |    FROM q) t),
+           |m1 AS (
+           |  SELECT
+           |    ${(0 until 4).flatMap(j => Seq(m(j, "qx", seeds(j)._1), m(j, "qy", seeds(j)._2))).mkString(",\n    ")}
+           |  FROM a1),
+           |a2 AS (
+           |  SELECT vec_id, qx, qy, $cl AS cl FROM (
+           |    SELECT vec_id, qx, qy,
+           |      ${(0 until 4).map(j => d(j, s"c${j}qx", s"c${j}qy")).mkString(",\n      ")}
+           |    FROM q CROSS JOIN m1) t)
+           |SELECT cl AS cluster, COUNT(*) AS n_vectors,
+           |  CAST(floor(CAST(SUM(qx) AS DOUBLE) / COUNT(*)) AS DOUBLE) / 1000000 AS cx,
+           |  CAST(floor(CAST(SUM(qy) AS DOUBLE) / COUNT(*)) AS DOUBLE) / 1000000 AS cy
+           |FROM a2
+           |GROUP BY cl
+           |ORDER BY cluster""".stripMargin
+      },
+      doc = "two unrolled Lloyd (k-means) iterations on the 1e-6 integer grid — " +
+        "per round one broadcast assignment map + one partial aggregation; exact " +
+        "integer distances, deterministic ties, empty clusters keep their seed"
     )
   )
 
