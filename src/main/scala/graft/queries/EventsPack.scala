@@ -592,6 +592,47 @@ object EventsPack extends QueryPack {
       doc = "burst detection (hour > 2× trailing-24h average per type) — " +
         "pre-aggregate-then-window: the low-cardinality window runs over the " +
         "hourly series, never the raw stream; exact integer burst test"
+    ),
+    // ---------------------------------------------------------------- cumulative users
+    Q(
+      "e18_cumulative_users",
+      (s, d) => {
+        // cumulative distinct users by day. COUNT(DISTINCT) OVER a running
+        // frame doesn't exist (and a naive re-count per day is quadratic);
+        // the scalable identity is: a user contributes exactly once, on
+        // their FIRST day — so min(day) per user (one hash aggregate), count
+        // per first day (second aggregate, day-sized), and a running sum
+        // over the tiny day-count series. Data-sized shuffles: exactly one,
+        // keyed by user.
+        import org.apache.spark.sql.expressions.Window
+        val first = Tables.events(s, d)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(date_trunc("hour", col("ts"))).as("first_hr"))
+        val perHr = first.groupBy(col("event_type"), col("first_hr"))
+          .agg(count(lit(1)).as("n_new"))
+        // the running frame covers (types × hours) rows — aggregate-sized,
+        // bounded by the calendar, not by event volume
+        val w = Window.partitionBy(col("event_type")).orderBy(col("first_hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perHr
+          .withColumn("cum_users", sum(col("n_new")).over(w))
+          .select(fts(col("first_hr")).as("hour"), col("event_type"),
+            col("n_new"), col("cum_users"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""WITH fd AS (
+             |  SELECT user_id, event_type, MIN(date_trunc('hour', ts)) AS first_hr
+             |  FROM events GROUP BY user_id, event_type),
+             |pd AS (SELECT event_type, first_hr, COUNT(*) AS n_new
+             |       FROM fd GROUP BY event_type, first_hr)
+             |SELECT strftime(first_hr, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n_new,
+             |  CAST(SUM(n_new) OVER (PARTITION BY event_type ORDER BY first_hr
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+             |FROM pd
+             |ORDER BY hour, event_type""".stripMargin),
+      doc = "cumulative distinct users per event type via the first-seen identity: " +
+        "one (user, type)-keyed aggregate + a running sum over the calendar-sized " +
+        "series — never a per-period distinct re-count"
     )
   )
 }
