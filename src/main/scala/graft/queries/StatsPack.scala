@@ -554,6 +554,59 @@ object StatsPack extends QueryPack {
              |ORDER BY l_returnflag""".stripMargin),
       doc = "exact quantity-weighted median price per group — distributed decimal " +
         "prefix sums (range-spread groups + broadcast offsets), no whole-group task"
+    ),
+    // ---------------------------------------------------------------- chi-square
+    Q(
+      "x18_chi_square",
+      (s, d) => {
+        // chi-square independence test over the (returnflag × linestatus)
+        // contingency table — the drift/association primitive (is the label
+        // distribution independent of the slice?). ONE data-sized pass
+        // builds the cell counts; marginals and the grand total DERIVE from
+        // the cells (aggregate-sized, broadcast back), so the raw table is
+        // read exactly once. Each cell's term is floor-quantized before the
+        // order-dependent sum, keeping the statistic engine-exact.
+        val cells = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("o"))
+        val rt = cells.groupBy(col("l_returnflag")).agg(sum(col("o")).as("rt"))
+        val ct = cells.groupBy(col("l_linestatus")).agg(sum(col("o")).as("ct"))
+        val nn = cells.agg(sum(col("o")).as("n"))
+        val e = col("rt").cast("double") * col("ct") / col("n")
+        val term = (col("o") - e) * (col("o") - e) / e
+        cells
+          .join(broadcast(rt), Seq("l_returnflag"))
+          .join(broadcast(ct), Seq("l_linestatus"))
+          .crossJoin(broadcast(nn))
+          .select(
+            col("l_returnflag"), col("l_linestatus"), col("o"), col("n"),
+            floor(term * 1e6).cast("long").as("tq"))
+          .agg(
+            count(lit(1)).as("n_cells"),
+            ((countDistinct(col("l_returnflag")) - 1) *
+              (countDistinct(col("l_linestatus")) - 1)).as("dof"),
+            max(col("n")).as("n"),
+            (sum(col("tq")).cast("double") / 1e6).as("chi2"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT l_returnflag, l_linestatus, COUNT(*) AS o
+             |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+             |rt AS (SELECT l_returnflag, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY l_returnflag),
+             |ct AS (SELECT l_linestatus, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY l_linestatus),
+             |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+             |scored AS (
+             |  SELECT l_returnflag, l_linestatus, o, n,
+             |    CAST(floor((o - CAST(rt AS DOUBLE) * ct / n) * (o - CAST(rt AS DOUBLE) * ct / n)
+             |      / (CAST(rt AS DOUBLE) * ct / n) * 1000000) AS BIGINT) AS tq
+             |  FROM cells JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus) CROSS JOIN n)
+             |SELECT COUNT(*) AS n_cells,
+             |  (COUNT(DISTINCT l_returnflag) - 1) * (COUNT(DISTINCT l_linestatus) - 1) AS dof,
+             |  MAX(n) AS n,
+             |  CAST(SUM(tq) AS DOUBLE) / 1000000 AS chi2
+             |FROM scored""".stripMargin),
+      doc = "chi-square independence test over the returnflag×linestatus contingency " +
+        "table — one data pass builds the cells; marginals derive from the cells and " +
+        "broadcast back; terms floor-quantized for an engine-exact statistic"
     )
   )
 
