@@ -648,6 +648,41 @@ object TextPack extends QueryPack {
              |ORDER BY doc_id""".stripMargin),
       doc = "per-document Shannon entropy of the token distribution (low-entropy " +
         "boilerplate filter) — doc-keyed exchange reused between counts and marginal"
+    ),
+    // ---------------------------------------------------------------- fertility
+    Q(
+      "t17_token_fertility",
+      (s, d) => {
+        // tokenizer-fertility diagnostics per language: bytes per token and
+        // tokens per document — the mixture-planning numbers that decide how
+        // much compute a language slice really costs. Pure map + one
+        // aggregate keyed by lang: per-doc token counts come from the
+        // codegen'd size(split()), ratios are single IEEE divisions of
+        // exact integer sums.
+        Tables.documents(s, d)
+          .select(
+            col("lang"),
+            col("n_chars"),
+            size(tokens(col("text"))).cast("long").as("n_tok"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            (sum(col("n_chars")).cast("double") / sum(col("n_tok"))).as("bytes_per_token"),
+            (sum(col("n_tok")).cast("double") / count(lit(1))).as("tokens_per_doc"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             |  CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / CAST(SUM(n_tok) AS BIGINT) AS bytes_per_token,
+             |  CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE) / COUNT(*) AS tokens_per_doc
+             |FROM (SELECT lang, n_chars, len(string_split(text, ' ')) AS n_tok FROM documents)
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin),
+      doc = "tokenizer fertility per language (bytes/token, tokens/doc) — the " +
+        "mixture-planning cost numbers; one map + one lang-keyed aggregate"
     )
   )
 }
