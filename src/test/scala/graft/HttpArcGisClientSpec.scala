@@ -142,6 +142,57 @@ class HttpArcGisClientSpec extends AnyFunSuite {
     }
   }
 
+  test("non-paginating server over real HTTP: OID-range fallback, no pagination params ever sent") {
+    val N2 = 37
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val badParams = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    server.createContext("/np", (ex: HttpExchange) => {
+      val p = params(ex)
+      ex.getRequestURI.getPath match {
+        case "/np" =>
+          reply(ex,
+            """{"fields":[
+              |{"name":"objectid","type":"esriFieldTypeOID"},
+              |{"name":"name","type":"esriFieldTypeString"}],
+              |"maxRecordCount":10,
+              |"advancedQueryCapabilities":{"supportsPagination":false}}"""
+              .stripMargin.replace("\n", ""))
+        case "/np/query" if p.get("returnCountOnly").contains("true") =>
+          reply(ex, s"""{"count":$N2}""")
+        case "/np/query" if p.contains("outStatistics") =>
+          // the plan-time OID bounds probe
+          reply(ex, s"""{"features":[{"attributes":{"__lo":0,"__hi":${N2 - 1}}}]}""")
+        case "/np/query" =>
+          // a strict server: pagination params are UNSUPPORTED — reject them
+          if (p.contains("resultOffset") || p.contains("resultRecordCount")) {
+            badParams.add(p.toString)
+            ex.sendResponseHeaders(400, -1); ex.close()
+          } else {
+            val where = p.getOrElse("where", "1=1")
+            val rng = "objectid >= (\\d+) AND objectid < (\\d+)".r.findFirstMatchIn(where)
+            val (lo, hi) = rng.map(m => (m.group(1).toInt, m.group(2).toInt)).getOrElse((0, N2))
+            // response capped at maxRecordCount, as a real server does
+            val feats = (lo until math.min(hi, N2)).take(10)
+              .map(i => s"""{"attributes":{"objectid":$i,"name":"feat-$i"}}""")
+            reply(ex, feats.mkString("""{"features":[""", ",", "]}"))
+          }
+        case _ => ex.sendResponseHeaders(404, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/np"
+      ArcGisClientRegistry.register("http-np", new HttpArcGisClient(base))
+      val df = spark.read.format("arcgis").option("client", "http-np").load()
+      val ids = df.select("objectid").collect().map(_.getLong(0)).sorted
+      // exactly-once rows through range halving against the capped server
+      assert(ids.toSeq == (0L until N2.toLong), ids.toSeq.toString)
+      assert(badParams.isEmpty, s"pagination params sent to a non-paginating server: $badParams")
+    } finally {
+      server.stop(0)
+    }
+  }
+
   test("transient 503s are retried with backoff; permanent 400 fails fast; 401 re-auths") {
     val hits = new java.util.concurrent.atomic.AtomicInteger(0)
     val tokens = new java.util.concurrent.ConcurrentLinkedQueue[String]()
