@@ -840,6 +840,46 @@ object RelationalPack extends QueryPack {
       doc = "relational division (FORALL): users covering every event type via " +
         "distinct-count equality against a broadcast global — no NOT EXISTS " +
         "double negation, two shuffles total"
+    ),
+    // ---------------------------------------------------------------- q33 datetime
+    Q(
+      "q33_datetime_suite",
+      (s, d) =>
+        // the temporal scalar inventory (the reference's data plane is
+        // ISO-8601 timestamps throughout — §2.7): extraction, truncation,
+        // day arithmetic, day differences, epoch conversion. Picks are the
+        // cross-engine-stable subset (week-of-year and months_between
+        // semantics diverge between engines and stay out). Per-row,
+        // codegen'd, no shuffle.
+        Tables.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"),
+            dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+            dayofyear(col("o_orderdate")).cast("long").as("doy"),
+            hour(col("o_orderdate")).cast("long").as("hr"),
+            fts(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus_30d"),
+            fts(date_trunc("month", col("o_orderdate"))).as("month_start"),
+            datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+              .cast("long").as("days_to_98"),
+            unix_timestamp(col("o_orderdate")).as("epoch_s")
+          )
+          .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS BIGINT) AS y,
+             |  CAST(month(o_orderdate) AS BIGINT) AS m,
+             |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+             |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+             |  CAST(hour(o_orderdate) AS BIGINT) AS hr,
+             |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS plus_30d,
+             |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month_start,
+             |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98,
+             |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+             |FROM orders
+             |ORDER BY o_orderkey""".stripMargin),
+      doc = "datetime scalar inventory: extract/trunc/interval-add/datediff/epoch " +
+        "over the cross-engine-stable subset — per-row, codegen'd, no shuffle"
     )
   )
 }
