@@ -607,6 +607,41 @@ object StatsPack extends QueryPack {
       doc = "chi-square independence test over the returnflag×linestatus contingency " +
         "table — one data pass builds the cells; marginals derive from the cells and " +
         "broadcast back; terms floor-quantized for an engine-exact statistic"
+    ),
+    // ---------------------------------------------------------------- histogram
+    Q(
+      "x19_histogram",
+      (s, d) => {
+        // equi-width histogram (the width_bucket pattern): 20 bins over the
+        // observed [min, max] price range. Bounds are one single-row
+        // aggregate broadcast into the scan-side bin assignment; binning is
+        // EXACT integer arithmetic on cents (non-negative operands, so
+        // trunc-div == floor-div on both engines) — never a double edge
+        // that could land a boundary row in different bins.
+        val li = Tables.lineitem(s, d)
+          .select((dec(col("l_extendedprice")) * 100).cast("long").as("c"))
+        val bounds = li.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+        li.crossJoin(broadcast(bounds))
+          .withColumn("bin", expr("(c - lo) * 20 DIV (hi - lo + 1)"))
+          .groupBy(col("bin"))
+          .agg(
+            count(lit(1)).as("n"),
+            (min(col("c")).cast("double") / 100).as("bin_min"),
+            (max(col("c")).cast("double") / 100).as("bin_max"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH c AS (
+             |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+             |  FROM lineitem),
+             |b AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM c)
+             |SELECT (c - lo) * 20 // (hi - lo + 1) AS bin, COUNT(*) AS n,
+             |  CAST(MIN(c) AS DOUBLE) / 100 AS bin_min,
+             |  CAST(MAX(c) AS DOUBLE) / 100 AS bin_max
+             |FROM c CROSS JOIN b
+             |GROUP BY bin
+             |ORDER BY bin""".stripMargin),
+      doc = "equi-width 20-bin histogram with exact integer-cent bin edges — " +
+        "broadcast bounds into the scan, one aggregate, no boundary ambiguity"
     )
   )
 
