@@ -591,6 +591,55 @@ object PipelinePack extends QueryPack {
       doc = "deterministic corpus shuffle + exactly balanced round-robin sharding " +
         "(sizes differ by ≤1 by construction) — distributed global rank, no " +
         "single-partition window, reproducible on retry"
+    ),
+    // ---------------------------------------------------------------- span corruption
+    Q(
+      "p15_span_corruption",
+      (s, d) => {
+        // T5/UL2-style span-corruption PLANNING: for each document, place
+        // n_spans = max(1, ceil-ish of 15% noise density / mean span 3)
+        // length-3 mask spans at hash-derived positions (reproducible on
+        // retry, never rand()), then measure the realized mask ratio after
+        // overlap collapse. All arithmetic is integer; the doubly-exploded
+        // position set collapses with one distinct + count per doc.
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+          .filter(col("n_tok") >= 10)
+        val planned = base
+          .withColumn("n_spans", greatest(lit(1L), expr("n_tok * 15 DIV 300")))
+        val positions = planned
+          .withColumn("i", explode(expr("sequence(1, n_spans)")))
+          .withColumn("start",
+            expr("1 + ((doc_id * 7919 + i * 104729) % 1000000007) % (n_tok - 2)"))
+          .withColumn("pos", explode(expr("sequence(start, least(start + 2, n_tok))")))
+          .select(col("doc_id"), col("pos")).distinct()
+        val masked = positions.groupBy(col("doc_id")).agg(count(lit(1)).as("n_masked"))
+        planned.join(masked, Seq("doc_id"))
+          .select(
+            col("doc_id"), col("n_tok"), col("n_spans"), col("n_masked"),
+            quant(col("n_masked").cast("double") / col("n_tok"), 1e6).as("mask_ratio"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 10),
+             |planned AS (
+             |  SELECT doc_id, n_tok, GREATEST(1, n_tok * 15 // 300) AS n_spans FROM base),
+             |st AS (
+             |  SELECT doc_id, n_tok, n_spans,
+             |    1 + ((doc_id * 7919 + i * 104729) % 1000000007) % (n_tok - 2) AS start
+             |  FROM planned, unnest(generate_series(1, n_spans)) AS t(i)),
+             |pos AS (
+             |  SELECT DISTINCT doc_id, p FROM st,
+             |    unnest(generate_series(start, LEAST(start + 2, n_tok))) AS u(p)),
+             |m AS (SELECT doc_id, COUNT(*) AS n_masked FROM pos GROUP BY doc_id)
+             |SELECT doc_id, n_tok, n_spans, n_masked,
+             |  floor(CAST(n_masked AS DOUBLE) / n_tok * 1000000) / 1000000 AS mask_ratio
+             |FROM planned JOIN m USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "T5-style span-corruption planning: hash-placed length-3 mask spans at " +
+        "15% density, realized ratio after overlap collapse — integer arithmetic, " +
+        "reproducible on retry, one distinct + one aggregate"
     )
   )
 }
