@@ -880,6 +880,53 @@ object RelationalPack extends QueryPack {
              |ORDER BY o_orderkey""".stripMargin),
       doc = "datetime scalar inventory: extract/trunc/interval-add/datediff/epoch " +
         "over the cross-engine-stable subset — per-row, codegen'd, no shuffle"
+    ),
+    // ---------------------------------------------------------------- q34 nulls
+    Q(
+      "q34_null_semantics",
+      (s, d) =>
+        // NULL-semantics differential: the corpus has no nulls, so NULLIF
+        // synthesizes them (every 'N' returnflag quantity), then the suite
+        // exercises the aggregate/predicate rules engines most often
+        // disagree on: COUNT(col) skips nulls while COUNT(*) doesn't, SUM
+        // over an all-null slice is NULL (not 0), AVG ignores nulls in the
+        // denominator, null-safe equality (<=>) vs = on null operands, and
+        // COALESCE fallback chains.
+        Tables.lineitem(s, d)
+          .select(
+            col("l_returnflag"),
+            expr("NULLIF(l_returnflag, 'N')").as("flag_or_null"),
+            when(col("l_returnflag") === "N", lit(null).cast(MoneyDec))
+              .otherwise(dec(col("l_quantity"))).as("q_or_null"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("q_or_null")).as("n_nonnull"),
+            sum(col("q_or_null")).cast("double").as("sum_nullable"),
+            (sum(col("q_or_null")).cast("double") / count(col("q_or_null"))).as("avg_nullable"),
+            sum(when(col("flag_or_null") <=> lit(null), 1L).otherwise(0L)).as("n_nullsafe_eq"),
+            sum(when(col("flag_or_null") === lit(null), 1L).otherwise(0L)).as("n_plain_eq"),
+            max(coalesce(col("flag_or_null"), lit("fallback"))).as("coalesced"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  COUNT(*) AS n_rows,
+             |  COUNT(q_or_null) AS n_nonnull,
+             |  CAST(SUM(q_or_null) AS DOUBLE) AS sum_nullable,
+             |  CAST(SUM(q_or_null) AS DOUBLE) / COUNT(q_or_null) AS avg_nullable,
+             |  CAST(SUM(CASE WHEN flag_or_null IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+             |  CAST(SUM(CASE WHEN flag_or_null = NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq,
+             |  MAX(COALESCE(flag_or_null, 'fallback')) AS coalesced
+             |FROM (
+             |  SELECT l_returnflag,
+             |    NULLIF(l_returnflag, 'N') AS flag_or_null,
+             |    CASE WHEN l_returnflag = 'N' THEN NULL
+             |         ELSE CAST(l_quantity AS DECIMAL(18,2)) END AS q_or_null
+             |  FROM lineitem)
+             |GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin),
+      doc = "NULL-semantics differential: COUNT(col) vs COUNT(*), all-null SUM is " +
+        "NULL, AVG denominators, null-safe <=> vs plain =, COALESCE chains — the " +
+        "rules engines most often disagree on, hash-matched cell-exact"
     )
   )
 }
