@@ -683,6 +683,53 @@ object TextPack extends QueryPack {
              |ORDER BY lang""".stripMargin),
       doc = "tokenizer fertility per language (bytes/token, tokens/doc) — the " +
         "mixture-planning cost numbers; one map + one lang-keyed aggregate"
+    ),
+    // ---------------------------------------------------------------- dispersion
+    Q(
+      "t18_term_dispersion",
+      (s, d) => {
+        // term burstiness: variance-to-mean ratio (index of dispersion) of
+        // per-document occurrence counts for the 20 most frequent terms.
+        // Uniformly-spread function words sit near Poisson (VMR ≈ 1);
+        // topical terms clump (VMR >> 1) — the signal behind burstiness-
+        // aware keyword extraction. Moments are exact integer sums (Σc,
+        // Σc²) from one (term, doc) aggregate; absent docs contribute zero
+        // through the corpus-size denominator, never a row.
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val pc = tok.groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("c"))
+        val st = pc.groupBy(col("token")).agg(
+          sum(col("c")).as("tot"),
+          sum(col("c") * col("c")).as("tot2"),
+          count(lit(1)).as("n_docs_with"))
+        val nn = Tables.documents(s, d).agg(count(lit(1)).as("nn"))
+        val mean = col("tot").cast("double") / col("nn")
+        val vmr = quant(
+          (col("tot2").cast("double") / col("nn") - mean * mean) / mean, 1e6)
+        st.crossJoin(broadcast(nn))
+          .orderBy(col("tot").desc, col("token"))
+          .limit(20)
+          .select(col("token"), col("n_docs_with"), col("tot"),
+            mean.as("mean_per_doc"), vmr.as("vmr"))
+          .orderBy(col("token"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+             |pc AS (SELECT token, doc_id, COUNT(*) AS c FROM tok GROUP BY token, doc_id),
+             |st AS (SELECT token, CAST(SUM(c) AS BIGINT) AS tot,
+             |         CAST(SUM(c*c) AS BIGINT) AS tot2, COUNT(*) AS n_docs_with
+             |       FROM pc GROUP BY token),
+             |n AS (SELECT COUNT(*) AS nn FROM documents),
+             |top AS (SELECT * FROM st CROSS JOIN n ORDER BY tot DESC, token LIMIT 20)
+             |SELECT token, n_docs_with, tot,
+             |  CAST(tot AS DOUBLE) / nn AS mean_per_doc,
+             |  floor(((CAST(tot2 AS DOUBLE) / nn - (CAST(tot AS DOUBLE) / nn) * (CAST(tot AS DOUBLE) / nn))
+             |    / (CAST(tot AS DOUBLE) / nn)) * 1000000) / 1000000 AS vmr
+             |FROM top
+             |ORDER BY token""".stripMargin),
+      doc = "term burstiness (variance-to-mean of per-doc counts, top-20 terms) — " +
+        "exact integer moments from one (term, doc) aggregate; VMR≈1 Poisson vs " +
+        "clumped topical terms"
     )
   )
 }
