@@ -28,6 +28,13 @@ case class EsriFeature(
     geometry: Option[(Double, Double)]
 )
 
+/** Spatial envelope for the `/query` `geometry` parameter
+  * (`geometryType=esriGeometryEnvelope`, `spatialRel=esriSpatialRelIntersects`
+  * — inclusive bounds). The server-side spatial filter the reference's query
+  * layer exposes.
+  */
+case class Envelope(xmin: Double, ymin: Double, xmax: Double, ymax: Double)
+
 /** Transport abstraction over the ArcGIS Feature/MapServer REST surface the
   * reference drives (scan S1/S2, key lookup S10, add/update sinks S8/S9 —
   * `/root/reference/task.ts:236-349,398-418`). The DSv2 source and the sink
@@ -40,13 +47,15 @@ trait ArcGisClient extends Serializable {
 
   /** Offset-window page of `/query` (EsriDumpConfigApproach.ITER). `where`
     * is an ArcGIS SQL-92 predicate ("1=1" for none); `outFields` the
-    * server-side projection (`*` for all).
+    * server-side projection (`*` for all); `envelope` the optional
+    * server-side spatial filter (inclusive bbox intersect).
     */
   def queryPage(
       offset: Long,
       count: Int,
       where: String,
-      outFields: Seq[String]
+      outFields: Seq[String],
+      envelope: Option[Envelope] = None
   ): Seq[EsriFeature]
 
   /** `queryTopFeatures` endpoint (strategy S2, `task.ts:16-19,400`). */
@@ -186,19 +195,28 @@ class MockArcGisClient(
     if (outFields.isEmpty || outFields == Seq("*")) f
     else f.copy(attributes = f.attributes.view.filterKeys(outFields.contains).toMap)
 
+  val envelopeLog = new java.util.concurrent.CopyOnWriteArrayList[Envelope]()
+
   override def queryPage(
       offset: Long,
       count: Int,
       where: String,
-      outFields: Seq[String]
+      outFields: Seq[String],
+      envelope: Option[Envelope] = None
   ): Seq[EsriFeature] = {
     whereLog.add(where)
     outFieldsLog.add(outFields.mkString(","))
     pageLog.add((offset, count))
+    envelope.foreach(envelopeLog.add)
+    def inEnv(f: EsriFeature): Boolean = envelope.forall { e =>
+      f.geometry.exists { case (x, y) =>
+        x >= e.xmin && x <= e.xmax && y >= e.ymin && y <= e.ymax
+      }
+    }
     // count < 0 = no resultRecordCount sent: the server caps the response at
     // its maxRecordCount (which this mock plays via pageSize)
     val cap = if (count < 0) pageSize else count
-    rows.filter(matches(_, where)).slice(offset.toInt, offset.toInt + cap)
+    rows.filter(f => matches(f, where) && inEnv(f)).slice(offset.toInt, offset.toInt + cap)
       .map(project(_, outFields))
   }
 

@@ -240,6 +240,8 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
     */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
+  private var envelope: Option[Envelope] = None
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // geom_x/geom_y are synthetic (engine-side) columns, not remote layer
     // fields — predicates touching them must stay residual in Spark.
@@ -248,6 +250,40 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
         !f.references.exists(r => r == "geom_x" || r == "geom_y")
     }
     pushed = supported
+    // ...but bbox-shaped geometry predicates DO compile to the server-side
+    // spatial filter (`geometry` + esriGeometryEnvelope + Intersects — the
+    // reference's query layer exposes it). Bounds only ever WIDEN here
+    // (strict > uses its value inclusively) and the originating filters
+    // stay residual above, so Spark's result is exact while the server
+    // stops shipping everything outside the box.
+    var xmin, ymin = Double.NegativeInfinity
+    var xmax, ymax = Double.PositiveInfinity
+    var any = false
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    def lo(cur: Double, v: Any): Double = num(v).map(math.max(cur, _)).getOrElse(cur)
+    def hi(cur: Double, v: Any): Double = num(v).map(math.min(cur, _)).getOrElse(cur)
+    filters.foreach {
+      case GreaterThan("geom_x", v) => xmin = lo(xmin, v); any = true
+      case GreaterThanOrEqual("geom_x", v) => xmin = lo(xmin, v); any = true
+      case LessThan("geom_x", v) => xmax = hi(xmax, v); any = true
+      case LessThanOrEqual("geom_x", v) => xmax = hi(xmax, v); any = true
+      case EqualTo("geom_x", v) => xmin = lo(xmin, v); xmax = hi(xmax, v); any = true
+      case GreaterThan("geom_y", v) => ymin = lo(ymin, v); any = true
+      case GreaterThanOrEqual("geom_y", v) => ymin = lo(ymin, v); any = true
+      case LessThan("geom_y", v) => ymax = hi(ymax, v); any = true
+      case LessThanOrEqual("geom_y", v) => ymax = hi(ymax, v); any = true
+      case EqualTo("geom_y", v) => ymin = lo(ymin, v); ymax = hi(ymax, v); any = true
+      case _ =>
+    }
+    def clamp(d: Double): Double =
+      if (d.isNegInfinity) -Double.MaxValue
+      else if (d.isPosInfinity) Double.MaxValue
+      else d
+    if (any && xmin <= xmax && ymin <= ymax)
+      envelope = Some(Envelope(clamp(xmin), clamp(ymin), clamp(xmax), clamp(ymax)))
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -264,7 +300,7 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
     }
     pushedAgg match {
       case Some(pa) => new ArcGisScan(pa.readSchema, options, where, None, Some(pa))
-      case None => new ArcGisScan(required, options, where, limit)
+      case None => new ArcGisScan(required, options, where, limit, envelope = envelope)
     }
   }
 }
@@ -276,7 +312,12 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   * re-invokes `planInputPartitions()` post-filter — so the partition is the
   * only carrier that reliably reflects runtime pruning.
   */
-case class ArcGisInputPartition(offset: Long, count: Int, where: String) extends InputPartition
+case class ArcGisInputPartition(
+    offset: Long,
+    count: Int,
+    where: String,
+    envelope: Option[Envelope] = None
+) extends InputPartition
 
 /** One OBJECTID interval `[lo, hi)` of the layer — the scan mode for servers
   * whose `/query` lacks `resultOffset` support (reference [lib] esri-dump
@@ -292,7 +333,8 @@ case class ArcGisOidRangePartition(
     hi: Long,
     oidField: String,
     where: String,
-    page: Int
+    page: Int,
+    envelope: Option[Envelope] = None
 ) extends InputPartition
 
 /** One remote `outStatistics` call: the whole (pushed-down) aggregation is a
@@ -309,7 +351,8 @@ class ArcGisScan(
     options: CaseInsensitiveStringMap,
     where: String,
     limit: Option[Int] = None,
-    aggregation: Option[ArcGisAggCompiler.PushedAgg] = None
+    aggregation: Option[ArcGisAggCompiler.PushedAgg] = None,
+    envelope: Option[Envelope] = None
 ) extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -415,7 +458,8 @@ class ArcGisScan(
             (0 until n).iterator
               .map { i =>
                 val a = lo + i.toLong * width
-                ArcGisOidRangePartition(a, math.min(hi, a + width), oid, effectiveWhere, page)
+                ArcGisOidRangePartition(
+                  a, math.min(hi, a + width), oid, effectiveWhere, page, envelope)
               }
               .filter(p => p.lo < p.hi)
               .toArray[InputPartition]
@@ -428,7 +472,8 @@ class ArcGisScan(
         val n = ((budget + page - 1) / page).toInt.max(1)
         (0 until n).map { i =>
           val off = i.toLong * page
-          ArcGisInputPartition(off, math.min(page.toLong, budget - off).toInt.max(0), effectiveWhere)
+          ArcGisInputPartition(
+            off, math.min(page.toLong, budget - off).toInt.max(0), effectiveWhere, envelope)
         }.toArray
       }
     }
@@ -528,7 +573,8 @@ class ArcGisPartitionReader(
           where,
           outFields
         )
-      else client.queryPage(partition.offset, partition.count, where, outFields)
+      else client.queryPage(partition.offset, partition.count, where, outFields,
+        partition.envelope)
     page.iterator
   }
 
@@ -576,7 +622,7 @@ class ArcGisOidRangeReader(
       // unsupported on the servers this mode exists for; the server caps the
       // response at its maxRecordCount (== partition.page by default), which
       // is exactly the saturation signal the halving protocol reads
-      val rows = client.queryPage(0L, -1, rangeWhere(lo, hi), outFields)
+      val rows = client.queryPage(0L, -1, rangeWhere(lo, hi), outFields, partition.envelope)
       if (rows.size >= partition.page && hi - lo > 1) {
         // saturated response: discard, split, re-scan both halves
         val mid = lo + (hi - lo) / 2

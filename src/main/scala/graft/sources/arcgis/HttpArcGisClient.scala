@@ -136,7 +136,8 @@ class HttpArcGisClient(
     * that mode works around) and lets the server cap at its maxRecordCount.
     */
   override def queryPage(
-      offset: Long, count: Int, where: String, outFields: Seq[String]
+      offset: Long, count: Int, where: String, outFields: Seq[String],
+      envelope: Option[Envelope] = None
   ): Seq[EsriFeature] =
     parseFeatures(get("/query", Seq(
       "where" -> where,
@@ -145,7 +146,13 @@ class HttpArcGisClient(
       "resultOffset" -> offset.toString,
       "resultRecordCount" -> count.toString,
       "orderByFields" -> "OBJECTID" // stable pagination order
-    ) else Seq.empty)))
+    ) else Seq.empty)
+      ++ envelope.toSeq.flatMap(e => Seq(
+        "geometry" -> s"""{"xmin":${e.xmin},"ymin":${e.ymin},"xmax":${e.xmax},"ymax":${e.ymax}}""",
+        "geometryType" -> "esriGeometryEnvelope",
+        "spatialRel" -> "esriSpatialRelIntersects",
+        "inSR" -> "4326"
+      ))))
 
   override def queryTopFeatures(
       topCount: Int, groupByField: String, orderByField: String,

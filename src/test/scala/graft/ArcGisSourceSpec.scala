@@ -186,6 +186,24 @@ class ArcGisSourceSpec extends AnyFunSuite {
     assert(plan.contains("pushedLimit=7"), plan)
   }
 
+  test("bbox predicates compile to a server-side envelope; exactness stays residual") {
+    val client = mkClient(30)
+    ArcGisClientRegistry.register("env30", client)
+    val df = spark.read.format("arcgis").option("client", "env30").load()
+      .filter(col("geom_x") >= 5.0 && col("geom_x") <= 10.0 &&
+        col("geom_y") >= -10.0 && col("geom_y") <= -5.0)
+    val got = df.select("objectid").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (5L to 10L))
+    // the server saw the spatial filter (and pruned shipping to it)
+    val envs = client.envelopeLog.toArray.map(_.asInstanceOf[graft.sources.arcgis.Envelope])
+    assert(envs.nonEmpty)
+    assert(envs.forall(e => e.xmin == 5.0 && e.xmax == 10.0 && e.ymin == -10.0 && e.ymax == -5.0))
+    // the bbox predicates ALSO stayed residual in Spark (exactness even if a
+    // server treats the envelope loosely)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Filter"), plan)
+  }
+
   test("oidRange strategy scans by OBJECTID windows, never sends resultOffset") {
     val client = mkClient(37, pageSize = 10)
     ArcGisClientRegistry.register("oid37", client)
