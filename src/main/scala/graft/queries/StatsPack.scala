@@ -642,6 +642,62 @@ object StatsPack extends QueryPack {
              |ORDER BY bin""".stripMargin),
       doc = "equi-width 20-bin histogram with exact integer-cent bin edges — " +
         "broadcast bounds into the scan, one aggregate, no boundary ambiguity"
+    ),
+    // ---------------------------------------------------------------- KS test
+    Q(
+      "x20_ks_test",
+      (s, d) => {
+        // two-sample Kolmogorov–Smirnov: max |F_R(v) − F_A(v)| between the
+        // price distributions of returnflag R and A. The statistic needs
+        // BOTH empirical CDFs at every point of the merged order — i.e. a
+        // global rank AND a per-sample running count. Both ride ONE
+        // distributed prefix sum (GlobalOrder, single range shuffle): the
+        // measure packs (isR, 1) into one long as isR·2³² + 1, so the
+        // running sum decodes to (running R-count, rank) exactly — no
+        // carries while rows < 2³², and the packing bound is checked
+        // against the group total. Never a single-partition window.
+        val src = Tables.lineitem(s, d)
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(
+            dec(col("l_extendedprice")).as("v"),
+            col("l_orderkey"), col("l_linenumber"),
+            (when(col("l_returnflag") === "R", 1L).otherwise(0L) * 4294967296L + 1L).as("m"))
+        val run = graft.ops.GlobalOrder.withGroupedRunningSum(
+          src, "cum", "tot", col("m"),
+          Seq.empty, Seq(col("v"), col("l_orderkey"), col("l_linenumber")))
+        val cr = expr("cum DIV 4294967296")
+        val i = expr("cum % 4294967296")
+        val nr = expr("tot DIV 4294967296")
+        val na = expr("tot % 4294967296 - tot DIV 4294967296")
+        run
+          .select(
+            nr.as("n_r"), na.as("n_a"),
+            quant(abs(cr.cast("double") / nr - (i - cr).cast("double") / na), 1e9).as("dq"))
+          .groupBy(col("n_r"), col("n_a"))
+          .agg(max(col("dq")).as("ks"))
+      },
+      Some("""WITH s AS (
+             |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+             |    l_returnflag AS f, l_orderkey, l_linenumber
+             |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+             |c AS (
+             |  SELECT f,
+             |    CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS cr,
+             |    CAST(COUNT(*) OVER w AS BIGINT) AS i
+             |  FROM s WINDOW w AS (ORDER BY v, l_orderkey, l_linenumber
+             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |n AS (
+             |  SELECT CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+             |    CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+             |  FROM s)
+             |SELECT n_r, n_a,
+             |  MAX(floor(abs(CAST(cr AS DOUBLE) / n_r - CAST(i - cr AS DOUBLE) / n_a)
+             |    * 1000000000) / 1000000000) AS ks
+             |FROM c CROSS JOIN n
+             |GROUP BY n_r, n_a""".stripMargin),
+      doc = "two-sample Kolmogorov–Smirnov over the merged price order — rank and " +
+        "per-sample count packed into ONE distributed prefix sum (isR·2³²+1), " +
+        "single range shuffle, per-row quantized CDF gaps"
     )
   )
 
