@@ -88,7 +88,11 @@ object PlanDump {
       "g6_grid_knn" -> ("Grid-blocked spatial kNN: candidates come from a plain " +
         "equi-join on the cell key (query side ×9 replication via explode), " +
         "never a nested-loop range join; the rank window partitions by the " +
-        "query key, whose cardinality scales with the data.")
+        "query key, whose cardinality scales with the data."),
+      "x20_ks_test" -> ("Two-sample KS: ONE range exchange (the checkpointed " +
+        "prefix-sum shuffle) carries BOTH empirical CDFs — rank and per-sample " +
+        "count packed into a single accumulator — then a partition-local Sort + " +
+        "MapPartitions and one tiny aggregate. No Window, no second shuffle.")
     )
 
     val sb = new StringBuilder
