@@ -698,6 +698,64 @@ object StatsPack extends QueryPack {
       doc = "two-sample Kolmogorov–Smirnov over the merged price order — rank and " +
         "per-sample count packed into ONE distributed prefix sum (isR·2³²+1), " +
         "single range shuffle, per-row quantized CDF gaps"
+    ),
+    // ---------------------------------------------------------------- rank-sum AUC
+    Q(
+      "x21_rank_sum_auc",
+      (s, d) => {
+        // Mann-Whitney U / AUC — the exact distributed form of the metric
+        // that scores every binary classifier at scale (AUC = P(score_R >
+        // score_A), computed from rank sums, ties as midranks). The trick
+        // that keeps it EXACT (no quantization anywhere): aggregate to the
+        // VALUE level first (ties collapse, doubled midranks become
+        // integers: 2·midrank = 2·cum_before + n_v + 1), then one
+        // distributed prefix sum over the value series gives every
+        // cumulative count. Two shuffles total — value aggregate + range
+        // spread — and a BIGINT statistic both engines replay bit-for-bit.
+        val vals = Tables.lineitem(s, d)
+          .filter(col("l_returnflag").isin("R", "A"))
+          .select(dec(col("l_extendedprice")).as("v"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("is_r"))
+          .groupBy(col("v"))
+          .agg(sum(col("is_r")).as("nr_v"), count(lit(1)).as("n_v"))
+        val run = graft.ops.GlobalOrder.withGroupedRunningSum(
+          vals, "cum", "n_total", col("n_v"), Seq.empty, Seq(col("v")))
+        run
+          .agg(
+            sum(col("nr_v")).as("n_r"),
+            max(col("n_total")).as("n"),
+            sum(col("nr_v") * ((col("cum") - col("n_v")) * 2 + col("n_v") + 1)).as("rank2"))
+          .select(
+            col("n_r"),
+            (col("n") - col("n_r")).as("n_a"),
+            (col("rank2") - col("n_r") * (col("n_r") + 1)).as("u2"))
+          .select(col("n_r"), col("n_a"), col("u2"),
+            quant(col("u2").cast("double") / (col("n_r") * col("n_a") * 2), 1e9).as("auc"))
+      },
+      Some("""WITH s AS (
+             |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+             |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r
+             |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+             |vals AS (
+             |  SELECT v, CAST(SUM(is_r) AS BIGINT) AS nr_v, COUNT(*) AS n_v
+             |  FROM s GROUP BY v),
+             |c AS (
+             |  SELECT v, nr_v, n_v,
+             |    CAST(SUM(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM vals),
+             |agg AS (
+             |  SELECT CAST(SUM(nr_v) AS BIGINT) AS n_r,
+             |    CAST(SUM(n_v) AS BIGINT) AS n,
+             |    CAST(SUM(nr_v * ((cum - n_v) * 2 + n_v + 1)) AS BIGINT) AS rank2
+             |  FROM c),
+             |u AS (
+             |  SELECT n_r, n - n_r AS n_a, rank2 - n_r * (n_r + 1) AS u2 FROM agg)
+             |SELECT n_r, n_a, u2,
+             |  floor(CAST(u2 AS DOUBLE) / (n_r * n_a * 2) * 1000000000) / 1000000000 AS auc
+             |FROM u""".stripMargin),
+      doc = "Mann-Whitney U / rank-sum AUC with midrank ties, fully integer-exact: " +
+        "value-level aggregate collapses ties, doubled midranks from one distributed " +
+        "prefix sum — the exact classifier-AUC computation at corpus scale"
     )
   )
 
