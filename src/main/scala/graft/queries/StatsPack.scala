@@ -518,22 +518,25 @@ object StatsPack extends QueryPack {
         // instead of a grouped window that would sort the whole table in 3
         // tasks. Decimal weights keep every comparison exact: the median
         // test is cw*2 >= tw, no division, no doubles until output.
+        // weights ride as exact integer CENTS (decimal(18,2)·100 is lossless)
+        // so the distributed prefix sum stays on the pure-long fast path —
+        // no per-row BigDecimal boxing in the partition scan
         val base = Tables.lineitem(s, d)
           .select(
             col("l_returnflag"),
             dec(col("l_extendedprice")).as("v"),
-            dec(col("l_quantity")).as("q"),
+            (dec(col("l_quantity")) * 100).cast("long").as("qc"),
             col("l_orderkey"), col("l_linenumber"))
         graft.ops.GlobalOrder
           .withGroupedRunningSum(
-            base, "cw", "tw", col("q"),
+            base, "cw", "tw", col("qc"),
             Seq("l_returnflag"),
             Seq(col("v"), col("l_orderkey"), col("l_linenumber")))
           .filter(col("cw") * 2 >= col("tw"))
           .groupBy(col("l_returnflag"))
           .agg(
             min(col("v")).cast("double").as("wmedian_price"),
-            max(col("tw")).cast("double").as("total_weight"))
+            (max(col("tw")).cast("double") / 100).as("total_weight"))
           .orderBy(col("l_returnflag"))
       },
       Some("""WITH w AS (
