@@ -63,6 +63,69 @@ object Aggregates {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermCount]]()
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch: the buffer retains the k
+    * smallest DISTINCT hash values seen, nothing else — constant memory per
+    * group (k longs) under any data size, the same scaling contract as HLL.
+    *
+    * Unlike HLL++, the retained set is a pure function of the input SET
+    * (k smallest distinct values are merge-order-independent), so the sketch
+    * — and the estimate derived from it, (k−1)·P / kth_smallest for hashes
+    * uniform on [0,P) — is deterministic and reproducible in any engine that
+    * can sort: an exact cross-engine oracle target, not just a bounds check.
+    * finish() returns the retained hashes ascending; if fewer than k remain
+    * the distinct count is exact (= size).
+    */
+  final class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+    require(k >= 1, "k must be positive")
+
+    // buffer = sorted distinct hashes, length <= k; a plain Array round-trips
+    // through the native encoder (no Kryo) and k is small (64), so the O(k)
+    // insertion copy is cheaper than any tree's pointer chasing
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(buf, h)
+      if (pos >= 0) buf // already present
+      else {
+        val ins = -pos - 1
+        if (buf.length < k) {
+          val out = new Array[Long](buf.length + 1)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, buf.length - ins)
+          out
+        } else if (ins < k) { // h beats the current k-th smallest
+          val out = new Array[Long](k)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, k - ins - 1)
+          out
+        } else buf
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // merge two sorted distinct arrays, keep the k smallest distinct
+      val out = new Array[Long](math.min(k, a.length + b.length))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+          else { val x = b(j); j += 1; x }
+        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Bounded-memory heavy hitters: the Misra-Gries summary [[TopKTerms]]'s
     * Scaladoc promises for vocabularies that outgrow executor memory.
     *

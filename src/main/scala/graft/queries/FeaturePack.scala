@@ -327,7 +327,10 @@ object FeaturePack extends QueryPack {
           )
           .groupBy(col("o_custkey"), col("version"))
           .agg(
-            first(col("o_orderpriority")).as("priority"),
+            // min, not first: first() is merge-order-dependent (nondeterministic
+            // across retries/shuffle order even when constant within the group);
+            // the oracle uses MIN, and the priority is constant per version group.
+            min(col("o_orderpriority")).as("priority"),
             min(col("o_orderdate")).as("vf"),
             count(lit(1)).as("n_orders")
           )

@@ -1,13 +1,15 @@
 package graft.queries
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Salting
 
 /** Statistical + skew-tooling coverage: exact interpolated percentiles,
-  * approximate sketches (rows-only check — HLL/KLL internals differ across
-  * engines by design), and the salted-join utility proven equivalent to the
-  * plain join via the oracle.
+  * deterministic sketches (KMV distinct + fixed-grid quantile — chosen over
+  * HLL/KLL precisely because their retained state is a pure function of the
+  * input set, so the oracle can hash-match them exactly), and the salted-join
+  * utility proven equivalent to the plain join via the oracle.
   */
 object StatsPack extends QueryPack {
 
@@ -64,18 +66,87 @@ object StatsPack extends QueryPack {
     // ---------------------------------------------------------------- sketches
     Q(
       "x3_approx_sketches",
-      (s, d) =>
-        Tables.lineitem(s, d)
+      (s, d) => {
+        // Deterministic sketches with an EXACT cross-engine oracle (HLL++/KLL
+        // internals are engine-private, so they can never be driver-green):
+        //  - KMV (k-minimum-values) distinct estimate per returnflag: hash
+        //    partkeys onto [0,P) with an arithmetic hash both engines share,
+        //    keep the k=64 smallest distinct hashes in a bounded custom
+        //    Aggregator (constant memory, merge-order-independent), estimate
+        //    D̂ = (k−1)·P DIV kth — integral, bit-stable on both engines.
+        //  - Fixed-grid median: equi-width $100 buckets over integer cents
+        //    (constant #buckets → constant memory, the histogram-sketch
+        //    quantile), answer = lower edge of the first bucket whose
+        //    cumulative count reaches ⌈n/2⌉. The cumulative window runs over
+        //    BUCKET-level rows (≈1k per group) — bounded at any corpus size.
+        import org.apache.spark.sql.expressions.Window
+        val P = 1000000007L
+        val kK = 64
+        val kmv = udaf(new graft.functions.Aggregates.KmvSketch(kK), Encoders.scalaLong)
+        val li = Tables.lineitem(s, d).select(
+          col("l_returnflag"),
+          ((lit(2654435761L) * col("l_partkey") + lit(12345L)) % P).as("h"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 10000").as("b"))
+        val kpart = li.groupBy(col("l_returnflag"))
+          .agg(kmv(col("h")).as("ret"), count(lit(1)).as("n"))
+          .select(
+            col("l_returnflag"), col("n"),
+            element_at(col("ret"), size(col("ret"))).as("kmv_kth"),
+            expr(s"CASE WHEN size(ret) < $kK THEN CAST(size(ret) AS BIGINT) " +
+              s"ELSE ${(kK - 1).toLong * P} DIV element_at(ret, size(ret)) END").as("kmv_est"))
+        val bc = li.groupBy(col("l_returnflag"), col("b")).agg(count(lit(1)).as("cnt"))
+        val cum = bc.withColumn(
+          "cum",
+          sum(col("cnt")).over(Window.partitionBy(col("l_returnflag")).orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val med = cum
+          .join(bc.groupBy(col("l_returnflag")).agg(sum(col("cnt")).as("nt")), Seq("l_returnflag"))
+          .filter(col("cum") >= expr("(nt + 1) DIV 2"))
           .groupBy(col("l_returnflag"))
-          .agg(
-            approx_count_distinct(col("l_partkey")).as("approx_parts"),
-            expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx_median_price"),
-            count(lit(1)).as("n")
-          )
-          .orderBy(col("l_returnflag")),
-      None, // sketch internals (HLL++/KLL) are engine-specific → rows-only check
-      doc = "approximate sketches: HLL++ count-distinct + quantile sketch; the " +
-        "constant-memory path for 100 TB cardinality/quantile estimation"
+          .agg((min(col("b")) * 10000).as("grid_median_cents"))
+        kpart.join(med, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("kmv_kth"), col("kmv_est"),
+            col("grid_median_cents"), col("n"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT l_returnflag,
+             |    (2654435761 * l_partkey + 12345) % 1000000007 AS h
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT l_returnflag, h,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+             |  FROM h),
+             |k AS (
+             |  SELECT l_returnflag, CAST(MAX(h) AS BIGINT) AS kmv_kth,
+             |    COUNT(*) AS m
+             |  FROM r WHERE rn <= 64 GROUP BY l_returnflag),
+             |c AS (
+             |  SELECT l_returnflag,
+             |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS b,
+             |    COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2),
+             |t AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+             |cum AS (
+             |  SELECT l_returnflag, b,
+             |    CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY b
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM c),
+             |med AS (
+             |  SELECT cum.l_returnflag, CAST(MIN(b) * 10000 AS BIGINT) AS grid_median_cents
+             |  FROM cum JOIN t USING (l_returnflag)
+             |  WHERE cum >= (n + 1) // 2 GROUP BY 1)
+             |SELECT k.l_returnflag, kmv_kth,
+             |  CAST(CASE WHEN m < 64 THEN m
+             |    ELSE (CAST(63 AS BIGINT) * 1000000007) // kmv_kth END AS BIGINT)
+             |    AS kmv_est,
+             |  grid_median_cents, n
+             |FROM k JOIN med USING (l_returnflag) JOIN t USING (l_returnflag)
+             |ORDER BY l_returnflag""".stripMargin),
+      doc = "deterministic sketches with an exact oracle: KMV k-minimum-values " +
+        "distinct estimator (bounded custom Aggregator, k=64 smallest distinct " +
+        "hashes, merge-order-independent) + fixed-grid histogram median — the " +
+        "constant-memory cardinality/quantile path that stays cross-engine checkable"
     ),
     // ---------------------------------------------------------------- set ops
     Q(
@@ -651,56 +722,64 @@ object StatsPack extends QueryPack {
       "x20_ks_test",
       (s, d) => {
         // two-sample Kolmogorov–Smirnov: max |F_R(v) − F_A(v)| between the
-        // price distributions of returnflag R and A. The statistic needs
-        // BOTH empirical CDFs at every point of the merged order — i.e. a
-        // global rank AND a per-sample running count. Both ride ONE
-        // distributed prefix sum (GlobalOrder, single range shuffle): the
-        // measure packs (isR, 1) into one long as isR·2³² + 1, so the
-        // running sum decodes to (running R-count, rank) exactly — no
-        // carries while rows < 2³², and the packing bound is checked
-        // against the group total. Never a single-partition window.
-        val src = Tables.lineitem(s, d)
+        // price distributions of returnflag R and A. The CDF gap is a step
+        // function that only moves at distinct values, so rows aggregate to
+        // the VALUE level first (as x21 does) — evaluating the gap INSIDE a
+        // run of tied values overstates D (tied R,R,A,A would report 1
+        // instead of 0). Both cumulative counts then ride ONE distributed
+        // prefix sum (GlobalOrder, single range shuffle) with the packed
+        // measure nr_v·2³² + n_v, which decodes exactly while total rows
+        // < 2³² — a bound CHECKED here, not assumed: the tiny value-level
+        // aggregate is materialized once (localCheckpoint) and a driver-side
+        // total guards the packing before the prefix sum runs.
+        val vals = Tables.lineitem(s, d)
           .filter(col("l_returnflag").isin("R", "A"))
-          .select(
-            dec(col("l_extendedprice")).as("v"),
-            col("l_orderkey"), col("l_linenumber"),
-            (when(col("l_returnflag") === "R", 1L).otherwise(0L) * 4294967296L + 1L).as("m"))
+          .select(dec(col("l_extendedprice")).as("v"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("is_r"))
+          .groupBy(col("v"))
+          .agg(sum(col("is_r")).as("nr_v"), count(lit(1)).as("n_v"))
+          .localCheckpoint()
+        val nTotal = vals.agg(coalesce(sum(col("n_v")), lit(0L))).head.getLong(0)
+        require(nTotal < 4294967296L,
+          s"x20 packed counter would carry: $nTotal rows >= 2^32 — split the prefix sum")
         val run = graft.ops.GlobalOrder.withGroupedRunningSum(
-          src, "cum", "tot", col("m"),
-          Seq.empty, Seq(col("v"), col("l_orderkey"), col("l_linenumber")))
-        val cr = expr("cum DIV 4294967296")
-        val i = expr("cum % 4294967296")
+          vals, "cum", "tot", col("nr_v") * 4294967296L + col("n_v"),
+          Seq.empty, Seq(col("v")))
+        val cr = expr("cum DIV 4294967296") // running R count through value v
+        val cn = expr("cum % 4294967296") // running total count through v
         val nr = expr("tot DIV 4294967296")
         val na = expr("tot % 4294967296 - tot DIV 4294967296")
         run
           .select(
             nr.as("n_r"), na.as("n_a"),
-            quant(abs(cr.cast("double") / nr - (i - cr).cast("double") / na), 1e9).as("dq"))
+            quant(abs(cr.cast("double") / nr - (cn - cr).cast("double") / na), 1e9).as("dq"))
           .groupBy(col("n_r"), col("n_a"))
           .agg(max(col("dq")).as("ks"))
       },
       Some("""WITH s AS (
              |  SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
-             |    l_returnflag AS f, l_orderkey, l_linenumber
+             |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS is_r
              |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+             |vals AS (
+             |  SELECT v, CAST(SUM(is_r) AS BIGINT) AS nr_v, COUNT(*) AS n_v
+             |  FROM s GROUP BY v),
              |c AS (
-             |  SELECT f,
-             |    CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) OVER w AS BIGINT) AS cr,
-             |    CAST(COUNT(*) OVER w AS BIGINT) AS i
-             |  FROM s WINDOW w AS (ORDER BY v, l_orderkey, l_linenumber
-             |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |  SELECT CAST(SUM(nr_v) OVER w AS BIGINT) AS cr,
+             |    CAST(SUM(n_v) OVER w AS BIGINT) AS cn
+             |  FROM vals WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
              |n AS (
-             |  SELECT CAST(SUM(CASE WHEN f = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
-             |    CAST(SUM(CASE WHEN f = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a
-             |  FROM s)
+             |  SELECT CAST(SUM(nr_v) AS BIGINT) AS n_r,
+             |    CAST(SUM(n_v) - SUM(nr_v) AS BIGINT) AS n_a
+             |  FROM vals)
              |SELECT n_r, n_a,
-             |  MAX(floor(abs(CAST(cr AS DOUBLE) / n_r - CAST(i - cr AS DOUBLE) / n_a)
+             |  MAX(floor(abs(CAST(cr AS DOUBLE) / n_r - CAST(cn - cr AS DOUBLE) / n_a)
              |    * 1000000000) / 1000000000) AS ks
              |FROM c CROSS JOIN n
              |GROUP BY n_r, n_a""".stripMargin),
-      doc = "two-sample Kolmogorov–Smirnov over the merged price order — rank and " +
-        "per-sample count packed into ONE distributed prefix sum (isR·2³²+1), " +
-        "single range shuffle, per-row quantized CDF gaps"
+      doc = "two-sample Kolmogorov–Smirnov evaluated at value level (ties collapse " +
+        "before the CDF gap — the per-row formulation overstates D inside tie runs); " +
+        "both cumulative counts packed into ONE distributed prefix sum (nr_v·2³²+n_v), " +
+        "single range shuffle, driver-checked packing bound"
     ),
     // ---------------------------------------------------------------- rank-sum AUC
     Q(
