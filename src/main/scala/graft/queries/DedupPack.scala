@@ -183,33 +183,19 @@ object DedupPack extends QueryPack {
         // HOF lambdas (same set as array_distinct(transform(sequence...)))
         val toks = tokens(col("text"))
         val shingles = graft.functions.TextExpressions.shingles(col("text"), 3)
-        // Inverted-index formulation (the 100 TB plan): explode shingles to
-        // postings, self-join postings on (source, shingle) so only pairs
-        // that SHARE a shingle are ever materialized, count shared shingles
-        // per pair, then Jaccard from precomputed set sizes. Same result as
-        // the all-pairs set-intersection (the DuckDB oracle keeps that
-        // formulation — a cross-formulation differential check) at a cost
-        // proportional to shared postings, not |pairs| x |set|.
-        // Each posting row carries its document's set size, so the pair
-        // aggregation has everything it needs — no extra size-join and no
-        // recomputation of the shingle arrays for additional subtrees.
-        val postings = Tables.documents(s, d)
+        // Inverted-index formulation hardened for the hot tail (the 100 TB
+        // plan): [[graft.ops.SetSimJoin]] drops df=1 shingles exactly, joins
+        // only each doc's PREFIX (rarest n−⌈t·n⌉+1 shingles) against the
+        // pruned postings — a globally hot shingle can no longer go f² in
+        // the candidate join — then verifies every candidate with one exact
+        // array_intersect. Same result as the all-pairs set-intersection
+        // (the DuckDB oracle keeps that formulation — a cross-formulation
+        // differential check) at a cost proportional to rare-shingle
+        // postings, not |pairs| x |set| and not hot-df².
+        val docs = Tables.documents(s, d)
           .filter(size(toks) >= 3)
           .select(col("doc_id"), col("source"), shingles.as("sh"))
-          .select(
-            col("doc_id"),
-            col("source"),
-            size(col("sh")).as("n_sh"),
-            explode(col("sh")).as("shingle")
-          )
-        val pa = postings.select(
-          col("doc_id").as("a_id"), col("source"), col("shingle"), col("n_sh").as("a_n"))
-        val pb = postings.select(
-          col("doc_id").as("b_id"), col("source"), col("shingle"), col("n_sh").as("b_n"))
-        pa.join(pb, Seq("source", "shingle"))
-          .filter(col("a_id") < col("b_id"))
-          .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
-          .agg(count(lit(1)).as("inter"))
+        graft.ops.SetSimJoin.verifiedPairs(docs, 0.5)
           .withColumn(
             "jaccard",
             col("inter").cast("double") / (col("a_n") + col("b_n") - col("inter"))
@@ -605,27 +591,16 @@ object DedupPack extends QueryPack {
         // but directed — both (a,b) and (b,a) scored.
         val toks = tokens(col("text"))
         val shingles = graft.functions.TextExpressions.shingles(col("text"), 3)
-        // materialize the shingle array BEFORE the explode projection —
-        // size() next to explode() in one select re-evaluates the whole
-        // shingle_array per exploded row (d7 learned the same lesson)
-        val postings = Tables.documents(s, d)
-          .filter(size(toks) >= 3)
-          .select(col("doc_id"), col("source"), shingles.as("sh"))
-          .select(col("doc_id"), col("source"), size(col("sh")).as("n_sh"),
-            explode(col("sh")).as("shingle"))
-        // aggregate UNDIRECTED pairs once (half the join/agg volume), then
-        // emit both directions from the tiny aggregated pair table — the
+        // [[graft.ops.SetSimJoin]] generates UNDIRECTED verified pairs once
+        // (df=1 prune + prefix filter + exact array_intersect verify — the
+        // directed containment ≥ t on side X is caught via X's prefix);
+        // both directions then emit from the tiny verified pair table — the
         // containment denominators differ per direction, the intersection
         // count doesn't
-        val pa = postings.select(
-          col("doc_id").as("a_id"), col("source"), col("shingle"), col("n_sh").as("a_n"))
-        val pb = postings.select(
-          col("doc_id").as("b_id"), col("source"), col("shingle"), col("n_sh").as("b_n"))
-        val pairs = pa.join(pb, Seq("source", "shingle"))
-          .filter(col("a_id") < col("b_id"))
-          .groupBy(col("a_id"), col("b_id"), col("a_n"), col("b_n"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
+        val docs = Tables.documents(s, d)
+          .filter(size(toks) >= 3)
+          .select(col("doc_id"), col("source"), shingles.as("sh"))
+        graft.ops.SetSimJoin.verifiedPairs(docs, 0.5)
           // both directions via a generator over the aggregated rows — a
           // union of two projections would re-execute the join+agg subtree
           .select(explode(array(
