@@ -52,14 +52,23 @@ object Bench {
     } catch { case _: Throwable => () }
     // iteration aid: SPARK_GRAFT_ONLY=q1,q3 times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // sorted-name order (stable across rounds, so per-query diffs compare
+    // like with like) and TWO timed runs per query keeping the min — a
+    // single sample on a shared host conflates scheduler noise with
+    // regressions; the min of two is a far tighter lower-bound estimator
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1)
       .map { case (name, fn) =>
         if (sys.env.contains("SPARK_GRAFT_TRACE"))
           System.err.println(s"[bench-trace] ${java.time.Instant.now()} $name")
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> Seq.fill(reps)(once()).min
       }
     def r3(v: Double): String = f"$v%.3f"
     val total = results.map(_._2).sum

@@ -208,6 +208,11 @@ class MockArcGisClient(
     outFieldsLog.add(outFields.mkString(","))
     pageLog.add((offset, count))
     envelope.foreach(envelopeLog.add)
+    // strict server: a layer that reports supportsPagination=false rejects
+    // resultOffset/resultRecordCount outright (the lenient alternative —
+    // ignoring them — silently duplicates rows across partitions, worse)
+    require(supportsPagination || count < 0,
+      "mock ArcGIS server: pagination parameters sent to a supportsPagination=false layer")
     def inEnv(f: EsriFeature): Boolean = envelope.forall { e =>
       f.geometry.exists { case (x, y) =>
         x >= e.xmin && x <= e.xmax && y >= e.ymin && y <= e.ymax

@@ -240,6 +240,13 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
     */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
+  /** Partially pushed: the engine KEEPS its limit operator. Required for
+    * the non-paginating fallbacks (a single unpaginated request returns up
+    * to the server cap, an OID-range scan returns everything) and harmless
+    * in offset mode, where the page budget already stops at the limit.
+    */
+  override def isPartiallyPushed(): Boolean = true
+
   private var envelope: Option[Envelope] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -427,12 +434,17 @@ class ArcGisScan(
       val page = Option(options.get("pageSize")).map(_.toInt)
         .getOrElse(info.maxRecordCount.max(1))
       // OID-range mode: explicit opt-in, or forced when the server's /query
-      // lacks resultOffset. A pushed LIMIT keeps offset mode (the limit
-      // budget maps to offset pages, not to ranges) — only valid when the
-      // server paginates, which it does whenever a limit reaches here.
-      val oidRange = limit.isEmpty &&
-        (strategy.equalsIgnoreCase("oidRange") || !info.supportsPagination)
-      if (oidRange) {
+      // lacks resultOffset. A pushed LIMIT prefers offset mode (the limit
+      // budget maps to offset pages) — but ONLY when the server actually
+      // paginates: a non-paginating server either rejects resultOffset
+      // (400) or ignores it (duplicate rows across partitions), so with
+      // !supportsPagination a limit NEVER falls back to offset mode.
+      // Instead: a limit that fits one server page becomes a single
+      // unpaginated request (LIMIT takes ANY n rows, and the engine-side
+      // limit — kept, isPartiallyPushed — trims the cap); a larger limit
+      // scans OID ranges and lets the engine trim.
+      val oidRange = strategy.equalsIgnoreCase("oidRange") || !info.supportsPagination
+      def oidRangePartitions(): Array[InputPartition] = {
         val oid = info.fields.find(_.esriType == "esriFieldTypeOID").map(_.name)
           .getOrElse(throw new IllegalArgumentException(
             "oidRange scan requires an esriFieldTypeOID field in the layer metadata"))
@@ -455,15 +467,29 @@ class ArcGisScan(
           case Some((lo, hi)) =>
             val n = ((info.totalCount + page - 1) / page).toInt.max(1)
             val width = math.max(1L, (hi - lo + n - 1) / n)
+            // saturation threshold = the SERVER's cap, not the pageSize
+            // option: OID-range requests send no resultRecordCount (count
+            // = -1), so the server always caps at ITS maxRecordCount; a
+            // larger user pageSize would make a capped (= truncated)
+            // response look unsaturated and silently drop the rest of the
+            // range. pageSize still sizes the ranges themselves.
+            val saturation = info.maxRecordCount.max(1)
             (0 until n).iterator
               .map { i =>
                 val a = lo + i.toLong * width
                 ArcGisOidRangePartition(
-                  a, math.min(hi, a + width), oid, effectiveWhere, page, envelope)
+                  a, math.min(hi, a + width), oid, effectiveWhere, saturation, envelope)
               }
               .filter(p => p.lo < p.hi)
               .toArray[InputPartition]
         }
+      }
+      if (limit.isEmpty && oidRange) {
+        oidRangePartitions()
+      } else if (limit.isDefined && !info.supportsPagination) {
+        if (limit.get <= info.maxRecordCount)
+          Array(ArcGisInputPartition(0L, -1, effectiveWhere, envelope))
+        else oidRangePartitions()
       } else {
         // pushed LIMIT caps the total row budget: pages past it are never
         // requested, and the last page shrinks to the remainder (rows are

@@ -134,6 +134,14 @@ class HttpArcGisClient(
   /** `count < 0` = no explicit cap: the OID-range scan omits BOTH pagination
     * parameters (they require `supportsPagination`, which is exactly what
     * that mode works around) and lets the server cap at its maxRecordCount.
+    *
+    * SR discipline: every feature read requests `outSR=4326`, so geom_x /
+    * geom_y are ALWAYS WGS-84 lon/lat regardless of the layer's native SR —
+    * and the pushed envelope declares the SAME wkid via `inSR`. Predicate
+    * units, envelope units, and returned coordinates therefore live in one
+    * SR; without the fixed outSR, a non-4326 layer would have the server
+    * reproject the envelope while shipping native-SR coordinates, silently
+    * excluding matching rows that no residual engine filter could recover.
     */
   override def queryPage(
       offset: Long, count: Int, where: String, outFields: Seq[String],
@@ -141,7 +149,8 @@ class HttpArcGisClient(
   ): Seq[EsriFeature] =
     parseFeatures(get("/query", Seq(
       "where" -> where,
-      "outFields" -> (if (outFields.isEmpty) "*" else outFields.mkString(","))
+      "outFields" -> (if (outFields.isEmpty) "*" else outFields.mkString(",")),
+      "outSR" -> "4326"
     ) ++ (if (count >= 0) Seq(
       "resultOffset" -> offset.toString,
       "resultRecordCount" -> count.toString,
@@ -151,7 +160,7 @@ class HttpArcGisClient(
         "geometry" -> s"""{"xmin":${e.xmin},"ymin":${e.ymin},"xmax":${e.xmax},"ymax":${e.ymax}}""",
         "geometryType" -> "esriGeometryEnvelope",
         "spatialRel" -> "esriSpatialRelIntersects",
-        "inSR" -> "4326"
+        "inSR" -> "4326" // same SR as outSR — one unit system end to end
       ))))
 
   override def queryTopFeatures(
@@ -161,6 +170,7 @@ class HttpArcGisClient(
     parseFeatures(get("/queryTopFeatures", Seq(
       "where" -> where,
       "outFields" -> (if (outFields.isEmpty) "*" else outFields.mkString(",")),
+      "outSR" -> "4326", // same SR discipline as queryPage
       "topFilter" -> s"""{"groupByFields":"$groupByField","topCount":$topCount,"orderByFields":"$orderByField"}"""
     )))
 

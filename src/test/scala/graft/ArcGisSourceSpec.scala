@@ -259,6 +259,52 @@ class ArcGisSourceSpec extends AnyFunSuite {
     }, client.whereLog.toArray.mkString("\n"))
   }
 
+  test("LIMIT on a non-paginating layer: single unpaginated request when it fits one page") {
+    val fields = mkClient(1).fields
+    val rows = (0 until 25).map { i =>
+      EsriFeature(Map("objectid" -> i.toLong, "name" -> s"feat-$i",
+        "status" -> "active", "score" -> 1.0, "created" -> "2024-01-01"), None)
+    }
+    val client = new MockArcGisClient(fields, rows, pageSize = 10, supportsPagination = false)
+    ArcGisClientRegistry.register("nopagelimit", client)
+    val df = spark.read.format("arcgis").option("client", "nopagelimit").load().limit(7)
+    // the strict mock throws on any resultOffset/resultRecordCount — this
+    // passing proves no pagination parameter was sent; engine-side limit trims
+    assert(df.count() == 7)
+    val pages = client.pageLog.toArray.map(_.asInstanceOf[(Long, Int)])
+    assert(pages.toSeq == Seq((0L, -1)), pages.toSeq.toString)
+  }
+
+  test("LIMIT larger than the server page on a non-paginating layer: OID ranges + engine trim") {
+    val fields = mkClient(1).fields
+    val rows = (0 until 30).map { i =>
+      EsriFeature(Map("objectid" -> i.toLong, "name" -> s"feat-$i",
+        "status" -> "active", "score" -> 1.0, "created" -> "2024-01-01"), None)
+    }
+    val client = new MockArcGisClient(fields, rows, pageSize = 10, supportsPagination = false)
+    ArcGisClientRegistry.register("nopagebiglimit", client)
+    val df = spark.read.format("arcgis").option("client", "nopagebiglimit").load().limit(25)
+    assert(df.count() == 25) // strict mock would throw on offset pagination
+    // every request was an unpaginated OID-range probe
+    val pages = client.pageLog.toArray.map(_.asInstanceOf[(Long, Int)])
+    assert(pages.nonEmpty && pages.forall(p => p._1 == 0L && p._2 == -1), pages.toSeq.toString)
+    assert(client.whereLog.toArray.exists(_.toString.contains("objectid >= ")))
+  }
+
+  test("oidRange saturation threshold is the server cap, not the pageSize option") {
+    // user pageSize (50) exceeds the server's maxRecordCount (10): every
+    // response is capped at 10 rows, which is SHORTER than the option — a
+    // planner that compared against the option would declare the range
+    // exhausted and silently drop 30 of the 40 rows
+    val client = mkClient(40, pageSize = 10)
+    ArcGisClientRegistry.register("capsat40", client)
+    val df = spark.read.format("arcgis")
+      .option("client", "capsat40").option("strategy", "oidRange")
+      .option("pageSize", "50").load()
+    val ids = df.select("objectid").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 40L))
+  }
+
   test("aggregate pushdown: grouped count/min/max/sum/avg run remotely, zero pages fetched") {
     val client = mkClient(30)
     ArcGisClientRegistry.register("agg30", client)

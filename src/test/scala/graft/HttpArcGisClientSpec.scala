@@ -47,6 +47,7 @@ class HttpArcGisClientSpec extends AnyFunSuite {
     val seenTokens = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val seenReferers = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val seenWheres = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val seenOutSrs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/layer", (ex: HttpExchange) => {
@@ -86,6 +87,7 @@ class HttpArcGisClientSpec extends AnyFunSuite {
           }
           reply(ex, feats.mkString("""{"features":[""", ",", "]}"))
         case "/layer/query" =>
+          seenOutSrs.add(p.getOrElse("outSR", "<missing>"))
           val off = p.getOrElse("resultOffset", "0").toInt
           val cnt = p.getOrElse("resultRecordCount", "1000").toInt
           reply(ex, matching.slice(off, off + cnt).map(_.json).mkString("""{"features":[""", ",", "]}"))
@@ -122,6 +124,12 @@ class HttpArcGisClientSpec extends AnyFunSuite {
       // auth token and referer attached to every request
       assert(seenTokens.toArray.forall(_ == "tok-42") && !seenTokens.isEmpty)
       assert(seenReferers.toArray.forall(_ == "graft-test") && !seenReferers.isEmpty)
+
+      // SR discipline: every feature read pins outSR=4326, so geometry
+      // units always match the 4326 envelope inSR (a non-4326 layer would
+      // otherwise ship native-SR coords against a reprojected envelope)
+      assert(seenOutSrs.toArray.nonEmpty && seenOutSrs.toArray.forall(_ == "4326"),
+        seenOutSrs.toArray.mkString(","))
 
       // aggregate pushdown travels the wire as outStatistics +
       // groupByFieldsForStatistics and returns one row per group
