@@ -47,21 +47,33 @@ object ConnectedComponents {
 
   /** @param nodes single-column DataFrame of node ids (column `id`)
     * @param edges two-column DataFrame of undirected edges (columns `src`, `dst`)
-    * @param driverFinishEdges adaptive-finish guard: when the CONTRACTED edge
-    *   set of a round fits under this many edges, it is collected and the
-    *   remaining closure runs as in-memory union-find on the driver — the
-    *   "small remainder" hybrid (analogous to Spark collecting a small join
-    *   side to broadcast it). Edge sets shrink geometrically under
-    *   contraction, so at 100 TB the distributed rounds do the heavy
-    *   lifting and the hybrid only absorbs the long tail of tiny rounds;
-    *   at test scale it collapses the whole loop to one collect.
+    * @param driverFinishEdges adaptive-finish guard OVERRIDE: when >= 0, the
+    *   in-memory remainder kicks in at this many edges (0 disables it —
+    *   test hook). The default (-1) derives the threshold from
+    *   `driverFinishBytes` and the edge schema, so the guard is
+    *   DRIVER-MEMORY-aware rather than a bare row count.
+    * @param driverFinishBytes bound on the estimated heap the collected
+    *   remainder may occupy on the driver (default 256 MiB — comfortably
+    *   inside a default 1-4 GiB driver heap next to the union-find maps,
+    *   which take a similar order). Per-edge cost is estimated from the
+    *   edge schema (boxed column values + Row overhead), so wide or
+    *   string-keyed edges get a proportionally LOWER edge threshold —
+    *   the failure mode of a fixed edge count. When the CONTRACTED edge
+    *   set of a round fits the budget, it is collected and the remaining
+    *   closure runs as in-memory union-find on the driver — the "small
+    *   remainder" hybrid (analogous to Spark collecting a small join side
+    *   to broadcast it). Edge sets shrink geometrically under contraction,
+    *   so at 100 TB the distributed rounds do the heavy lifting and the
+    *   hybrid only absorbs the long tail of tiny rounds; at test scale it
+    *   collapses the whole loop to one collect.
     * @return DataFrame (id, component) where component = min node id reachable
     */
   def run(
       nodes: DataFrame,
       edges: DataFrame,
       maxIter: Int = 50,
-      driverFinishEdges: Long = 1L << 22
+      driverFinishEdges: Long = -1L,
+      driverFinishBytes: Long = 256L << 20
   ): DataFrame = {
     // Materialize the (typically expensive — a near-dup pair join) edge set
     // once, canonicalized undirected and deduplicated.
@@ -71,10 +83,20 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
+    // bytes-aware edge threshold: boxed value sizes (defaultSize + object
+    // header) + collected-Row overhead. For (long, long) edges this lands
+    // near the historical 4M-edge guard; string keys shrink it.
+    val finishEdges =
+      if (driverFinishEdges >= 0) driverFinishEdges
+      else {
+        val rowBytes = ce.schema.fields.map(_.dataType.defaultSize + 16L).sum + 32L
+        math.max(1L, driverFinishBytes / rowBytes)
+      }
+
     val maps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var iter = 0
     var remaining = ce.count() // cheap: frame is checkpointed
-    while (iter < maxIter && remaining > driverFinishEdges) {
+    while (iter < maxIter && remaining > finishEdges) {
       val und = ce.union(ce.select(col("dst").as("src"), col("src").as("dst")))
       // 1. min over the closed neighborhood of each current component
       val m = und

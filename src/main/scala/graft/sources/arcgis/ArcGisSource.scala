@@ -112,13 +112,18 @@ object ArcGisFilterCompiler {
 }
 
 class ArcGisTable(schema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"arcgis(${options.get("client")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ArcGisScanBuilder(schema, opts)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo
+  ): org.apache.spark.sql.connector.write.WriteBuilder =
+    new ArcGisWriteBuilder(info)
 }
 
 /** Catalyst V2 [[Aggregation]] → ArcGIS `outStatistics` (+
@@ -203,6 +208,10 @@ object ArcGisAggCompiler {
 class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
+
+  // plan-time option validation (strategy enum, numeric options) — the
+  // reference's TypeBox enum check, failing at scan build, not mid-fan-out
+  ArcGisConfigSchema.validateOptions(options)
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema

@@ -31,4 +31,15 @@ class AuthCache(
   }
 
   def invalidate(): Unit = synchronized { cached = None }
+
+  /** Forced refresh — the reference's `update()` connection-refresh hook
+    * (`task.ts:137-153`): unconditionally re-authenticate NOW and cache the
+    * new token, regardless of the expiry predicate. Used by schedule-style
+    * maintenance (keep the stored credential warm) rather than the lazy
+    * per-request path of [[token]].
+    */
+  def refresh(): String = synchronized {
+    cached = Some(fetchToken())
+    cached.get._1
+  }
 }

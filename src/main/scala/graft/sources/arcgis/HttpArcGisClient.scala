@@ -30,6 +30,13 @@ class HttpArcGisClient(
 
   @transient private lazy val http = HttpClient.newHttpClient()
 
+  /** The reference's `update()` connection-refresh entry point
+    * (`task.ts:137-153`): force a re-authentication against the portal and
+    * re-cache the token. A no-op for unauthenticated clients, exactly as
+    * the reference's Incoming flow returns early.
+    */
+  def update(): Unit = auth.foreach(_.refresh())
+
   private def enc(s: String) = URLEncoder.encode(s, StandardCharsets.UTF_8)
 
   private def withAuth(params: Seq[(String, String)]): Seq[(String, String)] =

@@ -305,6 +305,53 @@ class ArcGisSourceSpec extends AnyFunSuite {
     assert(ids.toSeq == (0L until 40L))
   }
 
+  test("DSv2 write path: df.write.format(\"arcgis\") appends, upserts, isolates errors") {
+    import org.apache.spark.sql.Row
+    val client = mkClient(10, pageSize = 10)
+    ArcGisClientRegistry.register("w10", client)
+    val schema = spark.read.format("arcgis").option("client", "w10").load().schema
+    val rows = Seq(
+      Row(null, "feat-3", "active", 9.9, "2024-02-01", 1.0, 2.0), // name exists remotely
+      Row(null, "brand-new", "idle", 0.5, "2024-02-01", 3.0, 4.0) // name is new
+    )
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+    // S8 append through the format API
+    df.write.format("arcgis").option("client", "w10").mode("append").save()
+    assert(client.added.size == 2)
+    assert(ArcGisWriteStats.last("w10").contains((2L, 0L, 0L)))
+
+    // S9/S10 upsert: ONE IN-list existence probe per batch splits add/update;
+    // the update carries the discovered objectid
+    client.added.clear()
+    df.write.format("arcgis").option("client", "w10")
+      .option("upsertKey", "name").mode("append").save()
+    assert(client.added.toArray.map(_.asInstanceOf[EsriFeature].attributes("name")).toSeq
+      == Seq("brand-new"))
+    val upd = client.updated.toArray.map(_.asInstanceOf[EsriFeature])
+    assert(upd.length == 1 && upd.head.attributes("name") == "feat-3")
+    assert(upd.head.attributes("objectid").asInstanceOf[Number].longValue() == 3L)
+    assert(ArcGisWriteStats.last("w10").contains((1L, 0L, 1L)))
+    // no per-row probes: the only feature queries are IN-list batch lookups
+    assert(client.whereLog.toArray.map(_.toString).count(_.contains(" IN (")) >= 1)
+
+    // T8 error isolation: a poisoned feature is counted, the job succeeds
+    val poison = new MockArcGisClient(client.fields, client.rows, 10) {
+      override def addFeatures(feats: Seq[EsriFeature]): Seq[Either[String, Long]] =
+        feats.map { f =>
+          if (f.attributes.get("name").contains("bad")) Left("boom")
+          else { added.add(f); Right(added.size.toLong) }
+        }
+    }
+    ArcGisClientRegistry.register("wpoison", poison)
+    val mixed = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows :+
+        Row(null, "bad", "idle", 0.0, "2024-02-01", null, null), 2), schema)
+    mixed.write.format("arcgis").option("client", "wpoison").mode("append").save()
+    assert(poison.added.size == 2)
+    assert(ArcGisWriteStats.last("wpoison").contains((2L, 1L, 0L)))
+  }
+
   test("aggregate pushdown: grouped count/min/max/sum/avg run remotely, zero pages fetched") {
     val client = mkClient(30)
     ArcGisClientRegistry.register("agg30", client)

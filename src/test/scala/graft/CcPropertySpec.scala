@@ -57,6 +57,31 @@ class CcPropertySpec extends AnyFunSuite {
     assert((got.getLong(0), got.getLong(1)) == ((1L, 0L)))
   }
 
+  test("bytes-aware driver finish: correct on BOTH sides of the derived threshold") {
+    import spark.implicits._
+    // 50-node random graph; canonical distinct edge count E known exactly
+    val rnd = new scala.util.Random(7)
+    val n = 50
+    val raw = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val canonical = raw.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val e = canonical.size.toLong
+    // per-edge estimate for (long, long): 2*(8+16) + 32 = 80 bytes
+    val rowBytes = 80L
+    val nodes = (0L until n.toLong).toDF("id")
+    val want = unionFind(n, raw)
+    // budget exactly E edges → remainder fits → driver union-find path
+    val atThreshold = ConnectedComponents
+      .run(nodes, raw.toDF("src", "dst"), driverFinishBytes = e * rowBytes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atThreshold == want)
+    // one byte short of E edges → first round must run distributed
+    val belowThreshold = ConnectedComponents
+      .run(nodes, raw.toDF("src", "dst"), driverFinishBytes = e * rowBytes - 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(belowThreshold == want)
+  }
+
   test("disjoint cliques collapse in one round each") {
     import spark.implicits._
     val cliques = Seq(0L to 9L, 10L to 19L, 20L to 29L)

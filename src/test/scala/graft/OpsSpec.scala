@@ -70,6 +70,21 @@ class AuthCacheSpec extends AnyFunSuite {
     cache.invalidate()
     assert(cache.token() == "tok3" && fetches == 3)
   }
+
+  test("update() hook: forced refresh re-authenticates even when the token is fresh") {
+    var clock = 1000L
+    var fetches = 0
+    val cache = new AuthCache(
+      fetchToken = () => { fetches += 1; (s"tok$fetches", clock + 60000) },
+      refreshMarginMs = 5000,
+      now = () => clock
+    )
+    assert(cache.token() == "tok1" && fetches == 1)
+    // fresh token (59s to expiry), but the maintenance hook must re-auth NOW
+    assert(cache.refresh() == "tok2" && fetches == 2)
+    // and the refreshed token is what subsequent requests use
+    assert(cache.token() == "tok2" && fetches == 2)
+  }
 }
 
 class StreamingWindowSpec extends AnyFunSuite {
