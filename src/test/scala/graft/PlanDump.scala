@@ -89,10 +89,23 @@ object PlanDump {
         "equi-join on the cell key (query side ×9 replication via explode), " +
         "never a nested-loop range join; the rank window partitions by the " +
         "query key, whose cardinality scales with the data."),
-      "x20_ks_test" -> ("Two-sample KS: ONE range exchange (the checkpointed " +
-        "prefix-sum shuffle) carries BOTH empirical CDFs — rank and per-sample " +
-        "count packed into a single accumulator — then a partition-local Sort + " +
-        "MapPartitions and one tiny aggregate. No Window, no second shuffle.")
+      "x20_ks_test" -> ("Two-sample KS at VALUE level (ties pre-aggregated before " +
+        "the CDF gap): ONE range exchange (the checkpointed prefix-sum shuffle) " +
+        "carries BOTH cumulative counts packed into a single accumulator — then a " +
+        "partition-local Sort + MapPartitions and one tiny aggregate. No Window " +
+        "over data-sized input, no second shuffle, packing bound driver-checked."),
+      "d7_shingle_jaccard" -> ("Pruned set-similarity join (ops/SetSimJoin): the " +
+        "shingle arrays materialize ONCE (Scan ExistingRDD under every subtree); " +
+        "document frequency aggregates on the (source, shingle) key and df=1 " +
+        "postings are dropped exactly; candidates join each doc's PREFIX (rarest " +
+        "n/2+1 shingles — the row_number window partitions per DOCUMENT, even " +
+        "distribution) against the pruned postings, so a hot shingle can't go " +
+        "df²; one exact array_intersect verifies each surviving pair."),
+      "d16_containment" -> ("Directed containment over the SAME pruned index as " +
+        "d7 (shared ops/SetSimJoin subtree): undirected candidates verified once, " +
+        "then both directions emitted from the tiny verified pair table by a " +
+        "generator — the denominators differ per direction, the intersection " +
+        "count doesn't.")
     )
 
     val sb = new StringBuilder
