@@ -117,7 +117,8 @@ class ArcGisTable(schema: StructType, options: CaseInsensitiveStringMap)
   override def name(): String = s"arcgis(${options.get("client")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ArcGisScanBuilder(schema, opts)
   override def newWriteBuilder(
@@ -372,6 +373,16 @@ class ArcGisScan(
 ) extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Streaming read: incremental OBJECTID tailing (see
+    * [[ArcGisMicroBatchStream]]); the compiled `where` — user option plus
+    * pushed filters — applies server-side to every micro-batch.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String
+  ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ArcGisMicroBatchStream(
+      schema, options.asCaseSensitiveMap().asScala.toMap, where)
 
   /** Layer statistics for the planner: row count from the layer metadata
     * (one cheap `returnCountOnly` probe, cached in the client) and a field-

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.arcgis._
+
+/** Incremental streaming read of an ArcGIS layer: the micro-batch source
+  * tails the layer by OBJECTID (offset = highest OID delivered), so a
+  * scheduled re-pull becomes exactly-once incremental delivery.
+  */
+class ArcGisStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val fields = Seq(
+    ArcGisField("objectid", "esriFieldTypeOID"),
+    ArcGisField("name", "esriFieldTypeString"),
+    ArcGisField("status", "esriFieldTypeString"))
+
+  private def feat(i: Long, status: String = "active") = EsriFeature(
+    Map("objectid" -> i, "name" -> s"feat-$i", "status" -> status), Some((i * 1.0, -i * 1.0)))
+
+  /** Mock whose row set can GROW between micro-batches. */
+  private class GrowingMock(initial: Seq[EsriFeature])
+      extends MockArcGisClient(fields, initial, pageSize = 4) {
+    @volatile private var extra: Seq[EsriFeature] = Seq.empty
+    def grow(more: Seq[EsriFeature]): Unit = extra = extra ++ more
+    override def queryPage(offset: Long, count: Int, where: String,
+        outFields: Seq[String], envelope: Option[Envelope]): Seq[EsriFeature] = {
+      val self = new MockArcGisClient(fields, rows ++ extra, pageSize)
+      self.queryPage(offset, count, where, outFields, envelope)
+    }
+    override def queryStatistics(where: String, groupBy: Seq[String],
+        stats: Seq[StatSpec]): Seq[Map[String, Any]] =
+      new MockArcGisClient(fields, rows ++ extra, pageSize)
+        .queryStatistics(where, groupBy, stats)
+  }
+
+  test("micro-batch tail: backfill then ONLY new OIDs, exactly once") {
+    val client = new GrowingMock((0L until 10L).map(feat(_)))
+    ArcGisClientRegistry.register("stream10", client)
+    val q = spark.readStream.format("arcgis").option("client", "stream10").load()
+      .writeStream.format("memory").queryName("arcstream")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      val batch1 = spark.sql("SELECT objectid FROM arcstream").collect().map(_.getLong(0)).sorted
+      assert(batch1.toSeq == (0L until 10L), "backfill must deliver the whole layer once")
+
+      client.grow(Seq(feat(10), feat(11), feat(12)))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT objectid FROM arcstream").collect().map(_.getLong(0)).sorted
+      // incremental: the original 10 are NOT re-delivered
+      assert(all.toSeq == (0L until 13L), all.toSeq.toString)
+    } finally q.stop()
+  }
+
+  test("where option applies server-side to every micro-batch") {
+    val client = new GrowingMock((0L until 8L).map(i =>
+      feat(i, status = if (i % 2 == 0) "active" else "idle")))
+    ArcGisClientRegistry.register("streamwhere", client)
+    val q = spark.readStream.format("arcgis").option("client", "streamwhere")
+      .option("where", "status = 'active'").load()
+      .writeStream.format("memory").queryName("arcstreamw")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT objectid FROM arcstreamw").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == Seq(0L, 2L, 4L, 6L))
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow drains to the prepare-time watermark and terminates") {
+    val client = new GrowingMock((0L until 6L).map(feat(_)))
+    ArcGisClientRegistry.register("streamnow", client)
+    val q = spark.readStream.format("arcgis").option("client", "streamnow").load()
+      .writeStream.format("memory").queryName("arcstreamnow")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "AvailableNow query must terminate on its own")
+    val got = spark.sql("SELECT objectid FROM arcstreamnow").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 6L))
+  }
+
+  test("offset round-trips through JSON (checkpoint format)") {
+    val off = ArcGisOffset(12345L)
+    assert(ArcGisOffset.fromJson(off.json()) == off)
+    assert(ArcGisOffset.fromJson("""{"maxOid":-9}""") == ArcGisOffset(-9L))
+    intercept[IllegalArgumentException](ArcGisOffset.fromJson("""{"bogus":1}"""))
+  }
+}
