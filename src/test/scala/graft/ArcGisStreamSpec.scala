@@ -81,6 +81,31 @@ class ArcGisStreamSpec extends AnyFunSuite {
     assert(got.toSeq == (0L until 6L))
   }
 
+  test("restart from checkpoint resumes at the stored offset — no re-delivery") {
+    val client = new GrowingMock((0L until 5L).map(feat(_)))
+    ArcGisClientRegistry.register("streamckpt", client)
+    val ckpt = java.nio.file.Files.createTempDirectory("arcgis-stream-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("arcgis-stream-out").toString
+    def runOnce(): Unit = {
+      // file sink: the one memoryless sink that supports checkpoint recovery
+      val q = spark.readStream.format("arcgis").option("client", "streamckpt").load()
+        .select(col("objectid"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(60000))
+    }
+    def delivered(): Seq[Long] =
+      spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    runOnce()
+    assert(delivered() == (0L until 5L))
+    // stop-the-world; new rows arrive; a FRESH query restarts from the
+    // checkpointed offset — the first 5 OIDs must NOT be re-delivered
+    client.grow(Seq(feat(5), feat(6)))
+    runOnce()
+    assert(delivered() == (0L until 7L), "exactly-once across restart: no dup, no loss")
+  }
+
   test("offset round-trips through JSON (checkpoint format)") {
     val off = ArcGisOffset(12345L)
     assert(ArcGisOffset.fromJson(off.json()) == off)
