@@ -42,7 +42,8 @@ class ArcGisWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
 }
 
 class ArcGisWrite(schema: StructType, clientKey: String, upsertKey: Option[String])
-    extends Write with BatchWrite {
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   require(clientKey != null, "arcgis write requires the 'client' option")
   upsertKey.foreach { k =>
     require(schema.fieldNames.contains(k),
@@ -51,10 +52,27 @@ class ArcGisWrite(schema: StructType, clientKey: String, upsertKey: Option[Strin
 
   override def toBatch: BatchWrite = this
 
+  // BatchWrite and StreamingWrite both declare this default; Scala requires
+  // an explicit disambiguating override (same value as both defaults)
+  override def useCommitCoordinator(): Boolean = true
+
+  /** `writeStream.format("arcgis")`: each micro-batch epoch runs the same
+    * batched writers. The REST surface offers no transactional epoch
+    * commit, so delivery is at-least-once on epoch retry — with the
+    * `upsertKey` option the sink is effectively idempotent (retried rows
+    * re-upsert on their key), which is the streaming mode to prefer.
+    */
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ArcGisWriterFactory(schema, clientKey, upsertKey)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo
+  ): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new ArcGisWriterFactory(schema, clientKey, upsertKey)
+
+  private def recordCommit(messages: Array[WriterCommitMessage]): Unit = {
     val (ok, failed, updated) = messages.foldLeft((0L, 0L, 0L)) {
       case ((a, f, u), ArcGisCommit(mo, mf, mu)) => (a + mo, f + mf, u + mu)
       case (acc, _) => acc
@@ -62,8 +80,14 @@ class ArcGisWrite(schema: StructType, clientKey: String, upsertKey: Option[Strin
     ArcGisWriteStats.record(clientKey, ok, failed, updated)
   }
 
+  override def commit(messages: Array[WriterCommitMessage]): Unit = recordCommit(messages)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    recordCommit(messages)
+
   // POSTs already acknowledged cannot be rolled back (see Scaladoc)
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** Per-job write outcome (inserted / failed / updated), observable by key —
@@ -79,8 +103,12 @@ object ArcGisWriteStats {
 case class ArcGisCommit(ok: Long, failed: Long, updated: Long) extends WriterCommitMessage
 
 class ArcGisWriterFactory(schema: StructType, clientKey: String, upsertKey: Option[String])
-    extends DataWriterFactory {
+    extends DataWriterFactory
+    with org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ArcGisDataWriter(schema, clientKey, upsertKey)
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new ArcGisDataWriter(schema, clientKey, upsertKey)
 }
 

@@ -106,6 +106,32 @@ class ArcGisStreamSpec extends AnyFunSuite {
     assert(delivered() == (0L until 7L), "exactly-once across restart: no dup, no loss")
   }
 
+  test("writeStream.format(\"arcgis\"): streaming upsert sink, idempotent on the key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val target = new GrowingMock((0L until 3L).map(feat(_))) // feat-0..2 exist
+    ArcGisClientRegistry.register("streamsink", target)
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val df = in.toDF().toDF("name", "status")
+    val q = df.writeStream.format("arcgis")
+      .option("client", "streamsink").option("upsertKey", "name")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("arcgis-sink-ckpt").toString)
+      .outputMode("append").start()
+    try {
+      in.addData(("feat-1", "updated"), ("feat-99", "new"))
+      q.processAllAvailable()
+      // existing name → updateFeatures with its objectid; new name → addFeatures
+      val upd = target.updated.toArray.map(_.asInstanceOf[EsriFeature])
+      assert(upd.map(_.attributes("name")).toSeq == Seq("feat-1"))
+      assert(upd.head.attributes("objectid").asInstanceOf[Number].longValue() == 1L)
+      assert(target.added.toArray.map(_.asInstanceOf[EsriFeature].attributes("name")).toSeq
+        == Seq("feat-99"))
+      assert(ArcGisWriteStats.last("streamsink").contains((1L, 0L, 1L)))
+    } finally q.stop()
+  }
+
   test("offset round-trips through JSON (checkpoint format)") {
     val off = ArcGisOffset(12345L)
     assert(ArcGisOffset.fromJson(off.json()) == off)
