@@ -25,7 +25,12 @@ class HttpArcGisClient(
     referer: Option[String] = None,
     maxAttempts: Int = 4,
     backoffMs: Long = 200,
-    sleep: Long => Unit = Thread.sleep
+    sleep: Long => Unit = Thread.sleep,
+    // the reference's ARCGIS_PARAMS {Key,Value}[] merge (task.ts:20-23,
+    // 410-414): arbitrary key/values appended to every query request —
+    // LAST, so a user param overrides an engine default of the same name,
+    // exactly as esri-dump's spread does
+    extraParams: Seq[(String, String)] = Seq.empty
 ) extends ArcGisClient {
 
   @transient private lazy val http = HttpClient.newHttpClient()
@@ -92,10 +97,21 @@ class HttpArcGisClient(
     throw new IllegalStateException("unreachable")
   }
 
+  /** Engine params with the user's ARCGIS_PARAMS merged in: a user key
+    * REPLACES the engine default of the same name (no duplicate query keys
+    * — server behavior on duplicates is undefined).
+    */
+  private def withExtras(params: Seq[(String, String)]): Seq[(String, String)] =
+    if (extraParams.isEmpty) params
+    else {
+      val overridden = extraParams.map(_._1).toSet
+      params.filterNot(p => overridden.contains(p._1)) ++ extraParams
+    }
+
   private def get(path: String, params: Seq[(String, String)]): String =
     sendWithRetry(s"GET $path", () => {
       // params re-evaluated per attempt so an invalidated token is re-fetched
-      val qs = (withAuth(params) :+ ("f" -> "json"))
+      val qs = (withAuth(withExtras(params)) :+ ("f" -> "json"))
         .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
       val builder = HttpRequest.newBuilder(URI.create(s"$layerUrl$path?$qs")).GET()
       referer.foreach(r => builder.header("Referer", r))

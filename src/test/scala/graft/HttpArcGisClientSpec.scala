@@ -274,4 +274,28 @@ class HttpArcGisClientSpec extends AnyFunSuite {
       server.stop(0)
     }
   }
+
+  test("ARCGIS_PARAMS merge: extra params ride every query, user key overrides engine default") {
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/xp", (ex: HttpExchange) => {
+      val p = params(ex)
+      if (ex.getRequestURI.getPath == "/xp/query") seen.add(p)
+      reply(ex, """{"features":[]}""")
+    })
+    server.start()
+    try {
+      val client = new HttpArcGisClient(
+        s"http://127.0.0.1:${server.getAddress.getPort}/xp",
+        extraParams = Seq("gdbVersion" -> "SDE.v1", "outSR" -> "3857"))
+      client.queryPage(0L, 10, "1=1", Seq("*"))
+      val p = seen.toArray.head.asInstanceOf[Map[String, String]]
+      // arbitrary param injected (task.ts ARCGIS_PARAMS {Key,Value}[])
+      assert(p.get("gdbVersion").contains("SDE.v1"))
+      // user key REPLACES the engine default — one outSR on the wire, theirs
+      assert(p.get("outSR").contains("3857"))
+      // engine params still present
+      assert(p.get("where").contains("1=1") && p.get("resultOffset").contains("0"))
+    } finally server.stop(0)
+  }
 }
