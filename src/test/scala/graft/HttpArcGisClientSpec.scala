@@ -275,6 +275,32 @@ class HttpArcGisClientSpec extends AnyFunSuite {
     }
   }
 
+  test("PortalAuth.fetcher: generateToken exchange feeds the cache; error envelope surfaces") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
+    server.createContext("/tokens/generateToken", (ex: HttpExchange) => {
+      val p = params(ex)
+      seen.add(p)
+      if (p.get("password").contains("right"))
+        reply(ex, """{"token":"T-9","expires":1234567890123,"ssl":true}""")
+      else
+        reply(ex, """{"error":{"code":400,"message":"Unable to generate token."}}""")
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/tokens/generateToken"
+      val good = graft.sources.arcgis.PortalAuth.fetcher(base, "alice", "right", "graft")()
+      assert(good == (("T-9", 1234567890123L)))
+      val p = seen.toArray.head.asInstanceOf[Map[String, String]]
+      assert(p.get("username").contains("alice") && p.get("referer").contains("graft") &&
+        p.get("f").contains("json"))
+      // ArcGIS reports auth failures as 200 + error envelope — must throw
+      val e = intercept[RuntimeException](
+        graft.sources.arcgis.PortalAuth.fetcher(base, "alice", "wrong", "graft")())
+      assert(e.getMessage.contains("Unable to generate token"), e.getMessage)
+    } finally server.stop(0)
+  }
+
   test("ARCGIS_PARAMS merge: extra params ride every query, user key overrides engine default") {
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, String]]()
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
