@@ -77,6 +77,42 @@ object ArcGisSchema {
       fields.map(f => StructField(f.name, typeFor(f.esriType), nullable = true)) ++
         Seq(StructField("geom_x", DoubleType), StructField("geom_y", DoubleType))
     )
+
+  /** JSON-Schema document → Catalyst `StructType` (SURVEY §7.1 step 1): the
+    * reference's `schema()` surface emits TypeBox JSON Schema
+    * (`/root/reference/task.ts:13-46`, and esri-dump's `dumper.schema()` for
+    * the output side) — this converter lets such a document drive an engine
+    * schema directly. Handles `object`/`properties` (recursively),
+    * `array`/`items`, the four scalar types, and `required[]` →
+    * non-nullable. Properties are emitted in NAME order (JSON objects are
+    * unordered; sorting makes the result deterministic).
+    */
+  def fromJsonSchema(json: String): StructType =
+    objectType(MiniJson.parse(json))
+
+  private def objectType(node: MiniJson.JValue): StructType = {
+    val required = node.fields.get("required") match {
+      case Some(s: Seq[_]) => s.map(String.valueOf(_)).toSet
+      case _ => Set.empty[String]
+    }
+    val props = node.obj("properties").map(_.fields).getOrElse(Map.empty)
+    StructType(props.keys.toSeq.sorted.map { name =>
+      val prop = MiniJson.JValue(props(name))
+      StructField(name, dataTypeOf(prop), nullable = !required.contains(name))
+    })
+  }
+
+  private def dataTypeOf(prop: MiniJson.JValue): DataType =
+    prop.str("type") match {
+      case "string" => StringType
+      case "integer" => LongType
+      case "number" => DoubleType
+      case "boolean" => BooleanType
+      case "object" => objectType(prop)
+      case "array" =>
+        ArrayType(prop.obj("items").map(dataTypeOf).getOrElse(StringType))
+      case other => StringType // unknown/untyped: the permissive edge default
+    }
 }
 
 /** Catalyst [[Filter]] → ArcGIS SQL-92 `where` clause (the compiler the

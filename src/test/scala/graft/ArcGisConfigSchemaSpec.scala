@@ -50,6 +50,35 @@ class ArcGisConfigSchemaSpec extends AnyFunSuite {
     assert(ArcGisConfigSchema.schema(Outgoing, Output).isEmpty)
   }
 
+  test("JSON-Schema document converts to a Catalyst StructType (TypeBox shape)") {
+    import org.apache.spark.sql.types._
+    // the IncomingInput-style TypeBox document the reference's schema() emits
+    val doc = """{
+      "type": "object",
+      "required": ["ARCGIS_URL"],
+      "properties": {
+        "ARCGIS_URL": {"type": "string"},
+        "ARCGIS_QUERY": {"type": "string"},
+        "RETRIES": {"type": "integer"},
+        "SCORE": {"type": "number"},
+        "PRESERVE_HISTORY": {"type": "boolean", "default": false},
+        "ARCGIS_PARAMS": {"type": "array", "items": {
+          "type": "object", "required": ["Key", "Value"],
+          "properties": {"Key": {"type": "string"}, "Value": {"type": "string"}}}}
+      }
+    }"""
+    val s = ArcGisSchema.fromJsonSchema(doc)
+    assert(s("ARCGIS_URL").dataType == StringType && !s("ARCGIS_URL").nullable)
+    assert(s("ARCGIS_QUERY").nullable)
+    assert(s("RETRIES").dataType == LongType)
+    assert(s("SCORE").dataType == DoubleType)
+    assert(s("PRESERVE_HISTORY").dataType == BooleanType)
+    val params = s("ARCGIS_PARAMS").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[StructType]
+    assert(params.fieldNames.toSeq == Seq("Key", "Value"))
+    assert(params.fields.forall(!_.nullable))
+  }
+
   test("strategy enum is enforced at PLAN time, before any partition fans out") {
     val client = new MockArcGisClient(
       Seq(ArcGisField("objectid", "esriFieldTypeOID")), Seq.empty)
