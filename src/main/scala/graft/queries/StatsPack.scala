@@ -553,8 +553,11 @@ object StatsPack extends QueryPack {
           .groupBy(col("l_returnflag"))
           .agg(
             count(lit(1)).as("n"),
-            first(col("med")).as("median_price"),
-            first(col("mad")).as("mad_price"),
+            // min, not first: the value is constant within the group (joined
+            // from one row per key), but first() is merge-order-dependent by
+            // contract — the same latent flake class f9 hit
+            min(col("med")).as("median_price"),
+            min(col("mad")).as("mad_price"),
             sum(when(col("ad") > lit(3.0) * col("mad"), 1L).otherwise(0L)).as("n_outliers")
           )
           .orderBy(col("l_returnflag"))
