@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionDescription}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** A REAL media codec with zero external dependencies: the RIFF/WAVE (PCM)
+  * container header, packed and parsed byte-exactly as Catalyst
+  * expressions. The container has no image/audio libraries, so
+  * [[graft.ops.MediaOps.decodeStub]] documents the stubbed image-decode
+  * seam — but a WAV header is pure byte arithmetic, so the audio-metadata
+  * path can be the genuine article: [[WavPack]] builds the standard 44-byte
+  * PCM header in front of a payload, [[WavMeta]] validates the four chunk
+  * markers and reads the little-endian fields back. decode(pack(x)) == x
+  * is the oracle-checkable round trip (query m8), and [[WavMeta]] on
+  * non-WAV bytes returns null — the parse-don't-throw edge contract every
+  * source in this engine follows.
+  *
+  * CodegenFallback is deliberate: header codec runs ONCE per media row over
+  * 44 bytes — never inside a per-token or per-pair hot loop — so
+  * interpreter dispatch is noise; the surrounding projections stay
+  * codegen'd.
+  */
+object MediaExpressions {
+
+  def wavPack(sampleRate: Column, channels: Column, bits: Column, payload: Column): Column =
+    GraftShims.column(WavPack(
+      GraftShims.expression(sampleRate), GraftShims.expression(channels),
+      GraftShims.expression(bits), GraftShims.expression(payload)))
+
+  def wavMeta(bytes: Column): Column =
+    GraftShims.column(WavMeta(GraftShims.expression(bytes)))
+
+  private def leInt(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = (v & 0xff).toByte
+    out(off + 1) = ((v >> 8) & 0xff).toByte
+    out(off + 2) = ((v >> 16) & 0xff).toByte
+    out(off + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  private def leShort(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = (v & 0xff).toByte
+    out(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+
+  private def ascii(out: Array[Byte], off: Int, s: String): Unit = {
+    var i = 0
+    while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+  }
+
+  private[graft] def packBytes(
+      sampleRate: Int, channels: Int, bits: Int, payload: Array[Byte]): Array[Byte] = {
+    val dataSize = payload.length
+    val out = new Array[Byte](44 + dataSize)
+    ascii(out, 0, "RIFF")
+    leInt(out, 4, 36 + dataSize)
+    ascii(out, 8, "WAVE")
+    ascii(out, 12, "fmt ")
+    leInt(out, 16, 16) // PCM fmt chunk size
+    leShort(out, 20, 1) // audioFormat = PCM
+    leShort(out, 22, channels)
+    leInt(out, 24, sampleRate)
+    leInt(out, 28, sampleRate * channels * (bits / 8)) // byteRate
+    leShort(out, 32, channels * (bits / 8)) // blockAlign
+    leShort(out, 34, bits)
+    ascii(out, 36, "data")
+    leInt(out, 40, dataSize)
+    System.arraycopy(payload, 0, out, 44, dataSize)
+    out
+  }
+
+  private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def marker(b: Array[Byte], off: Int, s: String): Boolean =
+    s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+  /** null when the bytes are not a PCM WAV header. */
+  private[graft] def metaOf(b: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    if (b == null || b.length < 44) return None
+    if (!marker(b, 0, "RIFF") || !marker(b, 8, "WAVE") ||
+      !marker(b, 12, "fmt ") || !marker(b, 36, "data")) return None
+    val channels = u16le(b, 22)
+    val sampleRate = u32le(b, 24).toInt
+    val bits = u16le(b, 34)
+    val dataSize = u32le(b, 40)
+    val byteRate = u32le(b, 28)
+    if (channels <= 0 || sampleRate <= 0 || bits <= 0 || byteRate <= 0) return None
+    Some((sampleRate, channels, bits, dataSize, dataSize * 1000L / byteRate))
+  }
+}
+
+/** 44-byte PCM RIFF header + payload → one binary column. */
+@ExpressionDescription(usage = "wav_pack(sampleRate, channels, bits, payload) - PCM WAV bytes")
+case class WavPack(sampleRate: Expression, channels: Expression, bits: Expression,
+    payload: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(sampleRate, channels, bits, payload)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val sr = sampleRate.eval(input)
+    val ch = channels.eval(input)
+    val bt = bits.eval(input)
+    val pl = payload.eval(input)
+    if (sr == null || ch == null || bt == null || pl == null) null
+    else MediaExpressions.packBytes(
+      sr.asInstanceOf[Number].intValue(), ch.asInstanceOf[Number].intValue(),
+      bt.asInstanceOf[Number].intValue(), pl.asInstanceOf[Array[Byte]])
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(sampleRate = c(0), channels = c(1), bits = c(2), payload = c(3))
+}
+
+/** Parse a PCM WAV header → struct(sample_rate, channels, bits, data_size,
+  * duration_ms); null when the bytes are not a WAV.
+  */
+@ExpressionDescription(usage = "wav_meta(bytes) - PCM WAV header fields or null")
+case class WavMeta(child: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("data_size", LongType),
+    StructField("duration_ms", LongType)))
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MediaExpressions.metaOf(v.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some((sr, ch, bt, ds, ms)) =>
+        new GenericInternalRow(Array[Any](sr, ch, bt, ds, ms))
+    }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}

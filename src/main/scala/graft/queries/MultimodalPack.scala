@@ -221,6 +221,48 @@ object MultimodalPack extends QueryPack {
              |ORDER BY frame_digest""".stripMargin),
       doc = "content-addressed media dedup on the head-frame digest: map-side md5 + " +
         "one hash shuffle of (digest, id) — payload bytes never shuffle"
+    ),
+    // ---------------------------------------------------------------- m8 wav codec
+    Q(
+      "m8_wav_header_roundtrip",
+      (s, d) => {
+        // the REAL codec path (no stub): build a byte-exact 44-byte PCM
+        // RIFF/WAVE header in front of each document's bytes (WavPack),
+        // then parse the binary back (WavMeta) — both custom expressions,
+        // pure byte arithmetic, zero external libs. The oracle recomputes
+        // every decoded field from the SOURCE columns, so the hash match
+        // proves decode(pack(x)) == x field by field. Narrow per-row ops;
+        // payload bytes never shuffle.
+        import graft.functions.MediaExpressions.{wavPack, wavMeta}
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            (lit(8000) + (col("doc_id") % 8) * 4000).cast("int").as("sr"),
+            (lit(1) + (col("doc_id") % 2)).cast("int").as("ch"),
+            encode(col("text"), "UTF-8").as("pcm"))
+          .select(col("doc_id"),
+            wavMeta(wavPack(col("sr"), col("ch"), lit(16), col("pcm"))).as("m"))
+          .select(
+            col("doc_id"),
+            col("m.sample_rate").as("sample_rate"),
+            col("m.channels").as("channels"),
+            col("m.bits").as("bits"),
+            col("m.data_size").as("data_size"),
+            col("m.duration_ms").as("duration_ms"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) AS sample_rate,
+             |  CAST(1 + (doc_id % 2) AS BIGINT) AS channels,
+             |  CAST(16 AS BIGINT) AS bits,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS data_size,
+             |  CAST(octet_length(encode(text)) AS BIGINT) * 1000
+             |    // ((8000 + (doc_id % 8) * 4000) * (1 + (doc_id % 2)) * 2) AS duration_ms
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      doc = "real WAV PCM header codec round-trip: WavPack builds the RIFF bytes, " +
+        "WavMeta parses them back; oracle recomputes the fields from source columns " +
+        "so the hash match proves the byte-level codec inverts exactly"
     )
   )
 }
