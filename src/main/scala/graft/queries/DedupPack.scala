@@ -779,6 +779,102 @@ object DedupPack extends QueryPack {
       doc = "MinHash-estimate vs exact Jaccard per LSH candidate pair (estimator " +
         "eval, the dedup analog of s8's ANN recall) — exact side via candidate-" +
         "scoped posting intersections, never all pairs"
+    ),
+    // ---------------------------------------------------------------- substring spans
+    Q(
+      "d19_substring_spans",
+      (s, d) => {
+        // EXACT duplicated-substring spans (the Lee et al. "Deduplicating
+        // Training Data" signal): overlapping stride-1 token 10-grams →
+        // global gram frequency → positions of df≥2 grams per doc → merge
+        // overlapping/adjacent [pos, pos+9] intervals into MAXIMAL
+        // duplicated spans (one per-doc window pass, the e14 interval-union
+        // shape). Per doc: span count, duplicated-token count, fraction.
+        // Scale: grams explode to one row per corpus token — inherent to
+        // substring dedup; the gram JOIN key is the literal 10-token string
+        // here so the oracle is exact (production hashes it to u64 rolling
+        // fingerprints, same plan shape); df agg and the position join are
+        // plain hash shuffles, the island window partitions per DOCUMENT.
+        import org.apache.spark.sql.expressions.Window
+        val k = 10
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .withColumn("n_tokens", size(col("t")))
+          .filter(col("n_tokens") >= k)
+        val grams = docs
+          .select(col("doc_id"),
+            posexplode(expr(
+              s"transform(sequence(1, n_tokens - ${k - 1}), i -> array_join(slice(t, i, $k), ' '))"
+            )).as(Seq("p0", "gram")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+        val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select(col("gram"))
+        val p = grams.join(dup, Seq("gram")).select(col("doc_id"), col("pos"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val isl = p
+          .withColumn("prev_end",
+            max(col("pos") + (k - 1)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("ni",
+            when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L).otherwise(0L))
+          .withColumn("island",
+            sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val spans = isl.groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+        val per = spans.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_spans"),
+            sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+        docs.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+          .join(per, Seq("doc_id"), "left_outer")
+          .select(
+            col("doc_id"),
+            coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            col("n_tokens"),
+            quant(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 1e6)
+              .as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 10),
+             |g AS (
+             |  SELECT doc_id, toks,
+             |    unnest(generate_series(1, len(toks) - 9)) AS pos
+             |  FROM d),
+             |g2 AS (
+             |  SELECT doc_id, pos, array_to_string(toks[pos:pos+9], ' ') AS gram FROM g),
+             |dup AS (SELECT gram FROM g2 GROUP BY gram HAVING COUNT(*) >= 2),
+             |p AS (SELECT doc_id, pos FROM g2 JOIN dup USING (gram)),
+             |m AS (
+             |  SELECT doc_id, pos,
+             |    MAX(pos + 9) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM p),
+             |i AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+             |  FROM m),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+             |      AS island
+             |  FROM i),
+             |sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 9 AS e
+             |       FROM isl GROUP BY 1, 2),
+             |per AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+             |          CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+             |        FROM sp GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+             |  CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             |  CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  floor(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / len(toks) * 1000000) / 1000000
+             |    AS dup_frac
+             |FROM d LEFT JOIN per USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "exact duplicated-substring spans (Lee et al. substring dedup): " +
+        "stride-1 10-gram postings, global df>=2, per-doc maximal interval merge — " +
+        "span count, duplicated tokens and fraction per document"
     )
   )
 }
