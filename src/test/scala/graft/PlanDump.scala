@@ -105,7 +105,13 @@ object PlanDump {
         "d7 (shared ops/SetSimJoin subtree): undirected candidates verified once, " +
         "then both directions emitted from the tiny verified pair table by a " +
         "generator — the denominators differ per direction, the intersection " +
-        "count doesn't.")
+        "count doesn't."),
+      "d19_substring_spans" -> ("Exact substring-dedup spans: the stride-1 10-gram " +
+        "explode feeds one hash aggregate (global gram frequency) joined back to " +
+        "positions on the gram key; the interval merge is ONE window pass " +
+        "partitioned per DOCUMENT (cardinality scales with the corpus — never a " +
+        "low-cardinality window), then two small aggregates. Postings volume = " +
+        "corpus tokens, inherent to substring dedup.")
     )
 
     val sb = new StringBuilder
