@@ -149,8 +149,43 @@ object TextExpressions {
     n
   }
 
+  /** 60-bit SimHash in one token loop (the Manku near-dup fingerprint,
+    * sized to 60 bits so the value — and every band slice — stays a
+    * non-negative BIGINT on both engines). Per token: h = [[tokenHash]],
+    * m = (h·2654435761) mod 2^60, v = m xor (m >>> 30) — a multiply+xor
+    * mix both engines express with integer ops — then bit b of the result
+    * is set iff more tokens have bit b of v set than clear (ties → clear).
+    * SQL twin: per-bit signed votes over the same v, see d20's oracle.
+    */
+  def simHash60Eval(text: UTF8String): Long = {
+    val toks = splitTokens(text.toString)
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val h = tokenHash(toks(i))
+      val m = (h * 2654435761L) & ((1L << 60) - 1)
+      val v = m ^ (m >>> 30)
+      var b = 0
+      while (b < 60) {
+        if (((v >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
   def shingles(text: Column, n: Int): Column =
     GraftShims.column(ShingleArray(GraftShims.expression(text), n))
+
+  def simhash60(text: Column): Column =
+    GraftShims.column(SimHash60(GraftShims.expression(text)))
 
   def minhashSignature(text: Column, seeds: Seq[(Long, Long)]): Column =
     GraftShims.column(
@@ -181,6 +216,16 @@ case class ShingleArray(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.shingleArrayEval($c, $n)")
   override protected def withNewChildInternal(c: Expression): ShingleArray = copy(child = c)
   override def prettyName: String = "shingle_array"
+}
+
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextExpressions.simHash60Eval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.simHash60Eval($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
+  override def prettyName: String = "simhash60"
 }
 
 case class SortedIntersectSize(left: Expression, right: Expression)

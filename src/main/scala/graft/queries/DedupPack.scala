@@ -875,6 +875,62 @@ object DedupPack extends QueryPack {
       doc = "exact duplicated-substring spans (Lee et al. substring dedup): " +
         "stride-1 10-gram postings, global df>=2, per-doc maximal interval merge — " +
         "span count, duplicated tokens and fraction per document"
+    ),
+    // ---------------------------------------------------------------- simhash LSH
+    Q(
+      "d20_simhash_hamming",
+      (s, d) => {
+        import graft.functions.TextExpressions
+        // Multi-index Hamming near-dup — the Manku/Google simhash design at
+        // its real scale shape: 60-bit fingerprints, 4 bands of 15 bits
+        // (32768 buckets per band), candidate pairs ONLY from an equi-join on
+        // (band, band-value), then one exact bit_count verify. Pigeonhole
+        // makes the index EXACT for the d<=3 threshold: two fingerprints
+        // within Hamming distance 3 differ in at most 3 of the 4 bands, so
+        // they collide on at least one — recall 1 by construction, never a
+        // probabilistic LSH bound. The all-pairs O(n^2) comparison the oracle
+        // runs never happens engine-side; candidate volume is sum of per-
+        // bucket squares, bounded by the fingerprint distribution.
+        val sims = Tables.documents(s, d)
+          .select(col("doc_id"), TextExpressions.simhash60(col("text")).as("sim"))
+        val bands = sims.select(
+          col("doc_id"),
+          col("sim"),
+          posexplode(array((0 until 4).map(k => shiftright(col("sim"), 15 * k) % 32768): _*))
+        ).select(col("doc_id"), col("sim"), col("pos").as("band"), col("col").as("bv"))
+        val x = bands.select(
+          col("band"), col("bv"), col("doc_id").as("doc_a"), col("sim").as("sa"))
+        val y = bands.select(
+          col("band"), col("bv"), col("doc_id").as("doc_b"), col("sim").as("sb"))
+        x.join(y, Seq("band", "bv"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
+          .distinct()
+          .select(
+            col("doc_a"),
+            col("doc_b"),
+            expr("CAST(bit_count(sa ^ sb) AS BIGINT)").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val m = 1L << 60
+        val mix = s"xor((${thSql("x")} * 2654435761) % $m, ((${thSql("x")} * 2654435761) % $m) >> 30)"
+        val bits = (0 until 60).map { b =>
+          s"(CASE WHEN SUM(CASE WHEN (v >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS x FROM documents),
+           |tv AS (SELECT doc_id, $mix AS v FROM tok),
+           |sims AS (SELECT doc_id, CAST($bits AS BIGINT) AS sim FROM tv GROUP BY doc_id)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+           |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+      doc = "multi-index Hamming near-dup join: 60-bit SimHash (codegen'd one-pass " +
+        "expression), 4x15-bit band index with pigeonhole-exact recall for d<=3, " +
+        "exact bit_count verify — oracle runs the brute-force all-pairs comparison"
     )
   )
 }

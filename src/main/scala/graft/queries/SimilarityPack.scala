@@ -467,6 +467,22 @@ object SimilarityPack extends QueryPack {
       doc = "two unrolled Lloyd (k-means) iterations on the 1e-6 integer grid — " +
         "per round one broadcast assignment map + one partial aggregation; exact " +
         "integer distances, deterministic ties, empty clusters keep their seed"
+    ),
+    // ---------------------------------------------------------------- ivf-pq
+    Q(
+      "s10_ivfpq_topk",
+      (s, d) => {
+        Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
+        s.sql(PqSql.textIvf(spark = true))
+      },
+      Some(PqSql.textIvf(spark = false)),
+      doc = "IVF-PQ (the FAISS IVFADC layout) end-to-end: s6's coarse quantizer " +
+        "routes every vector to a centroid cell; the query probes only its top-2 " +
+        "cells (nprobe=2 — at 100 TB the cell id is the partition key, so the " +
+        "prune is I/O skipped, not compute); INSIDE the probed cells vectors are " +
+        "PQ-encoded (4 subspaces x 4 centroids, 16x compression) and ranked by " +
+        "the broadcast ADC lookup table — 4 table lookups per candidate, never " +
+        "a 64-dim scan. Both stages of the production ANN ladder in one plan"
     )
   )
 
@@ -475,13 +491,27 @@ object SimilarityPack extends QueryPack {
     * (transform/aggregate/sequence vs list_transform/list_sum/
     * generate_series, element_at vs [] indexing).
     */
+  /** Dialect-shared PQ/IVF building blocks used by s7 (flat PQ-ADC) and s10
+    * (IVF-PQ): identical arithmetic emitted in Spark-SQL or DuckDB spelling.
+    */
   private object PqSql {
-    private val P = "1000000007"
+    val P = "1000000007"
+
+    /** s6's coarse-quantizer plane score in SQL: floor-quantized dot of the
+      * embedding with deterministic hash plane j (offset 0 — same arithmetic
+      * as the [[graft.functions.VectorOps.hashPlaneDot]] codegen kernel,
+      * certified equal by s6's green oracle).
+      */
+    def planeDot(j: Int, spark: Boolean): String =
+      if (spark)
+        s"floor(aggregate(transform(embedding, (x, i) -> CAST(x AS DOUBLE) * (((($j*64 + i) * 2654435761) % $P) / 1000000000.0)), CAST(0 AS DOUBLE), (acc, x) -> acc + x) * 1000000) / 1000000"
+      else
+        s"floor(list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * (((($j*64 + (i-1)) * 2654435761) % $P) / 1000000000.0))) * 1000000) / 1000000"
 
     /** Quantized squared L2 between subvector m of `emb` and centroid j:
       * elements i=1..16, centroid value = hash((m*4+j)*16 + i-1)/1e9 - 0.5.
       */
-    private def dist(emb: String, m: Int, j: Int, spark: Boolean): String = {
+    def dist(emb: String, m: Int, j: Int, spark: Boolean): String = {
       val elem =
         if (spark) s"CAST(element_at($emb, ${m * 16} + i) AS DOUBLE)"
         else s"CAST($emb[${m * 16} + i] AS DOUBLE)"
@@ -493,7 +523,7 @@ object SimilarityPack extends QueryPack {
         s"floor(list_sum(list_transform(generate_series(1, 16), i -> $term)) * 1000000) / 1000000"
     }
 
-    private def argmin(d: Int => String): String =
+    def argmin(d: Int => String): String =
       s"""CAST(CASE
          |    WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)} AND ${d(0)} <= ${d(3)} THEN 0
          |    WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1
@@ -524,6 +554,55 @@ object SimilarityPack extends QueryPack {
          |  $adc AS adc_dist
          |FROM enc CROSS JOIN q
          |WHERE vec_id <> 0
+         |ORDER BY adc_dist, vec_id
+         |LIMIT 10""".stripMargin
+    }
+
+    /** IVF-PQ: coarse cells + nprobe=2 pruning around [[text]]'s PQ/ADC. */
+    def textIvf(spark: Boolean): String = {
+      val enc = (0 until 4).map { m =>
+        s"${argmin(j => s"d_${m}_$j")} AS code$m"
+      }
+      val dcols = for { m <- 0 until 4; j <- 0 until 4 }
+        yield s"${dist("embedding", m, j, spark)} AS d_${m}_$j"
+      val qcols = for { m <- 0 until 4; j <- 0 until 4 }
+        yield s"${dist("embedding", m, j, spark)} AS q_${m}_$j"
+      val adc = (0 until 4).map { m =>
+        s"(CASE code$m WHEN 0 THEN q_${m}_0 WHEN 1 THEN q_${m}_1 WHEN 2 THEN q_${m}_2 ELSE q_${m}_3 END)"
+      }.mkString(" + ")
+      s"""WITH scored AS (
+         |  SELECT vec_id, embedding, s0, s1, s2, s3, CAST(CASE
+         |    WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+         |    WHEN s1 >= s2 AND s1 >= s3 THEN 1
+         |    WHEN s2 >= s3 THEN 2
+         |    ELSE 3 END AS BIGINT) AS centroid
+         |  FROM (SELECT vec_id, embedding,
+         |          ${planeDot(0, spark)} AS s0,
+         |          ${planeDot(1, spark)} AS s1,
+         |          ${planeDot(2, spark)} AS s2,
+         |          ${planeDot(3, spark)} AS s3
+         |        FROM embeddings) t),
+         |qprobe AS (SELECT * FROM scored WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT c FROM (
+         |    SELECT 0 AS c, s0 AS sc FROM qprobe UNION ALL SELECT 1, s1 FROM qprobe
+         |    UNION ALL SELECT 2, s2 FROM qprobe UNION ALL SELECT 3, s3 FROM qprobe) u
+         |  ORDER BY sc DESC, c LIMIT 2),
+         |cand AS (
+         |  SELECT vec_id, embedding, centroid FROM scored
+         |  WHERE vec_id <> 0 AND centroid IN (SELECT c FROM probes)),
+         |dists AS (
+         |  SELECT vec_id, centroid, ${dcols.mkString(",\n    ")}
+         |  FROM cand),
+         |enc AS (
+         |  SELECT vec_id, centroid, ${enc.mkString(",\n    ")}
+         |  FROM dists),
+         |q AS (
+         |  SELECT ${qcols.mkString(",\n    ")}
+         |  FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, centroid, code0, code1, code2, code3,
+         |  $adc AS adc_dist
+         |FROM enc CROSS JOIN q
          |ORDER BY adc_dist, vec_id
          |LIMIT 10""".stripMargin
     }

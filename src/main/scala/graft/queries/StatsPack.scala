@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextOps.tokens
 import graft.ops.Salting
 
 /** Statistical + skew-tooling coverage: exact interpolated percentiles,
@@ -841,6 +842,53 @@ object StatsPack extends QueryPack {
       doc = "Mann-Whitney U / rank-sum AUC with midrank ties, fully integer-exact: " +
         "value-level aggregate collapses ties, doubled midranks from one distributed " +
         "prefix sum — the exact classifier-AUC computation at corpus scale"
+    ),
+    // ---------------------------------------------------------------- heavy hitters
+    Q(
+      "x22_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        // Sketch-guided EXACT heavy hitters — the canonical two-pass shape for
+        // "which terms exceed an N/D frequency share" at 100 TB. Pass 1 runs a
+        // bounded-memory Misra-Gries summary ([[graft.functions.Aggregates
+        // .TopKTermsCapped]]: buffer never exceeds `cap` entries, and under ANY
+        // partition/merge order every term with true count > N/cap survives).
+        // Pass 2 exact-counts ONLY those candidates: the ≤cap surviving terms
+        // compile into an InSet predicate evaluated AT THE SCAN, so the
+        // full-vocabulary shuffle (what the oracle's plain GROUP BY pays)
+        // never happens — the aggregate shuffles at most `cap` distinct keys.
+        // cap(512) ≥ D(256) makes the candidate set provably complete, so the
+        // final `cnt·D > N` filter yields the EXACT heavy-hitter set.
+        val cap = 512
+        val D = 256L
+        val mg = udaf(new graft.functions.Aggregates.TopKTermsCapped(cap, cap))
+        val toks = Tables.documents(s, d).select(tokens(col("text")).as("toks"))
+        // one bounded row to the driver: ≤cap candidate terms + the corpus
+        // token total (same driver-side pattern as GlobalOrder's offsets)
+        val (cand, n) = toks
+          .agg(mg(col("toks")).as("cand"), sum(size(col("toks"))).cast("long").as("n"))
+          .select(col("cand.term").as("terms"), col("n"))
+          .as[(Seq[String], Long)]
+          .head()
+        Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("term"))
+          .filter(col("term").isInCollection(cand))
+          .groupBy(col("term"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * D > n)
+          .orderBy(col("term"))
+      },
+      Some("""SELECT term, COUNT(*) AS cnt
+             |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+             |GROUP BY term
+             |HAVING COUNT(*) * 256 > (
+             |  SELECT COUNT(*)
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents))
+             |ORDER BY term""".stripMargin),
+      doc = "sketch-guided exact heavy hitters: bounded Misra-Gries candidate pass " +
+        "(no-false-negative guarantee above N/cap) + exact recount of the ≤cap " +
+        "candidates via a scan-side InSet filter — output provably identical to " +
+        "the oracle's full GROUP BY while shuffling only candidate keys"
     )
   )
 
