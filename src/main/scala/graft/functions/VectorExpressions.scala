@@ -53,6 +53,40 @@ object VectorExpressions {
     s
   }
 
+  /** All 16 PQ subspace distances (4 subspaces × 4 grid centroids) of a
+    * 64-dim embedding in ONE compiled loop — element (m*4+j) is the
+    * floor-quantized squared L2 between subvector m (elements m*16+1..m*16+16,
+    * 1-based) and deterministic centroid j (element i value
+    * `(((m*4+j)*16 + i-1)*2654435761 mod 1e9+7)/1e9 - 0.5`).
+    *
+    * Bit-identical to the SQL spelling in
+    * [[graft.queries.SimilarityPack.PqSql]] (`power(elem-cval, 2)` via
+    * Math.pow, left-to-right accumulation, floor(x*1e6)/1e6), so the DuckDB
+    * PQ oracles are unchanged; replaces 16 interpreted `aggregate(transform(
+    * sequence(1,16), …))` lambda towers per row with one compiled pass.
+    */
+  def pqDistsEval(a: ArrayData): ArrayData = {
+    val out = new Array[Any](16)
+    var m = 0
+    while (m < 4) {
+      var j = 0
+      while (j < 4) {
+        var s = 0.0
+        var i = 1
+        while (i <= 16) {
+          val elem = a.getFloat(m * 16 + i - 1).toDouble
+          val cval = ((((m * 4 + j) * 16 + i - 1) * 2654435761L) % 1000000007L).toDouble / 1e9 - 0.5
+          s += Math.pow(elem - cval, 2.0)
+          i += 1
+        }
+        out(m * 4 + j) = Math.floor(s * 1000000.0) / 1000000.0
+        j += 1
+      }
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def dot(a: Column, b: Column): Column =
     GraftShims.column(DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
 
@@ -61,6 +95,9 @@ object VectorExpressions {
 
   def planeDot(a: Column, j: Int, shift: Double): Column =
     GraftShims.column(PlaneDot(GraftShims.expression(a), j, shift))
+
+  def pqDists(a: Column): Column =
+    GraftShims.column(PqDists(GraftShims.expression(a)))
 }
 
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
@@ -82,6 +119,16 @@ case class L2Norm(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorExpressions.normEval($c)")
   override protected def withNewChildInternal(c: Expression): L2Norm = copy(child = c)
   override def prettyName: String = "vec_norm"
+}
+
+case class PqDists(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    VectorExpressions.pqDistsEval(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorExpressions.pqDistsEval($c)")
+  override protected def withNewChildInternal(c: Expression): PqDists = copy(child = c)
+  override def prettyName: String = "pq_dists"
 }
 
 case class PlaneDot(child: Expression, j: Int, shift: Double) extends UnaryExpression {

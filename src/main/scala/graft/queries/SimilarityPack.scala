@@ -262,8 +262,19 @@ object SimilarityPack extends QueryPack {
     Q(
       "s7_pq_adc",
       (s, d) => {
-        Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
-        s.sql(PqSql.text(spark = true))
+        // PQ distances via the compiled PqDists kernel (one pass over the 64
+        // floats per row) instead of 16 interpreted HOF lambda towers — same
+        // arithmetic as the SQL spelling, so the DuckDB oracle is unchanged
+        val e = Tables.embeddings(s, d)
+        val enc = PqCols.codes(e.filter(col("vec_id") =!= 0))
+        val q = e.filter(col("vec_id") === 0)
+          .select(graft.functions.VectorExpressions.pqDists(col("embedding")).as("qds"))
+        enc.crossJoin(broadcast(q))
+          .select(
+            col("vec_id"), col("code0"), col("code1"), col("code2"), col("code3"),
+            PqCols.adcDist.as("adc_dist"))
+          .orderBy(col("adc_dist"), col("vec_id"))
+          .limit(10)
       },
       Some(PqSql.text(spark = false)),
       doc = "product-quantization ANN (PQ + ADC): 64-dim vectors split into 4 " +
@@ -472,8 +483,43 @@ object SimilarityPack extends QueryPack {
     Q(
       "s10_ivfpq_topk",
       (s, d) => {
-        Tables.embeddings(s, d).createOrReplaceTempView("embeddings")
-        s.sql(PqSql.textIvf(spark = true))
+        // coarse stage: s6's quantizer (codegen'd hashPlaneDot); fine stage:
+        // PQ/ADC via the compiled PqDists kernel over ONLY the probed cells
+        val e = Tables.embeddings(s, d)
+        val scored = (0 until 4)
+          .foldLeft(e.select(col("vec_id"), col("embedding"))) { case (df, j) =>
+            df.withColumn(s"s$j", quant(hashPlaneDot(col("embedding"), j, 0.0), 1e6))
+          }
+          .withColumn(
+            "centroid",
+            when(col("s0") >= col("s1") && col("s0") >= col("s2") && col("s0") >= col("s3"), 0L)
+              .when(col("s1") >= col("s2") && col("s1") >= col("s3"), 1L)
+              .when(col("s2") >= col("s3"), 2L)
+              .otherwise(3L)
+          )
+        val qp = scored
+          .filter(col("vec_id") === 0)
+          .select(
+            graft.functions.VectorExpressions.pqDists(col("embedding")).as("qds"),
+            slice(
+              array_sort(array((0 until 4).map(j =>
+                struct((-col(s"s$j")).as("neg"), lit(j).as("c"))): _*)),
+              1, 2
+            ).as("probe_structs")
+          )
+          .select(col("qds"),
+            transform(col("probe_structs"), p => p.getField("c").cast("long")).as("probes"))
+        val cand = scored
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qp))
+          .filter(array_contains(col("probes"), col("centroid")))
+        PqCols.codes(cand)
+          .select(
+            col("vec_id"), col("centroid"),
+            col("code0"), col("code1"), col("code2"), col("code3"),
+            PqCols.adcDist.as("adc_dist"))
+          .orderBy(col("adc_dist"), col("vec_id"))
+          .limit(10)
       },
       Some(PqSql.textIvf(spark = false)),
       doc = "IVF-PQ (the FAISS IVFADC layout) end-to-end: s6's coarse quantizer " +
@@ -491,6 +537,36 @@ object SimilarityPack extends QueryPack {
     * (transform/aggregate/sequence vs list_transform/list_sum/
     * generate_series, element_at vs [] indexing).
     */
+  /** DataFrame-side PQ encode/ADC shared by s7 and s10, computing exactly
+    * what [[PqSql]]'s SQL emits: `ds` is the 16-distance array from the
+    * compiled [[graft.functions.PqDists]] kernel; `code_m` replicates the
+    * oracle's `<=`-chain argmin; the ADC sum is 4 array lookups into the
+    * broadcast query table `qds`, added m=0..3 left-to-right like the SQL.
+    */
+  private object PqCols {
+    import org.apache.spark.sql.{Column, DataFrame}
+
+    private def dmj(m: Int, j: Int): Column = element_at(col("ds"), m * 4 + j + 1)
+
+    def codes(df: DataFrame): DataFrame = {
+      val withDs =
+        df.withColumn("ds", graft.functions.VectorExpressions.pqDists(col("embedding")))
+      (0 until 4).foldLeft(withDs) { case (acc, m) =>
+        acc.withColumn(
+          s"code$m",
+          when(dmj(m, 0) <= dmj(m, 1) && dmj(m, 0) <= dmj(m, 2) && dmj(m, 0) <= dmj(m, 3), 0L)
+            .when(dmj(m, 1) <= dmj(m, 2) && dmj(m, 1) <= dmj(m, 3), 1L)
+            .when(dmj(m, 2) <= dmj(m, 3), 2L)
+            .otherwise(3L))
+      }
+    }
+
+    def adcDist: Column =
+      (0 until 4)
+        .map(m => element_at(col("qds"), (col(s"code$m") + lit(m * 4 + 1)).cast("int")))
+        .reduce(_ + _)
+  }
+
   /** Dialect-shared PQ/IVF building blocks used by s7 (flat PQ-ADC) and s10
     * (IVF-PQ): identical arithmetic emitted in Spark-SQL or DuckDB spelling.
     */

@@ -55,4 +55,43 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(sh(2) == Seq("a b c"))
     assert(sh(3) == Seq("x x x")) // duplicates collapse
   }
+
+  test("SimHash60 == the per-bit HOF vote formulation") {
+    // independent restatement of the same math with Spark built-ins: per
+    // token v = mix((h·K) mod 2^60), bit b votes sign((v>>b)&1), majority
+    val toks = TextOps.tokens(col("text"))
+    def mixed(t: org.apache.spark.sql.Column) = {
+      val m = (TextOps.tokenHash(t) * lit(2654435761L)) % lit(1L << 60)
+      m.bitwiseXOR(shiftright(m, 30))
+    }
+    val hof = (0 until 60).map { b =>
+      val vote = aggregate(
+        toks,
+        lit(0L),
+        (s, t) => s + when(shiftright(mixed(t), b) % 2 === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val cmp = docs
+      .select(col("doc_id"), hof.as("a"), TextExpressions.simhash60(col("text")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(cmp.count() == 0)
+  }
+
+  test("d20 band index finds exactly the brute-force Hamming<=3 pairs (recall 1)") {
+    // pigeonhole exactness of the 4x15-bit multi-index: the banded candidate
+    // join must recover every all-pairs hit — differential, not probabilistic
+    val sims = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), TextExpressions.simhash60(col("text")).as("sim"))
+    val a = sims.select(col("doc_id").as("a_id"), col("sim").as("sa"))
+    val b = sims.select(col("doc_id").as("b_id"), col("sim").as("sb"))
+    val brute = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .filter(expr("bit_count(sa ^ sb)") <= 3)
+      .select(col("a_id"), col("b_id"))
+    val banded = SparkEntry.queries("d20_simhash_hamming")(spark, "/root/testdata/sf0.001")
+      .select(col("doc_a").as("a_id"), col("doc_b").as("b_id"))
+    assert(brute.exceptAll(banded).count() == 0, "banded index missed pairs")
+    assert(banded.exceptAll(brute).count() == 0, "banded index invented pairs")
+    assert(banded.count() > 0, "degenerate test: no near-dup pairs at sf0.001")
+  }
 }

@@ -61,4 +61,27 @@ class VectorParitySpec extends AnyFunSuite {
     assert(VectorExpressions.normEval(a) ==
       Math.sqrt(1.5 * 1.5 + 2.25 * 2.25 + 3.0 * 3.0))
   }
+
+  test("PqDists kernel is bit-identical to the SQL HOF spelling") {
+    // the SQL formulation is what the s7/s10 DuckDB oracles encode; the
+    // kernel must reproduce it exactly (Math.pow, left-to-right sum,
+    // floor-quantize) or the oracle hashes break
+    def sqlDist(m: Int, j: Int): String = {
+      val elem = s"CAST(element_at(embedding, ${m * 16} + i) AS DOUBLE)"
+      val cval = s"(((${(m * 4 + j) * 16} + i - 1) * 2654435761) % 1000000007) / 1000000000.0 - 0.5"
+      s"floor(aggregate(transform(sequence(1, 16), i -> power($elem - ($cval), 2)), " +
+        s"CAST(0 AS DOUBLE), (acc, x) -> acc + x) * 1000000) / 1000000"
+    }
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"),
+        VectorExpressions.pqDists(col("embedding")).as("ds"))
+    val withRefs = (for { m <- 0 until 4; j <- 0 until 4 } yield (m, j))
+      .foldLeft(e) { case (df, (m, j)) =>
+        df.withColumn(s"ref_${m}_$j", expr(sqlDist(m, j)))
+      }
+    val mismatches = (for { m <- 0 until 4; j <- 0 until 4 } yield
+      withRefs.filter(
+        element_at(col("ds"), m * 4 + j + 1) =!= col(s"ref_${m}_$j")).count()).sum
+    assert(mismatches == 0)
+  }
 }
