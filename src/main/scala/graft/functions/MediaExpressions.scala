@@ -34,6 +34,9 @@ object MediaExpressions {
   def wavMeta(bytes: Column): Column =
     GraftShims.column(WavMeta(GraftShims.expression(bytes)))
 
+  def pcmStats(bytes: Column): Column =
+    GraftShims.column(PcmStats(GraftShims.expression(bytes)))
+
   private def leInt(out: Array[Byte], off: Int, v: Int): Unit = {
     out(off) = (v & 0xff).toByte
     out(off + 1) = ((v >> 8) & 0xff).toByte
@@ -95,6 +98,39 @@ object MediaExpressions {
     if (channels <= 0 || sampleRate <= 0 || bits <= 0 || byteRate <= 0) return None
     Some((sampleRate, channels, bits, dataSize, dataSize * 1000L / byteRate))
   }
+
+  /** Signal statistics of a 16-bit PCM WAV's sample stream: the header is
+    * parsed first (data length comes from the `data` chunk size, clamped to
+    * the bytes actually present), then every little-endian signed 16-bit
+    * sample is decoded in one loop. None for non-WAV or non-16-bit input;
+    * a zero-sample track reports n=0 with null extrema/sum (matching SQL
+    * aggregate-over-empty-list semantics).
+    */
+  private[graft] def pcmStatsOf(
+      b: Array[Byte]): Option[(Long, Option[Long], Option[Long], Option[Long])] =
+    metaOf(b) match {
+      case Some((_, _, bits, dataSize, _)) if bits == 16 =>
+        val avail = math.min(dataSize, (b.length - 44).toLong).toInt
+        val n = avail / 2
+        if (n == 0) Some((0L, None, None, None))
+        else {
+          var peak = Long.MinValue
+          var vmin = Long.MaxValue
+          var sabs = 0L
+          var i = 0
+          while (i < n) {
+            val lo = b(44 + 2 * i) & 0xff
+            val hi = b(44 + 2 * i + 1) // sign-extends: (hi << 8) | lo is the signed sample
+            val v = ((hi << 8) | lo).toLong
+            if (v > peak) peak = v
+            if (v < vmin) vmin = v
+            sabs += math.abs(v)
+            i += 1
+          }
+          Some((n.toLong, Some(peak), Some(vmin), Some(sabs)))
+        }
+      case _ => None
+    }
 }
 
 /** 44-byte PCM RIFF header + payload → one binary column. */
@@ -138,6 +174,33 @@ case class WavMeta(child: Expression) extends Expression with CodegenFallback {
       case None => null
       case Some((sr, ch, bt, ds, ms)) =>
         new GenericInternalRow(Array[Any](sr, ch, bt, ds, ms))
+    }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+/** Decode a 16-bit PCM WAV's samples → struct(n_samples, peak, vmin,
+  * sum_abs); null when the bytes are not a 16-bit PCM WAV. The per-sample
+  * loop runs inside one compiled helper; CodegenFallback only costs the
+  * per-ROW dispatch (WavMeta's contract).
+  */
+@ExpressionDescription(usage = "pcm_stats(bytes) - signed 16-bit PCM sample statistics")
+case class PcmStats(child: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_samples", LongType),
+    StructField("peak", LongType),
+    StructField("vmin", LongType),
+    StructField("sum_abs", LongType)))
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MediaExpressions.pcmStatsOf(v.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some((n, peak, vmin, sabs)) =>
+        new GenericInternalRow(Array[Any](n, peak.orNull, vmin.orNull, sabs.orNull))
     }
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =

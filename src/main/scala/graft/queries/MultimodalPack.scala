@@ -263,6 +263,52 @@ object MultimodalPack extends QueryPack {
       doc = "real WAV PCM header codec round-trip: WavPack builds the RIFF bytes, " +
         "WavMeta parses them back; oracle recomputes the fields from source columns " +
         "so the hash match proves the byte-level codec inverts exactly"
+    ),
+    Q(
+      "m9_pcm_signal_stats",
+      (s, d) => {
+        // decode the SAMPLES, not just the header: each document's bytes are
+        // packed as a 16-bit PCM WAV in-plan (m8's codec), then PcmStats
+        // parses the container and folds every little-endian signed sample
+        // into per-track statistics in one compiled loop — the binary
+        // data-plane op a real audio pipeline runs before any model sees the
+        // waveform. Payload bytes never shuffle: the per-track stats row is
+        // all that leaves the scan. The oracle recomputes the same stats
+        // from the source text's character codes (the corpus is pure ASCII,
+        // checked across all SFs), so the hash match proves the byte-level
+        // sample decode — offsets, endianness, data-chunk clamp — is exact.
+        import graft.functions.MediaExpressions.{pcmStats, wavPack}
+        Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("pcm"))
+          .select(col("doc_id"),
+            pcmStats(wavPack(lit(16000), lit(1), lit(16), col("pcm"))).as("st"))
+          .select(
+            col("doc_id"),
+            col("st.n_samples").as("n_samples"),
+            col("st.peak").as("peak"),
+            col("st.vmin").as("vmin"),
+            col("st.sum_abs").as("sum_abs"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val raw = "ascii(substring(text, 2*k-1, 1)) + 256 * ascii(substring(text, 2*k, 1))"
+        s"""WITH v AS (
+           |  SELECT doc_id, list_transform(
+           |    generate_series(1, octet_length(encode(text)) // 2),
+           |    k -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END) AS vs
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(vs) AS BIGINT) AS n_samples,
+           |  CAST(list_max(vs) AS BIGINT) AS peak,
+           |  CAST(list_min(vs) AS BIGINT) AS vmin,
+           |  CAST(list_sum(list_transform(vs, x -> abs(x))) AS BIGINT) AS sum_abs
+           |FROM v
+           |ORDER BY doc_id""".stripMargin
+      },
+      doc = "16-bit PCM sample decode + signal stats (peak / min / mean-abs " +
+        "numerator) straight off the WAV binary — header-validated offsets, " +
+        "little-endian signed samples, data-chunk clamp; oracle rebuilds the " +
+        "sample stream from source character codes"
     )
   )
 }

@@ -54,4 +54,51 @@ class MediaExpressionsSpec extends AnyFunSuite {
     assert(rows(0).getStruct(1).getLong(3) == 5L) // data_size = len("hello")
     assert(rows.forall(_.isNullAt(2)), "non-WAV bytes must parse to null")
   }
+
+  test("pcmStatsOf: signed LE samples, odd trailing byte, clamp, rejects") {
+    // samples: 1, -1, -32768, 32767 (little-endian), plus one dangling byte
+    val payload = Array[Byte](
+      0x01, 0x00, // 1
+      0xff.toByte, 0xff.toByte, // -1
+      0x00, 0x80.toByte, // -32768
+      0xff.toByte, 0x7f, // 32767
+      0x2a // odd trailing byte — ignored
+    )
+    val b = MediaExpressions.packBytes(8000, 1, 16, payload)
+    assert(MediaExpressions.pcmStatsOf(b)
+      .contains((4L, Some(32767L), Some(-32768L), Some(1L + 1L + 32768L + 32767L))))
+    // data-chunk size beyond the actual bytes → clamped to what's present
+    val truncated = b.slice(0, 44 + 4) // header claims 9 bytes, only 4 present
+    assert(MediaExpressions.pcmStatsOf(truncated).contains((2L, Some(1L), Some(-1L), Some(2L))))
+    // empty payload → n=0 with null extrema (SQL empty-list semantics)
+    val empty = MediaExpressions.packBytes(8000, 1, 16, Array.emptyByteArray)
+    assert(MediaExpressions.pcmStatsOf(empty).contains((0L, None, None, None)))
+    // non-WAV and non-16-bit → None
+    assert(MediaExpressions.pcmStatsOf("plain text, definitely not RIFF bytes".getBytes).isEmpty)
+    assert(MediaExpressions.pcmStatsOf(
+      MediaExpressions.packBytes(8000, 1, 8, payload)).isEmpty)
+  }
+
+  test("PcmStats column surface matches a Spark-side recomputation") {
+    import spark.implicits._
+    import MediaExpressions.{pcmStats, wavPack}
+    val df = Seq((1L, "hello world"), (2L, "x"), (3L, "abcd"))
+      .toDF("id", "txt")
+      .select(col("id"), encode(col("txt"), "UTF-8").as("p"))
+      // >=2 bytes: Spark's sequence(1,0) is DESCENDING [1,0], not empty —
+      // the zero-sample case is covered by the eval-path test above
+      .filter(length(col("p")) >= 2)
+      .select(col("id"),
+        pcmStats(wavPack(lit(8000), lit(1), lit(16), col("p"))).as("st"),
+        // independent restatement with built-ins over the ASCII codes
+        expr("transform(sequence(1, length(p) div 2), " +
+          "k -> ascii(substring(CAST(p AS STRING), 2*k-1, 1)) + " +
+          "256 * ascii(substring(CAST(p AS STRING), 2*k, 1)))").as("vs"))
+    val bad = df.filter(
+      col("st.n_samples") =!= size(col("vs")) ||
+        col("st.peak") =!= array_max(col("vs")) ||
+        col("st.vmin") =!= array_min(col("vs")) ||
+        col("st.sum_abs") =!= aggregate(col("vs"), lit(0L), (s, x) => s + abs(x)))
+    assert(bad.count() == 0)
+  }
 }
