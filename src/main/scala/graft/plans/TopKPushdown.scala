@@ -88,15 +88,17 @@ case class TopKPushdown() extends Rule[LogicalPlan] {
 /** Register with `.withExtensions(new GraftExtensions)` (or
   * `spark.sql.extensions=graft.plans.GraftExtensions`). Adds the top-k
   * pushdown rule and exposes the engine's kernel catalog to SQL users:
-  * geo (`mercator_x/y`), vectors (`vec_dot`, `vec_norm`), and text
-  * (`shingle_array`) — so a pure-SQL caller gets the same codegen'd
-  * expressions the DataFrame API uses.
+  * geo (`mercator_x/y`), vectors (`vec_dot`, `vec_norm`, `pq_dists`), text
+  * (`shingle_array`, `simhash60`, set-intersection merges) and the binary
+  * media codecs (`wav_pack`, `wav_meta`, `pcm_stats`) — so a pure-SQL
+  * caller gets the same codegen'd expressions the DataFrame API uses.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-  import graft.functions.{DotProduct, L2Norm, MercatorX, MercatorY, ShingleArray,
-    SortedIntersectSize, SortedIntersectSizeInt, SortedIntersectSizeLong}
+  import graft.functions.{DotProduct, L2Norm, MercatorX, MercatorY, PcmStats, PqDists,
+    ShingleArray, SimHash60, SortedIntersectSize, SortedIntersectSizeInt,
+    SortedIntersectSizeLong, WavMeta, WavPack}
 
   private def fn(
       e: SparkSessionExtensions,
@@ -122,5 +124,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => SortedIntersectSizeInt(args(0), args(1)))
     fn(e, "set_intersect_size_long", classOf[SortedIntersectSizeLong],
       args => SortedIntersectSizeLong(args(0), args(1)))
+    fn(e, "simhash60", classOf[SimHash60], args => SimHash60(args.head))
+    fn(e, "pq_dists", classOf[PqDists], args => PqDists(args.head))
+    fn(e, "wav_pack", classOf[WavPack],
+      args => WavPack(args(0), args(1), args(2), args(3)))
+    fn(e, "wav_meta", classOf[WavMeta], args => WavMeta(args.head))
+    fn(e, "pcm_stats", classOf[PcmStats], args => PcmStats(args.head))
   }
 }

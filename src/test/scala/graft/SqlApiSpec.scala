@@ -55,6 +55,18 @@ class SqlApiSpec extends AnyFunSuite {
           |  set_intersect_size_long(array(1L, 5L), array(5L, 7L)) AS l""".stripMargin
       ).head()
       assert((si.getInt(0), si.getInt(1), si.getInt(2)) == ((2, 2, 1)))
+      // fingerprint, PQ and binary-codec kernels through the same catalog
+      val fp = s.sql(
+        """SELECT simhash60('a b c') AS sh,
+          |  element_at(pq_dists(array_repeat(CAST(0.5 AS FLOAT), 64)), 1) AS pd,
+          |  pcm_stats(wav_pack(8000, 1, 16, CAST('ab' AS BINARY))) AS st,
+          |  wav_meta(wav_pack(8000, 1, 16, CAST('ab' AS BINARY))).sample_rate AS sr""".stripMargin
+      ).head()
+      assert(fp.getLong(0) == graft.functions.TextExpressions.simHash60Eval(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
+      assert(fp.getDouble(1) >= 0.0)
+      assert(fp.getStruct(2).getLong(0) == 1L) // one 16-bit sample from "ab"
+      assert(fp.getInt(3) == 8000)
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p)
