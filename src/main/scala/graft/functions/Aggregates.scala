@@ -139,6 +139,20 @@ object Aggregates {
     * merge-order-dependent — that is inherent to the sketch, so this
     * aggregate is spec-verified against its guarantees, not oracle-hashed.
     */
+  /** The Misra-Gries decrement step: repeatedly subtract the minimum count
+    * and evict zeroed entries until the buffer fits `size`. Shared by the
+    * batch [[TopKTermsCapped]] aggregator and the streaming
+    * [[graft.streaming.StreamingHeavyHitters]] state fold — one
+    * implementation, one set of guarantees.
+    */
+  private[graft] def misraGriesShrink(buf: mutable.HashMap[String, Long], size: Int): Unit =
+    while (buf.size > size) {
+      val m = buf.valuesIterator.min
+      val dead = buf.iterator.collect { case (t, n) if n <= m => t }.toList
+      buf.mapValuesInPlace((_, n) => n - m)
+      dead.foreach(buf.remove)
+    }
+
   final class TopKTermsCapped(k: Int, cap: Int)
       extends Aggregator[Seq[String], mutable.HashMap[String, Long], Seq[TermCount]] {
     require(cap >= k, "cap must be at least k")
@@ -146,12 +160,7 @@ object Aggregates {
     override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
 
     private def shrinkTo(buf: mutable.HashMap[String, Long], size: Int): Unit =
-      while (buf.size > size) {
-        val m = buf.valuesIterator.min
-        val dead = buf.iterator.collect { case (t, n) if n <= m => t }.toList
-        buf.mapValuesInPlace((_, n) => n - m)
-        dead.foreach(buf.remove)
-      }
+      misraGriesShrink(buf, size)
 
     override def reduce(
         buf: mutable.HashMap[String, Long],
