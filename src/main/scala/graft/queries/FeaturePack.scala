@@ -307,34 +307,7 @@ object FeaturePack extends QueryPack {
         // companion to f5's Type-1 upsert — history preserved, not
         // overwritten. One window pass (lag → change flag → running version
         // count), one aggregate, one lead for the interval close.
-        import org.apache.spark.sql.expressions.Window
-        val byCust = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_orderdate"), col("o_orderkey"))
-        val byVersion = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
-        Tables.orders(s, d)
-          .filter(col("o_custkey") < 100)
-          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-            col("o_orderpriority"))
-          .withColumn("prev_prio", lag(col("o_orderpriority"), 1).over(byCust))
-          .withColumn(
-            "chg",
-            when(col("prev_prio").isNull || col("prev_prio") =!= col("o_orderpriority"), 1L)
-              .otherwise(0L)
-          )
-          .withColumn(
-            "version",
-            sum(col("chg")).over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          )
-          .groupBy(col("o_custkey"), col("version"))
-          .agg(
-            // min, not first: first() is merge-order-dependent (nondeterministic
-            // across retries/shuffle order even when constant within the group);
-            // the oracle uses MIN, and the priority is constant per version group.
-            min(col("o_orderpriority")).as("priority"),
-            min(col("o_orderdate")).as("vf"),
-            count(lit(1)).as("n_orders")
-          )
-          .withColumn("valid_to_ts", lead(col("vf"), 1).over(byVersion))
+        scd2Versions(s, d)
           .select(
             col("o_custkey"),
             col("version"),
@@ -369,6 +342,114 @@ object FeaturePack extends QueryPack {
       doc = "SCD Type-2 dimension history: change-log stream collapsed into " +
         "[valid_from, valid_to) attribute versions per entity — the " +
         "history-preserving companion to f5's Type-1 upsert"
+    ),
+    // ---------------------------------------------------------------- f10
+    Q(
+      "f10_pointintime_join",
+      (s, d) => {
+        // Point-in-time (temporal) join against the f9 SCD2 dimension: each
+        // shipment is attributed to the priority REGIME in force at its
+        // l_shipdate — the warehouse lookup every time-travel-correct
+        // feature pipeline needs (training-data leakage prevention: join
+        // facts to dimension-as-of-event-time, never dimension-as-of-now).
+        // Scale shape: equi-shuffle both sides on the entity key, the
+        // [valid_from, valid_to) range predicate stays a residual on the
+        // equi-join — versions per entity are bounded, so per-key fan-out
+        // is, too (same pattern as e10's interval self-join).
+        val dim = scd2Versions(s, d)
+          .select(col("o_custkey"), col("priority"), col("vf"), col("valid_to_ts"))
+        val facts = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate"),
+            col("l_extendedprice"), col("l_discount"))
+          .join(
+            Tables.orders(s, d)
+              .filter(col("o_custkey") < 100)
+              .select(col("o_orderkey").as("l_orderkey"), col("o_custkey")),
+            Seq("l_orderkey"))
+        facts
+          .join(dim,
+            facts("o_custkey") === dim("o_custkey") &&
+              col("l_shipdate") >= col("vf") &&
+              (col("valid_to_ts").isNull || col("l_shipdate") < col("valid_to_ts")))
+          .groupBy(col("priority"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))
+              .cast("double").as("revenue"))
+          .orderBy(col("priority"))
+      },
+      Some(s"""WITH $Scd2VersionsSql,
+             |f AS (
+             |  SELECT o_custkey, l_shipdate, l_extendedprice, l_discount
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_custkey < 100)
+             |SELECT priority, COUNT(*) AS n_items,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             |       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS revenue
+             |FROM f JOIN g ON f.o_custkey = g.o_custkey
+             |  AND f.l_shipdate >= g.vf
+             |  AND (g.vt IS NULL OR f.l_shipdate < g.vt)
+             |GROUP BY priority
+             |ORDER BY priority""".stripMargin),
+      doc = "point-in-time join: facts attributed to the SCD2 attribute version " +
+        "valid at their event time (equi-shuffle on the entity key, interval " +
+        "residual) — the leakage-free dimension lookup for training pipelines"
     )
   )
+
+  /** f9/f10's shared SCD2 version build: per (o_custkey < 100) the
+    * priority-change log collapsed to [vf, valid_to_ts) intervals
+    * (valid_to_ts null = current version). One lag window, one running-sum
+    * window (both partitioned per entity), one aggregate, one lead.
+    */
+  private def scd2Versions(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val byVersion = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("prev_prio", lag(col("o_orderpriority"), 1).over(byCust))
+      .withColumn(
+        "chg",
+        when(col("prev_prio").isNull || col("prev_prio") =!= col("o_orderpriority"), 1L)
+          .otherwise(0L)
+      )
+      .withColumn(
+        "version",
+        sum(col("chg")).over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      )
+      .groupBy(col("o_custkey"), col("version"))
+      .agg(
+        // min, not first: first() is merge-order-dependent (nondeterministic
+        // across retries/shuffle order even when constant within the group);
+        // the oracle uses MIN, and the priority is constant per version group.
+        min(col("o_orderpriority")).as("priority"),
+        min(col("o_orderdate")).as("vf"),
+        count(lit(1)).as("n_orders")
+      )
+      .withColumn("valid_to_ts", lead(col("vf"), 1).over(byVersion))
+  }
+
+  /** The same version build as DuckDB CTE text (binds `g`). */
+  private val Scd2VersionsSql: String =
+    """g AS (
+      |  SELECT o_custkey, version,
+      |    MIN(o_orderpriority) AS priority, MIN(o_orderdate) AS vf,
+      |    LEAD(MIN(o_orderdate), 1) OVER (PARTITION BY o_custkey ORDER BY version) AS vt
+      |  FROM (
+      |    SELECT o_custkey, o_orderdate, o_orderpriority, o_orderkey,
+      |      SUM(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |    FROM (
+      |      SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+      |        CASE WHEN LAG(o_orderpriority, 1) OVER (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate, o_orderkey) IS DISTINCT FROM o_orderpriority
+      |             THEN 1 ELSE 0 END AS chg
+      |      FROM orders WHERE o_custkey < 100) c) v
+      |  GROUP BY o_custkey, version)""".stripMargin
 }
