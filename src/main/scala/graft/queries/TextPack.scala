@@ -730,6 +730,54 @@ object TextPack extends QueryPack {
       doc = "term burstiness (variance-to-mean of per-doc counts, top-20 terms) — " +
         "exact integer moments from one (term, doc) aggregate; VMR≈1 Poisson vs " +
         "clumped topical terms"
+    ),
+    // ---------------------------------------------------------------- vocab growth
+    Q(
+      "t19_vocab_growth",
+      (s, d) => {
+        // Vocabulary-growth (Heaps'-law) curve — the tokenizer-budget
+        // question "how fast does new vocabulary appear as the corpus
+        // grows": each token's FIRST document (one token-keyed aggregate
+        // over the postings — min is order-free), novelty counts per doc,
+        // then cumulative tokens + cumulative distinct vocabulary along the
+        // doc_id order. Both prefix sums run over a frame of ONE ROW PER
+        // DOCUMENT via GlobalOrder (two range shuffles of a doc-sized
+        // frame; the token-sized postings never enter a window), so the
+        // curve costs two small shuffles beyond the postings aggregate at
+        // any corpus size.
+        val docs = Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("tk"))
+        val perDoc = docs.select(col("doc_id"), size(col("tk")).cast("long").as("n_toks"))
+        val firstSeen = docs.select(col("doc_id"), explode(col("tk")).as("token"))
+          .groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+        val newPerDoc = firstSeen.groupBy(col("first_doc").as("doc_id"))
+          .agg(count(lit(1)).as("n_new"))
+        val joined = perDoc.join(newPerDoc, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_toks"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+        val c1 = graft.ops.GlobalOrder.withGroupedRunningSum(
+          joined, "cum_tokens", "tot_tokens", col("n_toks"), Seq.empty, Seq(col("doc_id")))
+        val c2 = graft.ops.GlobalOrder.withGroupedRunningSum(
+          c1, "cum_vocab", "tot_vocab", col("n_new"), Seq.empty, Seq(col("doc_id")))
+        c2.select(col("doc_id"), col("n_toks"), col("n_new"),
+            col("cum_tokens"), col("cum_vocab"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |pd AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_toks FROM tk),
+             |fs AS (SELECT doc_id, unnest(tk) AS token FROM tk),
+             |fd AS (SELECT token, MIN(doc_id) AS first_doc FROM fs GROUP BY token),
+             |np AS (SELECT first_doc AS doc_id, COUNT(*) AS n_new FROM fd GROUP BY 1)
+             |SELECT p.doc_id, n_toks,
+             |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+             |  CAST(SUM(n_toks) OVER (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+             |    AS BIGINT) AS cum_tokens,
+             |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY p.doc_id ROWS UNBOUNDED PRECEDING)
+             |    AS BIGINT) AS cum_vocab
+             |FROM pd p LEFT JOIN np USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "vocabulary-growth (Heaps-law) curve: first-occurrence attribution via " +
+        "one token-keyed min aggregate, then cumulative tokens/vocab from doc-level " +
+        "prefix sums (GlobalOrder over a one-row-per-document frame — the postings " +
+        "never enter a window)"
     )
   )
 }
