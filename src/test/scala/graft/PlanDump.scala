@@ -111,7 +111,33 @@ object PlanDump {
         "positions on the gram key; the interval merge is ONE window pass " +
         "partitioned per DOCUMENT (cardinality scales with the corpus — never a " +
         "low-cardinality window), then two small aggregates. Postings volume = " +
-        "corpus tokens, inherent to substring dedup.")
+        "corpus tokens, inherent to substring dedup."),
+      "d20_simhash_hamming" -> ("Multi-index Hamming near-dup: the codegen'd " +
+        "SimHash60 runs inside the scan projection; candidates come from ONE " +
+        "equi-join on (band, 15-bit value) — pigeonhole-exact recall for d<=3 — " +
+        "and the exact bit_count verify is a scalar on the joined row. The " +
+        "oracle's all-pairs O(n^2) comparison never appears in this plan."),
+      "x22_heavy_hitters" -> ("Sketch-guided exact heavy hitters: pass 1 is the " +
+        "bounded Misra-Gries udaf (ObjectHashAggregate with partial buffers " +
+        "map-side); pass 2's exact recount shows the candidate InSet filter " +
+        "EVALUATED AT THE SCAN — the full-vocabulary shuffle the oracle pays " +
+        "never happens; the aggregate shuffles at most cap candidate keys."),
+      "s10_ivfpq_topk" -> ("IVF-PQ: the coarse quantizer (codegen'd " +
+        "hashPlaneDot) routes rows to centroid cells; the single-row query " +
+        "(probes + ADC table) broadcasts; the candidate filter prunes to " +
+        "nprobe=2 cells BEFORE the compiled PqDists encode runs; " +
+        "TakeOrderedAndProject keeps the final top-k. At 100 TB the centroid " +
+        "id is the partition key, so the prune is I/O skipped, not compute."),
+      "f10_pointintime_join" -> ("Point-in-time SCD2 lookup: both sides " +
+        "equi-shuffle on the entity key; the [valid_from, valid_to) interval " +
+        "predicate stays a residual on the SortMergeJoin/HashJoin — versions " +
+        "per entity are bounded, so per-key fan-out is too. No range join, " +
+        "no broadcast of an SF-scaled side."),
+      "t19_vocab_growth" -> ("Heaps-law vocabulary growth: one token-keyed " +
+        "min aggregate attributes first occurrences; both cumulative series " +
+        "run through GlobalOrder range shuffles over a ONE-ROW-PER-DOCUMENT " +
+        "frame (Sort + MapPartitions, no Window) — the token-sized postings " +
+        "never enter a window.")
     )
 
     val sb = new StringBuilder
