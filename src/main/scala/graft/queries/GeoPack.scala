@@ -206,6 +206,78 @@ object GeoPack extends QueryPack {
       doc = "grid-blocked spatial kNN (3 nearest customers per supplier station " +
         "within the 3×3 cell neighborhood) — cell equi-join candidates, exact " +
         "integer dist², per-query rank windows that scale with the query count"
+    ),
+    // ------------------------------------------------------ g7 density clusters
+    Q(
+      "g7_density_clusters",
+      (s, d) => {
+        // Grid-density clustering (the distributed DBSCAN skeleton): points
+        // reduce to per-cell counts (one aggregate — the corpus never leaves
+        // the scan again), DENSE cells are selected against an integer-exact
+        // relative threshold (n·cells·2 ≥ total·3, i.e. ≥1.5× the mean — no
+        // float compare, scale-free), the dense-cell ADJACENCY graph comes
+        // from a 9-offset explode + equi-join on the neighbor cell key
+        // (g6's replication trick — never a range join), and clusters are
+        // ConnectedComponents over that graph. The CC input is CELLS, not
+        // points: its size is bounded by the grid, so the iterative part
+        // runs on a frame thousands of times smaller than the corpus. The
+        // quadratic key map is a test fixture giving real density variation.
+        val p = Tables.customer(s, d).select(
+          ((col("c_custkey") * col("c_custkey")) % 360 - 180).as("x"),
+          ((col("c_custkey") * col("c_custkey") * 7) % 170 - 85).as("y"))
+        val cells = p
+          .groupBy(expr("(x + 180) DIV 10").as("cx"), expr("(y + 85) DIV 10").as("cy"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cells.agg(
+          sum(col("n")).cast("long").as("total"), count(lit(1)).as("n_cells"))
+        val dense = cells.crossJoin(broadcast(tot))
+          .filter(col("n") * col("n_cells") * 2 >= col("total") * 3)
+          .select(col("cx"), col("cy"), col("n"), (col("cx") * 100 + col("cy")).as("cell_id"))
+        val offsets = array((for { dx <- -1 to 1; dy <- -1 to 1 } yield
+          struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+        val probes = dense
+          .select(col("cell_id").as("src"), col("cx"), col("cy"), explode(offsets).as("o"))
+          .select(col("src"), (col("cx") + col("o.dx")).as("cx"), (col("cy") + col("o.dy")).as("cy"))
+        val edges = probes
+          .join(dense.select(col("cx"), col("cy"), col("cell_id").as("dst")), Seq("cx", "cy"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"))
+        val nodes = dense.select(col("cell_id").as("id"))
+        graft.ops.ConnectedComponents.run(nodes, edges)
+          .join(dense.select(col("cell_id").as("id"), col("n")), Seq("id"))
+          .groupBy(col("component").as("cluster"))
+          .agg(count(lit(1)).as("n_cells"), sum(col("n")).cast("long").as("n_points"))
+          .orderBy(col("cluster"))
+      },
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT (c_custkey * c_custkey) % 360 - 180 AS x,
+             |         (c_custkey * c_custkey * 7) % 170 - 85 AS y
+             |  FROM customer),
+             |cells AS (
+             |  SELECT (x + 180) // 10 AS cx, (y + 85) // 10 AS cy, COUNT(*) AS n
+             |  FROM p GROUP BY 1, 2),
+             |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_cells FROM cells),
+             |dense AS (
+             |  SELECT cx, cy, n, cx * 100 + cy AS cell_id FROM cells, tot
+             |  WHERE n * n_cells * 2 >= total * 3),
+             |edges AS (
+             |  SELECT a.cell_id AS es, b.cell_id AS ed
+             |  FROM dense a JOIN dense b
+             |    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+             |   AND a.cell_id <> b.cell_id),
+             |reach AS (
+             |  SELECT cell_id AS node, cell_id AS r FROM dense
+             |  UNION
+             |  SELECT reach.node, e.ed FROM reach JOIN edges e ON reach.r = e.es),
+             |comp AS (SELECT node AS cell_id, MIN(r) AS cluster FROM reach GROUP BY node)
+             |SELECT cluster, COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_points
+             |FROM comp JOIN dense USING (cell_id)
+             |GROUP BY cluster
+             |ORDER BY cluster""".stripMargin),
+      doc = "grid-density clustering (DBSCAN skeleton): per-cell counts, integer-" +
+        "exact relative density threshold, 8-neighbor adjacency via offset explode " +
+        "+ cell equi-join, connected components over the (grid-bounded) dense-cell " +
+        "graph — vs a DuckDB recursive-CTE transitive closure"
     )
   )
 }
