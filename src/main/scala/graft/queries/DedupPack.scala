@@ -931,6 +931,70 @@ object DedupPack extends QueryPack {
       doc = "multi-index Hamming near-dup join: 60-bit SimHash (codegen'd one-pass " +
         "expression), 4x15-bit band index with pigeonhole-exact recall for d<=3, " +
         "exact bit_count verify — oracle runs the brute-force all-pairs comparison"
+    ),
+    // ---------------------------------------------------------------- pipeline
+    Q(
+      "d21_dedup_pipeline",
+      (s, d) => {
+        // The dedup CAPSTONE — candidates → clusters → exemplar keep →
+        // corpus-reduction report, i.e. what a curation run actually ships:
+        // near-dup edges (d10's dictionary-encoded Jaccard ≥ 0.8), connected
+        // components (min-label exemplar = the kept document), then ONE
+        // aggregate producing the per-source before/after accounting
+        // (docs and tokens kept, keep ratio). Everything after the edge join
+        // operates on (doc, component) rows — corpus-sized, never pair-sized.
+        val perDoc = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_toks"))
+        val edges = graft.ops.TokenSets
+          .jaccardPairs(Tables.documents(s, d), "doc_id", "source", tokens(col("text")), 0.8)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+        val comp = graft.ops.ConnectedComponents.run(nodes, edges)
+          .select(col("id").as("doc_id"), col("component"))
+        perDoc.join(comp, Seq("doc_id"))
+          .withColumn("kept", (col("doc_id") === col("component")).cast("long"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("kept")).as("n_kept"),
+            sum(col("n_toks")).as("n_tokens"),
+            sum(col("kept") * col("n_toks")).as("tokens_kept"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            col("n_tokens"), col("tokens_kept"),
+            quant(col("n_kept").cast("double") / col("n_docs"), 1e6).as("keep_ratio"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH RECURSIVE toksets AS (
+             |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM toksets a JOIN toksets b ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+             |edges AS (SELECT a_id AS es, b_id AS ed FROM pairs UNION SELECT b_id, a_id FROM pairs),
+             |reach AS (
+             |  SELECT doc_id AS node, doc_id AS r FROM documents
+             |  UNION
+             |  SELECT reach.node, e.ed FROM reach JOIN edges e ON reach.r = e.es),
+             |comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+             |d AS (SELECT doc_id, source,
+             |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+             |      FROM documents)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(CASE WHEN doc_id = component THEN n_toks ELSE 0 END) AS BIGINT)
+             |    AS tokens_kept,
+             |  floor(CAST(SUM(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*) * 1000000) / 1000000 AS keep_ratio
+             |FROM d JOIN comp USING (doc_id)
+             |GROUP BY source
+             |ORDER BY source""".stripMargin),
+      doc = "end-to-end dedup pipeline: near-dup edges -> connected components -> " +
+        "min-label exemplar keep -> per-source corpus-reduction report (docs/tokens " +
+        "kept, keep ratio) — the accounting a curation run ships"
     )
   )
 }
