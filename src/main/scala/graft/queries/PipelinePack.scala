@@ -640,6 +640,69 @@ object PipelinePack extends QueryPack {
       doc = "T5-style span-corruption planning: hash-placed length-3 mask spans at " +
         "15% density, realized ratio after overlap collapse — integer arithmetic, " +
         "reproducible on retry, one distinct + one aggregate"
+    ),
+    // ---------------------------------------------------------------- p16
+    Q(
+      "p16_temperature_mixture",
+      (s, d) => {
+        // Temperature-scaled mixture rebalancing (the multilingual-training
+        // sampling law): source weights w_i ∝ n_i^tau with tau=0.5 flatten
+        // the size distribution, then each source is sampled toward a
+        // half-corpus target at rate (w_i/W)·(N/2)/n_i. Parity discipline:
+        // sqrt is IEEE-correctly-rounded on both engines, it's quantized to
+        // an integer grid before the normalizer sum (exact long addition,
+        // order-free), and the ppm rate is a fixed sequence of IEEE
+        // divisions/multiplies both engines replay identically. Acceptance
+        // reuses p4/p8's deterministic id-hash bucket — reproducible on
+        // retry. Per-source dims broadcast; the corpus sees one map + one
+        // aggregate.
+        val counts = Tables.documents(s, d)
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+          .withColumn("q", floor(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+        val norm = counts.agg(sum(col("q")).as("qsum"), sum(col("n")).as("ntot"))
+        val rates = counts.crossJoin(broadcast(norm))
+          .withColumn(
+            "rate_ppm",
+            least(
+              lit(1000000L),
+              floor(
+                (col("q").cast("double") / col("qsum")) *
+                  (col("ntot").cast("double") / col("n")) * 500000.0).cast("long")))
+          .select(col("source"), col("n"), col("rate_ppm"))
+        val bucket = ((col("doc_id") % lit(P)) * lit(2654435761L % P)) % lit(P) % 1000000L
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"))
+          .join(broadcast(rates), Seq("source"))
+          .withColumn("keep", (bucket < col("rate_ppm")).cast("long"))
+          .groupBy(col("source"))
+          .agg(
+            max(col("n")).as("n_docs"),
+            max(col("rate_ppm")).as("rate_ppm"),
+            sum(col("keep")).as("n_sampled"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (
+             |  SELECT source, COUNT(*) AS n,
+             |    CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS q
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT CAST(SUM(q) AS BIGINT) AS qsum, CAST(SUM(n) AS BIGINT) AS ntot FROM c),
+             |r AS (
+             |  SELECT source, n,
+             |    LEAST(1000000, CAST(floor(
+             |      (CAST(q AS DOUBLE) / qsum) * (CAST(ntot AS DOUBLE) / n) * 500000)
+             |      AS BIGINT)) AS rate_ppm
+             |  FROM c, t)
+             |SELECT d.source, CAST(MAX(r.n) AS BIGINT) AS n_docs,
+             |  MAX(r.rate_ppm) AS rate_ppm,
+             |  CAST(SUM(CASE WHEN ((d.doc_id % 1000000007) * 654435747) % 1000000007
+             |    % 1000000 < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+             |FROM documents d JOIN r USING (source)
+             |GROUP BY d.source
+             |ORDER BY d.source""".stripMargin),
+      doc = "temperature-scaled mixture sampling (w_i ∝ n_i^0.5): grid-quantized " +
+        "sqrt weights with an exact integer normalizer, ppm acceptance rates from " +
+        "a fixed IEEE-division sequence, deterministic id-hash acceptance — the " +
+        "multilingual rebalancing law as one broadcast dim + one corpus aggregate"
     )
   )
 }
