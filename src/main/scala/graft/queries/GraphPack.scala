@@ -162,6 +162,95 @@ object GraphPack extends QueryPack {
       doc = "per-node triangle counting on the thresholded trade graph: canonical " +
         "a<b<c orientation (each triangle once), two joins over the aggregated " +
         "edge list — clustering-coefficient primitive"
+    ),
+    // ---------------------------------------------------------------- k-core
+    Q(
+      "g8_kcore",
+      (s, d) => {
+        // k-core peeling (k=3, three unrolled rounds) on the same
+        // thresholded trade graph as g5 — the dense-subgraph primitive
+        // (spam rings, community cores). Each round keeps nodes with ≥k
+        // surviving neighbors. The fact-table joins build the edge list
+        // ONCE; every peel round touches only the aggregated ≤25²-edge
+        // adjacency and a broadcast alive-set — at 100 TB the iteration
+        // cost is edge-aggregate-sized, never corpus-sized. Degrees are
+        // integer counts, so every round (and hence the fixed-round
+        // output) is oracle-exact.
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        val edges = li
+          .join(ord, li("l_orderkey") === ord("o_orderkey"))
+          .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+          .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+          .select(
+            least(col("s_nationkey"), col("c_nationkey")).cast("long").as("u"),
+            greatest(col("s_nationkey"), col("c_nationkey")).cast("long").as("v")
+          )
+          .filter(col("u") =!= col("v"))
+          .groupBy(col("u"), col("v"))
+          .agg(count(lit(1)).as("w"))
+        val stats = edges.agg(sum(col("w")).as("tot"), count(lit(1)).as("n_pairs"))
+        val kept = edges.crossJoin(broadcast(stats))
+          .filter(col("w") * col("n_pairs") >= col("tot"))
+          .select(col("u"), col("v"))
+        val adj = kept.select(col("u").as("a"), col("v").as("b"))
+          .union(kept.select(col("v").as("a"), col("u").as("b")))
+        val alive0 = adj.select(col("a")).distinct()
+        val aliveK = (1 to 3).foldLeft(alive0) { (alive, _) =>
+          adj
+            .join(broadcast(alive), Seq("a"), "leftsemi")
+            .join(broadcast(alive.select(col("a").as("b"))), Seq("b"), "leftsemi")
+            .groupBy(col("a"))
+            .agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 3)
+            .select(col("a"))
+        }
+        adj
+          .join(broadcast(aliveK), Seq("a"), "leftsemi")
+          .join(broadcast(aliveK.select(col("a").as("b"))), Seq("b"), "leftsemi")
+          .groupBy(col("a"))
+          .agg(count(lit(1)).as("core_degree"))
+          .select(col("a").as("nation_key"), col("core_degree"))
+          .orderBy(col("nation_key"))
+      },
+      Some("""WITH ew AS MATERIALIZED (
+             |  SELECT u, v, COUNT(*) AS w FROM (
+             |    SELECT LEAST(s_nationkey, c_nationkey) AS u,
+             |           GREATEST(s_nationkey, c_nationkey) AS v
+             |    FROM lineitem
+             |    JOIN orders   ON l_orderkey = o_orderkey
+             |    JOIN supplier ON l_suppkey = s_suppkey
+             |    JOIN customer ON o_custkey = c_custkey
+             |    WHERE s_nationkey <> c_nationkey) p
+             |  GROUP BY u, v),
+             |st AS (SELECT CAST(SUM(w) AS BIGINT) AS tot, COUNT(*) AS n_pairs FROM ew),
+             |e AS MATERIALIZED (
+             |  SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v
+             |  FROM ew CROSS JOIN st WHERE w * n_pairs >= tot),
+             |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+             |a0 AS (SELECT DISTINCT a FROM adj),
+             |a1 AS (SELECT a FROM (
+             |  SELECT adj.a, COUNT(*) AS deg FROM adj
+             |  JOIN a0 x ON adj.a = x.a JOIN a0 y ON adj.b = y.a
+             |  GROUP BY adj.a) t WHERE deg >= 3),
+             |a2 AS (SELECT a FROM (
+             |  SELECT adj.a, COUNT(*) AS deg FROM adj
+             |  JOIN a1 x ON adj.a = x.a JOIN a1 y ON adj.b = y.a
+             |  GROUP BY adj.a) t WHERE deg >= 3),
+             |a3 AS (SELECT a FROM (
+             |  SELECT adj.a, COUNT(*) AS deg FROM adj
+             |  JOIN a2 x ON adj.a = x.a JOIN a2 y ON adj.b = y.a
+             |  GROUP BY adj.a) t WHERE deg >= 3)
+             |SELECT adj.a AS nation_key, COUNT(*) AS core_degree
+             |FROM adj
+             |JOIN a3 x ON adj.a = x.a JOIN a3 y ON adj.b = y.a
+             |GROUP BY adj.a
+             |ORDER BY nation_key""".stripMargin),
+      doc = "3-core decomposition (three unrolled peel rounds) of the thresholded " +
+        "trade graph: broadcast alive-set semi-joins over the aggregated edge " +
+        "list — dense-subgraph primitive, integer degrees, oracle-exact"
     )
   )
 }

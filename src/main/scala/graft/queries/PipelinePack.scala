@@ -703,6 +703,59 @@ object PipelinePack extends QueryPack {
         "sqrt weights with an exact integer normalizer, ppm acceptance rates from " +
         "a fixed IEEE-division sequence, deterministic id-hash acceptance — the " +
         "multilingual rebalancing law as one broadcast dim + one corpus aggregate"
+    ),
+    // ---------------------------------------------------------------- p17
+    Q(
+      "p17_token_budget_cut",
+      (s, d) => {
+        // Budget-constrained corpus selection (the "take the best docs until
+        // the token budget runs out" pipeline step): rank documents by a
+        // quality key, take the global running token sum in rank order, cut
+        // at half the corpus' total tokens. The running sum is
+        // GlobalOrder.withGroupedRunningSum with NO group — one range
+        // shuffle spreads the ordered corpus over all partitions; a
+        // whole-corpus `SUM OVER (ORDER BY ...)` window would sort
+        // everything in ONE task. Quality key = mean token length in
+        // millichars (integer division, order parity exact); doc_id breaks
+        // ties so the order is total.
+        val docs = Tables.documents(s, d)
+          .select(
+            col("doc_id"), col("source"),
+            size(split(col("text"), lit(" "))).cast("long").as("n_tok"),
+            col("n_chars"))
+          .withColumn("score", expr("(n_chars * 1000L) div n_tok"))
+        val run = graft.ops.GlobalOrder.withGroupedRunningSum(
+          docs, "cum_tok", "tot_tok", col("n_tok"),
+          Seq.empty, Seq(col("score").desc, col("doc_id")))
+        run
+          .filter(col("cum_tok") <= expr("tot_tok div 2"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_selected"),
+            sum(col("n_tok")).as("tok_selected"),
+            min(col("score")).as("min_score"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             |    (n_chars * 1000) // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, n_tok, score,
+             |    SUM(n_tok) OVER (ORDER BY score DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum_tok,
+             |    SUM(n_tok) OVER () AS tot_tok
+             |  FROM t)
+             |SELECT source, COUNT(*) AS n_selected,
+             |  CAST(SUM(n_tok) AS BIGINT) AS tok_selected,
+             |  MIN(score) AS min_score
+             |FROM r WHERE cum_tok <= tot_tok // 2
+             |GROUP BY source
+             |ORDER BY source""".stripMargin),
+      doc = "token-budget curriculum cut: quality-ranked docs kept until half the " +
+        "corpus' tokens are spent — exact global prefix sum via GlobalOrder " +
+        "(range shuffle + driver offsets), never a single-task global window"
     )
   )
 }

@@ -529,6 +529,67 @@ object SimilarityPack extends QueryPack {
         "PQ-encoded (4 subspaces x 4 centroids, 16x compression) and ranked by " +
         "the broadcast ADC lookup table — 4 table lookups per candidate, never " +
         "a 64-dim scan. Both stages of the production ANN ladder in one plan"
+    ),
+    // ------------------------------------------------------------ dim moments
+    Q(
+      "s11_embedding_dim_moments",
+      (s, d) => {
+        // Per-dimension embedding statistics (mean / variance / range) — the
+        // collapse-detection health check an embedding pipeline runs per
+        // batch (a dead dimension has ~zero variance; a scale blowup shows
+        // in the extremes). posexplode fans each vector into (dim, value)
+        // rows — a narrow generator, NO shuffle until the 64-group
+        // aggregate. Each float32 value is exactly representable as double;
+        // quantized to a 1e6 integer grid before summing so the moment sums
+        // are exact integers (order-free); sum of squares accumulates in
+        // DECIMAL(38,0) so a 100 TB corpus cannot overflow the accumulator.
+        val vals = Tables.embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(
+            col("dim").cast("long").as("dim"),
+            floor(col("v").cast("double") * 1e6).cast("long").as("q"))
+        vals
+          .groupBy(col("dim"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("q")).as("qsum"),
+            sum(col("q").cast("decimal(38,0)") * col("q").cast("decimal(38,0)"))
+              .as("qsumsq"),
+            min(col("q")).as("qmin"),
+            max(col("q")).as("qmax"))
+          .select(
+            col("dim"), col("n"),
+            quant(col("qsum").cast("double") / col("n") / 1e6, 1e6).as("mean"),
+            quant(
+              (col("qsumsq").cast("double") / col("n") -
+                (col("qsum").cast("double") / col("n")) * (col("qsum").cast("double") / col("n"))) / 1e12,
+              1e6).as("variance"),
+            (col("qmin").cast("double") / 1e6).as("vmin"),
+            (col("qmax").cast("double") / 1e6).as("vmax"))
+          .orderBy(col("dim"))
+      },
+      Some("""WITH vals AS (
+             |  SELECT CAST(g.i AS BIGINT) AS dim,
+             |    CAST(floor(CAST(embedding[g.i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS q
+             |  FROM embeddings, (SELECT unnest(range(64)) AS i) g),
+             |agg AS (
+             |  SELECT dim, COUNT(*) AS n, SUM(q) AS qsum,
+             |    SUM(CAST(q AS DECIMAL(38,0)) * CAST(q AS DECIMAL(38,0))) AS qsumsq,
+             |    MIN(q) AS qmin, MAX(q) AS qmax
+             |  FROM vals GROUP BY dim)
+             |SELECT dim, n,
+             |  floor(CAST(qsum AS DOUBLE) / n / 1000000 * 1000000) / 1000000 AS mean,
+             |  floor((CAST(qsumsq AS DOUBLE) / n -
+             |    (CAST(qsum AS DOUBLE) / n) * (CAST(qsum AS DOUBLE) / n)) / 1000000000000
+             |    * 1000000) / 1000000 AS variance,
+             |  CAST(qmin AS DOUBLE) / 1000000 AS vmin,
+             |  CAST(qmax AS DOUBLE) / 1000000 AS vmax
+             |FROM agg
+             |ORDER BY dim""".stripMargin),
+      doc = "per-dimension embedding moments (mean/variance/extremes, the " +
+        "collapse-detection health check): generator fan-out to (dim, value), " +
+        "one 64-group aggregate with integer-grid sums and DECIMAL(38,0) " +
+        "squares — exact at any corpus size, order-free, oracle-exact"
     )
   )
 

@@ -889,6 +889,73 @@ object StatsPack extends QueryPack {
         "(no-false-negative guarantee above N/cap) + exact recount of the ≤cap " +
         "candidates via a scan-side InSet filter — output provably identical to " +
         "the oracle's full GROUP BY while shuffling only candidate keys"
+    ),
+    // ---------------------------------------------------------------- chi-square
+    Q(
+      "x23_chi_square",
+      (s, d) => {
+        // Pearson chi-square test of independence (orderpriority ×
+        // orderstatus) — the categorical-drift / feature-association test a
+        // data-quality pipeline runs per snapshot. One corpus aggregate
+        // builds the contingency table; margins come from re-aggregating the
+        // TINY table (cells ≤ |prio|×|status|), joined back broadcast. Each
+        // cell's chi² term is floor-quantized to 1e-6 BEFORE the final sum,
+        // so the statistic is an exact integer sum (order-free) on both
+        // engines; expected counts use a fixed IEEE division sequence.
+        val cells = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("obs"))
+        val rowm = cells.groupBy(col("prio")).agg(sum(col("obs")).as("row_n"))
+        val colm = cells.groupBy(col("status")).agg(sum(col("obs")).as("col_n"))
+        val tot = cells.agg(sum(col("obs")).as("n"))
+        val terms = cells
+          .join(broadcast(rowm), Seq("prio"))
+          .join(broadcast(colm), Seq("status"))
+          .crossJoin(broadcast(tot))
+          .withColumn(
+            "expected",
+            col("row_n").cast("double") * col("col_n").cast("double") / col("n").cast("double"))
+          .withColumn(
+            "term_q",
+            floor(
+              (col("obs").cast("double") - col("expected")) *
+                (col("obs").cast("double") - col("expected")) / col("expected") * 1e6)
+              .cast("long"))
+        terms
+          .groupBy(col("prio"))
+          .agg(
+            sum(col("obs")).as("row_obs"),
+            count(lit(1)).as("n_cells"),
+            (sum(col("term_q")).cast("double") / 1e6).as("chi2_part"))
+          .orderBy(col("prio"))
+      },
+      Some("""WITH cells AS (
+             |  SELECT o_orderpriority AS prio, o_orderstatus AS status, COUNT(*) AS obs
+             |  FROM orders GROUP BY 1, 2),
+             |rowm AS (SELECT prio, SUM(obs) AS row_n FROM cells GROUP BY prio),
+             |colm AS (SELECT status, SUM(obs) AS col_n FROM cells GROUP BY status),
+             |tot AS (SELECT SUM(obs) AS n FROM cells),
+             |terms AS (
+             |  SELECT c.prio, c.obs,
+             |    CAST(floor(
+             |      (CAST(c.obs AS DOUBLE) - CAST(r.row_n AS DOUBLE) * CAST(m.col_n AS DOUBLE) / CAST(t.n AS DOUBLE))
+             |      * (CAST(c.obs AS DOUBLE) - CAST(r.row_n AS DOUBLE) * CAST(m.col_n AS DOUBLE) / CAST(t.n AS DOUBLE))
+             |      / (CAST(r.row_n AS DOUBLE) * CAST(m.col_n AS DOUBLE) / CAST(t.n AS DOUBLE))
+             |      * 1000000) AS BIGINT) AS term_q
+             |  FROM cells c
+             |  JOIN rowm r USING (prio)
+             |  JOIN colm m USING (status)
+             |  CROSS JOIN tot t)
+             |SELECT prio, CAST(SUM(obs) AS BIGINT) AS row_obs,
+             |  COUNT(*) AS n_cells,
+             |  CAST(SUM(term_q) AS DOUBLE) / 1000000 AS chi2_part
+             |FROM terms
+             |GROUP BY prio
+             |ORDER BY prio""".stripMargin),
+      doc = "Pearson chi-square independence test over the priority×status " +
+        "contingency table: one corpus aggregate to cells, broadcast margins, " +
+        "per-cell terms floor-quantized before an exact integer sum — " +
+        "order-free and oracle-exact"
     )
   )
 
