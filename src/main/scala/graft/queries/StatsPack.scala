@@ -890,72 +890,59 @@ object StatsPack extends QueryPack {
         "candidates via a scan-side InSet filter — output provably identical to " +
         "the oracle's full GROUP BY while shuffling only candidate keys"
     ),
-    // ---------------------------------------------------------------- chi-square
+    // ---------------------------------------------------------------- benford
     Q(
-      "x23_chi_square",
+      "x23_benford_digits",
       (s, d) => {
-        // Pearson chi-square test of independence (orderpriority ×
-        // orderstatus) — the categorical-drift / feature-association test a
-        // data-quality pipeline runs per snapshot. One corpus aggregate
-        // builds the contingency table; margins come from re-aggregating the
-        // TINY table (cells ≤ |prio|×|status|), joined back broadcast. Each
-        // cell's chi² term is floor-quantized to 1e-6 BEFORE the final sum,
-        // so the statistic is an exact integer sum (order-free) on both
-        // engines; expected counts use a fixed IEEE division sequence.
-        val cells = Tables.orders(s, d)
-          .groupBy(col("o_orderpriority").as("prio"), col("o_orderstatus").as("status"))
+        // Benford first-significant-digit analysis of order totals — the
+        // fabricated-data / corruption screen an ingest pipeline runs per
+        // source. The digit comes from exact integer cents (string head of
+        // a BIGINT — no float log), so extraction is engine-exact; the
+        // expected Benford shares log10(1+1/d) enter as FIXED ppm literals
+        // (identical constants in both texts — no libm call can diverge).
+        // One scan, one 9-group aggregate; share + deviation are integer
+        // ppm arithmetic.
+        val tot = Tables.orders(s, d).agg(count(lit(1)).as("n"))
+        val expected = Seq(
+          1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+          6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+        val expWhen = expected.tail.foldLeft(
+          when(col("digit") === 1, lit(301030L))) { case (acc, (dg, ppm)) =>
+          acc.when(col("digit") === dg, lit(ppm))
+        }
+        Tables.orders(s, d)
+          .select(
+            substring(
+              (dec(col("o_totalprice")) * 100).cast("long").cast("string"), 1, 1)
+              .cast("long").as("digit"))
+          .groupBy(col("digit"))
           .agg(count(lit(1)).as("obs"))
-        val rowm = cells.groupBy(col("prio")).agg(sum(col("obs")).as("row_n"))
-        val colm = cells.groupBy(col("status")).agg(sum(col("obs")).as("col_n"))
-        val tot = cells.agg(sum(col("obs")).as("n"))
-        val terms = cells
-          .join(broadcast(rowm), Seq("prio"))
-          .join(broadcast(colm), Seq("status"))
           .crossJoin(broadcast(tot))
-          .withColumn(
-            "expected",
-            col("row_n").cast("double") * col("col_n").cast("double") / col("n").cast("double"))
-          .withColumn(
-            "term_q",
-            floor(
-              (col("obs").cast("double") - col("expected")) *
-                (col("obs").cast("double") - col("expected")) / col("expected") * 1e6)
-              .cast("long"))
-        terms
-          .groupBy(col("prio"))
-          .agg(
-            sum(col("obs")).as("row_obs"),
-            count(lit(1)).as("n_cells"),
-            (sum(col("term_q")).cast("double") / 1e6).as("chi2_part"))
-          .orderBy(col("prio"))
+          .withColumn("obs_ppm", expr("(obs * 1000000L) div n"))
+          .withColumn("exp_ppm", expWhen)
+          .select(
+            col("digit"), col("obs"), col("obs_ppm"), col("exp_ppm"),
+            (col("obs_ppm") - col("exp_ppm")).as("dev_ppm"))
+          .orderBy(col("digit"))
       },
-      Some("""WITH cells AS (
-             |  SELECT o_orderpriority AS prio, o_orderstatus AS status, COUNT(*) AS obs
-             |  FROM orders GROUP BY 1, 2),
-             |rowm AS (SELECT prio, SUM(obs) AS row_n FROM cells GROUP BY prio),
-             |colm AS (SELECT status, SUM(obs) AS col_n FROM cells GROUP BY status),
-             |tot AS (SELECT SUM(obs) AS n FROM cells),
-             |terms AS (
-             |  SELECT c.prio, c.obs,
-             |    CAST(floor(
-             |      (CAST(c.obs AS DOUBLE) - CAST(r.row_n AS DOUBLE) * CAST(m.col_n AS DOUBLE) / CAST(t.n AS DOUBLE))
-             |      * (CAST(c.obs AS DOUBLE) - CAST(r.row_n AS DOUBLE) * CAST(m.col_n AS DOUBLE) / CAST(t.n AS DOUBLE))
-             |      / (CAST(r.row_n AS DOUBLE) * CAST(m.col_n AS DOUBLE) / CAST(t.n AS DOUBLE))
-             |      * 1000000) AS BIGINT) AS term_q
-             |  FROM cells c
-             |  JOIN rowm r USING (prio)
-             |  JOIN colm m USING (status)
-             |  CROSS JOIN tot t)
-             |SELECT prio, CAST(SUM(obs) AS BIGINT) AS row_obs,
-             |  COUNT(*) AS n_cells,
-             |  CAST(SUM(term_q) AS DOUBLE) / 1000000 AS chi2_part
-             |FROM terms
-             |GROUP BY prio
-             |ORDER BY prio""".stripMargin),
-      doc = "Pearson chi-square independence test over the priority×status " +
-        "contingency table: one corpus aggregate to cells, broadcast margins, " +
-        "per-cell terms floor-quantized before an exact integer sum — " +
-        "order-free and oracle-exact"
+      Some("""WITH tot AS (SELECT COUNT(*) AS n FROM orders),
+             |digits AS (
+             |  SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |  FROM orders),
+             |obs AS (SELECT digit, COUNT(*) AS obs FROM digits GROUP BY digit),
+             |exp AS (SELECT * FROM (VALUES
+             |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+             |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)) AS t(digit, exp_ppm))
+             |SELECT o.digit, o.obs,
+             |  (o.obs * 1000000) // t.n AS obs_ppm,
+             |  CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+             |  (o.obs * 1000000) // t.n - e.exp_ppm AS dev_ppm
+             |FROM obs o CROSS JOIN tot t JOIN exp e ON o.digit = e.digit
+             |ORDER BY o.digit""".stripMargin),
+      doc = "Benford first-digit screen over order totals: digit from exact " +
+        "integer cents (no float log), Benford expectations as fixed ppm " +
+        "literals, integer-ppm observed share and deviation — the " +
+        "fabricated-data detector as one scan + 9-group aggregate"
     )
   )
 
