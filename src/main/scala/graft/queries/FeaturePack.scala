@@ -356,8 +356,13 @@ object FeaturePack extends QueryPack {
         // [valid_from, valid_to) range predicate stays a residual on the
         // equi-join — versions per entity are bounded, so per-key fan-out
         // is, too (same pattern as e10's interval self-join).
+        // the dim key is RENAMED before the join: facts and dim share the
+        // orders lineage, and a facts("o_custkey") === dim("o_custkey")
+        // condition relies on Spark's ambiguous-self-join fallback (it
+        // logs "trivially true equals predicate" and rewrites) — an
+        // explicit distinct name keeps the equi-join unambiguous
         val dim = scd2Versions(s, d)
-          .select(col("o_custkey"), col("priority"), col("vf"), col("valid_to_ts"))
+          .select(col("o_custkey").as("d_custkey"), col("priority"), col("vf"), col("valid_to_ts"))
         val facts = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_shipdate"),
             col("l_extendedprice"), col("l_discount"))
@@ -368,7 +373,7 @@ object FeaturePack extends QueryPack {
             Seq("l_orderkey"))
         facts
           .join(dim,
-            facts("o_custkey") === dim("o_custkey") &&
+            col("o_custkey") === col("d_custkey") &&
               col("l_shipdate") >= col("vf") &&
               (col("valid_to_ts").isNull || col("l_shipdate") < col("valid_to_ts")))
           .groupBy(col("priority"))
