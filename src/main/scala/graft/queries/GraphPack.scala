@@ -197,21 +197,8 @@ object GraphPack extends QueryPack {
           .select(col("u"), col("v"))
         val adj = kept.select(col("u").as("a"), col("v").as("b"))
           .union(kept.select(col("v").as("a"), col("u").as("b")))
-        val alive0 = adj.select(col("a")).distinct()
-        val aliveK = (1 to 3).foldLeft(alive0) { (alive, _) =>
-          adj
-            .join(broadcast(alive), Seq("a"), "leftsemi")
-            .join(broadcast(alive.select(col("a").as("b"))), Seq("b"), "leftsemi")
-            .groupBy(col("a"))
-            .agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= 3)
-            .select(col("a"))
-        }
-        adj
-          .join(broadcast(aliveK), Seq("a"), "leftsemi")
-          .join(broadcast(aliveK.select(col("a").as("b"))), Seq("b"), "leftsemi")
-          .groupBy(col("a"))
-          .agg(count(lit(1)).as("core_degree"))
+        val aliveK = graft.ops.KCore.peel(adj, k = 3, rounds = 3)
+        graft.ops.KCore.degreesWithin(adj, aliveK)
           .select(col("a").as("nation_key"), col("core_degree"))
           .orderBy(col("nation_key"))
       },
