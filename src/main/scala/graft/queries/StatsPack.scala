@@ -943,6 +943,78 @@ object StatsPack extends QueryPack {
         "integer cents (no float log), Benford expectations as fixed ppm " +
         "literals, integer-ppm observed share and deviation — the " +
         "fabricated-data detector as one scan + 9-group aggregate"
+    ),
+    // ---------------------------------------------------------------- autocorr
+    Q(
+      "x24_autocorrelation",
+      (s, d) => {
+        // Lag-k autocorrelation of the daily-revenue series (lags 1/7/30 —
+        // the seasonality / regime-shift diagnostic for any metric stream).
+        // The corpus collapses to one day-grained series FIRST (bounded by
+        // the calendar, not the data), so the lag alignment is an equi-join
+        // on shifted dates — never a global-order window over the raw
+        // table. Pearson r per lag follows x12's exact-moment discipline:
+        // decimal sums (order-free), one deterministic double expression,
+        // floor-quantized.
+        // daily totals as INTEGER CENTS: a day's revenue squared overflows
+        // int64 decimal math, so the moment products are formed from
+        // DECIMAL(19,0) operands — 19+19 digits forces 128-bit multiply on
+        // both engines (DuckDB's DECIMAL(18,2)² path overflows its int64)
+        val daily = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
+        val pairs = Seq(1, 7, 30).map { l =>
+          daily.select(col("day"), col("rev_c").as("x"))
+            .join(
+              broadcast(daily.select(date_add(col("day"), l).as("day"), col("rev_c").as("y"))),
+              Seq("day"))
+            .select(lit(l.toLong).as("lag"), col("x"), col("y"))
+        }.reduce(_ union _)
+        val d19 = "decimal(19,0)"
+        pairs
+          .groupBy(col("lag"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+            sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+            sum(col("x").cast(d19) * col("x").cast(d19)).cast("double").as("sxx"),
+            sum(col("y").cast(d19) * col("y").cast(d19)).cast("double").as("syy"),
+            sum(col("x").cast(d19) * col("y").cast(d19)).cast("double").as("sxy"))
+          .select(
+            col("lag"),
+            col("n").cast("long").as("n_pairs"),
+            quant(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                  (col("n") * col("syy") - col("sy") * col("sy"))),
+              1e6).as("autocorr"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+             |  FROM orders GROUP BY 1),
+             |pairs AS (
+             |  SELECT l.lag, a.rev_c AS x, b.rev_c AS y
+             |  FROM (SELECT unnest([1, 7, 30]) AS lag) l, daily a, daily b
+             |  WHERE a.day = b.day + l.lag),
+             |m AS (
+             |  SELECT lag,
+             |    CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+             |  FROM pairs GROUP BY lag)
+             |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+             |  floor((n * sxy - sx * sy) /
+             |        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000) / 1000000 AS autocorr
+             |FROM m
+             |ORDER BY lag""".stripMargin),
+      doc = "lag-1/7/30 autocorrelation of daily revenue: calendar-bounded series " +
+        "aggregate, shifted-date equi-joins for lag alignment (no global-order " +
+        "window), exact decimal moments → one deterministic Pearson expression"
     )
   )
 
