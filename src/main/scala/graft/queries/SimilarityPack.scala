@@ -590,6 +590,68 @@ object SimilarityPack extends QueryPack {
         "collapse-detection health check): generator fan-out to (dim, value), " +
         "one 64-group aggregate with integer-grid sums and DECIMAL(38,0) " +
         "squares — exact at any corpus size, order-free, oracle-exact"
+    ),
+    // ------------------------------------------------------------ assign margin
+    Q(
+      "s12_assignment_margin",
+      (s, d) => {
+        // Cluster-assignment confidence (best-minus-second score margin) per
+        // centroid — the clustering-quality diagnostic that flags boundary-
+        // heavy cells (low margin = unstable assignment = bad partition key
+        // for IVF routing). Reuses s5's quantized coarse-quantizer scores;
+        // the margin is floor-quantized to integer micro-units BEFORE the
+        // per-cell sum, so the aggregate is order-free and oracle-exact.
+        // One scan, one 4-group aggregate — no joins.
+        val e = Tables.embeddings(s, d)
+        val scored = (0 until 4).foldLeft(e.select(col("vec_id"), col("embedding"))) {
+          case (df, j) => df.withColumn(s"s$j", quant(hashPlaneDot(col("embedding"), j, 0.0), 1e6))
+        }
+        val sorted = sort_array(array(col("s0"), col("s1"), col("s2"), col("s3")), asc = false)
+        scored
+          .withColumn(
+            "centroid",
+            when(col("s0") >= col("s1") && col("s0") >= col("s2") && col("s0") >= col("s3"), 0L)
+              .when(col("s1") >= col("s2") && col("s1") >= col("s3"), 1L)
+              .when(col("s2") >= col("s3"), 2L)
+              .otherwise(3L))
+          .withColumn(
+            "margin_u",
+            floor((sorted.getItem(0) - sorted.getItem(1)) * 1e6).cast("long"))
+          .groupBy(col("centroid"))
+          .agg(
+            count(lit(1)).as("n_vectors"),
+            (sum(col("margin_u")).cast("double") / count(lit(1)) / 1e6).as("mean_margin"),
+            (min(col("margin_u")).cast("double") / 1e6).as("min_margin"),
+            (max(col("margin_u")).cast("double") / 1e6).as("max_margin"))
+          .orderBy(col("centroid"))
+      },
+      Some {
+        def dot(j: Int) =
+          s"floor(list_sum(list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * (((($j*64 + (i-1)) * 2654435761) % 1000000007) / 1000000000.0))) * 1000000) / 1000000"
+        s"""WITH scored AS (
+           |  SELECT ${dot(0)} AS s0, ${dot(1)} AS s1, ${dot(2)} AS s2, ${dot(3)} AS s3
+           |  FROM embeddings),
+           |assigned AS (
+           |  SELECT CAST(CASE
+           |    WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+           |    WHEN s1 >= s2 AND s1 >= s3 THEN 1
+           |    WHEN s2 >= s3 THEN 2
+           |    ELSE 3 END AS BIGINT) AS centroid,
+           |    CAST(floor((l[1] - l[2]) * 1000000) AS BIGINT) AS margin_u
+           |  FROM (SELECT s0, s1, s2, s3,
+           |          list_sort([s0, s1, s2, s3], 'DESC') AS l
+           |        FROM scored) t)
+           |SELECT centroid, COUNT(*) AS n_vectors,
+           |  CAST(SUM(margin_u) AS DOUBLE) / COUNT(*) / 1000000 AS mean_margin,
+           |  CAST(MIN(margin_u) AS DOUBLE) / 1000000 AS min_margin,
+           |  CAST(MAX(margin_u) AS DOUBLE) / 1000000 AS max_margin
+           |FROM assigned
+           |GROUP BY centroid
+           |ORDER BY centroid""".stripMargin
+      },
+      doc = "coarse-quantizer assignment-margin profile (best-minus-second score " +
+        "per cell): low-margin cells mark unstable IVF routing — micro-unit " +
+        "integer margins summed order-free, one scan + 4-group aggregate"
     )
   )
 
