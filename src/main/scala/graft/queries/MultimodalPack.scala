@@ -309,6 +309,64 @@ object MultimodalPack extends QueryPack {
         "numerator) straight off the WAV binary — header-validated offsets, " +
         "little-endian signed samples, data-chunk clamp; oracle rebuilds the " +
         "sample stream from source character codes"
+    ),
+    // ---------------------------------------------------------------- sniff
+    Q(
+      "m10_magic_sniff",
+      (s, d) => {
+        // Content sniffing / modality routing by MAGIC BYTES — the ingest
+        // dispatcher for a mixed media drop (never trust the extension): a
+        // mixed payload column is built in-plan (every third doc packed as
+        // a RIFF/WAVE container, every third stamped with the 8-byte PNG
+        // signature, the rest raw text), then the router inspects ONLY the
+        // payload's leading bytes to recover the modality. The oracle
+        // derives the expected route and size from the SOURCE columns, so
+        // the hash match proves the byte-level sniff (prefix offsets,
+        // signature values, container overheads) — same certification
+        // pattern as m8/m9. Narrow per-row ops; payload bytes never shuffle
+        // (only the per-mime aggregate row leaves the scan).
+        import graft.functions.MediaExpressions.wavPack
+        val payload = when(col("doc_id") % 3 === 0,
+            wavPack(lit(16000), lit(1), lit(16), encode(col("text"), "UTF-8")))
+          .when(col("doc_id") % 3 === 1,
+            concat(unhex(lit("89504E470D0A1A0A")), encode(col("text"), "UTF-8")))
+          .otherwise(encode(col("text"), "UTF-8"))
+        val mime = when(
+            hex(substring(col("payload"), 1, 4)) === "52494646" &&
+              hex(substring(col("payload"), 9, 4)) === "57415645", "audio/wav")
+          .when(hex(substring(col("payload"), 1, 8)) === "89504E470D0A1A0A", "image/png")
+          .otherwise("text/plain")
+        Tables.documents(s, d)
+          .select(col("doc_id"), payload.as("payload"))
+          .select(col("doc_id"), mime.as("mime"), length(col("payload")).cast("long").as("nbytes"))
+          .groupBy(col("mime"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nbytes")).as("total_bytes"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("mime"))
+      },
+      Some("""WITH routed AS (
+             |  SELECT doc_id,
+             |    CASE CAST(doc_id % 3 AS INTEGER)
+             |      WHEN 0 THEN 'audio/wav'
+             |      WHEN 1 THEN 'image/png'
+             |      ELSE 'text/plain' END AS mime,
+             |    CASE CAST(doc_id % 3 AS INTEGER)
+             |      WHEN 0 THEN 44 + octet_length(encode(text))
+             |      WHEN 1 THEN 8 + octet_length(encode(text))
+             |      ELSE octet_length(encode(text)) END AS nbytes
+             |  FROM documents)
+             |SELECT mime, COUNT(*) AS n_docs,
+             |  CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+             |  MIN(doc_id) AS first_doc
+             |FROM routed
+             |GROUP BY mime
+             |ORDER BY mime""".stripMargin),
+      doc = "magic-byte content sniffing (RIFF/WAVE, PNG signature, printable " +
+        "fallback) over an in-plan mixed-modality payload column — the oracle's " +
+        "source-derived routes certify the byte-level dispatch; per-mime " +
+        "aggregate only, payloads never shuffle"
     )
   )
 }
