@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   * hinting would pin a 10⁹-node set into executor memory. `localCheckpoint`
   * after each fixpoint round keeps the plan constant-size (same discipline
   * as [[ConnectedComponents]]' contraction loop).
+  *
+  * Callers MUST pass a materialized `adj` (`localCheckpoint()` it after the
+  * edge aggregation): the peel rounds re-read the adjacency once per round,
+  * and an unmaterialized plan would re-run the upstream edge build each
+  * time — measured as an ~80× slowdown on g8's fact-table-derived graph.
   */
 object KCore {
 

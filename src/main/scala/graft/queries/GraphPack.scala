@@ -195,8 +195,14 @@ object GraphPack extends QueryPack {
         val kept = edges.crossJoin(broadcast(stats))
           .filter(col("w") * col("n_pairs") >= col("tot"))
           .select(col("u"), col("v"))
+        // materialize the aggregated adjacency ONCE before iterating: the
+        // peel rounds and the final degree pass re-read adj ~8 times, and
+        // without this each re-read would re-run the fact-table joins
+        // (measured 88s → ~1s at sf0.01). Same discipline as
+        // ConnectedComponents' contraction loop.
         val adj = kept.select(col("u").as("a"), col("v").as("b"))
           .union(kept.select(col("v").as("a"), col("u").as("b")))
+          .localCheckpoint()
         val aliveK = graft.ops.KCore.peel(adj, k = 3, rounds = 3)
         graft.ops.KCore.degreesWithin(adj, aliveK)
           .select(col("a").as("nation_key"), col("core_degree"))
