@@ -137,7 +137,29 @@ object PlanDump {
         "min aggregate attributes first occurrences; both cumulative series " +
         "run through GlobalOrder range shuffles over a ONE-ROW-PER-DOCUMENT " +
         "frame (Sort + MapPartitions, no Window) — the token-sized postings " +
-        "never enter a window.")
+        "never enter a window."),
+      "g8_kcore" -> ("Iterative k-core peel (ops/KCore): the fact-derived " +
+        "adjacency aggregates and localCheckpoints ONCE (Scan ExistingRDD " +
+        "under every round — the fact join runs once, measured 80x), then " +
+        "each peel round is two semi-joins + one degree aggregate over the " +
+        "tiny edge table; no forced broadcast hint, AQE picks it when the " +
+        "shrinking alive-set fits."),
+      "p17_token_budget_cut" -> ("Token-budget curriculum cut: the corpus' " +
+        "global quality-ordered running token sum is ONE GlobalOrder range " +
+        "exchange + partition-local Sort + MapPartitions (prefix offsets in " +
+        "the closure) — a SUM OVER (ORDER BY) window would move the whole " +
+        "corpus into a single task; the budget filter and per-source " +
+        "aggregate run on the same pass's output."),
+      "x24_autocorrelation" -> ("Lag-k autocorrelation: the raw table " +
+        "collapses to a calendar-bounded daily series FIRST, so each lag " +
+        "alignment is a BroadcastHashJoin on shifted dates over " +
+        "aggregate-sized input — no global-order window, no self-join of " +
+        "the fact table; exact decimal moments partial-aggregate per lag."),
+      "s11_embedding_dim_moments" -> ("Per-dimension embedding moments: " +
+        "posexplode is a narrow generator inside the scan stage — the only " +
+        "exchange is the 64-group aggregate, partial-combined map-side; " +
+        "integer-grid sums + DECIMAL(38,0) squares keep the aggregate " +
+        "order-free at any corpus size.")
     )
 
     val sb = new StringBuilder
