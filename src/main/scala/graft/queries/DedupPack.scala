@@ -995,6 +995,71 @@ object DedupPack extends QueryPack {
       doc = "end-to-end dedup pipeline: near-dup edges -> connected components -> " +
         "min-label exemplar keep -> per-source corpus-reduction report (docs/tokens " +
         "kept, keep ratio) — the accounting a curation run ships"
+    ),
+    // ---------------------------------------------------------------- overlap
+    Q(
+      "d22_source_overlap",
+      (s, d) => {
+        // pairwise corpus-overlap matrix between sources: exact distinct-
+        // shingle Jaccard + containment for every source pair — the
+        // cross-corpus contamination report run before mixing corpora.
+        // Scale shape: an inverted index of DISTINCT (source, shingle)
+        // postings, so the pair join fans out per shingle to at most
+        // (#sources choose 2) rows — bounded by the SOURCE count, never the
+        // corpus size (contrast d7, where postings fan out per document).
+        // Shingles seen in exactly one source cannot contribute to any pair
+        // and are dropped exactly before the join (df-prune); the DuckDB
+        // oracle keeps the unpruned join — a cross-formulation check.
+        val postings = Tables.documents(s, d)
+          .filter(size(tokens(col("text"))) >= 3)
+          .select(
+            col("source"),
+            explode(graft.functions.TextExpressions.shingles(col("text"), 3)).as("sh"))
+          .distinct()
+        val perSource = postings.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+        val shared = postings
+          .join(
+            postings.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+              .filter(col("df") >= 2).select(col("sh")),
+            Seq("sh"))
+        val inter = shared.select(col("sh"), col("source").as("src_a"))
+          .join(shared.select(col("sh"), col("source").as("src_b")), Seq("sh"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(broadcast(perSource.select(col("source").as("src_a"), col("n_sh").as("n_a"))), Seq("src_a"))
+          .join(broadcast(perSource.select(col("source").as("src_b"), col("n_sh").as("n_b"))), Seq("src_b"))
+          .select(
+            col("src_a"), col("src_b"), col("inter"), col("n_a"), col("n_b"),
+            quant(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 1e6)
+              .as("jaccard"),
+            quant(col("inter").cast("double") / least(col("n_a"), col("n_b")), 1e6)
+              .as("containment"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+             |  WHERE len(toks) >= 3),
+             |p AS (SELECT DISTINCT source, unnest(sh) AS sh FROM t),
+             |c AS (SELECT source, COUNT(*) AS n_sh FROM p GROUP BY source),
+             |i AS (
+             |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+             |  FROM p a JOIN p b ON a.sh = b.sh AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT src_a, src_b, inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+             |  floor(CAST(inter AS DOUBLE) / (ca.n_sh + cb.n_sh - inter) * 1000000) / 1000000
+             |    AS jaccard,
+             |  floor(CAST(inter AS DOUBLE) / least(ca.n_sh, cb.n_sh) * 1000000) / 1000000
+             |    AS containment
+             |FROM i JOIN c ca ON i.src_a = ca.source JOIN c cb ON i.src_b = cb.source
+             |ORDER BY src_a, src_b""".stripMargin),
+      doc = "pairwise source-overlap matrix (exact distinct-shingle Jaccard + " +
+        "containment): inverted-index pair join bounded by #sources per shingle, " +
+        "df>=2 prune — the cross-corpus contamination report before mixing corpora"
     )
   )
 }

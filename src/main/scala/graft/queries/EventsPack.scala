@@ -633,6 +633,55 @@ object EventsPack extends QueryPack {
       doc = "cumulative distinct users per event type via the first-seen identity: " +
         "one (user, type)-keyed aggregate + a running sum over the calendar-sized " +
         "series — never a per-period distinct re-count"
+    ),
+    // ---------------------------------------------------------------- lateness
+    Q(
+      "e19_late_arrival_audit",
+      (s, d) => {
+        // Out-of-order arrival audit — the batch measurement behind choosing
+        // a streaming watermark delay: within each user's stream, arrival
+        // order is event_id (the ingest sequence) and the per-user watermark
+        // is the running max event time over PRIOR arrivals; an event is
+        // "late" when it lands more than 120 s behind that high-water mark
+        // (it would be dropped by withWatermark("2 minutes")). Per-user
+        // window = hash-partitioned, scale-clean; all epoch-second integer
+        // math.
+        val byArrival = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("es"))
+          .withColumn("wm", max(col("es")).over(byArrival))
+          .select(
+            col("user_id"),
+            when(col("wm").isNotNull && col("es") < col("wm") - 120, 1L)
+              .otherwise(0L).as("late"),
+            when(col("wm").isNotNull && col("es") < col("wm"), col("wm") - col("es"))
+              .otherwise(0L).as("lateness"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("late")).as("n_late"),
+            max(col("lateness")).as("max_lateness_sec"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT user_id,
+             |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             |    MAX(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             |      PARTITION BY user_id ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+             |  FROM events)
+             |SELECT user_id, COUNT(*) AS n_events,
+             |  CAST(SUM(CASE WHEN wm IS NOT NULL AND es < wm - 120 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_late,
+             |  CAST(MAX(CASE WHEN wm IS NOT NULL AND es < wm THEN wm - es ELSE 0 END)
+             |    AS BIGINT) AS max_lateness_sec
+             |FROM t
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin),
+      doc = "out-of-order arrival audit per user (running event-time high-water mark " +
+        "over arrival order, 120 s tolerance) — the batch evidence for choosing a " +
+        "streaming watermark delay; hash-partitioned windows, integer epoch math"
     )
   )
 }

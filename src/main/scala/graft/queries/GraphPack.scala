@@ -244,6 +244,79 @@ object GraphPack extends QueryPack {
       doc = "3-core decomposition (three unrolled peel rounds) of the thresholded " +
         "trade graph: broadcast alive-set semi-joins over the aggregated edge " +
         "list — dense-subgraph primitive, integer degrees, oracle-exact"
+    ),
+    // ---------------------------------------------------------------- lpa
+    Q(
+      "g9_label_propagation",
+      (s, d) => {
+        // Synchronous label propagation (two unrolled rounds) on the
+        // supplier co-order graph: suppliers are linked when they ship in
+        // the same order at least twice. LPA is the MODE-label update (most
+        // frequent neighbor label, ties to the smallest) — a different
+        // iteration primitive from CC's min-label and PageRank's weighted
+        // sum: each round is one adjacency⋈labels equi-join + a
+        // (node,label)-count aggregate + a min(struct(-cnt,label)) argmax,
+        // all deterministic integers. Per-order supplier fan-out is bounded
+        // (≤7 items/order), so the co-occurrence self-join never goes
+        // quadratic in the corpus; the aggregated edge list is materialized
+        // once (g8's discipline) and each round touches only it.
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")).distinct()
+        val pairs = li.select(col("l_orderkey"), col("l_suppkey").as("su"))
+          .join(li.select(col("l_orderkey"), col("l_suppkey").as("sv")), Seq("l_orderkey"))
+          .filter(col("su") < col("sv"))
+          .select(col("su").cast("long").as("u"), col("sv").cast("long").as("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        val e = pairs.filter(col("w") >= 2).select(col("u"), col("v"))
+        val adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
+        val lab0 = Tables.supplier(s, d)
+          .select(col("s_suppkey").cast("long").as("node"))
+          .withColumn("lbl", col("node"))
+        def round(lab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val best = adj
+            .join(lab.select(col("node").as("v"), col("lbl")), Seq("v"))
+            .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+            .groupBy(col("u"))
+            .agg(min(struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("m"))
+            .select(col("u").as("node"), col("m.l").as("nlbl"))
+          lab.join(best, Seq("node"), "left")
+            .select(col("node"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        }
+        round(round(lab0))
+          .select(col("node").as("s_suppkey"), col("lbl").as("community"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+             |p AS (
+             |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
+             |  FROM li a JOIN li b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+             |  GROUP BY 1, 2),
+             |e AS (SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v FROM p WHERE w >= 2),
+             |adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+             |l0 AS (SELECT CAST(s_suppkey AS BIGINT) AS node,
+             |              CAST(s_suppkey AS BIGINT) AS lbl FROM supplier),
+             |c1 AS (SELECT adj.u, l0.lbl, COUNT(*) AS cnt
+             |       FROM adj JOIN l0 ON adj.v = l0.node GROUP BY 1, 2),
+             |b1 AS (SELECT u AS node, lbl AS nlbl FROM (
+             |  SELECT u, lbl,
+             |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY cnt DESC, lbl) AS rn
+             |  FROM c1) t WHERE rn = 1),
+             |l1 AS (SELECT l0.node, COALESCE(b1.nlbl, l0.lbl) AS lbl
+             |       FROM l0 LEFT JOIN b1 USING (node)),
+             |c2 AS (SELECT adj.u, l1.lbl, COUNT(*) AS cnt
+             |       FROM adj JOIN l1 ON adj.v = l1.node GROUP BY 1, 2),
+             |b2 AS (SELECT u AS node, lbl AS nlbl FROM (
+             |  SELECT u, lbl,
+             |    ROW_NUMBER() OVER (PARTITION BY u ORDER BY cnt DESC, lbl) AS rn
+             |  FROM c2) t WHERE rn = 1),
+             |l2 AS (SELECT l1.node, COALESCE(b2.nlbl, l1.lbl) AS lbl
+             |       FROM l1 LEFT JOIN b2 USING (node))
+             |SELECT node AS s_suppkey, lbl AS community
+             |FROM l2
+             |ORDER BY s_suppkey""".stripMargin),
+      doc = "synchronous mode-label propagation (2 unrolled rounds) on the supplier " +
+        "co-order graph: adjacency-join + count-argmax with deterministic ties — " +
+        "the community-detection iteration primitive beside CC/PageRank/k-core"
     )
   )
 }

@@ -652,6 +652,56 @@ object SimilarityPack extends QueryPack {
       doc = "coarse-quantizer assignment-margin profile (best-minus-second score " +
         "per cell): low-margin cells mark unstable IVF routing — micro-unit " +
         "integer margins summed order-free, one scan + 4-group aggregate"
+    ),
+    // ---------------------------------------------------------------- int8 SQ
+    Q(
+      "s13_scalar_quant",
+      (s, d) => {
+        // int8 scalar quantization + quantized top-k — the memory tier below
+        // s7's PQ: one global max-|x| scalar (broadcast into the scan, like
+        // x19's histogram bounds), symmetric grid qv = floor(x·127/maxabs),
+        // then the ADC-style search runs entirely in INTEGER arithmetic
+        // (zip_with product + aggregate long sum) — exact, order-free, and
+        // at scale a 4× memory cut over float32 with SIMD-friendly int8
+        // rows. TakeOrdered top-k, never a global sort.
+        val e = Tables.embeddings(s, d)
+        val maxabs = e.agg(
+          max(array_max(transform(col("embedding"), x => abs(x.cast("double"))))).as("ma"))
+        val qv = e.crossJoin(broadcast(maxabs))
+          .select(
+            col("vec_id"),
+            transform(col("embedding"), x => floor(x.cast("double") * 127.0 / col("ma"))
+              .cast("long")).as("qv"))
+        val q = qv.filter(col("vec_id") === 0).select(col("qv").as("q_qv"))
+        qv.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(
+            col("vec_id"),
+            aggregate(zip_with(col("qv"), col("q_qv"), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).as("qdot"))
+          .orderBy(col("qdot").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""WITH ma AS (
+             |  SELECT MAX(list_max(list_transform(embedding,
+             |    x -> abs(CAST(x AS DOUBLE))))) AS ma
+             |  FROM embeddings),
+             |qvt AS (
+             |  SELECT vec_id,
+             |    list_transform(embedding,
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT)) AS qv
+             |  FROM embeddings, ma),
+             |q AS (SELECT qv AS q_qv FROM qvt WHERE vec_id = 0)
+             |SELECT vec_id,
+             |  CAST(list_sum(list_transform(generate_series(1, len(qv)),
+             |    i -> qv[i] * q_qv[i])) AS BIGINT) AS qdot
+             |FROM qvt, q
+             |WHERE vec_id <> 0
+             |ORDER BY qdot DESC, vec_id
+             |LIMIT 10""".stripMargin),
+      doc = "int8 scalar-quantized similarity search: global max-|x| scale " +
+        "broadcast into the scan, symmetric floor grid, ALL-INTEGER quantized dot " +
+        "product (exact, order-free) — the 4x-memory tier below PQ for ANN at scale"
     )
   )
 

@@ -1015,6 +1015,71 @@ object StatsPack extends QueryPack {
       doc = "lag-1/7/30 autocorrelation of daily revenue: calendar-bounded series " +
         "aggregate, shifted-date equi-joins for lag alignment (no global-order " +
         "window), exact decimal moments → one deterministic Pearson expression"
+    ),
+    // ---------------------------------------------------------------- gini
+    Q(
+      "x25_gini",
+      (s, d) => {
+        // Gini concentration of customer revenue per market segment — the
+        // inequality audit a data-mixing pipeline runs on per-source token
+        // budgets (here: revenue cents as the weight). Exact rank formula
+        // G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) over ascending x.
+        // The global ascending rank inside each segment comes from
+        // GlobalOrder.withGroupedRowNumber (range shuffle + broadcast prefix
+        // offsets) — NOT a whole-segment window task; every term stays in
+        // exact integer cents, promoted to decimal(38,0) before the rank
+        // product so Σ i·x_i cannot overflow at any corpus size. One IEEE
+        // division at the end, identical on both engines.
+        val rev = Tables.orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("cents"))
+          .join(
+            Tables.customer(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+            Seq("o_custkey"))
+        val ranked = graft.ops.GlobalOrder.withGroupedRowNumber(
+          rev, "rk", "n", Seq("c_mktsegment"), Seq(col("cents"), col("o_custkey")))
+        ranked
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            max(col("n")).as("n_cust"),
+            sum(col("cents").cast("decimal(38,0)")).as("sx"),
+            sum(col("rk").cast("decimal(38,0)") * col("cents")).as("sxi"))
+          .select(
+            col("c_mktsegment"),
+            col("n_cust"),
+            col("sx").cast("double").as("total_revenue_cents"),
+            quant(
+              (col("sxi") * 2 - (col("n_cust").cast("decimal(38,0)") + 1) * col("sx"))
+                .cast("double") /
+                (col("n_cust").cast("decimal(38,0)") * col("sx")).cast("double"),
+              1e9).as("gini"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT o.o_custkey, c.c_mktsegment,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+             |  GROUP BY 1, 2),
+             |r AS (
+             |  SELECT c_mktsegment, cents,
+             |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY cents, o_custkey) AS rk,
+             |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+             |  FROM rev),
+             |g AS (
+             |  SELECT c_mktsegment, MAX(n) AS n_cust,
+             |    SUM(CAST(cents AS DECIMAL(38,0))) AS sx,
+             |    SUM(CAST(rk AS DECIMAL(38,0)) * cents) AS sxi
+             |  FROM r GROUP BY 1)
+             |SELECT c_mktsegment, n_cust,
+             |  CAST(sx AS DOUBLE) AS total_revenue_cents,
+             |  floor(CAST(sxi * 2 - (CAST(n_cust AS DECIMAL(38,0)) + 1) * sx AS DOUBLE) /
+             |        CAST(CAST(n_cust AS DECIMAL(38,0)) * sx AS DOUBLE) * 1000000000)
+             |    / 1000000000 AS gini
+             |FROM g
+             |ORDER BY c_mktsegment""".stripMargin),
+      doc = "Gini concentration of customer revenue per segment: exact rank formula " +
+        "over distributed ascending ranks (GlobalOrder, no whole-group window), " +
+        "decimal(38,0) rank products — the budget-inequality audit for data mixing"
     )
   )
 

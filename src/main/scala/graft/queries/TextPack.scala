@@ -778,6 +778,68 @@ object TextPack extends QueryPack {
         "one token-keyed min aggregate, then cumulative tokens/vocab from doc-level " +
         "prefix sums (GlobalOrder over a one-row-per-document frame — the postings " +
         "never enter a window)"
+    ),
+    // ---------------------------------------------------------------- holdout
+    Q(
+      "t20_holdout_crossentropy",
+      (s, d) => {
+        // Held-out cross-entropy: train an add-1-smoothed unigram LM on the
+        // deterministic 80% hash split (p4's exact split function), score
+        // every held-out document under it — the train/eval methodology
+        // t11's in-corpus scoring skips, and the quality gate that actually
+        // generalizes (OOV tokens get mass 1/(N+V+1) instead of crashing
+        // the score). Per-token logprobs floor-quantize to integer
+        // micro-nats BEFORE the per-doc sum (order-free, oracle-exact);
+        // the two LM scalars (token total, vocab size) broadcast into the
+        // scoring join, which is one postings-shaped equi-join on token.
+        val P = 1000000007L
+        val split = ((col("doc_id") % P) * lit(2654435761L % P)) % P % 100
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"), split.as("b"))
+        val freq = docs.filter(col("b") < 80)
+          .select(explode(col("toks")).as("token"))
+          .groupBy(col("token")).agg(count(lit(1)).as("c"))
+        val lm = freq.agg(sum(col("c")).as("ntr"), count(lit(1)).as("v"))
+        docs.filter(col("b") >= 80)
+          .select(col("doc_id"), explode(col("toks")).as("token"))
+          .join(freq, Seq("token"), "left")
+          .crossJoin(broadcast(lm))
+          .select(
+            col("doc_id"),
+            when(col("c").isNull, 1L).otherwise(0L).as("oov"),
+            floor(
+              log((coalesce(col("c"), lit(0L)).cast("double") + 1.0) /
+                (col("ntr") + col("v") + 1).cast("double")) * 1e6).cast("long").as("q"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"), sum(col("q")).as("sq"))
+          .select(
+            col("doc_id"), col("n_tokens"), col("n_oov"),
+            (col("sq").cast("double") / 1e6 / col("n_tokens")).as("avg_logprob"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks,
+             |    ((doc_id % 1000000007) * 654435747) % 1000000007 % 100 AS b
+             |  FROM documents),
+             |freq AS (
+             |  SELECT token, COUNT(*) AS c
+             |  FROM (SELECT unnest(toks) AS token FROM docs WHERE b < 80) tr
+             |  GROUP BY token),
+             |lm AS (SELECT CAST(SUM(c) AS BIGINT) AS ntr, COUNT(*) AS v FROM freq),
+             |te AS (SELECT doc_id, unnest(toks) AS token FROM docs WHERE b >= 80)
+             |SELECT doc_id, n_tokens, n_oov,
+             |  CAST(sq AS DOUBLE) / 1000000 / n_tokens AS avg_logprob
+             |FROM (
+             |  SELECT doc_id, COUNT(*) AS n_tokens,
+             |    CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |    CAST(SUM(CAST(floor(ln((CAST(COALESCE(c, 0) AS DOUBLE) + 1.0) /
+             |      CAST(ntr + v + 1 AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS sq
+             |  FROM te LEFT JOIN freq USING (token) CROSS JOIN lm
+             |  GROUP BY doc_id) g
+             |ORDER BY doc_id""".stripMargin),
+      doc = "held-out cross-entropy under an add-1-smoothed train-split unigram LM " +
+        "(deterministic hash split, OOV mass, micro-nat integer sums) — the " +
+        "generalizing quality gate, one token equi-join + broadcast LM scalars"
     )
   )
 }

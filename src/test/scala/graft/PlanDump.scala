@@ -159,7 +159,28 @@ object PlanDump {
         "posexplode is a narrow generator inside the scan stage — the only " +
         "exchange is the 64-group aggregate, partial-combined map-side; " +
         "integer-grid sums + DECIMAL(38,0) squares keep the aggregate " +
-        "order-free at any corpus size.")
+        "order-free at any corpus size."),
+      "d22_source_overlap" -> ("Pairwise source-overlap matrix: the posting " +
+        "self-join keys on shingle AFTER the df>=2 prune, and each shingle " +
+        "fans out to at most (#sources choose 2) pairs — the join output is " +
+        "bounded by the SOURCE count, never the corpus; per-source " +
+        "cardinalities broadcast into the final 190-row report."),
+      "x25_gini" -> ("Gini concentration: ascending per-segment ranks come " +
+        "from GlobalOrder's range exchange + partition-local sort + " +
+        "MapPartitions prefix offsets — no whole-segment window task; rank " +
+        "products accumulate in DECIMAL(38,0), one IEEE division at the " +
+        "end."),
+      "t20_holdout_crossentropy" -> ("Held-out cross-entropy: train-split " +
+        "token counts flow into ONE postings-shaped equi-join on token " +
+        "against the held-out explode; the two LM scalars ride a broadcast " +
+        "(BroadcastNestedLoopJoin over one row); micro-nat integer logprobs " +
+        "partial-sum map-side."),
+      "g9_label_propagation" -> ("Mode-label propagation: the co-order " +
+        "pair join fans out per order (bounded items/order), aggregates to " +
+        "an edge list that localCheckpoints once (Scan ExistingRDD under " +
+        "both rounds); each round is one adjacency-labels equi-join + a " +
+        "count aggregate + a min(struct) argmax — all exchange-sized by " +
+        "the edge table.")
     )
 
     val sb = new StringBuilder
