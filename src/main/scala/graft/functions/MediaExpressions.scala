@@ -37,6 +37,9 @@ object MediaExpressions {
   def pcmStats(bytes: Column): Column =
     GraftShims.column(PcmStats(GraftShims.expression(bytes)))
 
+  def pcmFingerprint(bytes: Column, bins: Int): Column =
+    GraftShims.column(PcmFingerprint(GraftShims.expression(bytes), bins))
+
   private def leInt(out: Array[Byte], off: Int, v: Int): Unit = {
     out(off) = (v & 0xff).toByte
     out(off + 1) = ((v >> 8) & 0xff).toByte
@@ -131,6 +134,51 @@ object MediaExpressions {
         }
       case _ => None
     }
+
+  /** Coarse energy-envelope fingerprint of a 16-bit PCM track: the sample
+    * stream splits into `bins` contiguous windows on exact integer
+    * boundaries (lo_k = ⌊k·n/bins⌋), and bit k is set when window k's
+    * mean |sample| exceeds the track mean — compared cross-multiplied
+    * (sum_k·n > total·len_k), so the fingerprint is pure integer math and
+    * reproducible on any engine. None for non-WAV/non-16-bit input; an
+    * empty track fingerprints to 0.
+    */
+  private[graft] def pcmFingerprintOf(b: Array[Byte], bins: Int): Option[Long] =
+    metaOf(b) match {
+      case Some((_, _, bits, dataSize, _)) if bits == 16 =>
+        val avail = math.min(dataSize, (b.length - 44).toLong).toInt
+        val n = avail / 2
+        if (n == 0) Some(0L)
+        else {
+          val sums = new Array[Long](bins)
+          var total = 0L
+          var k = 0
+          while (k < bins) {
+            val lo = (k.toLong * n / bins).toInt
+            val hi = ((k + 1).toLong * n / bins).toInt
+            var i = lo
+            var sb = 0L
+            while (i < hi) {
+              val v = ((b(44 + 2 * i + 1) << 8) | (b(44 + 2 * i) & 0xff)).toLong
+              sb += math.abs(v)
+              i += 1
+            }
+            sums(k) = sb
+            total += sb
+            k += 1
+          }
+          var fp = 0L
+          k = 0
+          while (k < bins) {
+            val lo = (k.toLong * n / bins).toInt
+            val hi = ((k + 1).toLong * n / bins).toInt
+            if (sums(k) * n > total * (hi - lo)) fp |= (1L << k)
+            k += 1
+          }
+          Some(fp)
+        }
+      case _ => None
+    }
 }
 
 /** 44-byte PCM RIFF header + payload → one binary column. */
@@ -202,6 +250,27 @@ case class PcmStats(child: Expression) extends Expression with CodegenFallback {
       case Some((n, peak, vmin, sabs)) =>
         new GenericInternalRow(Array[Any](n, peak.orNull, vmin.orNull, sabs.orNull))
     }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+/** Coarse energy-envelope fingerprint (see
+  * [[MediaExpressions.pcmFingerprintOf]]): `bins` mean-|sample| windows
+  * binarized against the track mean, packed LSB-first into one long — the
+  * locality-sensitive audio near-dup key (m11). Integer-exact, so two
+  * engines computing it from the same samples agree bit-for-bit.
+  */
+@ExpressionDescription(usage = "pcm_fingerprint(bytes, bins) - energy-envelope bit fingerprint")
+case class PcmFingerprint(child: Expression, bins: Int)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MediaExpressions.pcmFingerprintOf(v.asInstanceOf[Array[Byte]], bins).orNull
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c(0))

@@ -96,7 +96,7 @@ case class TopKPushdown() extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-  import graft.functions.{DotProduct, L2Norm, MercatorX, MercatorY, PcmStats, PqDists,
+  import graft.functions.{DotProduct, L2Norm, MercatorX, MercatorY, PcmFingerprint, PcmStats, PqDists,
     ShingleArray, SimHash60, SortedIntersectSize, SortedIntersectSizeInt,
     SortedIntersectSizeLong, WavMeta, WavPack}
 
@@ -130,5 +130,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => WavPack(args(0), args(1), args(2), args(3)))
     fn(e, "wav_meta", classOf[WavMeta], args => WavMeta(args.head))
     fn(e, "pcm_stats", classOf[PcmStats], args => PcmStats(args.head))
+    fn(e, "pcm_fingerprint", classOf[PcmFingerprint],
+      args => PcmFingerprint(args(0), args(1).eval().asInstanceOf[Int]))
   }
 }

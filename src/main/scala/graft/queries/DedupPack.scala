@@ -1003,29 +1003,34 @@ object DedupPack extends QueryPack {
         // pairwise corpus-overlap matrix between sources: exact distinct-
         // shingle Jaccard + containment for every source pair — the
         // cross-corpus contamination report run before mixing corpora.
-        // Scale shape: an inverted index of DISTINCT (source, shingle)
-        // postings, so the pair join fans out per shingle to at most
-        // (#sources choose 2) rows — bounded by the SOURCE count, never the
-        // corpus size (contrast d7, where postings fan out per document).
-        // Shingles seen in exactly one source cannot contribute to any pair
-        // and are dropped exactly before the join (df-prune); the DuckDB
-        // oracle keeps the unpruned join — a cross-formulation check.
-        val postings = Tables.documents(s, d)
+        // Scale shape: ONE aggregation collapses the corpus to per-shingle
+        // posting lists (collect_set dedups, sort_array fixes pair order),
+        // and source pairs are generated LOCALLY inside each list — at most
+        // (#sources choose 2) pairs per shingle, bounded by the SOURCE
+        // count, never the corpus size, with no posting self-join at all
+        // (contrast d7, where postings fan out per document). Single-source
+        // shingles are dropped exactly (size≥2 ≡ the df-prune); per-source
+        // cardinalities come off the SAME posting-list aggregate (reused
+        // exchange), so the corpus is shuffled exactly once. The DuckDB
+        // oracle keeps the naive posting self-join — a cross-formulation
+        // differential.
+        val lists = Tables.documents(s, d)
           .filter(size(tokens(col("text"))) >= 3)
           .select(
             col("source"),
             explode(graft.functions.TextExpressions.shingles(col("text"), 3)).as("sh"))
-          .distinct()
-        val perSource = postings.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-        val shared = postings
-          .join(
-            postings.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-              .filter(col("df") >= 2).select(col("sh")),
-            Seq("sh"))
-        val inter = shared.select(col("sh"), col("source").as("src_a"))
-          .join(shared.select(col("sh"), col("source").as("src_b")), Seq("sh"))
-          .filter(col("src_a") < col("src_b"))
-          .groupBy(col("src_a"), col("src_b"))
+          .groupBy(col("sh"))
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        val perSource = lists
+          .select(explode(col("srcs")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+        val inter = lists
+          .filter(size(col("srcs")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(srcs, (a, i) -> transform(" +
+              "slice(srcs, i + 2, size(srcs) - i - 1), " +
+              "b -> named_struct('sa', a, 'sb', b))))")).as("p"))
+          .groupBy(col("p.sa").as("src_a"), col("p.sb").as("src_b"))
           .agg(count(lit(1)).as("inter"))
         inter
           .join(broadcast(perSource.select(col("source").as("src_a"), col("n_sh").as("n_a"))), Seq("src_a"))

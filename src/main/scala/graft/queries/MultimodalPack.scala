@@ -367,6 +367,57 @@ object MultimodalPack extends QueryPack {
         "fallback) over an in-plan mixed-modality payload column — the oracle's " +
         "source-derived routes certify the byte-level dispatch; per-mime " +
         "aggregate only, payloads never shuffle"
+    ),
+    // ---------------------------------------------------------------- audio fp
+    Q(
+      "m11_audio_fingerprint",
+      (s, d) => {
+        // Audio near-dup via a coarse energy-envelope fingerprint: each
+        // track's 16-bit PCM sample stream (m8's in-plan WAV codec) splits
+        // into 8 contiguous windows and bit k records whether window k's
+        // mean |sample| beats the track mean — the PcmFingerprint custom
+        // expression, pure integer math (cross-multiplied comparison, no
+        // division). Tracks then bucket by fingerprint — the audio analog
+        // of d1's exact-key dedup, robust to uniform gain changes the m7
+        // content-hash key would miss. One scan + one 256-bucket-bounded
+        // aggregate; payload bytes never shuffle, only the 8-bit key does.
+        // The oracle recomputes every window sum from the source text's
+        // character codes, certifying the byte-level envelope exactly.
+        import graft.functions.MediaExpressions.{pcmFingerprint, wavPack}
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            pcmFingerprint(
+              wavPack(lit(16000), lit(1), lit(16), encode(col("text"), "UTF-8")), 8).as("fp"))
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n_tracks"), min(col("doc_id")).as("keeper_doc_id"))
+          .orderBy(col("fp"))
+      },
+      Some {
+        val raw = "ascii(substring(text, 2*k-1, 1)) + 256 * ascii(substring(text, 2*k, 1))"
+        val bits = (0 until 8).map { k =>
+          val lo = s"(($k * n) // 8)"
+          val hi = s"((${k + 1} * n) // 8)"
+          s"CASE WHEN COALESCE(list_sum(list_transform(vs[$lo + 1:$hi], x -> abs(x))), 0) * n > total * ($hi - $lo) THEN ${1L << k} ELSE 0 END"
+        }.mkString(" + ")
+        s"""WITH v AS (
+           |  SELECT doc_id, list_transform(
+           |    generate_series(1, octet_length(encode(text)) // 2),
+           |    k -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END) AS vs
+           |  FROM documents),
+           |w AS (
+           |  SELECT doc_id, vs, len(vs) AS n,
+           |    COALESCE(list_sum(list_transform(vs, x -> abs(x))), 0) AS total
+           |  FROM v),
+           |f AS (SELECT doc_id, CAST($bits AS BIGINT) AS fp FROM w)
+           |SELECT fp, COUNT(*) AS n_tracks, MIN(doc_id) AS keeper_doc_id
+           |FROM f
+           |GROUP BY fp
+           |ORDER BY fp""".stripMargin
+      },
+      doc = "audio near-dup by energy-envelope fingerprint: 8 mean-|sample| windows " +
+        "binarized vs track mean (integer cross-multiplied, PcmFingerprint expr) " +
+        "-> 8-bit bucket key; gain-robust where m7's content hash is byte-exact"
     )
   )
 }

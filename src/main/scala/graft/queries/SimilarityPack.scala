@@ -702,6 +702,80 @@ object SimilarityPack extends QueryPack {
       doc = "int8 scalar-quantized similarity search: global max-|x| scale " +
         "broadcast into the scan, symmetric floor grid, ALL-INTEGER quantized dot " +
         "product (exact, order-free) — the 4x-memory tier below PQ for ANN at scale"
+    ),
+    // ---------------------------------------------------------------- JL proj
+    Q(
+      "s14_random_projection",
+      (s, d) => {
+        // Johnson-Lindenstrauss ±1 random projection 64→16 dims with a
+        // distortion audit — the dimensionality-reduction step before an
+        // ANN index, verified the way a pipeline must verify it: measure
+        // ||P(a)−P(b)||²/(k·||a−b||²) on known pairs (ideal → 1). The
+        // projection matrix is never materialized: entry sign(i,j) derives
+        // from a deterministic integer hash inside the codegen'd HOF chain,
+        // and embeddings quantize to an integer micro-grid FIRST, so every
+        // projected coordinate and both squared distances are exact integer
+        // sums (order-free, oracle-exact); the one IEEE division happens at
+        // output. Per-row narrow work + one id-shift equi-join — no shuffle
+        // beyond the pair join, 4× less vector data shipped downstream.
+        val proj = Tables.embeddings(s, d).select(
+          col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+            .as("qv"))
+          .withColumn("pv", expr(
+            "transform(sequence(0, 15), j -> aggregate(" +
+              "zip_with(qv, sequence(0, size(qv) - 1), (x, i) -> x * " +
+              "(CASE WHEN ((i * 16 + j) * 2654435761) % 1000000007 % 2 = 0 " +
+              "THEN 1 ELSE -1 END)), CAST(0 AS BIGINT), (acc, v) -> acc + v))"))
+        val a = proj.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("a_id"), col("qv").as("qa"), col("pv").as("pa"))
+        val b = proj.filter(col("vec_id") % 2 === 1)
+          .select((col("vec_id") - 1).as("a_id"), col("vec_id").as("b_id"),
+            col("qv").as("qb"), col("pv").as("pb"))
+        a.join(b, Seq("a_id"))
+          .select(
+            col("a_id"), col("b_id"),
+            expr("aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), " +
+              "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("orig_d2"),
+            expr("aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), " +
+              "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("proj_d2"))
+          .filter(col("orig_d2") > 0)
+          .select(
+            col("a_id"), col("b_id"), col("orig_d2"), col("proj_d2"),
+            quant(col("proj_d2").cast("double") / (lit(16.0) * col("orig_d2").cast("double")),
+              1e6).as("distortion"))
+          .orderBy(col("a_id"))
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id, list_transform(embedding,
+             |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |p AS (
+             |  SELECT vec_id, qv,
+             |    list_transform(generate_series(0, 15), j ->
+             |      list_sum(list_transform(generate_series(1, len(qv)), i ->
+             |        qv[i] * (CASE WHEN (((i - 1) * 16 + j) * 2654435761)
+             |          % 1000000007 % 2 = 0 THEN 1 ELSE -1 END)))) AS pv
+             |  FROM q),
+             |a AS (SELECT vec_id AS a_id, qv AS qa, pv AS pa FROM p WHERE vec_id % 2 = 0),
+             |b AS (SELECT vec_id - 1 AS a_id, vec_id AS b_id, qv AS qb, pv AS pb
+             |      FROM p WHERE vec_id % 2 = 1),
+             |j AS (
+             |  SELECT a_id, b_id,
+             |    CAST(list_sum(list_transform(generate_series(1, len(qa)),
+             |      i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS orig_d2,
+             |    CAST(list_sum(list_transform(generate_series(1, 16),
+             |      i -> (pa[i] - pb[i]) * (pa[i] - pb[i]))) AS BIGINT) AS proj_d2
+             |  FROM a JOIN b USING (a_id))
+             |SELECT a_id, b_id, orig_d2, proj_d2,
+             |  floor(CAST(proj_d2 AS DOUBLE) / (16.0 * CAST(orig_d2 AS DOUBLE))
+             |    * 1000000) / 1000000 AS distortion
+             |FROM j
+             |WHERE orig_d2 > 0
+             |ORDER BY a_id""".stripMargin),
+      doc = "JL +-1 random projection 64->16 with distortion audit: hash-derived " +
+        "sign matrix inside codegen'd HOFs (never materialized), integer-grid " +
+        "projections and exact integer squared distances, one output division"
     )
   )
 

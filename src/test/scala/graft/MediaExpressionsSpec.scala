@@ -101,4 +101,28 @@ class MediaExpressionsSpec extends AnyFunSuite {
         col("st.sum_abs") =!= aggregate(col("vs"), lit(0L), (s, x) => s + abs(x)))
     assert(bad.count() == 0)
   }
+
+  test("pcmFingerprintOf: envelope bits, gain invariance, rejects") {
+    def track(samples: Seq[Int]): Array[Byte] = {
+      val payload = samples.flatMap(v =>
+        Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+      MediaExpressions.packBytes(8000, 1, 16, payload)
+    }
+    // 8 samples, one per bin: loud bins = exactly those above the mean
+    val quiet = Seq(10, 10, 500, 10, 500, 10, 10, 500)
+    val fp = MediaExpressions.pcmFingerprintOf(track(quiet), 8)
+    assert(fp.contains((1L << 2) | (1L << 4) | (1L << 7)))
+    // uniform gain scaling preserves the fingerprint (cross-multiplied
+    // comparison has no absolute threshold) — the near-dup property
+    val loud = quiet.map(_ * 13)
+    assert(MediaExpressions.pcmFingerprintOf(track(loud), 8) == fp)
+    // n not divisible by bins: integer boundaries still partition exactly
+    val odd = Seq(1, 1, 1, 1000, 1000, 1, 1, 1, 1, 1, 1)
+    val fpOdd = MediaExpressions.pcmFingerprintOf(track(odd), 8)
+    assert(fpOdd.isDefined && fpOdd.get != 0L)
+    // empty track → 0; non-WAV → None
+    assert(MediaExpressions.pcmFingerprintOf(
+      MediaExpressions.packBytes(8000, 1, 16, Array.emptyByteArray), 8).contains(0L))
+    assert(MediaExpressions.pcmFingerprintOf("not RIFF at all".getBytes, 8).isEmpty)
+  }
 }
