@@ -682,6 +682,91 @@ object EventsPack extends QueryPack {
       doc = "out-of-order arrival audit per user (running event-time high-water mark " +
         "over arrival order, 120 s tolerance) — the batch evidence for choosing a " +
         "streaming watermark delay; hash-partitioned windows, integer epoch math"
+    ),
+    // ---------------------------------------------------------------- survival
+    Q(
+      "e20_kaplan_meier",
+      (s, d) => {
+        // Kaplan-Meier time-to-conversion per signup cohort: duration =
+        // days from a user's first event to their first purchase, right-
+        // censored at their last observed day. One user-keyed aggregate
+        // collapses the stream (the only data-sized shuffle); everything
+        // after runs on the (cohort × duration-day) grid, bounded by the
+        // calendar. The survival curve is the running product
+        // Π(1 − d_t/n_t) — carried as an INTEGER micro-nat log sum
+        // (each factor floor-quantized before the cumulative sum), so the
+        // output is exact on both engines with no exp/product rounding.
+        // Risk sets derive from cohort totals minus a prefix sum — never a
+        // per-t re-count. Rows where n_t = d_t (curve hits zero) terminate
+        // the log-domain curve and are excluded by construction.
+        val byUser = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+          .groupBy(col("user_id"))
+          .agg(
+            min(col("day")).as("d0"),
+            max(col("day")).as("dl"),
+            min(when(col("event_type") === "purchase", col("day"))).as("dp"))
+        val spans = byUser.select(
+          date_format(date_trunc("month", col("d0")), "yyyy-MM").as("cohort"),
+          when(col("dp").isNotNull, datediff(col("dp"), col("d0")))
+            .otherwise(datediff(col("dl"), col("d0"))).cast("long").as("t"),
+          when(col("dp").isNotNull, 1L).otherwise(0L).as("ev"))
+        val grid = spans.groupBy(col("cohort"), col("t"))
+          .agg(sum(col("ev")).as("d_t"), sum(lit(1L) - col("ev")).as("c_t"))
+        val wc = Window.partitionBy(col("cohort"))
+        val prior = Window.partitionBy(col("cohort")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val risk = grid.withColumn(
+          "n_t",
+          sum(col("d_t") + col("c_t")).over(wc) -
+            coalesce(sum(col("d_t") + col("c_t")).over(prior), lit(0L)))
+        val run = Window.partitionBy(col("cohort")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        risk
+          .filter(col("d_t") > 0 && col("n_t") > col("d_t"))
+          .withColumn("q",
+            floor(log((col("n_t") - col("d_t")).cast("double") / col("n_t").cast("double"))
+              * 1e6).cast("long"))
+          .withColumn("surv_mlog", -sum(col("q")).over(run))
+          .select(col("cohort"), col("t"), col("d_t"), col("c_t"), col("n_t"),
+            col("surv_mlog"))
+          .orderBy(col("cohort"), col("t"))
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, MIN(day) AS d0, MAX(day) AS dl,
+             |    MIN(CASE WHEN event_type = 'purchase' THEN day END) AS dp
+             |  FROM (SELECT user_id, event_type, CAST(ts AS DATE) AS day FROM events) e
+             |  GROUP BY user_id),
+             |sp AS (
+             |  SELECT strftime(date_trunc('month', d0), '%Y-%m') AS cohort,
+             |    CAST(CASE WHEN dp IS NOT NULL THEN datediff('day', d0, dp)
+             |         ELSE datediff('day', d0, dl) END AS BIGINT) AS t,
+             |    CASE WHEN dp IS NOT NULL THEN 1 ELSE 0 END AS ev
+             |  FROM u),
+             |g AS (
+             |  SELECT cohort, t, CAST(SUM(ev) AS BIGINT) AS d_t,
+             |    CAST(SUM(1 - ev) AS BIGINT) AS c_t
+             |  FROM sp GROUP BY cohort, t),
+             |r AS (
+             |  SELECT cohort, t, d_t, c_t,
+             |    CAST(SUM(d_t + c_t) OVER (PARTITION BY cohort) -
+             |      COALESCE(SUM(d_t + c_t) OVER (PARTITION BY cohort ORDER BY t
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS n_t
+             |  FROM g),
+             |k AS (
+             |  SELECT cohort, t, d_t, c_t, n_t,
+             |    CAST(floor(ln(CAST(n_t - d_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+             |      * 1000000) AS BIGINT) AS q
+             |  FROM r WHERE d_t > 0 AND n_t > d_t)
+             |SELECT cohort, t, d_t, c_t, n_t,
+             |  CAST(-SUM(q) OVER (PARTITION BY cohort ORDER BY t
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS surv_mlog
+             |FROM k
+             |ORDER BY cohort, t""".stripMargin),
+      doc = "Kaplan-Meier time-to-conversion per cohort (right-censored at last " +
+        "observation): one user-keyed aggregate, calendar-bounded grid windows, " +
+        "risk sets from prefix sums, survival as exact integer micro-nat log sums"
     )
   )
 }

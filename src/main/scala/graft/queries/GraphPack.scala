@@ -256,16 +256,24 @@ object GraphPack extends QueryPack {
         // iteration primitive from CC's min-label and PageRank's weighted
         // sum: each round is one adjacency⋈labels equi-join + a
         // (node,label)-count aggregate + a min(struct(-cnt,label)) argmax,
-        // all deterministic integers. Per-order supplier fan-out is bounded
-        // (≤7 items/order), so the co-occurrence self-join never goes
-        // quadratic in the corpus; the aggregated edge list is materialized
-        // once (g8's discipline) and each round touches only it.
-        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")).distinct()
-        val pairs = li.select(col("l_orderkey"), col("l_suppkey").as("su"))
-          .join(li.select(col("l_orderkey"), col("l_suppkey").as("sv")), Seq("l_orderkey"))
-          .filter(col("su") < col("sv"))
-          .select(col("su").cast("long").as("u"), col("sv").cast("long").as("v"))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        // all deterministic integers. The aggregated edge list is
+        // materialized once (g8's discipline) and each round touches only
+        // it; the DuckDB oracle builds the same edges with the naive
+        // self-join — a cross-formulation differential.
+        // co-occurrence pairs via per-order posting lists (d22's shape): one
+        // aggregation collapses each order to its supplier set (≤7 items in
+        // TPC-H shape, so the set is bounded), pairs generate LOCALLY inside
+        // the sorted set — no fact-table self-join, one corpus shuffle
+        val pairs = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("ss"))
+          .filter(size(col("ss")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(ss, (a, i) -> transform(" +
+              "slice(ss, i + 2, size(ss) - i - 1), " +
+              "b -> named_struct('u', a, 'v', b))))")).as("p"))
+          .groupBy(col("p.u").as("u"), col("p.v").as("v")).agg(count(lit(1)).as("w"))
         val e = pairs.filter(col("w") >= 2).select(col("u"), col("v"))
         val adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
         val lab0 = Tables.supplier(s, d)

@@ -1080,6 +1080,153 @@ object StatsPack extends QueryPack {
       doc = "Gini concentration of customer revenue per segment: exact rank formula " +
         "over distributed ascending ranks (GlobalOrder, no whole-group window), " +
         "decimal(38,0) rank products — the budget-inequality audit for data mixing"
+    ),
+    // ---------------------------------------------------------------- bootstrap
+    Q(
+      "x26_bootstrap_ci",
+      (s, d) => {
+        // Bootstrap confidence interval for the mean price per returnflag —
+        // computed the only way that scales: ONE pass, 32 deterministic
+        // weighted-replicate aggregates (each row gets a hash-derived
+        // resample weight w_b ∈ {0,1,2}, a truncated-Poisson surrogate), no
+        // row duplication and no 32× explode. The 32 replicate means per
+        // group land in a bounded array (sort_array → order statistics) —
+        // the "bag of little bootstraps" aggregation shape. Weighted sums
+        // stay exact decimal; each replicate mean is one IEEE division,
+        // then floor-quantized — deterministic end to end despite being a
+        // "resampling" method.
+        val P = 1000000007L
+        val (t0, t1) = (367879441L, 735758882L) // e^-1, 2e^-1 on the hash grid
+        val base = Tables.lineitem(s, d).select(
+          col("l_returnflag"),
+          dec(col("l_extendedprice")).as("x"),
+          ((col("l_orderkey") * 131 + col("l_linenumber")) % P).as("k"))
+        def w(b: Int) = {
+          val h = (col("k") * ((2654435761L + 97L * b) % P)) % P
+          when(h < t0, 0L).when(h < t1, 1L).otherwise(2L)
+        }
+        val aggs = (0 until 32).flatMap { b =>
+          Seq(sum(col("x") * w(b)).as(s"s$b"), sum(w(b)).as(s"c$b"))
+        } ++ Seq(sum(col("x")).as("sx"), count(lit(1)).as("n_rows"))
+        val means = sort_array(array(
+          (0 until 32).map(b => col(s"s$b").cast("double") / col(s"c$b")): _*))
+        base.groupBy(col("l_returnflag"))
+          .agg(aggs.head, aggs.tail: _*)
+          .select(
+            col("l_returnflag"), col("n_rows"),
+            (col("sx").cast("double") / col("n_rows")).as("mean_price"),
+            quant(element_at(means, 2), 1e6).as("ci_lo"),
+            quant(element_at(means, 31), 1e6).as("ci_hi"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some {
+        val reps = (0 until 32).map { b =>
+          val m = (2654435761L + 97L * b) % 1000000007L
+          s"CASE WHEN (k * $m) % 1000000007 < 367879441 THEN 0 " +
+            s"WHEN (k * $m) % 1000000007 < 735758882 THEN 1 ELSE 2 END AS w$b"
+        }.mkString(",\n    ")
+        val ms = (0 until 32)
+          .map(b => s"CAST(SUM(x * w$b) AS DOUBLE) / SUM(w$b)").mkString(", ")
+        s"""WITH base AS (
+           |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS x,
+           |    (l_orderkey * 131 + l_linenumber) % 1000000007 AS k
+           |  FROM lineitem),
+           |wt AS (
+           |  SELECT l_returnflag, x,
+           |    $reps
+           |  FROM base),
+           |g AS (
+           |  SELECT l_returnflag, COUNT(*) AS n_rows,
+           |    CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mean_price,
+           |    list_sort([$ms]) AS ms
+           |  FROM wt GROUP BY l_returnflag)
+           |SELECT l_returnflag, n_rows, mean_price,
+           |  floor(ms[2] * 1000000) / 1000000 AS ci_lo,
+           |  floor(ms[31] * 1000000) / 1000000 AS ci_hi
+           |FROM g
+           |ORDER BY l_returnflag""".stripMargin
+      },
+      doc = "one-pass bootstrap CI (32 deterministic hash-weighted replicates, " +
+        "truncated-Poisson weights, zero row duplication): exact decimal replicate " +
+        "sums -> bounded mean array -> order-statistic interval per group"
+    ),
+    // ---------------------------------------------------------------- changepoint
+    Q(
+      "x27_changepoint",
+      (s, d) => {
+        // Changepoint detection on the daily-revenue series (per year): the
+        // split-point scan — for every candidate boundary t, score the
+        // mean shift between the two segments with the CUSUM-type statistic
+        // t·(n−t)/n · Δ², pick the argmax. The corpus collapses to the
+        // calendar-bounded daily series FIRST (x24's discipline), so every
+        // window here is year-partitioned over ≤366 candidate rows —
+        // prefix sums, not recursion, make the classic sequential test
+        // distributed. Scores floor-quantize to integer units before the
+        // argmax; ties break to the earliest split. The regime-shift
+        // monitor for any pipeline metric stream.
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
+          .withColumn("yr", year(col("day")))
+        val wy = Window.partitionBy(col("yr"))
+        val wyo = wy.orderBy(col("day"))
+        val cands = daily
+          .withColumn("t", row_number().over(wyo))
+          .withColumn("st",
+            sum(col("rev_c")).over(wyo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("n", count(lit(1)).over(wy))
+          .withColumn("tt", sum(col("rev_c")).over(wy))
+          .filter(col("t") < col("n"))
+          .withColumn("delta",
+            col("st").cast("double") / col("t") -
+              (col("tt") - col("st")).cast("double") / (col("n") - col("t")))
+          .withColumn("score_u",
+            floor(col("t").cast("double") * (col("n") - col("t")) / col("n") *
+              col("delta") * col("delta") / 1e6).cast("long"))
+        cands
+          .withColumn("rn",
+            row_number().over(wy.orderBy(col("score_u").desc, col("t"))))
+          .filter(col("rn") === 1)
+          .select(
+            col("yr"), date_format(col("day"), "yyyy-MM-dd").as("split_day"),
+            col("t").as("n_before"), col("n").as("n_days"), col("score_u"),
+            quant(col("delta"), 1e2).as("mean_shift_cents"))
+          .orderBy(col("yr"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+             |  FROM orders GROUP BY 1),
+             |w AS (
+             |  SELECT year(day) AS yr, day, rev_c,
+             |    ROW_NUMBER() OVER (PARTITION BY year(day) ORDER BY day) AS t,
+             |    CAST(SUM(rev_c) OVER (PARTITION BY year(day) ORDER BY day
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS st,
+             |    COUNT(*) OVER (PARTITION BY year(day)) AS n,
+             |    CAST(SUM(rev_c) OVER (PARTITION BY year(day)) AS BIGINT) AS tt
+             |  FROM daily),
+             |c AS (
+             |  SELECT yr, day, t, n,
+             |    CAST(st AS DOUBLE) / t - CAST(tt - st AS DOUBLE) / (n - t) AS delta
+             |  FROM w WHERE t < n),
+             |sc AS (
+             |  SELECT yr, day, t, n, delta,
+             |    CAST(floor(CAST(t AS DOUBLE) * (n - t) / n * delta * delta / 1000000)
+             |      AS BIGINT) AS score_u
+             |  FROM c),
+             |r AS (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY yr ORDER BY score_u DESC, t) AS rn
+             |  FROM sc)
+             |SELECT yr, strftime(day, '%Y-%m-%d') AS split_day,
+             |  t AS n_before, n AS n_days, score_u,
+             |  floor(delta * 100) / 100 AS mean_shift_cents
+             |FROM r
+             |WHERE rn = 1
+             |ORDER BY yr""".stripMargin),
+      doc = "per-year changepoint detection on the daily-revenue series: CUSUM-type " +
+        "split-point scan via prefix sums over calendar-bounded candidates (no " +
+        "recursion), integer-quantized argmax with earliest-tie rule"
     )
   )
 

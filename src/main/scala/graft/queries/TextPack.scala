@@ -840,6 +840,66 @@ object TextPack extends QueryPack {
       doc = "held-out cross-entropy under an add-1-smoothed train-split unigram LM " +
         "(deterministic hash split, OOV mass, micro-nat integer sums) — the " +
         "generalizing quality gate, one token equi-join + broadcast LM scalars"
+    ),
+    // ---------------------------------------------------------------- pmi
+    Q(
+      "t21_pmi_collocations",
+      (s, d) => {
+        // PMI collocation mining: ln(P(w1w2)/(P(w1·)·P(·w2))) over adjacent
+        // bigrams — the phrase detector (statistically-glued word pairs)
+        // behind tokenizer-vocab and stop-phrase curation. Everything
+        // derives from ONE bigram frequency aggregate: both marginals and
+        // the grand total are re-aggregations of the (much smaller) bigram
+        // count table, never second passes over the corpus; count products
+        // go through DECIMAL(38,0) so n2·N cannot overflow at any corpus
+        // size, and the PMI is floor-quantized after one ln. Support filter
+        // n2 ≥ 5 keeps the report to stable pairs.
+        val bg = Tables.documents(s, d)
+          .select(tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(explode(expr("transform(sequence(1, size(tk) - 1), " +
+            "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+        val left = c2.groupBy(col("w1")).agg(sum(col("n2")).as("nl"))
+        val right = c2.groupBy(col("w2")).agg(sum(col("n2")).as("nr"))
+        val tot = c2.agg(sum(col("n2")).as("nn"))
+        c2.filter(col("n2") >= 5)
+          .join(left, Seq("w1"))
+          .join(right, Seq("w2"))
+          .crossJoin(broadcast(tot))
+          .select(
+            col("w1"), col("w2"), col("n2"),
+            quant(
+              log((col("n2").cast("decimal(38,0)") * col("nn")).cast("double") /
+                (col("nl").cast("decimal(38,0)") * col("nr")).cast("double")),
+              1e6).as("pmi"))
+          .filter(col("pmi") > 0)
+          .orderBy(col("w1"), col("w2"))
+      },
+      Some("""WITH toks AS (SELECT string_split(text, ' ') AS tk FROM documents),
+             |bg AS (
+             |  SELECT tk[i] AS w1, tk[i+1] AS w2
+             |  FROM toks, unnest(generate_series(1, len(tk)-1)) AS t(i)
+             |  WHERE len(tk) >= 2),
+             |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+             |l AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS nl FROM c2 GROUP BY w1),
+             |r AS (SELECT w2, CAST(SUM(n2) AS BIGINT) AS nr FROM c2 GROUP BY w2),
+             |t AS (SELECT CAST(SUM(n2) AS BIGINT) AS nn FROM c2),
+             |p AS (
+             |  SELECT w1, w2, n2,
+             |    floor(ln(CAST(CAST(n2 AS DECIMAL(38,0)) * nn AS DOUBLE) /
+             |             CAST(CAST(nl AS DECIMAL(38,0)) * nr AS DOUBLE)) * 1000000)
+             |      / 1000000 AS pmi
+             |  FROM c2 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+             |  WHERE n2 >= 5)
+             |SELECT w1, w2, n2, pmi
+             |FROM p
+             |WHERE pmi > 0
+             |ORDER BY w1, w2""".stripMargin),
+      doc = "PMI collocation mining over adjacent bigrams: marginals + total " +
+        "re-aggregated from one bigram count table (no second corpus pass), " +
+        "DECIMAL(38,0) count products, quantized ln — the phrase detector"
     )
   )
 }

@@ -175,12 +175,22 @@ object PlanDump {
         "against the held-out explode; the two LM scalars ride a broadcast " +
         "(BroadcastNestedLoopJoin over one row); micro-nat integer logprobs " +
         "partial-sum map-side."),
-      "g9_label_propagation" -> ("Mode-label propagation: the co-order " +
-        "pair join fans out per order (bounded items/order), aggregates to " +
-        "an edge list that localCheckpoints once (Scan ExistingRDD under " +
-        "both rounds); each round is one adjacency-labels equi-join + a " +
-        "count aggregate + a min(struct) argmax — all exchange-sized by " +
-        "the edge table.")
+      "g9_label_propagation" -> ("Mode-label propagation: co-occurrence " +
+        "pairs generate locally inside per-order posting lists (one corpus " +
+        "shuffle, no fact self-join), aggregate to an edge list that " +
+        "localCheckpoints once (Scan ExistingRDD under both rounds); each " +
+        "round is one adjacency-labels equi-join + a count aggregate + a " +
+        "min(struct) argmax — all exchange-sized by the edge table."),
+      "x26_bootstrap_ci" -> ("One-pass bootstrap: all 32 weighted-replicate " +
+        "sums live in ONE HashAggregate (64 partial-combined accumulators), " +
+        "so resampling costs zero extra scans and zero row duplication — " +
+        "no explode, no shuffle beyond the 3-group aggregate; the order " +
+        "statistics come from a bounded 32-element sort_array."),
+      "x27_changepoint" -> ("Changepoint split-point scan: the corpus " +
+        "collapses to the calendar-bounded daily series first, so every " +
+        "window (prefix sums, candidate argmax) is year-partitioned over " +
+        "<=366 rows — the raw table never enters a window; one aggregate " +
+        "exchange dominates.")
     )
 
     val sb = new StringBuilder
