@@ -756,6 +756,88 @@ object PipelinePack extends QueryPack {
       doc = "token-budget curriculum cut: quality-ranked docs kept until half the " +
         "corpus' tokens are spent — exact global prefix sum via GlobalOrder " +
         "(range shuffle + driver offsets), never a single-task global window"
+    ),
+    // ------------------------------------------------------------ p18 neyman
+    Q(
+      "p18_neyman_allocation",
+      (s, d) => {
+        // Variance-optimal (Neyman) stratified sampling: the per-stratum
+        // budget n_h ∝ N_h·S_h minimizes estimator variance for a fixed
+        // total budget — the statistically-right way to subsample a mixed
+        // corpus (uniform rates oversample homogeneous strata). Exactness
+        // discipline: N_h·S_h = sqrt(N_h·Σx² − (Σx)²) with the radicand in
+        // exact DECIMAL(38,0); IEEE sqrt is correctly rounded (unlike
+        // ln/exp), so the weight is deterministic — then floor-quantized to
+        // integer micro-units so the ACROSS-STRATA total and the allocation
+        // (budget·w_h DIV total) are pure integer math, order-free on both
+        // engines. Selection inside each stratum is p11's deterministic
+        // hash rank. One corpus aggregate + one broadcast + one ranked
+        // filter — two data-sized exchanges total.
+        import org.apache.spark.sql.expressions.Window
+        val d38 = "decimal(38,0)"
+        val strata = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars").cast(d38)).as("sx"),
+            sum(col("n_chars").cast(d38) * col("n_chars")).as("sxx"))
+          .select(
+            col("source"), col("n_docs"),
+            floor(sqrt((col("n_docs").cast(d38) * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) * 1e6).cast("long").as("w_u"))
+        val total = strata.agg(sum(col("w_u")).as("tw"))
+        val alloc = strata.crossJoin(broadcast(total))
+          .select(col("source"), col("n_docs"),
+            expr("(100 * w_u) div tw").as("n_alloc"))
+        val h = ((col("doc_id") % lit(P)) * lit(2654435761L % P)) % lit(P)
+        val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        val sampled = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"), h.as("h"))
+          .withColumn("rk", row_number().over(w))
+          .join(broadcast(alloc.select(col("source"), col("n_alloc"))), Seq("source"))
+          .filter(col("rk") <= col("n_alloc"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars_sampled"))
+        alloc.join(sampled, Seq("source"), "left")
+          .select(
+            col("source"), col("n_docs"), col("n_alloc"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            coalesce(col("mean_chars_sampled"), lit(0.0)).as("mean_chars_sampled"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH st AS (
+             |  SELECT source, COUNT(*) AS n_docs,
+             |    SUM(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+             |    SUM(CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS sxx
+             |  FROM documents GROUP BY source),
+             |wu AS (
+             |  SELECT source, n_docs,
+             |    CAST(floor(sqrt(CAST(CAST(n_docs AS DECIMAL(38,0)) * sxx - sx * sx
+             |      AS DOUBLE)) * 1000000) AS BIGINT) AS w_u
+             |  FROM st),
+             |tot AS (SELECT CAST(SUM(w_u) AS BIGINT) AS tw FROM wu),
+             |al AS (
+             |  SELECT source, n_docs, (100 * w_u) // tw AS n_alloc
+             |  FROM wu CROSS JOIN tot),
+             |rk AS (
+             |  SELECT doc_id, source, n_chars,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY ((doc_id % 1000000007) * 654435747) % 1000000007, doc_id) AS r
+             |  FROM documents),
+             |sm AS (
+             |  SELECT rk.source, COUNT(*) AS n_sampled,
+             |    CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_chars_sampled
+             |  FROM rk JOIN al ON rk.source = al.source AND rk.r <= al.n_alloc
+             |  GROUP BY rk.source)
+             |SELECT al.source, n_docs, CAST(n_alloc AS BIGINT) AS n_alloc,
+             |  COALESCE(n_sampled, 0) AS n_sampled,
+             |  COALESCE(mean_chars_sampled, 0.0) AS mean_chars_sampled
+             |FROM al LEFT JOIN sm ON al.source = sm.source
+             |ORDER BY al.source""".stripMargin),
+      doc = "Neyman variance-optimal stratified sampling: per-stratum weight " +
+        "sqrt(N*Sxx - Sx^2) in exact DECIMAL + correctly-rounded sqrt, integer " +
+        "micro-unit allocation (budget*w DIV total), deterministic hash selection"
     )
   )
 }

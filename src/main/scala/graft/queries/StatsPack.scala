@@ -1227,6 +1227,89 @@ object StatsPack extends QueryPack {
       doc = "per-year changepoint detection on the daily-revenue series: CUSUM-type " +
         "split-point scan via prefix sums over calendar-bounded candidates (no " +
         "recursion), integer-quantized argmax with earliest-tie rule"
+    ),
+    // ---------------------------------------------------------------- seasonal
+    Q(
+      "x28_seasonal_strength",
+      (s, d) => {
+        // Seasonal-decomposition diagnostic per year: detrend the daily
+        // revenue series with a ±3-day centered moving average (an exact
+        // INTEGER trend — sum DIV count over a bounded row frame), then
+        // score seasonality strength as 1 − Var(residual)/Var(series) and
+        // report the peak day-of-week. x24/x27's discipline: the corpus
+        // collapses to the calendar-bounded daily grid first, every window
+        // is year-partitioned over ≤366 rows, variances come from exact
+        // decimal moments with the N² denominators cancelled — ONE IEEE
+        // division per year, floor-quantized to ppm.
+        import org.apache.spark.sql.expressions.Window
+        val d38 = "decimal(38,0)"
+        val daily = Tables.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg((sum(dec(col("o_totalprice"))) * 100).cast("long").as("rev_c"))
+          .withColumn("yr", year(col("day")))
+          .withColumn("dow", dayofweek(col("day")).cast("long"))
+        val frame = Window.partitionBy(col("yr")).orderBy(col("day")).rowsBetween(-3, 3)
+        val withTrend = daily
+          .withColumn("tsum", sum(col("rev_c")).over(frame))
+          .withColumn("tcnt", count(lit(1)).over(frame))
+          .withColumn("r_c", col("rev_c") - expr("tsum DIV tcnt"))
+        val strength = withTrend
+          .groupBy(col("yr"))
+          .agg(
+            count(lit(1)).as("n_days"),
+            sum(col("rev_c").cast(d38)).as("sx"),
+            sum(col("rev_c").cast(d38) * col("rev_c")).as("sxx"),
+            sum(col("r_c").cast(d38)).as("sr"),
+            sum(col("r_c").cast(d38) * col("r_c")).as("srr"))
+          .select(
+            col("yr"), col("n_days"),
+            floor((lit(1.0) -
+              (col("n_days").cast(d38) * col("srr") - col("sr") * col("sr")).cast("double") /
+                (col("n_days").cast(d38) * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * 1e6).cast("long").as("strength_ppm"))
+        val peak = daily
+          .groupBy(col("yr"), col("dow"))
+          .agg(sum(col("rev_c").cast(d38)).as("dsum"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("yr")).orderBy(col("dsum").desc, col("dow"))))
+          .filter(col("rn") === 1)
+          .select(col("yr"), col("dow").as("peak_dow"))
+        strength.join(peak, Seq("yr")).orderBy(col("yr"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_c
+             |  FROM orders GROUP BY 1),
+             |w AS (
+             |  SELECT year(day) AS yr, day, rev_c,
+             |    CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+             |    rev_c - CAST(SUM(rev_c) OVER f AS BIGINT)
+             |      // CAST(COUNT(*) OVER f AS BIGINT) AS r_c
+             |  FROM daily
+             |  WINDOW f AS (PARTITION BY year(day) ORDER BY day
+             |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |st AS (
+             |  SELECT yr, COUNT(*) AS n_days,
+             |    CAST(floor((1.0 -
+             |      CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(CAST(r_c AS DECIMAL(38,0)) * r_c)
+             |        - SUM(CAST(r_c AS DECIMAL(38,0))) * SUM(CAST(r_c AS DECIMAL(38,0))) AS DOUBLE) /
+             |      CAST(CAST(COUNT(*) AS DECIMAL(38,0)) * SUM(CAST(rev_c AS DECIMAL(38,0)) * rev_c)
+             |        - SUM(CAST(rev_c AS DECIMAL(38,0))) * SUM(CAST(rev_c AS DECIMAL(38,0))) AS DOUBLE))
+             |      * 1000000) AS BIGINT) AS strength_ppm
+             |  FROM w GROUP BY yr),
+             |pk AS (
+             |  SELECT yr, dow AS peak_dow FROM (
+             |    SELECT yr, dow, SUM(CAST(rev_c AS DECIMAL(38,0))) AS dsum,
+             |      row_number() OVER (PARTITION BY yr ORDER BY
+             |        SUM(CAST(rev_c AS DECIMAL(38,0))) DESC, dow) AS rn
+             |    FROM w GROUP BY yr, dow) t
+             |  WHERE rn = 1)
+             |SELECT st.yr, n_days, strength_ppm, peak_dow
+             |FROM st JOIN pk ON st.yr = pk.yr
+             |ORDER BY st.yr""".stripMargin),
+      doc = "per-year seasonality diagnostic: +-3-day integer moving-average " +
+        "detrend, strength = 1 - Var(residual)/Var(series) from exact decimal " +
+        "moments (one division, ppm floor), peak day-of-week argmax"
     )
   )
 
