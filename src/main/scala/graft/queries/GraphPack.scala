@@ -325,6 +325,72 @@ object GraphPack extends QueryPack {
       doc = "synchronous mode-label propagation (2 unrolled rounds) on the supplier " +
         "co-order graph: adjacency-join + count-argmax with deterministic ties — " +
         "the community-detection iteration primitive beside CC/PageRank/k-core"
+    ),
+    // ---------------------------------------------------------------- g10 bfs
+    Q(
+      "g10_khop_frontier",
+      (s, d) => {
+        // k-hop BFS reachability (k=3) from a deterministic seed set over
+        // the supplier co-order graph (g9's edge build) — the frontier-
+        // expansion primitive beside CC's min-label, LPA's mode-label and
+        // PageRank's weighted sum. Each hop is ONE adjacency⋈frontier
+        // equi-join + distinct + left_anti against the visited set, so
+        // per-hop work scales with the NEW frontier, never the accumulated
+        // reach — the property that keeps multi-hop traversals feasible on
+        // a 100 TB edge set. Adjacency is materialized once
+        // (localCheckpoint) and re-joined per hop; the visited set carries
+        // the minimal (node, hop) record.
+        val pairs = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("ss"))
+          .filter(size(col("ss")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(ss, (a, i) -> transform(" +
+              "slice(ss, i + 2, size(ss) - i - 1), " +
+              "b -> named_struct('u', a, 'v', b))))")).as("p"))
+          .groupBy(col("p.u").as("u"), col("p.v").as("v")).agg(count(lit(1)).as("w"))
+        val e = pairs.filter(col("w") >= 2).select(col("u"), col("v"))
+        val adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
+        val seeds = Tables.supplier(s, d)
+          .filter(col("s_suppkey") % 97 === 0)
+          .select(col("s_suppkey").cast("long").as("node"))
+        val init = (seeds.withColumn("hop", lit(0L)), seeds)
+        val (visited, _) = (1 to 3).foldLeft(init) { case ((vis, frontier), h) =>
+          val next = adj
+            .join(frontier.select(col("node").as("u")), Seq("u"))
+            .select(col("v").as("node")).distinct()
+            .join(vis.select(col("node")), Seq("node"), "left_anti")
+            .localCheckpoint()
+          (vis.union(next.withColumn("hop", lit(h.toLong))), next)
+        }
+        visited.orderBy(col("node"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+             |p AS (
+             |  SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
+             |  FROM li a JOIN li b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+             |  GROUP BY 1, 2),
+             |e AS (SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v FROM p WHERE w >= 2),
+             |adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+             |s0 AS (SELECT CAST(s_suppkey AS BIGINT) AS node FROM supplier
+             |       WHERE s_suppkey % 97 = 0),
+             |v0 AS (SELECT node, CAST(0 AS BIGINT) AS hop FROM s0),
+             |f1 AS (SELECT DISTINCT adj.v AS node FROM adj JOIN s0 ON adj.u = s0.node
+             |       WHERE adj.v NOT IN (SELECT node FROM v0)),
+             |v1 AS (SELECT * FROM v0 UNION ALL SELECT node, 1 FROM f1),
+             |f2 AS (SELECT DISTINCT adj.v AS node FROM adj JOIN f1 ON adj.u = f1.node
+             |       WHERE adj.v NOT IN (SELECT node FROM v1)),
+             |v2 AS (SELECT * FROM v1 UNION ALL SELECT node, 2 FROM f2),
+             |f3 AS (SELECT DISTINCT adj.v AS node FROM adj JOIN f2 ON adj.u = f2.node
+             |       WHERE adj.v NOT IN (SELECT node FROM v2)),
+             |v3 AS (SELECT * FROM v2 UNION ALL SELECT node, 3 FROM f3)
+             |SELECT node, hop FROM v3
+             |ORDER BY node""".stripMargin),
+      doc = "k-hop BFS frontier expansion (3 unrolled hops) from a seeded " +
+        "node set: adjacency-join + distinct + anti-join-visited per hop — " +
+        "per-hop cost tracks the new frontier, not the accumulated reach"
     )
   )
 }

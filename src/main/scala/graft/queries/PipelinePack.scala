@@ -838,6 +838,114 @@ object PipelinePack extends QueryPack {
       doc = "Neyman variance-optimal stratified sampling: per-stratum weight " +
         "sqrt(N*Sxx - Sx^2) in exact DECIMAL + correctly-rounded sqrt, integer " +
         "micro-unit allocation (budget*w DIV total), deterministic hash selection"
+    ),
+    // ---------------------------------------------------------------- p19
+    Q(
+      "p19_contamination_fraction",
+      (s, d) => {
+        // Graded contamination report — d13/d17 flag ANY eval overlap; the
+        // decision a pipeline actually makes is thresholded on the FRACTION
+        // of a doc's distinct n-grams that appear in the eval set (drop at
+        // ≥10%, keep-and-log below). Scale shape: the eval shingle set is
+        // tiny → broadcast into the train postings; the corpus-side work is
+        // one distinct + one per-doc aggregate on doc_id (a single shuffle);
+        // the fraction is integer ppm (exact on both engines).
+        import org.apache.spark.sql.functions.broadcast
+        val sh = graft.functions.TextExpressions.shingles(col("text"), 3)
+        val postings = Tables.documents(s, d)
+          .filter(size(tokens(col("text"))) >= 3)
+          .select(col("doc_id"), explode(sh).as("shingle"))
+          .distinct()
+        val evalSh = postings.filter(col("doc_id") % 29 === 0)
+          .select(col("shingle")).distinct()
+        val tr = postings.filter(col("doc_id") % 29 =!= 0)
+        val totals = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+        val shared = tr.join(broadcast(evalSh), Seq("shingle"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        totals
+          .join(shared, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_shingles"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+          .select(
+            col("doc_id"), col("n_shingles"), col("n_shared"),
+            expr("n_shared * 1000000 DIV n_shingles").as("contam_ppm"))
+          .withColumn("drop_doc", col("contam_ppm") >= 100000L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks)-2),
+             |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+             |  WHERE len(toks) >= 3),
+             |s AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+             |ev AS (SELECT DISTINCT shingle FROM s WHERE doc_id % 29 = 0),
+             |tr AS (SELECT doc_id, shingle FROM s WHERE doc_id % 29 <> 0),
+             |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM tr GROUP BY doc_id),
+             |shr AS (
+             |  SELECT tr.doc_id, COUNT(*) AS n_shared
+             |  FROM tr JOIN ev ON tr.shingle = ev.shingle
+             |  GROUP BY tr.doc_id)
+             |SELECT tot.doc_id, n_shingles,
+             |  COALESCE(n_shared, 0) AS n_shared,
+             |  COALESCE(n_shared, 0) * 1000000 // n_shingles AS contam_ppm,
+             |  (COALESCE(n_shared, 0) * 1000000 // n_shingles >= 100000) AS drop_doc
+             |FROM tot LEFT JOIN shr ON tot.doc_id = shr.doc_id
+             |ORDER BY tot.doc_id""".stripMargin),
+      doc = "graded decontamination: per-doc fraction of distinct trigrams " +
+        "shared with the eval set (integer ppm), 10% drop threshold — " +
+        "broadcast eval postings, one corpus shuffle"
+    ),
+    // ---------------------------------------------------------------- p20
+    Q(
+      "p20_dedup_aware_mixture",
+      (s, d) => {
+        // Dedup-aware mixture accounting: exact-duplicate groups (here the
+        // 5-token prefix key, d1's grain) downweight every member by
+        // 1/group_size, so a source whose tokens are mostly copies
+        // contributes its UNIQUE mass to the mixture, not its raw mass —
+        // the deduped-token budget that mixture tuning actually needs.
+        // Weights are integer ppm (1000000 DIV group_size): deterministic,
+        // order-free, and summable without float drift on both engines.
+        // Scale shape: one groupBy on the dedup key (shuffle #1), one
+        // per-source rollup (shuffle #2, bounded by #sources).
+        val docs = Tables.documents(s, d)
+          .select(
+            col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"),
+            array_join(slice(tokens(col("text")), 1, 5), " ").as("gkey"))
+        val grp = docs.groupBy(col("gkey"))
+          .agg(count(lit(1)).as("gsize"))
+        docs
+          .join(grp, Seq("gkey"))
+          .select(
+            col("source"), col("n_tokens"),
+            expr("1000000 DIV gsize").as("w_ppm"),
+            expr("n_tokens * (1000000 DIV gsize)").as("wt_ppm"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("raw_tokens"),
+            sum(col("w_ppm")).cast("long").as("eff_docs_ppm"),
+            sum(col("wt_ppm")).cast("long").as("eff_tokens_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    array_to_string(string_split(text, ' ')[1:5], ' ') AS gkey
+             |  FROM documents),
+             |grp AS (SELECT gkey, COUNT(*) AS gsize FROM docs GROUP BY gkey)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+             |  CAST(SUM(1000000 // gsize) AS BIGINT) AS eff_docs_ppm,
+             |  CAST(SUM(n_tokens * (1000000 // gsize)) AS BIGINT) AS eff_tokens_ppm
+             |FROM docs JOIN grp USING (gkey)
+             |GROUP BY source
+             |ORDER BY source""".stripMargin),
+      doc = "dedup-aware mixture accounting: 1/dup-group-size downweighting " +
+        "in integer ppm -> effective docs/tokens per source (the deduped " +
+        "token budget for mixture tuning); two bounded shuffles"
     )
   )
 }

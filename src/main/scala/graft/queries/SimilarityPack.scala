@@ -776,6 +776,55 @@ object SimilarityPack extends QueryPack {
       doc = "JL +-1 random projection 64->16 with distortion audit: hash-derived " +
         "sign matrix inside codegen'd HOFs (never materialized), integer-grid " +
         "projections and exact integer squared distances, one output division"
+    ),
+    // ---------------------------------------------------------------- s15 mips
+    Q(
+      "s15_mips_topk",
+      (s, d) => {
+        // Maximum-inner-product search via the norm-augmentation reduction:
+        // append sqrt(M² − ‖x‖²) to every database vector (M = max norm) and
+        // 0 to the query, and cosine-NN over the augmented space ranks
+        // EXACTLY by raw inner product — aug_cos = dot(x,q)/(M·‖q‖), a
+        // monotone rescale. Output carries both the raw dot and the
+        // augmented cosine so the rank equivalence is visible in the result.
+        // Scale shape: one scan computes norms; max-norm is a scalar
+        // aggregate broadcast back (single-row crossJoin); the query vector
+        // broadcasts; top-k is TakeOrderedAndProject (per-partition heaps,
+        // never a global sort).
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"), norm(col("embedding")).as("q_nrm"))
+        val db = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+        val mx = db.agg(max(col("nrm")).as("mx"))
+        db.crossJoin(broadcast(q))
+          .crossJoin(broadcast(mx))
+          .select(
+            col("vec_id"),
+            quant(dot(col("embedding"), col("q_emb")), 1e6).as("dot_q"),
+            quant(
+              dot(col("embedding"), col("q_emb")) / (col("mx") * col("q_nrm")),
+              1e9).as("aug_cos"))
+          .orderBy(col("aug_cos").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some(s"""WITH q AS (
+              |  SELECT embedding AS q_emb, ${normSql("embedding")} AS q_nrm
+              |  FROM embeddings WHERE vec_id = 0),
+              |db AS (
+              |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm
+              |  FROM embeddings WHERE vec_id <> 0),
+              |m AS (SELECT MAX(nrm) AS mx FROM db)
+              |SELECT vec_id,
+              |  floor(${dotSql("embedding", "q_emb")} * 1000000) / 1000000 AS dot_q,
+              |  floor(${dotSql("embedding", "q_emb")} / (mx * q_nrm)
+              |    * 1000000000) / 1000000000 AS aug_cos
+              |FROM db CROSS JOIN q CROSS JOIN m
+              |ORDER BY aug_cos DESC, vec_id
+              |LIMIT 20""".stripMargin),
+      doc = "MIPS via norm augmentation: rank by dot(x,q)/(M*||q||) — the " +
+        "sqrt(M^2-||x||^2) augmented-coordinate reduction that turns inner-" +
+        "product search into cosine NN; scalar max-norm broadcast, heap top-k"
     )
   )
 

@@ -1310,6 +1310,72 @@ object StatsPack extends QueryPack {
       doc = "per-year seasonality diagnostic: +-3-day integer moving-average " +
         "detrend, strength = 1 - Var(residual)/Var(series) from exact decimal " +
         "moments (one division, ppm floor), peak day-of-week argmax"
+    ),
+    // ---------------------------------------------------------------- x29 ols
+    Q(
+      "x29_ols_trend",
+      (s, d) => {
+        // Per-returnflag OLS trend line of daily revenue on day index —
+        // closed-form slope/intercept from five exact moments. The corpus
+        // collapses to (flag, day) grain FIRST (bounded by flags × calendar,
+        // not by rows), so the regression aggregate runs over ≤ a few
+        // thousand rows per flag no matter the corpus size; the only
+        // full-table work is the partial-aggregated daily rollup. Moments
+        // follow x24's discipline: integer cents + integer day index,
+        // decimal sums (order-free), 19+19-digit products forced onto the
+        // 128-bit multiply path, ONE double expression per coefficient,
+        // floor-quantized.
+        val d19 = "decimal(19,0)"
+        val daily = Tables.lineitem(s, d)
+          .groupBy(
+            col("l_returnflag"),
+            datediff(to_date(col("l_shipdate")), lit("1992-01-01").cast("date"))
+              .cast("long").as("x"))
+          .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long").as("y"))
+        daily
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+            sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+            sum(col("x").cast(d19) * col("x").cast(d19)).cast("double").as("sxx"),
+            sum(col("x").cast(d19) * col("y").cast(d19)).cast("double").as("sxy"))
+          .select(
+            col("l_returnflag"),
+            col("n").cast("long").as("n_days"),
+            quant(
+              (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (col("n") * col("sxx") - col("sx") * col("sx")),
+              1e3).as("slope_cents_per_day"),
+            quant(
+              (col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+                (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"),
+              1e3).as("intercept_cents"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT l_returnflag,
+             |    CAST(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+             |  FROM lineitem GROUP BY 1, 2),
+             |m AS (
+             |  SELECT l_returnflag,
+             |    CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+             |  FROM daily GROUP BY 1)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n_days,
+             |  FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000) / 1000
+             |    AS slope_cents_per_day,
+             |  FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n * 1000) / 1000
+             |    AS intercept_cents
+             |FROM m
+             |ORDER BY l_returnflag""".stripMargin),
+      doc = "per-group OLS trend (slope/intercept of daily revenue on day " +
+        "index) from five exact decimal moments — collapse-to-series-grain " +
+        "first, one closed-form double expression per coefficient"
     )
   )
 

@@ -900,6 +900,67 @@ object TextPack extends QueryPack {
       doc = "PMI collocation mining over adjacent bigrams: marginals + total " +
         "re-aggregated from one bigram count table (no second corpus pass), " +
         "DECIMAL(38,0) count products, quantized ln — the phrase detector"
+    ),
+    // ---------------------------------------------------------------- t22 code
+    Q(
+      "t22_code_detect",
+      (s, d) => {
+        // Code-vs-prose heuristic — the corpus-filtering classifier every
+        // pretraining pipeline runs before language ID. Symbol densities
+        // (braces/semicolons/operators, digits) in integer ppm: counts via
+        // length-minus-stripped (codegen'd, single scan pass, no UDF), one
+        // integer division per feature, a fixed decision rule. Embarrassingly
+        // parallel per row; the per-source rollup is a bounded aggregate.
+        val n = length(col("text"))
+        val sym = n - length(regexp_replace(col("text"), "[{}();=<>\\[\\]]", ""))
+        val dig = n - length(regexp_replace(col("text"), "[0-9]", ""))
+        val perDoc = Tables.documents(s, d)
+          .filter(n > 0)
+          .select(
+            col("doc_id"), col("source"),
+            sym.cast("long").as("sy"), dig.cast("long").as("dg"),
+            n.cast("long").as("nc"))
+          // integer ppm via explicit DIV (exact floor on both engines; a
+          // double divide + cast can round across an integer boundary)
+          .select(
+            col("doc_id"), col("source"),
+            expr("sy * 1000000 DIV nc").as("sym_ppm"),
+            expr("dg * 1000000 DIV nc").as("digit_ppm"))
+          .withColumn(
+            "is_code",
+            (col("sym_ppm") >= 20000L) ||
+              (col("sym_ppm") >= 8000L && col("digit_ppm") >= 30000L))
+        perDoc
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"),
+            sum(col("sym_ppm")).cast("long").as("ssum"))
+          .select(
+            col("source"), col("n_docs"), col("n_code"),
+            expr("ssum DIV n_docs").as("mean_sym_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, source,
+             |    CAST((length(text) - length(regexp_replace(text, '[{}();=<>\[\]]', '', 'g')))
+             |      * 1000000 // length(text) AS BIGINT) AS sym_ppm,
+             |    CAST((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             |      * 1000000 // length(text) AS BIGINT) AS digit_ppm
+             |  FROM documents WHERE length(text) > 0),
+             |c AS (
+             |  SELECT source, sym_ppm,
+             |    (sym_ppm >= 20000 OR (sym_ppm >= 8000 AND digit_ppm >= 30000)) AS is_code
+             |  FROM f)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+             |  CAST(CAST(SUM(sym_ppm) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_sym_ppm
+             |FROM c
+             |GROUP BY source
+             |ORDER BY source""".stripMargin),
+      doc = "code-vs-prose heuristic classifier: symbol/digit densities in " +
+        "integer ppm from length-minus-stripped counts (no UDF, one scan), " +
+        "fixed decision rule, per-source rollup — the pretraining code filter"
     )
   )
 }

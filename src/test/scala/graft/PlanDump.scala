@@ -190,7 +190,22 @@ object PlanDump {
         "collapses to the calendar-bounded daily series first, so every " +
         "window (prefix sums, candidate argmax) is year-partitioned over " +
         "<=366 rows — the raw table never enters a window; one aggregate " +
-        "exchange dominates.")
+        "exchange dominates."),
+      "s15_mips_topk" -> ("MIPS via norm augmentation: the max-norm scalar " +
+        "and the query vector enter as 1-row BroadcastNestedLoopJoins (both " +
+        "provably bounded); scoring is one codegen'd scan pass and the " +
+        "top-k is TakeOrderedAndProject — per-partition heaps, no global " +
+        "sort of the corpus."),
+      "g10_khop_frontier" -> ("k-hop BFS: the aggregated co-order edge list " +
+        "localCheckpoints once (Scan ExistingRDD under every hop); each hop " +
+        "is adjacency JOIN frontier + HashAggregate(distinct) + LeftAnti " +
+        "against the visited set, so hop cost is sized by the NEW frontier " +
+        "exchange, never the accumulated reach."),
+      "p20_dedup_aware_mixture" -> ("Dedup-aware mixture accounting: one " +
+        "shuffle groups the dup key, the group-size join flows back without " +
+        "re-exchanging (same key partitioning reused), and the per-source " +
+        "rollup is a bounded final aggregate — integer-ppm weights keep the " +
+        "whole plan in exact arithmetic.")
     )
 
     val sb = new StringBuilder
