@@ -946,6 +946,115 @@ object PipelinePack extends QueryPack {
       doc = "dedup-aware mixture accounting: 1/dup-group-size downweighting " +
         "in integer ppm -> effective docs/tokens per source (the deduped " +
         "token budget for mixture tuning); two bounded shuffles"
+    ),
+    // ---------------------------------------------------------------- p21
+    Q(
+      "p21_epoch_repetition",
+      (s, d) => {
+        // Data-constrained epoch accounting: when the token budget for a
+        // source exceeds its unique supply, the pipeline repeats data —
+        // published scaling analyses find value decays past ~4 epochs, so
+        // repetition is capped and the shortfall reported. All integer:
+        // requested = budget·share DIV total (micro-unit allocation, p18's
+        // discipline), epochs = ceil-div capped at 4, served = min. Scale
+        // shape: ONE aggregate collapses the corpus to per-source supply;
+        // everything after runs on #sources rows against broadcast scalars.
+        val budget = 3000000L // total token budget for the mix
+        val supply = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(size(tokens(col("text"))).cast("long")).as("unique_tokens"))
+        val tot = supply.agg(sum(col("unique_tokens")).as("tot"))
+        supply.crossJoin(broadcast(tot))
+          .select(
+            col("source"), col("unique_tokens"),
+            expr(s"$budget * unique_tokens DIV tot").as("requested"))
+          .select(
+            col("source"), col("unique_tokens"), col("requested"),
+            least(
+              expr("(requested + unique_tokens - 1) DIV unique_tokens"),
+              lit(4L)).as("epochs"))
+          .select(
+            col("source"), col("unique_tokens"), col("requested"), col("epochs"),
+            least(col("requested"), col("epochs") * col("unique_tokens")).as("served"))
+          .withColumn("shortfall", col("requested") - col("served"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH supply AS (
+             |  SELECT source,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS unique_tokens
+             |  FROM documents GROUP BY source),
+             |t AS (SELECT CAST(SUM(unique_tokens) AS BIGINT) AS tot FROM supply),
+             |alloc AS (
+             |  SELECT source, unique_tokens,
+             |    3000000 * unique_tokens // tot AS requested
+             |  FROM supply CROSS JOIN t),
+             |ep AS (
+             |  SELECT source, unique_tokens, requested,
+             |    LEAST((requested + unique_tokens - 1) // unique_tokens, 4) AS epochs
+             |  FROM alloc)
+             |SELECT source, unique_tokens, requested, epochs,
+             |  LEAST(requested, epochs * unique_tokens) AS served,
+             |  requested - LEAST(requested, epochs * unique_tokens) AS shortfall
+             |FROM ep
+             |ORDER BY source""".stripMargin),
+      doc = "data-constrained epoch accounting: budget share per source in " +
+        "integer micro-allocation, repetition capped at 4 epochs, served/" +
+        "shortfall report — one corpus aggregate, then #sources-row math"
+    ),
+    // ---------------------------------------------------------------- p22
+    Q(
+      "p22_priority_sample",
+      (s, d) => {
+        // Weighted priority sampling (Duffield-Lund-Thorup shape): each doc
+        // draws a deterministic pseudo-uniform u from a hash of its stable
+        // id and gets priority u DIV w (w = its token count), and the k
+        // smallest priorities per source are the sample — heavier docs get
+        // proportionally smaller priorities, so selection probability tracks
+        // weight, yet the draw is pure integer arithmetic (no rand(), no
+        // libm): bit-reproducible across retries, engines, and partitionings.
+        // Scale shape: one scan computes priorities; per-source top-k is a
+        // rank window inside the source partition — no global order.
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+          .select(
+            col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("w"))
+          .filter(col("w") > 0)
+          .select(col("doc_id"), col("source"), col("w"),
+            expr("((doc_id % 1000000007) * 654435747) % 1000000007 * 1000 DIV w")
+              .as("priority"))
+        val ranked = docs.withColumn(
+          "rk",
+          row_number().over(
+            Window.partitionBy(col("source"))
+              .orderBy(col("priority"), col("doc_id"))))
+        ranked.filter(col("rk") <= 25)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_sampled"),
+            sum(col("w")).as("sampled_tokens"),
+            max(col("priority")).as("threshold_priority"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             |    ((doc_id % 1000000007) * 654435747) % 1000000007 * 1000
+             |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS priority
+             |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+             |r AS (
+             |  SELECT doc_id, source, w, priority,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY priority, doc_id) AS rk
+             |  FROM docs)
+             |SELECT source, COUNT(*) AS n_sampled,
+             |  CAST(SUM(w) AS BIGINT) AS sampled_tokens,
+             |  CAST(MAX(priority) AS BIGINT) AS threshold_priority
+             |FROM r WHERE rk <= 25
+             |GROUP BY source
+             |ORDER BY source""".stripMargin),
+      doc = "weighted priority sampling: integer hash-uniform DIV weight " +
+        "priorities, k smallest per source via an in-partition rank window " +
+        "— rand()-free weighted selection, reproducible on retry at any scale"
     )
   )
 }

@@ -1376,6 +1376,80 @@ object StatsPack extends QueryPack {
       doc = "per-group OLS trend (slope/intercept of daily revenue on day " +
         "index) from five exact decimal moments — collapse-to-series-grain " +
         "first, one closed-form double expression per coefficient"
+    ),
+    // ---------------------------------------------------------------- x30
+    Q(
+      "x30_theil_sen",
+      (s, d) => {
+        // Theil-Sen robust slope — the median of all pairwise slopes, the
+        // outlier-immune companion to x29's OLS (one corrupted day cannot
+        // move it). The corpus collapses to the calendar-bounded 1995 daily
+        // series FIRST, so the pair set is ≤ 365² per group at ANY corpus
+        // size; slopes are exact integer micro-units (DECIMAL(38,0)
+        // numerator DIV day gap — no float in the pair loop) and the median
+        // is the lower-median rank over a per-group window (bounded rows,
+        // hash-partitioned by group). The self-join pairs within a group
+        // only (equi-join on flag + residual x1<x2).
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+          .groupBy(
+            col("l_returnflag"),
+            datediff(to_date(col("l_shipdate")), lit("1995-01-01").cast("date"))
+              .cast("long").as("x"))
+          .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long").as("y"))
+        val a = daily.select(col("l_returnflag"), col("x").as("x1"), col("y").as("y1"))
+        val b = daily.select(col("l_returnflag"), col("x").as("x2"), col("y").as("y2"))
+        val slopes = a.join(b, Seq("l_returnflag"))
+          .filter(col("x1") < col("x2"))
+          .withColumn("num", expr("(CAST(y2 AS DECIMAL(38,0)) - y1) * 1000000"))
+          .withColumn("gap", col("x2") - col("x1"))
+          .select(
+            col("l_returnflag"), col("x1"), col("x2"),
+            // both engines truncate integral division toward zero (Spark DIV
+            // on DECIMAL, DuckDB // on HUGEINT) — but the oracle must stay
+            // on HUGEINT: DuckDB's DECIMAL // silently degrades to DOUBLE
+            // and loses exactness past 2^53
+            expr("CAST(num DIV gap AS BIGINT)").as("slope_mu"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("slope_mu"), col("x1"), col("x2"))
+        slopes
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+          .filter(col("rk") === expr("(n + 1) DIV 2"))
+          .select(
+            col("l_returnflag"), col("n").cast("long").as("n_pairs"),
+            col("slope_mu").as("theil_sen_slope_mu"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH daily AS (
+             |  SELECT l_returnflag,
+             |    CAST(date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+             |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+             |  GROUP BY 1, 2),
+             |p AS (
+             |  SELECT a.l_returnflag, a.x AS x1, b.x AS x2,
+             |    CAST((CAST(b.y AS HUGEINT) - a.y) * 1000000 // (b.x - a.x) AS BIGINT)
+             |      AS slope_mu
+             |  FROM daily a JOIN daily b
+             |    ON a.l_returnflag = b.l_returnflag AND a.x < b.x),
+             |r AS (
+             |  SELECT l_returnflag, slope_mu,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |      ORDER BY slope_mu, x1, x2) AS rk,
+             |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM p)
+             |SELECT l_returnflag, CAST(n AS BIGINT) AS n_pairs,
+             |  slope_mu AS theil_sen_slope_mu
+             |FROM r WHERE rk = (n + 1) // 2
+             |ORDER BY l_returnflag""".stripMargin),
+      doc = "Theil-Sen robust trend: median of all pairwise slopes over the " +
+        "calendar-bounded daily series (pair set <= 365^2 per group at any " +
+        "corpus size), exact integer micro-unit slopes, lower-median rank"
     )
   )
 

@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   *     half-up semantics differ between engines — never use it for parity).
   *   - Every query ORDER BYs a unique key; nullable order keys are avoided
   *     (Spark default NULLS FIRST vs DuckDB NULLS LAST).
+  *   - Integral division: Spark `DIV` and DuckDB `//` both truncate toward
+  *     zero on INTEGER/BIGINT/HUGEINT operands — but DuckDB's `//` on a
+  *     DECIMAL operand silently degrades to DOUBLE division (exactness lost
+  *     past 2^53). Oracle-side wide integral division must go through
+  *     HUGEINT, never DECIMAL (x30's slope quotient is the cautionary case).
   */
 package object queries {
   /** Exact-cents decimal for money math; wide enough to never overflow a sum
