@@ -38,6 +38,14 @@ def main():
         if list(sdf.columns) != list(odf.columns):
             print(f"FAIL {name}: cols spark={list(sdf.columns)} oracle={list(odf.columns)}")
             n_bad += 1; continue
+        # dtype parity: the driver's value-hash distinguishes int64 from
+        # float64 even when values compare equal (e.g. DuckDB HUGEINT ->
+        # pandas float64 made f9_scd2 driver-red while cell-compare passed).
+        dt_mism = [(c, str(sdf[c].dtype), str(odf[c].dtype))
+                   for c in sdf.columns if sdf[c].dtype != odf[c].dtype]
+        if dt_mism:
+            print(f"FAIL {name}: dtypes (col, spark, oracle) {dt_mism}")
+            n_bad += 1; continue
         if len(sdf) != len(odf):
             print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
             n_bad += 1; continue

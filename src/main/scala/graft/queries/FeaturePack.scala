@@ -318,7 +318,7 @@ object FeaturePack extends QueryPack {
           )
           .orderBy(col("o_custkey"), col("version"))
       },
-      Some("""SELECT o_custkey, version, priority,
+      Some("""SELECT o_custkey, CAST(version AS BIGINT) AS version, priority,
              |  strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
              |  COALESCE(strftime(LEAD(vf, 1) OVER (PARTITION BY o_custkey ORDER BY version),
              |                    '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
