@@ -41,6 +41,21 @@ def main():
         # dtype parity: the driver's value-hash distinguishes int64 from
         # float64 even when values compare equal (e.g. DuckDB HUGEINT ->
         # pandas float64 made f9_scd2 driver-red while cell-compare passed).
+        # Widths within a kind are NOT significant: graft.Verify.canonical
+        # widens every Spark integer to int64 / float to float64 before the
+        # dump, so mirror that widening on the oracle frame (DuckDB keeps
+        # int32 for int32 parquet columns) and only flag kind mismatches.
+        WIDEN = {"int8": "int64", "int16": "int64", "int32": "int64",
+                 "uint8": "int64", "uint16": "int64", "uint32": "int64",
+                 "float32": "float64"}
+        for c in odf.columns:
+            t = str(odf[c].dtype)
+            if t in WIDEN:
+                odf[c] = odf[c].astype(WIDEN[t])
+        for c in sdf.columns:
+            t = str(sdf[c].dtype)
+            if t in WIDEN:
+                sdf[c] = sdf[c].astype(WIDEN[t])
         dt_mism = [(c, str(sdf[c].dtype), str(odf[c].dtype))
                    for c in sdf.columns if sdf[c].dtype != odf[c].dtype]
         if dt_mism:

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test corpus (TESTDATA.md).
   *
@@ -34,16 +34,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.parquet` stamps `ts` as TIMESTAMP(NANOS), which Spark's reader
-    * only surfaces as a raw long (spark.sql.legacy.parquet.nanosAsLong=true,
-    * set by Verify/Bench/tests). Convert nanos → microsecond TimestampType
-    * here so every query sees a real timestamp column.
+  /** `events.parquet` has shipped `ts` under two encodings across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's reader only surfaces as a
+    * raw long (spark.sql.legacy.parquet.nanosAsLong=true, set by
+    * Verify/Bench/tests) — and no-timezone `timestamp[us]`, which Spark reads
+    * as TIMESTAMP_NTZ. Normalize BOTH to microsecond TimestampType here so
+    * every downstream consumer (window functions, `session_window`,
+    * `Row.getTimestamp`) sees exactly one timestamp type regardless of the
+    * parquet encoding. The NTZ cast is a session-UTC reinterpretation (the
+    * test harness pins spark.sql.session.timeZone=UTC), so parquet values
+    * compare identically before and after.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =

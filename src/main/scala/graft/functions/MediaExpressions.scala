@@ -264,6 +264,11 @@ case class PcmStats(child: Expression) extends Expression with CodegenFallback {
 @ExpressionDescription(usage = "pcm_fingerprint(bytes, bins) - energy-envelope bit fingerprint")
 case class PcmFingerprint(child: Expression, bins: Int)
     extends Expression with CodegenFallback {
+  // The fingerprint packs one bit per bin into a single Long: bins > 64
+  // would silently wrap `1L << k` mod 64 (corrupted keys), bins < 1 would
+  // blow up at eval with NegativeArraySizeException. Fail at plan time.
+  require(bins >= 1 && bins <= 64,
+    s"pcm_fingerprint: bins must be in [1, 64] (one bit per bin in a Long), got $bins")
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true

@@ -108,6 +108,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   ): Unit =
     e.injectFunction((new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), build))
 
+  /** Resolve a scalar function argument that must be a plan-time integer
+    * (e.g. `shingle_array(text, 5)`). A bare `asInstanceOf[Int]` on
+    * `eval()` breaks on a BIGINT literal (`CAST(8 AS BIGINT)` evals to
+    * java.lang.Long → ClassCastException) and on a non-foldable arg
+    * (column reference → wrong value or NPE) with no useful message.
+    * Require foldability, coerce any numeric type via Number#intValue,
+    * and name the function in the error.
+    */
+  private def foldableInt(fnName: String, argName: String, arg: Expression): Int = {
+    if (!arg.foldable)
+      throw new IllegalArgumentException(
+        s"$fnName: argument '$argName' must be a literal integer, " +
+          s"got non-foldable expression ${arg.sql}")
+    arg.eval() match {
+      case n: Number => n.intValue()
+      case null =>
+        throw new IllegalArgumentException(
+          s"$fnName: argument '$argName' must not be NULL")
+      case other =>
+        throw new IllegalArgumentException(
+          s"$fnName: argument '$argName' must be an integer literal, " +
+            s"got ${other.getClass.getSimpleName} (${arg.sql})")
+    }
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TopKPushdown())
     e.injectOptimizerRule(_ => TopKToNative())
@@ -117,7 +142,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "vec_dot", classOf[DotProduct], args => DotProduct(args(0), args(1)))
     fn(e, "vec_norm", classOf[L2Norm], args => L2Norm(args.head))
     fn(e, "shingle_array", classOf[ShingleArray],
-      args => ShingleArray(args(0), args(1).eval().asInstanceOf[Int]))
+      args => ShingleArray(args(0), foldableInt("shingle_array", "k", args(1))))
     fn(e, "set_intersect_size", classOf[SortedIntersectSize],
       args => SortedIntersectSize(args(0), args(1)))
     fn(e, "set_intersect_size_int", classOf[SortedIntersectSizeInt],
@@ -131,6 +156,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "wav_meta", classOf[WavMeta], args => WavMeta(args.head))
     fn(e, "pcm_stats", classOf[PcmStats], args => PcmStats(args.head))
     fn(e, "pcm_fingerprint", classOf[PcmFingerprint],
-      args => PcmFingerprint(args(0), args(1).eval().asInstanceOf[Int]))
+      args => PcmFingerprint(args(0), foldableInt("pcm_fingerprint", "bins", args(1))))
   }
 }

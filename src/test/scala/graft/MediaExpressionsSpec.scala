@@ -125,4 +125,18 @@ class MediaExpressionsSpec extends AnyFunSuite {
       MediaExpressions.packBytes(8000, 1, 16, Array.emptyByteArray), 8).contains(0L))
     assert(MediaExpressions.pcmFingerprintOf("not RIFF at all".getBytes, 8).isEmpty)
   }
+
+  test("PcmFingerprint rejects bins outside [1, 64] at construction") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val b = Literal(Array[Byte](1, 2, 3))
+    for (bad <- Seq(0, -3, 65, 128)) {
+      val e = intercept[IllegalArgumentException] {
+        graft.functions.PcmFingerprint(b, bad)
+      }
+      assert(e.getMessage.contains("bins must be in [1, 64]"), e.getMessage)
+    }
+    // boundary values construct fine
+    graft.functions.PcmFingerprint(b, 1)
+    graft.functions.PcmFingerprint(b, 64)
+  }
 }

@@ -67,6 +67,26 @@ class SqlApiSpec extends AnyFunSuite {
       assert(fp.getDouble(1) >= 0.0)
       assert(fp.getStruct(2).getLong(0) == 1L) // one 16-bit sample from "ab"
       assert(fp.getInt(3) == 8000)
+      // plan-time integer args coerce from any numeric literal type: a
+      // BIGINT literal must not ClassCastException in the builder
+      val co = s.sql(
+        """SELECT pcm_fingerprint(wav_pack(8000, 1, 16, CAST('abcd' AS BINARY)),
+          |                       CAST(8 AS BIGINT)) AS f,
+          |  shingle_array('x y z w', CAST(3 AS BIGINT)) AS sh""".stripMargin
+      ).head()
+      assert(!co.isNullAt(0))
+      assert(co.getSeq[String](1) == Seq("x y z", "y z w"))
+      // a non-foldable scalar arg fails with a named, actionable error
+      val nf = intercept[Exception] {
+        s.sql("SELECT shingle_array(c, k) FROM VALUES ('a b c', 2) AS t(c, k)").head()
+      }
+      assert(nf.getMessage.contains("shingle_array") &&
+        nf.getMessage.contains("literal integer"), nf.getMessage)
+      // out-of-range bins surfaces the plan-time range check, not a wrap
+      val oob = intercept[Exception] {
+        s.sql("SELECT pcm_fingerprint(CAST('x' AS BINARY), 65)").head()
+      }
+      assert(oob.getMessage.contains("bins must be in [1, 64]"), oob.getMessage)
     } finally {
       prior.foreach { p =>
         SparkSession.setDefaultSession(p); SparkSession.setActiveSession(p)
