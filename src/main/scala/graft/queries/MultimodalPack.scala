@@ -56,10 +56,13 @@ object MultimodalPack extends QueryPack {
           )
           .orderBy(col("doc_id"))
       },
+      // frame windows are BYTE offsets into the UTF-8 payload, so the oracle
+      // slices the hex dump (2 hex chars per byte) rather than character-
+      // indexed substring(text, ...) — correct for non-ASCII documents too
       Some("""SELECT doc_id,
-             |  hex(encode(substring(text, 1, 4))) AS f0,
-             |  hex(encode(substring(text, 65, 4))) AS f1,
-             |  hex(encode(substring(text, 129, 4))) AS f2
+             |  substring(hex(encode(text)), 1, 8) AS f0,
+             |  substring(hex(encode(text)), 129, 8) AS f1,
+             |  substring(hex(encode(text)), 257, 8) AS f2
              |FROM documents
              |WHERE octet_length(encode(text)) >= 132
              |ORDER BY doc_id""".stripMargin),
@@ -74,11 +77,20 @@ object MultimodalPack extends QueryPack {
         MediaOps.featurize(packed.select(col("doc_id"), col("media_bytes")), "doc_id")
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id,
-             |  CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width_px,
-             |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height_px,
-             |  CAST(list_aggregate(list_transform(string_split(text, ''), x -> ascii(x)), 'sum') AS BIGINT) AS byte_sum
-             |FROM documents
+      // byte_sum is the sum of UNSIGNED UTF-8 bytes (Spark side: b & 0xff),
+      // so the oracle decodes each byte from the hex dump instead of using
+      // per-character ascii() codes — correct for non-ASCII documents too
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS nb
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(16 + nb % 64 AS BIGINT) AS width_px,
+             |  CAST(16 + (nb // 64) % 64 AS BIGINT) AS height_px,
+             |  CAST(COALESCE(list_aggregate(list_transform(
+             |    generate_series(1, nb),
+             |    j -> CAST(('0x' || substring(h, 2*j-1, 2)) AS INT)), 'sum'), 0) AS BIGINT) AS byte_sum
+             |FROM b
              |ORDER BY doc_id""".stripMargin),
       doc = "mapPartitions batch featurize (codec-per-partition shape) with stub decode; " +
         "byte histogram sum checked against per-char oracle"
@@ -91,13 +103,21 @@ object MultimodalPack extends QueryPack {
         MediaOps.resize(packed.select(col("doc_id"), col("media_bytes")), "doc_id", stride = 4)
           .orderBy(col("doc_id"))
       },
-      Some("""SELECT doc_id,
-             |  CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS resized_bytes_len,
-             |  CAST(16 + ((octet_length(encode(text)) + 3) // 4) % 64 AS BIGINT) AS width_px,
-             |  CAST(16 + (((octet_length(encode(text)) + 3) // 4) // 64) % 64 AS BIGINT) AS height_px,
-             |  CAST(list_aggregate(list_transform(
-             |    generate_series(1, octet_length(encode(text)), 4), i -> ascii(text[i])), 'sum') AS BIGINT) AS byte_sum
-             |FROM documents
+      // decimation keeps every 4th BYTE of the UTF-8 payload; the oracle
+      // walks byte indices over the hex dump (unsigned byte values), not
+      // character indices — correct for non-ASCII documents too
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS nb
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST((nb + 3) // 4 AS BIGINT) AS resized_bytes_len,
+             |  CAST(16 + ((nb + 3) // 4) % 64 AS BIGINT) AS width_px,
+             |  CAST(16 + (((nb + 3) // 4) // 64) % 64 AS BIGINT) AS height_px,
+             |  CAST(COALESCE(list_aggregate(list_transform(
+             |    generate_series(1, nb, 4),
+             |    j -> CAST(('0x' || substring(h, 2*j-1, 2)) AS INT)), 'sum'), 0) AS BIGINT) AS byte_sum
+             |FROM b
              |ORDER BY doc_id""".stripMargin),
       doc = "media resize in the same codec-per-partition mapPartitions shape: stub " +
         "decimation stands in for decode-scale-reencode; the NEW payload's metadata " +
@@ -274,8 +294,8 @@ object MultimodalPack extends QueryPack {
         // data-plane op a real audio pipeline runs before any model sees the
         // waveform. Payload bytes never shuffle: the per-track stats row is
         // all that leaves the scan. The oracle recomputes the same stats
-        // from the source text's character codes (the corpus is pure ASCII,
-        // checked across all SFs), so the hash match proves the byte-level
+        // from the hex dump of the UTF-8 payload (byte-exact for any
+        // encoding, not just ASCII), so the hash match proves the byte-level
         // sample decode — offsets, endianness, data-chunk clamp — is exact.
         import graft.functions.MediaExpressions.{pcmStats, wavPack}
         Tables.documents(s, d)
@@ -291,12 +311,20 @@ object MultimodalPack extends QueryPack {
           .orderBy(col("doc_id"))
       },
       Some {
-        val raw = "ascii(substring(text, 2*k-1, 1)) + 256 * ascii(substring(text, 2*k, 1))"
-        s"""WITH v AS (
+        // sample k = UTF-8 bytes (2k-1, 2k) little-endian; each byte is
+        // decoded from the hex dump (4 hex chars per sample), so the
+        // reconstruction is byte-exact for non-ASCII documents too
+        val raw = "CAST(('0x' || substring(h, 4*k-3, 2)) AS INT) " +
+          "+ 256 * CAST(('0x' || substring(h, 4*k-1, 2)) AS INT)"
+        s"""WITH b AS (
+           |  SELECT doc_id, hex(encode(text)) AS h,
+           |    octet_length(encode(text)) AS nb
+           |  FROM documents),
+           |v AS (
            |  SELECT doc_id, list_transform(
-           |    generate_series(1, octet_length(encode(text)) // 2),
+           |    generate_series(1, nb // 2),
            |    k -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END) AS vs
-           |  FROM documents)
+           |  FROM b)
            |SELECT doc_id,
            |  CAST(len(vs) AS BIGINT) AS n_samples,
            |  CAST(list_max(vs) AS BIGINT) AS peak,
@@ -308,7 +336,7 @@ object MultimodalPack extends QueryPack {
       doc = "16-bit PCM sample decode + signal stats (peak / min / mean-abs " +
         "numerator) straight off the WAV binary — header-validated offsets, " +
         "little-endian signed samples, data-chunk clamp; oracle rebuilds the " +
-        "sample stream from source character codes"
+        "sample stream byte-by-byte from the payload's hex dump"
     ),
     // ---------------------------------------------------------------- sniff
     Q(
@@ -381,8 +409,8 @@ object MultimodalPack extends QueryPack {
         // of d1's exact-key dedup, robust to uniform gain changes the m7
         // content-hash key would miss. One scan + one 256-bucket-bounded
         // aggregate; payload bytes never shuffle, only the 8-bit key does.
-        // The oracle recomputes every window sum from the source text's
-        // character codes, certifying the byte-level envelope exactly.
+        // The oracle recomputes every window sum from the hex dump of the
+        // UTF-8 payload, certifying the byte-level envelope exactly.
         import graft.functions.MediaExpressions.{pcmFingerprint, wavPack}
         Tables.documents(s, d)
           .select(
@@ -394,17 +422,23 @@ object MultimodalPack extends QueryPack {
           .orderBy(col("fp"))
       },
       Some {
-        val raw = "ascii(substring(text, 2*k-1, 1)) + 256 * ascii(substring(text, 2*k, 1))"
+        // same hex-dump byte decode as m9 — non-ASCII-safe sample stream
+        val raw = "CAST(('0x' || substring(h, 4*k-3, 2)) AS INT) " +
+          "+ 256 * CAST(('0x' || substring(h, 4*k-1, 2)) AS INT)"
         val bits = (0 until 8).map { k =>
           val lo = s"(($k * n) // 8)"
           val hi = s"((${k + 1} * n) // 8)"
           s"CASE WHEN COALESCE(list_sum(list_transform(vs[$lo + 1:$hi], x -> abs(x))), 0) * n > total * ($hi - $lo) THEN ${1L << k} ELSE 0 END"
         }.mkString(" + ")
-        s"""WITH v AS (
-           |  SELECT doc_id, list_transform(
-           |    generate_series(1, octet_length(encode(text)) // 2),
-           |    k -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END) AS vs
+        s"""WITH b AS (
+           |  SELECT doc_id, hex(encode(text)) AS h,
+           |    octet_length(encode(text)) AS nb
            |  FROM documents),
+           |v AS (
+           |  SELECT doc_id, list_transform(
+           |    generate_series(1, nb // 2),
+           |    k -> CASE WHEN $raw >= 32768 THEN $raw - 65536 ELSE $raw END) AS vs
+           |  FROM b),
            |w AS (
            |  SELECT doc_id, vs, len(vs) AS n,
            |    COALESCE(list_sum(list_transform(vs, x -> abs(x))), 0) AS total

@@ -667,11 +667,16 @@ object SimilarityPack extends QueryPack {
         val e = Tables.embeddings(s, d)
         val maxabs = e.agg(
           max(array_max(transform(col("embedding"), x => abs(x.cast("double"))))).as("ma"))
+        // guard the degenerate all-zero table: ma = 0 would make Spark emit
+        // NULL (0/0 -> NaN -> null cast) while DuckDB emits inf/NaN — a
+        // cross-engine landmine. NULL divisor (when-guard / nullif) makes
+        // both engines agree on NULL quantized vectors.
         val qv = e.crossJoin(broadcast(maxabs))
           .select(
             col("vec_id"),
-            transform(col("embedding"), x => floor(x.cast("double") * 127.0 / col("ma"))
-              .cast("long")).as("qv"))
+            transform(col("embedding"), x =>
+              floor(x.cast("double") * 127.0 / when(col("ma") > 0.0, col("ma")))
+                .cast("long")).as("qv"))
         val q = qv.filter(col("vec_id") === 0).select(col("qv").as("q_qv"))
         qv.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(q))
@@ -689,7 +694,7 @@ object SimilarityPack extends QueryPack {
              |qvt AS (
              |  SELECT vec_id,
              |    list_transform(embedding,
-             |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT)) AS qv
+             |      x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / nullif(ma, 0)) AS BIGINT)) AS qv
              |  FROM embeddings, ma),
              |q AS (SELECT qv AS q_qv FROM qvt WHERE vec_id = 0)
              |SELECT vec_id,
@@ -802,8 +807,12 @@ object SimilarityPack extends QueryPack {
           .select(
             col("vec_id"),
             quant(dot(col("embedding"), col("q_emb")), 1e6).as("dot_q"),
+            // NULL-guard the degenerate case (zero query vector or all-zero
+            // db): 0/0 is NaN in Spark, NaN/inf in DuckDB — a NULL divisor
+            // keeps both engines on NULL
             quant(
-              dot(col("embedding"), col("q_emb")) / (col("mx") * col("q_nrm")),
+              dot(col("embedding"), col("q_emb")) /
+                when(col("mx") * col("q_nrm") > 0.0, col("mx") * col("q_nrm")),
               1e9).as("aug_cos"))
           .orderBy(col("aug_cos").desc, col("vec_id"))
           .limit(20)
@@ -817,7 +826,7 @@ object SimilarityPack extends QueryPack {
               |m AS (SELECT MAX(nrm) AS mx FROM db)
               |SELECT vec_id,
               |  floor(${dotSql("embedding", "q_emb")} * 1000000) / 1000000 AS dot_q,
-              |  floor(${dotSql("embedding", "q_emb")} / (mx * q_nrm)
+              |  floor(${dotSql("embedding", "q_emb")} / nullif(mx * q_nrm, 0)
               |    * 1000000000) / 1000000000 AS aug_cos
               |FROM db CROSS JOIN q CROSS JOIN m
               |ORDER BY aug_cos DESC, vec_id
