@@ -355,12 +355,20 @@ object GraphPack extends QueryPack {
         val seeds = Tables.supplier(s, d)
           .filter(col("s_suppkey") % 97 === 0)
           .select(col("s_suppkey").cast("long").as("node"))
+        // Frontier and visited are tiny relative to the edge set (seeds are
+        // a 1/97 sample), so both ride the BROADCAST side of their joins —
+        // the checkpointed adjacency streams in place and is never
+        // re-shuffled across hops. The frontier also coalesces to a handful
+        // of partitions before each localCheckpoint: a few-hundred-row
+        // frontier spread over 32 shuffle partitions would pay 32-task
+        // scheduling latency per hop for no parallelism gain.
         val init = (seeds.withColumn("hop", lit(0L)), seeds)
         val (visited, _) = (1 to 3).foldLeft(init) { case ((vis, frontier), h) =>
           val next = adj
-            .join(frontier.select(col("node").as("u")), Seq("u"))
+            .join(broadcast(frontier.select(col("node").as("u"))), Seq("u"))
             .select(col("v").as("node")).distinct()
-            .join(vis.select(col("node")), Seq("node"), "left_anti")
+            .join(broadcast(vis.select(col("node"))), Seq("node"), "left_anti")
+            .coalesce(4)
             .localCheckpoint()
           (vis.union(next.withColumn("hop", lit(h.toLong))), next)
         }
