@@ -1055,6 +1055,77 @@ object PipelinePack extends QueryPack {
       doc = "weighted priority sampling: integer hash-uniform DIV weight " +
         "priorities, k smallest per source via an in-partition rank window " +
         "— rand()-free weighted selection, reproducible on retry at any scale"
+    ),
+    // ---------------------------------------------------------------- p23
+    Q(
+      "p23_pipeline_manifest",
+      (s, d) => {
+        // The END-TO-END curation run as ONE composed plan — the query a
+        // pipeline owner actually submits: quality gate → exact dedup →
+        // eval decontamination → deterministic split → per-(source, split)
+        // training manifest. Each stage reuses the certified grain of its
+        // standalone query (d1's 5-token prefix key, p19's doc_id%29 eval
+        // set, p4's id-hash split buckets), so this certifies the stages
+        // COMPOSE, not just that each works alone. Scale shape: one corpus
+        // scan feeds a single dedup shuffle on the prefix key; the eval key
+        // set is tiny → broadcast anti-join; the split is per-row hash
+        // math; the manifest aggregate is #sources×3 rows and the global
+        // token total broadcasts back as a single-row scalar join.
+        import org.apache.spark.sql.functions.broadcast
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            size(tokens(col("text"))).cast("long").as("ntok"),
+            array_join(slice(tokens(col("text")), 1, 5), " ").as("pkey"))
+          .filter(col("ntok") >= 8 && col("n_chars") >= 50)
+        val keepers = base.groupBy(col("pkey")).agg(min(col("doc_id")).as("doc_id"))
+        val kept = base.join(keepers, Seq("pkey", "doc_id"))
+        val evalKeys = base.filter(col("doc_id") % 29 === 0)
+          .select(col("pkey")).distinct()
+        val clean = kept.filter(col("doc_id") % 29 =!= 0)
+          .join(broadcast(evalKeys), Seq("pkey"), "left_anti")
+        val bucket = ((col("doc_id") % lit(P)) * lit(2654435761L % P)) % lit(P) % 100
+        val split = clean.select(
+          col("source"), col("ntok"),
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+        val tot = split.agg(sum(col("ntok")).as("tot"))
+        split
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("split"), col("n_docs"), col("n_tokens"),
+            expr("n_tokens * 1000000 DIV tot").as("tok_share_ppm"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+             |    array_to_string(string_split(text, ' ')[1:5], ' ') AS pkey
+             |  FROM documents),
+             |f AS (SELECT * FROM b WHERE ntok >= 8 AND n_chars >= 50),
+             |k AS (SELECT pkey, MIN(doc_id) AS doc_id FROM f GROUP BY pkey),
+             |kept AS (SELECT f.* FROM f JOIN k USING (pkey, doc_id)),
+             |ev AS (SELECT DISTINCT pkey FROM f WHERE doc_id % 29 = 0),
+             |clean AS (
+             |  SELECT * FROM kept
+             |  WHERE doc_id % 29 <> 0
+             |    AND pkey NOT IN (SELECT pkey FROM ev)),
+             |sp AS (
+             |  SELECT source, ntok,
+             |    CASE WHEN ((doc_id % 1000000007) * 654435747) % 1000000007 % 100 < 80 THEN 'train'
+             |         WHEN ((doc_id % 1000000007) * 654435747) % 1000000007 % 100 < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM clean),
+             |tot AS (SELECT CAST(SUM(ntok) AS BIGINT) AS tot FROM sp)
+             |SELECT source, split, COUNT(*) AS n_docs,
+             |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+             |  CAST(CAST(SUM(ntok) AS BIGINT) * 1000000 // tot AS BIGINT) AS tok_share_ppm
+             |FROM sp, tot
+             |GROUP BY source, split, tot
+             |ORDER BY source, split""".stripMargin),
+      doc = "end-to-end curation manifest: quality gate -> exact dedup (d1 grain) " +
+        "-> eval decontamination (p19 eval set, broadcast anti-join) -> " +
+        "deterministic hash split (p4 buckets) -> per-(source, split) doc/token " +
+        "manifest with ppm shares — the composed pipeline as one plan"
     )
   )
 }
