@@ -198,14 +198,23 @@ object PlanDump {
         "sort of the corpus."),
       "g10_khop_frontier" -> ("k-hop BFS: the aggregated co-order edge list " +
         "localCheckpoints once (Scan ExistingRDD under every hop); each hop " +
-        "is adjacency JOIN frontier + HashAggregate(distinct) + LeftAnti " +
-        "against the visited set, so hop cost is sized by the NEW frontier " +
-        "exchange, never the accumulated reach."),
+        "is adjacency BroadcastHashJoin frontier + HashAggregate(distinct) " +
+        "+ broadcast LeftAnti against the visited set — the checkpointed " +
+        "adjacency never re-shuffles across hops, and the tiny frontier " +
+        "coalesces to 4 partitions before each checkpoint so hop latency " +
+        "is not 32-task scheduling overhead."),
       "p20_dedup_aware_mixture" -> ("Dedup-aware mixture accounting: one " +
         "shuffle groups the dup key, the group-size join flows back without " +
         "re-exchanging (same key partitioning reused), and the per-source " +
         "rollup is a bounded final aggregate — integer-ppm weights keep the " +
-        "whole plan in exact arithmetic.")
+        "whole plan in exact arithmetic."),
+      "p23_pipeline_manifest" -> ("End-to-end curation manifest: ONE " +
+        "corpus scan feeds the dedup shuffle on the prefix key; the keeper " +
+        "join reuses that partitioning; eval keys and the global token " +
+        "total enter as broadcasts (anti join / 1-row scalar join); the " +
+        "split is per-row hash math and the manifest aggregate is bounded " +
+        "by #sources x 3 rows — the composed pipeline stays one-shuffle-" +
+        "dominated at any corpus size.")
     )
 
     val sb = new StringBuilder
