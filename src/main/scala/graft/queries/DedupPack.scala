@@ -1065,6 +1065,68 @@ object DedupPack extends QueryPack {
       doc = "pairwise source-overlap matrix (exact distinct-shingle Jaccard + " +
         "containment): inverted-index pair join bounded by #sources per shingle, " +
         "df>=2 prune — the cross-corpus contamination report before mixing corpora"
+    ),
+    // ---------------------------------------------------------------- d23
+    Q(
+      "d23_incremental_dedup",
+      (s, d) => {
+        // Cross-snapshot incremental dedup — the shape every standing
+        // corpus runs daily: dedup an incoming batch (here doc_id%5==4)
+        // against the existing corpus WITHOUT ever shuffling the corpus.
+        // The batch's distinct keys broadcast into a semi-join over the
+        // corpus scan (one pass, no exchange on the big side); the keys
+        // that hit come back bounded by BATCH size and broadcast again to
+        // flag each batch doc. Within-batch dups rank inside the (small)
+        // batch only. Verdict per doc: dup_existing > batch_dup > novel.
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.broadcast
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            array_join(slice(tokens(col("text")), 1, 5), " ").as("pkey"))
+        val batch = base.filter(col("doc_id") % 5 === 4)
+        val corpus = base.filter(col("doc_id") % 5 =!= 4)
+        val batchKeys = batch.select(col("pkey")).distinct()
+        val hitKeys = corpus
+          .join(broadcast(batchKeys), Seq("pkey"), "left_semi")
+          .select(col("pkey")).distinct()
+          .withColumn("hit", lit(1L))
+        val ranked = batch.withColumn(
+          "rn", row_number().over(Window.partitionBy(col("pkey")).orderBy(col("doc_id"))))
+        ranked
+          .join(broadcast(hitKeys), Seq("pkey"), "left")
+          .select(
+            col("source"),
+            when(col("hit").isNotNull, "dup_existing")
+              .when(col("rn") > 1, "batch_dup")
+              .otherwise("novel").as("verdict"))
+          .groupBy(col("source"), col("verdict"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"), col("verdict"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, source,
+             |    array_to_string(string_split(text, ' ')[1:5], ' ') AS pkey
+             |  FROM documents),
+             |batch AS (SELECT * FROM b WHERE doc_id % 5 = 4),
+             |corpus AS (SELECT * FROM b WHERE doc_id % 5 <> 4),
+             |hit AS (
+             |  SELECT DISTINCT corpus.pkey FROM corpus
+             |  JOIN (SELECT DISTINCT pkey FROM batch) bk ON corpus.pkey = bk.pkey),
+             |r AS (
+             |  SELECT batch.*, ROW_NUMBER() OVER (PARTITION BY pkey ORDER BY doc_id) AS rn
+             |  FROM batch)
+             |SELECT source,
+             |  CASE WHEN r.pkey IN (SELECT pkey FROM hit) THEN 'dup_existing'
+             |       WHEN rn > 1 THEN 'batch_dup'
+             |       ELSE 'novel' END AS verdict,
+             |  COUNT(*) AS n_docs
+             |FROM r
+             |GROUP BY source, verdict
+             |ORDER BY source, verdict""".stripMargin),
+      doc = "incremental (cross-snapshot) dedup: incoming batch deduped against " +
+        "the standing corpus via broadcast batch-keys semi-join — the corpus is " +
+        "scanned once and NEVER shuffled; hit keys return batch-bounded and " +
+        "re-broadcast; within-batch dups rank inside the batch only"
     )
   )
 }

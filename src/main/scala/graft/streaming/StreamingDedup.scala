@@ -95,4 +95,32 @@ object StreamingDedup {
   /** Full pipeline: document stream → streaming near-dup candidates. */
   def run(docs: DataFrame, seeds: Seq[(Long, Long)] = DefaultSeeds): Dataset[DupCandidate] =
     candidates(bandHits(docs, seeds))
+
+  /** Stream-STATIC incremental dedup — the streaming twin of the batch
+    * `d23_incremental_dedup` oracle: an incoming document stream is flagged
+    * against a standing (static) corpus key set via a stream-static left
+    * join. Stateless per micro-batch: nothing accumulates, the static side
+    * is re-planned per batch (so at scale it rides whatever layout the
+    * corpus table has — broadcast when small, bucketed/co-located when
+    * not), and the stream side only ever shuffles if the join does.
+    *
+    * The corpus is deliberately NOT updated with novel stream keys — that
+    * matches the batch d23 semantics (cross-snapshot dedup against a fixed
+    * snapshot); intra-stream dup tracking is the stateful [[candidates]]
+    * path's job.
+    *
+    * @param docs       streaming `(doc_id, text)` frame
+    * @param corpusKeys static frame with one `pkey` column (distinct keys
+    *                   of the standing corpus at d1's 5-token-prefix grain)
+    */
+  def againstCorpus(docs: DataFrame, corpusKeys: DataFrame): DataFrame = {
+    val pkey = array_join(slice(split(col("text"), " "), 1, 5), " ")
+    docs
+      .select(col("doc_id"), pkey.as("pkey"))
+      .join(corpusKeys.select(col("pkey")).distinct().withColumn("hit", lit(1L)),
+        Seq("pkey"), "left")
+      .select(
+        col("doc_id"), col("pkey"),
+        when(col("hit").isNotNull, "dup_existing").otherwise("novel").as("verdict"))
+  }
 }

@@ -56,4 +56,41 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(hits.forall(_.docId == 10L))
     assert(hits.map(_.bandKey.split(":")(0)).sorted.toSeq == Seq("0", "1"))
   }
+
+  test("stream-static incremental dedup flags stream docs against a fixed corpus snapshot") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    // standing corpus at d1's 5-token-prefix grain
+    val corpusKeys = Seq(
+      "the quick brown fox jumps",
+      "lorem ipsum dolor sit amet"
+    ).toDF("pkey")
+
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingDedup.againstCorpus(input.toDS().toDF("doc_id", "text"), corpusKeys)
+
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("inc_dedup").start()
+
+    input.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a genuinely new document nobody has seen")
+    )
+    q.processAllAvailable()
+    // batch 2: doc 3 repeats doc 2's text — the static corpus does NOT
+    // absorb novel stream keys (cross-snapshot semantics), so it is still
+    // novel here; doc 4 hits the corpus
+    input.addData(
+      (3L, "a genuinely new document nobody has seen"),
+      (4L, "lorem ipsum dolor sit amet consectetur")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("inc_dedup")
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    assert(rows == Map(
+      1L -> "dup_existing", 2L -> "novel", 3L -> "novel", 4L -> "dup_existing"))
+  }
 }
