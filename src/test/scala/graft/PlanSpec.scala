@@ -125,4 +125,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD"), plan)       // encode ran once, checkpointed
     assert(plan.contains("bit_count"), plan)              // bitmask intersection in-plan
   }
+
+  test("d23: the standing corpus is never shuffled — batch keys broadcast into the semi join") {
+    val plan = planOf("d23_incremental_dedup")
+    // the corpus-side dedup check must be a broadcast semi join (batch keys
+    // are the small side); a SortMergeJoin here would mean the 100 TB
+    // corpus re-shuffles every incremental run
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // hit keys come back batch-bounded and re-enter as a broadcast too
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("p23: composed manifest is one-dedup-shuffle dominated with broadcast decon + scalar total") {
+    val plan = planOf("p23_pipeline_manifest")
+    // eval-key decontamination is a broadcast ANTI join, never a shuffle
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the global token total joins back as a single-row broadcast, and no
+    // stage falls back to a sort-merge join of corpus-sized sides
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      "BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan)
+  }
 }
