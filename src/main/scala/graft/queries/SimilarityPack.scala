@@ -834,6 +834,66 @@ object SimilarityPack extends QueryPack {
       doc = "MIPS via norm augmentation: rank by dot(x,q)/(M*||q||) — the " +
         "sqrt(M^2-||x||^2) augmented-coordinate reduction that turns inner-" +
         "product search into cosine NN; scalar max-norm broadcast, heap top-k"
+    ),
+    // ---------------------------------------------------------------- s16
+    Q(
+      "s16_batch_ann",
+      (s, d) => {
+        // BATCHED ANN — the retrieval shape a training pipeline actually
+        // runs: a whole query SET (here every 50th vector) against the
+        // index at once, not one broadcast query. Both sides take the same
+        // 4-plane LSH cell, candidates come from the cell EQUI-JOIN
+        // (per-cell fan-out, never |Q|×|DB|), exact cosine re-ranks, and
+        // top-3 per query is a row_number window on the query key — which
+        // TopKToNative rewrites to the bounded-heap native operator (k rows
+        // per (query, partition) cross the shuffle, no partition sort).
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            lshBucket(col("embedding"), 4).as("bucket"), norm(col("embedding")).as("nrm"))
+        val qs = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("bucket"),
+            col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val db = e.filter(col("vec_id") % 50 =!= 0)
+        val scored = db.join(qs, Seq("bucket"))
+          .select(col("q_id"), col("vec_id").as("nn_id"),
+            quant(dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")), 1e6)
+              .as("cos_sim"))
+        scored
+          .withColumn("rank",
+            row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("nn_id")))
+              .cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("nn_id"), col("cos_sim"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val bits = (0 until 4)
+          .map(j => s"CASE WHEN ${planeSql(j)} > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, emb AS embedding, CAST($bits AS BIGINT) AS bucket
+           |  FROM (SELECT vec_id, embedding AS emb FROM embeddings)),
+           |q AS (SELECT vec_id AS q_id, bucket, embedding AS q_emb
+           |      FROM e WHERE vec_id % 50 = 0),
+           |db AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+           |sc AS (
+           |  SELECT q.q_id, db.vec_id AS nn_id,
+           |    floor(${dotSql("db.embedding", "q.q_emb")} /
+           |          (${normSql("db.embedding")} * ${normSql("q.q_emb")}) * 1000000) / 1000000
+           |      AS cos_sim
+           |  FROM db JOIN q ON db.bucket = q.bucket)
+           |SELECT q_id, rank, nn_id, cos_sim FROM (
+           |  SELECT q_id, nn_id, cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, nn_id) AS rank
+           |  FROM sc) t
+           |WHERE rank <= 3
+           |ORDER BY q_id, rank""".stripMargin
+      },
+      doc = "batched ANN retrieval: a query SET joins the index on the shared " +
+        "LSH cell key (per-cell fan-out, never |Q|x|DB|), exact cosine rerank, " +
+        "top-3 per query via the native bounded-heap top-k operator"
     )
   )
 
