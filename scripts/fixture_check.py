@@ -14,7 +14,7 @@ for exactly those queries, and replays scripts/check.py's compare. Run:
 
     python3 scripts/fixture_check.py
 
-Expect "== 7 ok, 0 fail ==" (exit 0).
+Expect "== 8 ok, 0 fail ==" (exit 0).
 """
 import os, shutil, subprocess, sys
 
@@ -28,6 +28,7 @@ QUERIES = [
     "m4_resize",
     "m9_pcm_signal_stats",
     "m11_audio_fingerprint",
+    "m12_scene_segments",
     "s13_scalar_quant",
     "s15_mips_topk",
 ]

@@ -40,6 +40,24 @@ object MediaExpressions {
   def pcmFingerprint(bytes: Column, bins: Int): Column =
     GraftShims.column(PcmFingerprint(GraftShims.expression(bytes), bins))
 
+  def frameSums(bytes: Column, frameLen: Int): Column =
+    GraftShims.column(FrameSums(GraftShims.expression(bytes), frameLen))
+
+  /** Unsigned-byte sums over consecutive `frameLen`-byte windows (the last
+    * window may be short). One compiled pass; shared by [[FrameSums]].
+    */
+  private[graft] def frameSumsOf(b: Array[Byte], frameLen: Int): Array[Long] = {
+    val n = b.length
+    val nf = (n + frameLen - 1) / frameLen
+    val out = new Array[Long](nf)
+    var i = 0
+    while (i < n) {
+      out(i / frameLen) += (b(i) & 0xff).toLong
+      i += 1
+    }
+    out
+  }
+
   private def leInt(out: Array[Byte], off: Int, v: Int): Unit = {
     out(off) = (v & 0xff).toByte
     out(off + 1) = ((v >> 8) & 0xff).toByte
@@ -179,6 +197,30 @@ object MediaExpressions {
         }
       case _ => None
     }
+}
+
+/** Per-frame unsigned-byte sums over a binary payload: frame k (0-based)
+  * covers bytes [k·frameLen, (k+1)·frameLen); the last frame may be short.
+  * The video-pipeline primitive under scene-change detection (m12):
+  * consecutive-frame deltas over these sums segment a stream without the
+  * payload ever leaving the scan. CodegenFallback per [[MediaExpressions]]'
+  * contract — one pass per media row, never in a per-token loop.
+  */
+@ExpressionDescription(usage = "frame_sums(bytes, frameLen) - per-frame unsigned byte sums")
+case class FrameSums(child: Expression, frameLen: Int)
+    extends Expression with CodegenFallback {
+  require(frameLen >= 1, s"frame_sums: frameLen must be >= 1, got $frameLen")
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      MediaExpressions.frameSumsOf(v.asInstanceOf[Array[Byte]], frameLen))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
 }
 
 /** 44-byte PCM RIFF header + payload → one binary column. */

@@ -96,8 +96,8 @@ case class TopKPushdown() extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-  import graft.functions.{DotProduct, L2Norm, MercatorX, MercatorY, PcmFingerprint, PcmStats, PqDists,
-    ShingleArray, SimHash60, SortedIntersectSize, SortedIntersectSizeInt,
+  import graft.functions.{DotProduct, FrameSums, L2Norm, MercatorX, MercatorY, PcmFingerprint,
+    PcmStats, PqDists, ShingleArray, SimHash60, SortedIntersectSize, SortedIntersectSizeInt,
     SortedIntersectSizeLong, WavMeta, WavPack}
 
   private def fn(
@@ -157,5 +157,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn(e, "pcm_stats", classOf[PcmStats], args => PcmStats(args.head))
     fn(e, "pcm_fingerprint", classOf[PcmFingerprint],
       args => PcmFingerprint(args(0), foldableInt("pcm_fingerprint", "bins", args(1))))
+    fn(e, "frame_sums", classOf[FrameSums],
+      args => FrameSums(args(0), foldableInt("frame_sums", "frameLen", args(1))))
   }
 }

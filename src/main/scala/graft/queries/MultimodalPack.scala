@@ -452,6 +452,63 @@ object MultimodalPack extends QueryPack {
       doc = "audio near-dup by energy-envelope fingerprint: 8 mean-|sample| windows " +
         "binarized vs track mean (integer cross-multiplied, PcmFingerprint expr) " +
         "-> 8-bit bucket key; gain-robust where m7's content hash is byte-exact"
+    ),
+    // ---------------------------------------------------------------- m12
+    Q(
+      "m12_scene_segments",
+      (s, d) => {
+        // Scene-change detection over a frame stream — the keyframe-
+        // selection primitive of a video ingest pipeline: per-frame
+        // unsigned-byte sums (FrameSums custom expression, one compiled
+        // pass over the payload) feed consecutive-frame absolute deltas,
+        // and a delta above threshold opens a new scene. Everything after
+        // the byte pass is integer HOF arithmetic INSIDE the row — no
+        // explode, no shuffle, payload bytes never leave the scan; only
+        // (doc_id, 3 longs) survives. Oracle recomputes every frame sum
+        // from the payload's hex dump, certifying window boundaries and
+        // the short last frame byte-exactly.
+        import graft.functions.MediaExpressions.frameSums
+        Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .filter(length(col("payload")) >= 32)
+          .select(col("doc_id"), frameSums(col("payload"), 16).as("fs"))
+          .select(
+            col("doc_id"),
+            size(col("fs")).cast("long").as("n_frames"),
+            zip_with(
+              slice(col("fs"), lit(2), size(col("fs")) - 1),
+              slice(col("fs"), lit(1), size(col("fs")) - 1),
+              (a, b) => abs(a - b)).as("deltas"))
+          .select(
+            col("doc_id"), col("n_frames"),
+            (lit(1L) + size(filter(col("deltas"), x => x > 64L)).cast("long")).as("n_scenes"),
+            array_max(col("deltas")).as("max_delta"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS nb
+             |  FROM documents
+             |  WHERE octet_length(encode(text)) >= 32),
+             |f AS (
+             |  SELECT doc_id, (nb + 15) // 16 AS nf,
+             |    list_transform(generate_series(1, (nb + 15) // 16),
+             |      k -> list_sum(list_transform(
+             |        generate_series((k-1)*16 + 1, least(k*16, nb)),
+             |        j -> CAST(('0x' || substring(h, 2*j-1, 2)) AS INT)))) AS fs
+             |  FROM b),
+             |dl AS (
+             |  SELECT doc_id, nf, list_transform(generate_series(2, nf),
+             |    k -> abs(fs[k] - fs[k-1])) AS deltas
+             |  FROM f)
+             |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+             |  CAST(1 + len(list_filter(deltas, x -> x > 64)) AS BIGINT) AS n_scenes,
+             |  CAST(list_max(deltas) AS BIGINT) AS max_delta
+             |FROM dl
+             |ORDER BY doc_id""".stripMargin),
+      doc = "scene-change segmentation over the frame stream: per-frame byte sums " +
+        "(FrameSums expr, one payload pass) -> consecutive deltas -> threshold " +
+        "opens a scene; all integer in-row HOF math, payloads never shuffle"
     )
   )
 }

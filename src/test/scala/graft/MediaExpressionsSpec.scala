@@ -126,6 +126,22 @@ class MediaExpressionsSpec extends AnyFunSuite {
     assert(MediaExpressions.pcmFingerprintOf("not RIFF at all".getBytes, 8).isEmpty)
   }
 
+  test("frameSumsOf: exact window sums, short last frame, unsigned bytes") {
+    import MediaExpressions.frameSumsOf
+    // 5 bytes, frameLen 2 -> frames [1+2, 3+4, 5]; 0x80 = 128 unsigned
+    assert(frameSumsOf(Array[Byte](1, 2, 3, 4, 5), 2).toSeq == Seq(3L, 7L, 5L))
+    assert(frameSumsOf(Array[Byte](-128, -1), 2).toSeq == Seq(383L)) // 128 + 255
+    assert(frameSumsOf(Array.emptyByteArray, 4).toSeq == Seq.empty)
+    // column surface: SQL registration coerces the BIGINT literal
+    val r = spark.sql(
+      "SELECT frame_sums(CAST('abcd' AS BINARY), CAST(2 AS BIGINT)) AS fs").head()
+    assert(r.getSeq[Long](0) == Seq(('a' + 'b').toLong, ('c' + 'd').toLong))
+    val bad = intercept[Exception] {
+      spark.sql("SELECT frame_sums(CAST('x' AS BINARY), 0)").head()
+    }
+    assert(bad.getMessage.contains("frameLen must be >= 1"), bad.getMessage)
+  }
+
   test("PcmFingerprint rejects bins outside [1, 64] at construction") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val b = Literal(Array[Byte](1, 2, 3))
