@@ -214,7 +214,22 @@ object PlanDump {
         "total enter as broadcasts (anti join / 1-row scalar join); the " +
         "split is per-row hash math and the manifest aggregate is bounded " +
         "by #sources x 3 rows — the composed pipeline stays one-shuffle-" +
-        "dominated at any corpus size.")
+        "dominated at any corpus size."),
+      "d23_incremental_dedup" -> ("Cross-snapshot incremental dedup: the " +
+        "standing corpus is scanned once and NEVER shuffled — batch keys " +
+        "broadcast into the LeftSemi BroadcastHashJoin over the corpus " +
+        "scan, hit keys return batch-bounded and re-enter broadcast; " +
+        "within-batch dups rank inside the (small) batch partition only."),
+      "s16_batch_ann" -> ("Batched ANN: query set and index meet on the " +
+        "LSH cell equi-join (per-cell fan-out, never |Q|x|DB|), exact " +
+        "cosine reranks in the join projection, and the per-query top-3 " +
+        "runs as the native bounded-heap TopKPerGroup operators — k rows " +
+        "per (query, partition) cross the shuffle, no partition sort."),
+      "m12_scene_segments" -> ("Scene segmentation: FrameSums does one " +
+        "compiled byte pass per payload inside the scan projection; " +
+        "deltas/threshold/scene count are in-row integer HOFs, so the " +
+        "only exchange in the plan is the final ORDER BY — payload bytes " +
+        "never shuffle.")
     )
 
     val sb = new StringBuilder
