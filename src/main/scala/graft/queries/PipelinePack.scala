@@ -1126,6 +1126,67 @@ object PipelinePack extends QueryPack {
         "-> eval decontamination (p19 eval set, broadcast anti-join) -> " +
         "deterministic hash split (p4 buckets) -> per-(source, split) doc/token " +
         "manifest with ppm shares — the composed pipeline as one plan"
+    ),
+    // ---------------------------------------------------------------- p24
+    Q(
+      "p24_quality_curriculum",
+      (s, d) => {
+        // Curriculum scheduling by GLOBAL quality quantile — order the
+        // corpus easiest→hardest (t3's quality score, floor-quantized to
+        // integer micro-units so the sort key is exact) and cut it into 4
+        // equal-depth phases. The global order comes from GlobalOrder
+        // .withRowNumber (range shuffle + broadcast prefix offsets, P-way
+        // parallel sort — x15's discipline: NEVER a single-partition
+        // window over the corpus); the phase is then pure (rank, n)
+        // arithmetic identical to window NTILE. Output: per-(phase,
+        // source) doc/token counts + the phase's quality band edges.
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+          .select(
+            col("doc_id"), col("source"),
+            size(col("toks")).cast("long").as("ntok"),
+            (floor(
+              (size(array_distinct(col("toks"))).cast("double") / size(col("toks")) * 0.5 +
+                (lit(1.0) -
+                  size(filter(col("toks"), t => t === "the" || t === "a")).cast("double") /
+                    size(col("toks"))) * 0.5) * 1e6)).cast("long").as("q_u"))
+        val ranked = graft.ops.GlobalOrder.withRowNumber(
+          scored, "rn", col("q_u"), col("doc_id"))
+        val n = ranked.agg(count(lit(1)).as("n_total"))
+        ranked.crossJoin(broadcast(n))
+          .withColumn("phase", expr(
+            """CASE WHEN rn <= (n_total % 4) * (n_total DIV 4 + 1)
+              |     THEN (rn - 1) DIV (n_total DIV 4 + 1) + 1
+              |     ELSE (n_total % 4) + (rn - 1 - (n_total % 4) * (n_total DIV 4 + 1)) DIV (n_total DIV 4) + 1
+              |END""".stripMargin))
+          .groupBy(col("phase"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("n_tokens"),
+            min(col("q_u")).as("q_lo"),
+            max(col("q_u")).as("q_hi"))
+          .orderBy(col("phase"), col("source"))
+      },
+      Some("""WITH sc AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(toks) AS BIGINT) AS ntok,
+             |    CAST(floor((CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5 +
+             |      (1.0 - CAST(len(list_filter(toks, x -> x IN ('the','a'))) AS DOUBLE)
+             |        / len(toks)) * 0.5) * 1000000) AS BIGINT) AS q_u
+             |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)),
+             |r AS (
+             |  SELECT *, NTILE(4) OVER (ORDER BY q_u, doc_id) AS phase
+             |  FROM sc)
+             |SELECT phase, source, COUNT(*) AS n_docs,
+             |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+             |  MIN(q_u) AS q_lo, MAX(q_u) AS q_hi
+             |FROM r
+             |GROUP BY phase, source
+             |ORDER BY phase, source""".stripMargin),
+      doc = "curriculum scheduling by global quality quantile: integer-quantized " +
+        "t3 quality key, global order via range shuffle + prefix offsets (never " +
+        "a single-partition window), NTILE-identical phase arithmetic, " +
+        "per-(phase, source) doc/token schedule with quality band edges"
     )
   )
 }
