@@ -14,7 +14,7 @@ for exactly those queries, and replays scripts/check.py's compare. Run:
 
     python3 scripts/fixture_check.py
 
-Expect "== 8 ok, 0 fail ==" (exit 0).
+Expect "== 11 ok, 0 fail ==" (exit 0).
 """
 import os, shutil, subprocess, sys
 
@@ -29,6 +29,9 @@ QUERIES = [
     "m9_pcm_signal_stats",
     "m11_audio_fingerprint",
     "m12_scene_segments",
+    "d23_incremental_dedup",
+    "p23_pipeline_manifest",
+    "p24_quality_curriculum",
     "s13_scalar_quant",
     "s15_mips_topk",
 ]
