@@ -27,6 +27,32 @@ object WebMercatorProps extends Properties("WebMercator") {
   }
 }
 
+object FrameSumsProps extends Properties("FrameSums") {
+  import graft.functions.MediaExpressions.frameSumsOf
+  private val bytes = Gen.containerOf[Array, Byte](Gen.chooseNum(-128, 127).map(_.toByte))
+  private val frameLens = Gen.chooseNum(1, 64)
+
+  property("frame sums conserve the unsigned byte total") =
+    forAll(bytes, frameLens) { (b, f) =>
+      frameSumsOf(b, f).sum == b.map(_ & 0xff).map(_.toLong).sum
+    }
+
+  property("frame count is ceil(n / frameLen), each full frame bounded by 255*frameLen") =
+    forAll(bytes, frameLens) { (b, f) =>
+      val fs = frameSumsOf(b, f)
+      fs.length == (b.length + f - 1) / f &&
+        fs.forall(s => s >= 0L && s <= 255L * f)
+    }
+
+  property("concatenating two frame-aligned payloads concatenates their sums") =
+    forAll(bytes, bytes, frameLens) { (a0, b0, f) =>
+      // truncate a to a frame boundary so concatenation preserves windows
+      val a = a0.take((a0.length / f) * f)
+      frameSumsOf(a ++ b0, f).toSeq ==
+        (frameSumsOf(a, f) ++ frameSumsOf(b0, f)).toSeq
+    }
+}
+
 object TextHashProps extends Properties("TextOps") {
   private val token = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
 
