@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.TextOps.{tokens, P}
+import graft.functions.TextOps.{fingerprint, tokens, P}
 
 /** Training-data curation operators (SURVEY.md §2.9, driver north-star):
   * the steps between "raw corpus" and "training shard" that the reference's
@@ -1187,6 +1187,55 @@ object PipelinePack extends QueryPack {
         "t3 quality key, global order via range shuffle + prefix offsets (never " +
         "a single-partition window), NTILE-identical phase arithmetic, " +
         "per-(phase, source) doc/token schedule with quality band edges"
+    ),
+    // ---------------------------------------------------------------- p25
+    Q(
+      "p25_corpus_signature",
+      (s, d) => {
+        // Run-to-run reproducibility checksum — the cheap invariant two
+        // pipeline executions compare to prove they produced the SAME
+        // corpus without diffing 100 TB: per source, an ORDER-FREE content
+        // signature Σ (fp_doc · (doc_id mod P + 1)) mod P over t5's
+        // position-weighted rolling-hash fingerprints. Commutative sum →
+        // partition- and retry-order independent; binding each fingerprint
+        // to its doc_id catches content swapped BETWEEN ids, which a bare
+        // fingerprint sum would miss. One scan + one per-source aggregate;
+        // each summand is < P (~1e9), so a long sum is exact up to ~9e9
+        // docs per source — shard the key beyond that.
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+          .select(
+            col("source"),
+            size(col("toks")).cast("long").as("ntok"),
+            ((fingerprint(col("toks")) * (col("doc_id") % lit(P) + 1)) % lit(P)).as("term"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("n_tokens"),
+            (sum(col("term")) % lit(P)).as("signature"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val th = "((length(x)*2654435761 + ascii(x)*131 + ascii(x[-1:])) % 1000000007)"
+        s"""WITH t AS (
+           |  SELECT source, doc_id,
+           |    CAST(len(toks) AS BIGINT) AS ntok,
+           |    CAST(list_aggregate(list_transform(toks,
+           |      (x, i) -> $th * ((i*1315423911) % 1000000007) % 1000000007),
+           |      'sum') % 1000000007 AS BIGINT) AS fp
+           |  FROM (SELECT source, doc_id, string_split(text, ' ') AS toks FROM documents))
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(fp * (doc_id % 1000000007 + 1) % 1000000007)
+           |    % 1000000007 AS BIGINT) AS signature
+           |FROM t
+           |GROUP BY source
+           |ORDER BY source""".stripMargin
+      },
+      doc = "order-free corpus content signature per source (Σ fp·(id+1) mod P " +
+        "over rolling-hash fingerprints): the run-to-run reproducibility " +
+        "checksum — partition/retry-order independent, id-bound so swapped " +
+        "content is caught; one scan + one bounded aggregate"
     )
   )
 }
