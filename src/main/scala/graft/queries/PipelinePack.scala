@@ -1236,6 +1236,61 @@ object PipelinePack extends QueryPack {
         "over rolling-hash fingerprints): the run-to-run reproducibility " +
         "checksum — partition/retry-order independent, id-bound so swapped " +
         "content is caught; one scan + one bounded aggregate"
+    ),
+    // ---------------------------------------------------------------- p26
+    Q(
+      "p26_chunk_windows",
+      (s, d) => {
+        // Retrieval-index chunking — the step between curation and an
+        // embedding index: each document splits into 64-token windows with
+        // stride 48 (16-token overlap), short tail kept iff >= 8 tokens.
+        // The chunk LIST is built in-row (sequence + transform HOFs — no
+        // explode of token rows, the corpus-sized fan-out a naive explode
+        // would pay); only the per-doc chunk COUNT and boundary stats
+        // leave the scan, so the shuffle carries #docs rows, not #chunks.
+        // n_chunks = number of window starts 1, 49, 97, ... whose window
+        // retains >= 8 tokens: exact integer arithmetic on both engines.
+        val ntok = size(tokens(col("text"))).cast("long")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), ntok.as("ntok"))
+          .select(col("source"), col("ntok"),
+            // starts k = 0, 48, 96, ... < ntok; keep window iff
+            // min(64, ntok - k) >= 8
+            when(col("ntok") < 8, lit(0L)).otherwise(
+              lit(1L) + floor((col("ntok") - lit(8L)).cast("double") / 48.0).cast("long"))
+              .as("n_chunks"),
+            least(col("ntok"), lit(64L)).as("first_chunk_tokens"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chunks")).as("n_chunks"),
+            sum(col("ntok")).as("n_tokens"),
+            (sum(col("n_chunks") * lit(64L)) - sum(col("ntok"))).as("overlap_overhead"),
+            max(col("first_chunk_tokens")).as("max_first_chunk"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (
+             |  SELECT source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, ntok,
+             |    CASE WHEN ntok < 8 THEN 0
+             |         ELSE 1 + CAST(floor(CAST(ntok - 8 AS DOUBLE) / 48.0) AS BIGINT)
+             |    END AS n_chunks,
+             |    LEAST(ntok, 64) AS first_chunk_tokens
+             |  FROM t)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+             |  CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+             |  CAST(SUM(n_chunks * 64) - SUM(ntok) AS BIGINT) AS overlap_overhead,
+             |  MAX(first_chunk_tokens) AS max_first_chunk
+             |FROM c
+             |GROUP BY source
+             |ORDER BY source""".stripMargin),
+      doc = "retrieval-index chunking accounting: 64-token windows, stride 48, " +
+        ">=8-token tail rule — chunk counts from closed-form integer math " +
+        "in-row (no per-chunk explode), per-source budget/overlap report"
     )
   )
 }

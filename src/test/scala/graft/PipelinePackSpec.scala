@@ -126,4 +126,42 @@ class PipelinePackSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
       s"expected broadcast vocabulary join:\n$plan")
   }
+
+  test("p25 signature streams: running per-source checksum equals the batch aggregate") {
+    // The signature is a commutative modular sum, so a streaming update-mode
+    // aggregation over ANY arrival order must land on the batch value — the
+    // property that lets a 100 TB pipeline maintain its reproducibility
+    // checksum incrementally instead of rescanning.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.TextOps.{fingerprint, tokens, P}
+
+    val batchRows = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    val input = MemoryStream[(Long, String, String)]
+    val sig = input.toDF().toDF("doc_id", "source", "text")
+      .select(col("source"),
+        ((fingerprint(tokens(col("text"))) * (col("doc_id") % lit(P) + 1)) % lit(P)).as("term"))
+      .groupBy(col("source"))
+      .agg((sum(col("term")) % lit(P)).as("signature"))
+    val q = sig.writeStream.outputMode("update")
+      .format("memory").queryName("sig_stream").start()
+    // feed in reversed order across two micro-batches: order must not matter
+    val (h, t) = batchRows.reverse.splitAt(2)
+    input.addData(h.toIndexedSeq); q.processAllAvailable()
+    input.addData(t.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    // update mode emits one row per (source, batch) — keep the LAST per source
+    val streamed = spark.table("sig_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1))).zipWithIndex
+      .groupBy(_._1._1).map { case (src, vs) => src -> vs.maxBy(_._2)._1._2 }
+
+    val batch = SparkEntry.queries("p25_corpus_signature")(spark, dir)
+      .select(col("source"), col("signature"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
 }
