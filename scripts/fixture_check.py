@@ -14,7 +14,7 @@ for exactly those queries, and replays scripts/check.py's compare. Run:
 
     python3 scripts/fixture_check.py
 
-Expect "== 11 ok, 0 fail ==" (exit 0).
+Expect "== 13 ok, 0 fail ==" (exit 0).
 """
 import os, shutil, subprocess, sys
 
@@ -32,6 +32,8 @@ QUERIES = [
     "d23_incremental_dedup",
     "p23_pipeline_manifest",
     "p24_quality_curriculum",
+    "p25_corpus_signature",
+    "p26_chunk_windows",
     "s13_scalar_quant",
     "s15_mips_topk",
 ]
