@@ -124,6 +124,77 @@ object TextPack extends QueryPack {
       },
       doc = "stopword-marker language ID with deterministic argmax tie order"
     ),
+    // ---------------------------------------------------------------- t23
+    Q(
+      "t23_langid_confusion",
+      (s, d) => {
+        // Language-ID EVALUATION — the confusion matrix + margin profile a
+        // pipeline publishes before trusting a classifier at 100 TB: t4's
+        // marker argmax scored against the labeled `lang` column, rolled
+        // up per (labeled, predicted) cell with the mean decision margin
+        // (top score minus runner-up, in marker hits) — low-margin cells
+        // are where routing is unstable. Per-row narrow math, one bounded
+        // aggregate (#langs² cells); margins are exact integers.
+        val t = tokens(col("text"))
+        val scored = Tables.documents(s, d)
+          .select(
+            col("doc_id"), col("lang"),
+            markerHits(t, EnMarkers).as("en_hits"),
+            markerHits(t, DeMarkers).as("de_hits"),
+            markerHits(t, FrMarkers).as("fr_hits"),
+            markerHits(t, EsMarkers).as("es_hits"))
+          .withColumn(
+            "predicted",
+            when(
+              col("en_hits") >= col("de_hits") && col("en_hits") >= col("fr_hits") &&
+                col("en_hits") >= col("es_hits"), lit("en"))
+              .when(col("de_hits") >= col("fr_hits") && col("de_hits") >= col("es_hits"), lit("de"))
+              .when(col("fr_hits") >= col("es_hits"), lit("fr"))
+              .otherwise(lit("es")))
+          .withColumn("srt",
+            sort_array(array(col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits")),
+              asc = false))
+          .withColumn("margin", (col("srt").getItem(0) - col("srt").getItem(1)).cast("long"))
+        scored
+          .groupBy(col("lang"), col("predicted"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("margin")).as("sum_margin"),
+            sum(when(col("margin") === 0L, 1L).otherwise(0L)).as("n_ties"))
+          .orderBy(col("lang"), col("predicted"))
+      },
+      Some {
+        def hits(m: Seq[String]) =
+          s"len(list_filter(toks, x -> x IN (${m.map(w => s"'$w'").mkString(",")})))"
+        s"""WITH sc AS (
+           |  SELECT doc_id, lang,
+           |    ${hits(EnMarkers)} AS en_hits,
+           |    ${hits(DeMarkers)} AS de_hits,
+           |    ${hits(FrMarkers)} AS fr_hits,
+           |    ${hits(EsMarkers)} AS es_hits
+           |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)),
+           |p AS (
+           |  SELECT lang,
+           |    CASE
+           |      WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+           |      WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+           |      WHEN fr_hits >= es_hits THEN 'fr'
+           |      ELSE 'es' END AS predicted,
+           |    l[1] - l[2] AS margin
+           |  FROM (SELECT lang, en_hits, de_hits, fr_hits, es_hits,
+           |          list_sort([en_hits, de_hits, fr_hits, es_hits], 'DESC') AS l
+           |        FROM sc) t)
+           |SELECT lang, predicted, COUNT(*) AS n_docs,
+           |  CAST(SUM(margin) AS BIGINT) AS sum_margin,
+           |  CAST(SUM(CASE WHEN margin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+           |FROM p
+           |GROUP BY lang, predicted
+           |ORDER BY lang, predicted""".stripMargin
+      },
+      doc = "language-ID confusion matrix vs the labeled column with exact " +
+        "integer decision margins (top-minus-runner-up marker hits) and tie " +
+        "counts — the classifier-trust report before routing a corpus by lang"
+    ),
     // ---------------------------------------------------------------- fingerprint
     Q(
       "t5_fingerprint",
