@@ -36,6 +36,7 @@ QUERIES = [
     "p26_chunk_windows",
     "s13_scalar_quant",
     "s15_mips_topk",
+    "s16_batch_ann",
 ]
 
 

@@ -51,6 +51,16 @@ object Tables {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        // The NTZ→TimestampType cast reinterprets wall-clock time in
+        // spark.sql.session.timeZone; it is value-preserving ONLY under
+        // UTC. Fail loudly rather than silently shift every timestamp for
+        // a consumer that builds a session without the pin.
+        val tz = s.conf.get("spark.sql.session.timeZone")
+        require(
+          tz == "UTC" || tz == "Etc/UTC" || tz == "GMT" || tz == "Z",
+          s"Tables.events: reading TIMESTAMP_NTZ parquet requires " +
+            s"spark.sql.session.timeZone=UTC (got '$tz'); the NTZ->TIMESTAMP cast " +
+            "would silently shift values in any other zone")
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

@@ -122,7 +122,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$fnName: argument '$argName' must be a literal integer, " +
           s"got non-foldable expression ${arg.sql}")
     arg.eval() match {
-      case n: Number => n.intValue()
+      case n: Number =>
+        // intValue() alone would silently truncate 2.9 → 2 or an
+        // out-of-Int-range BIGINT → garbage — the same silent-wrong-value
+        // class this helper exists to eliminate. Reject both loudly.
+        if (n.doubleValue() != n.intValue().toDouble)
+          throw new IllegalArgumentException(
+            s"$fnName: argument '$argName' must be an integral value in Int range, got $n")
+        n.intValue()
       case null =>
         throw new IllegalArgumentException(
           s"$fnName: argument '$argName' must not be NULL")

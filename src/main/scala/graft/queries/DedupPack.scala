@@ -641,21 +641,22 @@ object DedupPack extends QueryPack {
         // NEXT TO THE SCAN (no shuffle, no join); only probable hits reach
         // the exact join, which removes the false positives — so the result
         // is bit-identical to the unfiltered join and the oracle needs no
-        // bloom at all. Built with the public DataFrameStatFunctions
-        // .bloomFilter aggregate (deterministic: seedless bitwise-OR build).
+        // bloom at all. PLAN-NATIVE build+probe (ops.BloomProbe): the
+        // filter is a BloomFilterAggregate scalar subquery — no eager
+        // driver action at construction, the filter ships as a subquery
+        // constant rather than a closure capture, and the probe is the
+        // codegen'd BloomFilterMightContain Spark's own runtime row
+        // filtering uses, so the prune stays inside whole-stage codegen.
         val sh = graft.functions.TextExpressions.shingles(col("text"), 3)
         val postings = Tables.documents(s, d)
           .filter(size(tokens(col("text"))) >= 3)
           .select(col("doc_id"), explode(sh).as("shingle"))
         val ev = postings.filter(col("doc_id") % 31 === 1)
           .select(col("shingle")).distinct()
-        val nEval = ev.count()
-        val bf = ev.stat.bloomFilter("shingle", nEval.max(1L), 0.03)
-        val mightContain = udf((x: String) => x != null && bf.mightContain(x))
         val tr = postings.filter(col("doc_id") % 31 =!= 1)
         val totals = tr.groupBy(col("doc_id"))
           .agg(countDistinct(col("shingle")).as("n_shingles"))
-        tr.filter(mightContain(col("shingle")))            // bloom: scan-side prune
+        tr.filter(graft.ops.BloomProbe.mightContain(ev, "shingle", col("shingle")))
           .join(broadcast(ev), Seq("shingle"))             // exact: kills false positives
           .groupBy(col("doc_id"))
           .agg(countDistinct(col("shingle")).as("n_shared"))

@@ -355,19 +355,24 @@ object GraphPack extends QueryPack {
         val seeds = Tables.supplier(s, d)
           .filter(col("s_suppkey") % 97 === 0)
           .select(col("s_suppkey").cast("long").as("node"))
-        // Frontier and visited are tiny relative to the edge set (seeds are
-        // a 1/97 sample), so both ride the BROADCAST side of their joins —
-        // the checkpointed adjacency streams in place and is never
-        // re-shuffled across hops. The frontier also coalesces to a handful
-        // of partitions before each localCheckpoint: a few-hundred-row
-        // frontier spread over 32 shuffle partitions would pay 32-task
-        // scheduling latency per hop for no parallelism gain.
+        // The per-hop FRONTIER is tiny relative to the edge set (seeds are
+        // a 1/97 sample), so it rides the BROADCAST side of the adjacency
+        // join — the checkpointed adjacency streams in place and is never
+        // re-shuffled across hops. The accumulated VISITED set is NOT
+        // broadcast: it grows monotonically with reach and can approach
+        // |V| on a dense graph, so its anti-join stays a shuffle join
+        // (both sides are already small-or-partitioned on node); hop cost
+        // is sized by the frontier, never the reach. The frontier also
+        // coalesces to a handful of partitions before each
+        // localCheckpoint: a few-hundred-row frontier spread over 32
+        // shuffle partitions would pay 32-task scheduling latency per hop
+        // for no parallelism gain.
         val init = (seeds.withColumn("hop", lit(0L)), seeds)
         val (visited, _) = (1 to 3).foldLeft(init) { case ((vis, frontier), h) =>
           val next = adj
             .join(broadcast(frontier.select(col("node").as("u"))), Seq("u"))
             .select(col("v").as("node")).distinct()
-            .join(broadcast(vis.select(col("node"))), Seq("node"), "left_anti")
+            .join(vis.select(col("node")), Seq("node"), "left_anti")
             .coalesce(4)
             .localCheckpoint()
           (vis.union(next.withColumn("hop", lit(h.toLong))), next)

@@ -857,7 +857,10 @@ object SimilarityPack extends QueryPack {
         val db = e.filter(col("vec_id") % 50 =!= 0)
         val scored = db.join(qs, Seq("bucket"))
           .select(col("q_id"), col("vec_id").as("nn_id"),
-            quant(dot(col("embedding"), col("q_emb")) / (col("nrm") * col("q_nrm")), 1e6)
+            // NULL divisor on a zero-norm vector (when-guard here, nullif in
+            // the oracle) — floor(NaN) would be 0 in Spark but NaN in DuckDB.
+            quant(dot(col("embedding"), col("q_emb")) /
+              when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6)
               .as("cos_sim"))
         scored
           .withColumn("rank",
@@ -881,8 +884,8 @@ object SimilarityPack extends QueryPack {
            |sc AS (
            |  SELECT q.q_id, db.vec_id AS nn_id,
            |    floor(${dotSql("db.embedding", "q.q_emb")} /
-           |          (${normSql("db.embedding")} * ${normSql("q.q_emb")}) * 1000000) / 1000000
-           |      AS cos_sim
+           |          nullif(${normSql("db.embedding")} * ${normSql("q.q_emb")}, 0) * 1000000)
+           |      / 1000000 AS cos_sim
            |  FROM db JOIN q ON db.bucket = q.bucket)
            |SELECT q_id, rank, nn_id, cos_sim FROM (
            |  SELECT q_id, nn_id, cos_sim,

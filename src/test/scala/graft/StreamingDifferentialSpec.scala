@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming._
+
+/** Batch-vs-streaming DIFFERENTIAL gate: replays the real sf0.01 corpus
+  * through each stateful streaming twin and asserts the collected output
+  * equals the oracled batch formulation on identical input — upgrading the
+  * twins from scenario-tested to corpus-differential-tested (the streaming
+  * analog of the DuckDB oracle gate, which can't run a stream).
+  *
+  * Replay convention: input is split into multiple micro-batches in the
+  * stream's natural order (doc_id / event time), matching how an ingest
+  * pipeline would tail the corpus. Each test states the exact batch↔stream
+  * semantic correspondence it asserts.
+  */
+class StreamingDifferentialSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("StreamingDedup.run == batch LSH banding (min-owner) on the sf0.01 corpus") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.run(input.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sd_diff").start()
+    // 4 micro-batches in ascending doc_id order (ingest-tail replay)
+    docs.grouped((docs.length + 3) / 4).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("sd_diff").as[DupCandidate]
+      .collect().map(c => (c.docId, c.dupOf, c.bandKey)).toSet
+
+    // batch twin: with doc_id-ordered arrival the bucket owner is the
+    // global min doc_id per band key; every other hit emits exactly once
+    val hits = StreamingDedup.bandHits(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val owners = hits.groupBy(col("bandKey")).agg(min(col("docId")).as("owner"))
+    val expected = hits.join(owners, Seq("bandKey"))
+      .filter(col("docId") =!= col("owner"))
+      .select(col("docId"), col("owner"), col("bandKey"))
+      .as[(Long, Long, String)].collect().toSet
+
+    assert(streamed.nonEmpty, "corpus produced no LSH collisions — differential is vacuous")
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).take(5)} batch-only=${(expected -- streamed).take(5)}")
+  }
+
+  test("StatefulSessionizer == e3_sessionize batch sessions (minus still-open) on sf0.01 events") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val events = Tables.events(spark, sf)
+      .select(col("user_id").cast("long"), col("ts").cast("long") * 1000L) // epoch millis
+      .as[(Long, Long)].collect().sortBy(e => (e._2, e._1))
+
+    val input = MemoryStream[SessionEvent]
+    val q = StatefulSessionizer.sessionize(input.toDS(), gapSec = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_diff").start()
+    // 5 micro-batches in global time order: per-user order is preserved,
+    // which is the in-order-arrival contract the stateful twin documents
+    events.grouped((events.length + 4) / 5).foreach { chunk =>
+      input.addData(chunk.map { case (u, ms) => SessionEvent(u, ms) }.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("sess_diff").as[SessionOut]
+      .collect().map(s => (s.userId, s.startMillis, s.n, s.durationSec)).toSet
+
+    // batch twin = the ORACLED e3_sessionize query, re-keyed to millis;
+    // streaming append mode never emits a user's last (still-open) session,
+    // so drop each user's max-start session from the batch side
+    val batch = SparkEntry.queries("e3_sessionize")(spark, sf)
+      .withColumn("start_ms",
+        unix_timestamp(col("session_start"), "yyyy-MM-dd HH:mm:ss") * 1000L)
+      .select(col("user_id"), col("start_ms"), col("n_events"), col("duration_sec"))
+      .as[(Long, Long, Long, Long)].collect()
+    val lastStart = batch.groupBy(_._1).map { case (u, ss) => u -> ss.map(_._2).max }
+    val expected = batch.filterNot { case (u, st, _, _) => lastStart(u) == st }.toSet
+
+    assert(streamed.nonEmpty && expected.nonEmpty)
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).take(5)} batch-only=${(expected -- streamed).take(5)}")
+  }
+
+  test("StreamingHeavyHitters candidates + exact recount == x22_heavy_hitters on sf0.01") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    val cap = 512
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingHeavyHitters.run(
+      input.toDS().toDF("doc_id", "text")
+        .withColumn("g", lit("all")), "g", "text", k = cap, cap = cap)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hh_diff").start()
+    docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // last update carries the stream-lifetime Misra-Gries state
+    val fin = spark.table("hh_diff").as[HeavyHitterUpdate]
+      .collect().maxBy(_.total)
+    val candidates = fin.top.map(_.term)
+
+    // MG guarantee side: lifetime total is exact
+    val exactTotal = Tables.documents(spark, sf)
+      .select(size(graft.functions.TextOps.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n"))).head.getLong(0)
+    assert(fin.total == exactTotal)
+
+    // lambda-architecture upgrade: exact recount of ONLY the streaming
+    // candidates, filtered at x22's D=256 share bound, must equal the
+    // ORACLED batch heavy-hitter set exactly (cap=512 ≥ D=256 ⇒ the
+    // candidate set provably contains every true heavy hitter)
+    val recount = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextOps.tokens(col("text"))).as("term"))
+      .filter(col("term").isInCollection(candidates))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 256L > exactTotal)
+      .select(col("term"), col("cnt"))
+      .as[(String, Long)].collect().toSet
+    val batch = SparkEntry.queries("x22_heavy_hitters")(spark, sf)
+      .as[(String, Long)].collect().toSet
+    assert(batch.nonEmpty, "x22 found no heavy hitters — differential is vacuous")
+    assert(recount == batch,
+      s"stream-only=${(recount -- batch).take(5)} batch-only=${(batch -- recount).take(5)}")
+  }
+
+  test("StreamingDedup.againstCorpus + in-batch rank == d23_incremental_dedup on sf0.01") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    def pkeyOf(df: DataFrame) = df.select(
+      col("doc_id"), col("source"),
+      array_join(slice(graft.functions.TextOps.tokens(col("text")), 1, 5), " ").as("pkey"))
+
+    val base = pkeyOf(Tables.documents(spark, sf))
+    val corpusKeys = base.filter(col("doc_id") % 5 =!= 4).select(col("pkey")).distinct()
+    val batchDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingDedup.againstCorpus(input.toDS().toDF("doc_id", "text"), corpusKeys)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("inc_diff").start()
+    batchDocs.grouped((batchDocs.length + 1) / 2).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // the streaming twin supplies the per-doc dup_existing bit; layering
+    // d23's within-batch keep-first rank on top and aggregating by source
+    // must reproduce the ORACLED d23 output exactly
+    import org.apache.spark.sql.expressions.Window
+    val ranked = spark.table("inc_diff")
+      .join(base.filter(col("doc_id") % 5 === 4).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("pkey")).orderBy(col("doc_id"))))
+      .select(col("source"),
+        when(col("verdict") === "dup_existing", "dup_existing")
+          .when(col("rn") > 1, "batch_dup")
+          .otherwise("novel").as("verdict"))
+      .groupBy(col("source"), col("verdict")).agg(count(lit(1)).as("n_docs"))
+      .as[(String, String, Long)].collect().toSet
+    val expected = SparkEntry.queries("d23_incremental_dedup")(spark, sf)
+      .as[(String, String, Long)].collect().toSet
+
+    assert(ranked.nonEmpty)
+    assert(ranked == expected,
+      s"stream-only=${(ranked -- expected).take(5)} batch-only=${(expected -- ranked).take(5)}")
+  }
+}
