@@ -14,7 +14,7 @@ for exactly those queries, and replays scripts/check.py's compare. Run:
 
     python3 scripts/fixture_check.py
 
-Expect "== 13 ok, 0 fail ==" (exit 0).
+Expect "== 18 ok, 0 fail ==" (exit 0).
 """
 import os, shutil, subprocess, sys
 
@@ -29,6 +29,10 @@ QUERIES = [
     "m9_pcm_signal_stats",
     "m11_audio_fingerprint",
     "m12_scene_segments",
+    "m13_keyframe_pick",
+    "t24_readability",
+    "p27_bpe_pair_stats",
+    "s17_multiprobe_lsh",
     "d23_incremental_dedup",
     "p23_pipeline_manifest",
     "p24_quality_curriculum",

@@ -404,6 +404,80 @@ object GraphPack extends QueryPack {
       doc = "k-hop BFS frontier expansion (3 unrolled hops) from a seeded " +
         "node set: adjacency-join + distinct + anti-join-visited per hop — " +
         "per-hop cost tracks the new frontier, not the accumulated reach"
+    ),
+    // ---------------------------------------------------------------- g11
+    Q(
+      "g11_link_prediction",
+      (s, d) => {
+        // Common-neighbor link prediction on the supplier co-order graph
+        // (g9's edge build): score NON-edges by how many neighbors they
+        // share, Jaccard-normalized by their degrees. Candidate pairs come
+        // from per-node neighbor POSTING LISTS — each node emits the pairs
+        // among its own (sorted) neighbor set, so cost is Σ deg(w)², the
+        // triangle-counting bound, never a |V|² pair scan; at 100 TB the
+        // standard guard is a degree cap on the posting list (hubs
+        // contribute noise to common-neighbor scores anyway). Existing
+        // edges leave via one anti-join; degrees broadcast back in.
+        val pairs = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("l_partkey").cast("long"))).as("ss"))
+          .filter(size(col("ss")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(ss, (a, i) -> transform(" +
+              "slice(ss, i + 2, size(ss) - i - 1), " +
+              "b -> named_struct('u', a, 'v', b))))")).as("p"))
+          .groupBy(col("p.u").as("u"), col("p.v").as("v")).agg(count(lit(1)).as("w"))
+        val e = pairs.filter(col("w") >= 2).select(col("u"), col("v")).localCheckpoint()
+        val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        val cn = adj
+          .groupBy(col("u").as("w"))
+          .agg(sort_array(collect_set(col("v"))).as("ns"))
+          .filter(size(col("ns")) >= 2)
+          .select(explode(expr(
+            "flatten(transform(ns, (a, i) -> transform(" +
+              "slice(ns, i + 2, size(ns) - i - 1), " +
+              "b -> named_struct('u', a, 'v', b))))")).as("p"))
+          .groupBy(col("p.u").as("u"), col("p.v").as("v")).agg(count(lit(1)).as("cn"))
+          .filter(col("cn") >= 2)
+        cn.join(e, Seq("u", "v"), "left_anti")
+          .join(deg.select(col("u"), col("deg").as("deg_u")), Seq("u"))
+          .join(deg.select(col("u").as("v"), col("deg").as("deg_v")), Seq("v"))
+          .select(col("u"), col("v"), col("cn"), col("deg_u"), col("deg_v"),
+            quant(col("cn").cast("double") /
+              (col("deg_u") + col("deg_v") - col("cn")), 1e6).as("jaccard"))
+          .orderBy(col("u"), col("v"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |p AS (
+             |  SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS w
+             |  FROM li a JOIN li b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2),
+             |e AS (SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v FROM p WHERE w >= 2),
+             |adj AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+             |deg AS (SELECT u, COUNT(*) AS deg FROM adj GROUP BY u),
+             |cn AS (
+             |  SELECT a.v AS u, b.v AS v, COUNT(*) AS cn
+             |  FROM adj a JOIN adj b ON a.u = b.u AND a.v < b.v
+             |  GROUP BY 1, 2),
+             |cand AS (
+             |  SELECT cn.u, cn.v, cn.cn FROM cn
+             |  WHERE cn.cn >= 2
+             |    AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = cn.u AND e.v = cn.v))
+             |SELECT cand.u, cand.v, cand.cn,
+             |  du.deg AS deg_u, dv.deg AS deg_v,
+             |  floor(CAST(cand.cn AS DOUBLE) / (du.deg + dv.deg - cand.cn) * 1000000)
+             |    / 1000000 AS jaccard
+             |FROM cand
+             |JOIN deg du ON du.u = cand.u
+             |JOIN deg dv ON dv.u = cand.v
+             |ORDER BY cand.u, cand.v""".stripMargin),
+      doc = "common-neighbor link prediction on the co-order graph: candidate " +
+        "non-edges from per-node neighbor posting lists (cost = triangle bound " +
+        "Sigma deg2, never |V|2), one anti-join removes existing edges, Jaccard " +
+        "from exact integer degree sums"
     )
   )
 }

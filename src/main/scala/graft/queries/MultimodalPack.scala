@@ -509,6 +509,86 @@ object MultimodalPack extends QueryPack {
       doc = "scene-change segmentation over the frame stream: per-frame byte sums " +
         "(FrameSums expr, one payload pass) -> consecutive deltas -> threshold " +
         "opens a scene; all integer in-row HOF math, payloads never shuffle"
+    ),
+    // ---------------------------------------------------------------- m13
+    Q(
+      "m13_keyframe_pick",
+      (s, d) => {
+        // Keyframe selection — the step after m12's segmentation: within
+        // each scene, pick the representative frame (max byte-sum "luma",
+        // ties to the earliest frame). Frame sums and per-frame scene ids
+        // are computed IN-ROW from the payload (FrameSums once, then HOF
+        // prefix counts over the delta array); only (doc_id, idx, sum,
+        // scene) longs explode into the argmax aggregate — the payload
+        // bytes never leave the scan, and the shuffle carries #frames rows
+        // of 4 longs, not media bytes. Argmax is the deterministic
+        // min(struct(-sum, idx)) trick, no window over the whole corpus.
+        import graft.functions.MediaExpressions.frameSums
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .filter(length(col("payload")) >= 32)
+          .select(col("doc_id"), frameSums(col("payload"), 16).as("fs"))
+          .select(col("doc_id"), col("fs"),
+            zip_with(
+              slice(col("fs"), lit(2), size(col("fs")) - 1),
+              slice(col("fs"), lit(1), size(col("fs")) - 1),
+              (a, b) => abs(a - b)).as("deltas"))
+        val frames = base.select(
+          col("doc_id"),
+          explode(expr(
+            "transform(fs, (v, i) -> named_struct(" +
+              "'idx', CAST(i + 1 AS BIGINT), 'fsum', v, " +
+              "'scene', CAST(1 + size(filter(slice(deltas, 1, i), x -> x > 64)) AS BIGINT)))"))
+            .as("f"))
+        frames
+          .groupBy(col("doc_id"), col("f.scene").as("scene_id"))
+          .agg(
+            count(lit(1)).as("n_frames"),
+            min(struct((-col("f.fsum")).as("ns"), col("f.idx").as("i"))).as("m"))
+          .select(col("doc_id"), col("scene_id"),
+            col("m.i").as("key_frame"), (-col("m.ns")).as("key_sum"), col("n_frames"))
+          .orderBy(col("doc_id"), col("scene_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS nb
+             |  FROM documents
+             |  WHERE octet_length(encode(text)) >= 32),
+             |f AS (
+             |  SELECT doc_id, (nb + 15) // 16 AS nf,
+             |    list_transform(generate_series(1, (nb + 15) // 16),
+             |      k -> list_sum(list_transform(
+             |        generate_series((k-1)*16 + 1, least(k*16, nb)),
+             |        j -> CAST(('0x' || substring(h, 2*j-1, 2)) AS INT)))) AS fs
+             |  FROM b),
+             |f2 AS (
+             |  SELECT doc_id, nf, fs,
+             |    list_transform(generate_series(2, nf), k -> abs(fs[k] - fs[k-1])) AS deltas
+             |  FROM f),
+             |fr AS (
+             |  SELECT doc_id,
+             |    unnest(generate_series(1, nf)) AS idx,
+             |    unnest(fs) AS fsum,
+             |    unnest(list_transform(generate_series(1, nf),
+             |      k -> 1 + len(list_filter(deltas[1:k-1], x -> x > 64)))) AS scene
+             |  FROM f2),
+             |ag AS (
+             |  SELECT doc_id, scene AS scene_id, COUNT(*) AS n_frames FROM fr GROUP BY 1, 2),
+             |km AS (
+             |  SELECT doc_id, scene_id, idx AS key_frame, fsum AS key_sum FROM (
+             |    SELECT doc_id, scene AS scene_id, idx, fsum,
+             |      ROW_NUMBER() OVER (PARTITION BY doc_id, scene ORDER BY fsum DESC, idx) AS rn
+             |    FROM fr) t WHERE rn = 1)
+             |SELECT ag.doc_id, CAST(ag.scene_id AS BIGINT) AS scene_id,
+             |  CAST(km.key_frame AS BIGINT) AS key_frame,
+             |  CAST(km.key_sum AS BIGINT) AS key_sum,
+             |  CAST(ag.n_frames AS BIGINT) AS n_frames
+             |FROM ag JOIN km ON ag.doc_id = km.doc_id AND ag.scene_id = km.scene_id
+             |ORDER BY ag.doc_id, ag.scene_id""".stripMargin),
+      doc = "per-scene keyframe selection: frame sums + scene ids computed in-row " +
+        "from the payload, argmax-luma per variable-length scene via the " +
+        "min(struct(-sum, idx)) trick — media bytes never shuffle, only 4 longs " +
+        "per frame do"
     )
   )
 }

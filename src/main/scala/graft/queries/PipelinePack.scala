@@ -1291,6 +1291,56 @@ object PipelinePack extends QueryPack {
       doc = "retrieval-index chunking accounting: 64-token windows, stride 48, " +
         ">=8-token tail rule — chunk counts from closed-form integer math " +
         "in-row (no per-chunk explode), per-source budget/overlap report"
+    ),
+    // ---------------------------------------------------------------- p27
+    Q(
+      "p27_bpe_pair_stats",
+      (s, d) => {
+        // BPE tokenizer training, first merge iteration: adjacent-symbol
+        // pair frequencies over the corpus. The scale trick is the one real
+        // BPE trainers use — collapse the corpus to its DISTINCT-WORD
+        // frequency table first (|types| << |tokens|, map-side combine does
+        // the heavy lifting), then enumerate character pairs once per TYPE
+        // and weight by the type's corpus frequency. Pair space is bounded
+        // by alphabet², so the final aggregate is tiny no matter the corpus
+        // size; repeated pairs inside a word ("aaa" -> "aa" twice) count
+        // per position, exactly as the merge rule scores them.
+        val words = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("word"))
+          .filter(length(col("word")) >= 2)
+        val wf = words.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+        val pairs = wf.select(col("word"), col("freq"),
+          explode(transform(
+            sequence(lit(1), length(col("word")) - 1),
+            i => col("word").substr(i, lit(2)))).as("pair"))
+        pairs
+          .groupBy(col("pair"))
+          .agg(
+            countDistinct(col("word")).as("n_word_types"),
+            sum(col("freq")).as("total_count"))
+          .orderBy(col("total_count").desc, col("pair"))
+          .limit(30)
+      },
+      Some("""WITH w AS (
+             |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+             |wf AS (
+             |  SELECT word, COUNT(*) AS freq FROM w WHERE len(word) >= 2 GROUP BY word),
+             |p AS (
+             |  SELECT word, freq,
+             |    unnest(list_transform(generate_series(1, len(word) - 1),
+             |      i -> substring(word, i, 2))) AS pair
+             |  FROM wf)
+             |SELECT pair,
+             |  CAST(COUNT(DISTINCT word) AS BIGINT) AS n_word_types,
+             |  CAST(SUM(freq) AS BIGINT) AS total_count
+             |FROM p
+             |GROUP BY pair
+             |ORDER BY total_count DESC, pair
+             |LIMIT 30""".stripMargin),
+      doc = "BPE first-merge pair statistics: corpus collapses to the distinct-" +
+        "word frequency table (map-side combine), char pairs enumerate once per " +
+        "TYPE weighted by corpus freq — the aggregate every real tokenizer " +
+        "trainer runs; pair space bounded by alphabet2"
     )
   )
 }

