@@ -229,7 +229,29 @@ object PlanDump {
         "compiled byte pass per payload inside the scan projection; " +
         "deltas/threshold/scene count are in-row integer HOFs, so the " +
         "only exchange in the plan is the final ORDER BY — payload bytes " +
-        "never shuffle.")
+        "never shuffle."),
+      "s17_multiprobe_lsh" -> ("Multi-probe LSH: the query side explodes to " +
+        "5 probe cells (bucket XOR plane bit) BEFORE the join, the index " +
+        "side computes its single cell in the scan projection, and the " +
+        "candidate set is one shuffled equi-join on the cell key — probe " +
+        "fan-out costs |Q|x5 rows, never |Q|x|DB|."),
+      "p27_bpe_pair_stats" -> ("BPE pair counting: two HashAggregate pairs " +
+        "(partial + final) — corpus tokens collapse to the distinct-word " +
+        "frequency table first (map-side combine does the volume), then " +
+        "char pairs explode once per TYPE; the final pair aggregate is " +
+        "alphabet2-bounded regardless of corpus size."),
+      "m13_keyframe_pick" -> ("Keyframe selection: frame sums AND per-frame " +
+        "scene ids are in-row HOFs over the FrameSums array; the explode " +
+        "emits 4 longs per frame (never payload bytes) into a partial-agg " +
+        "min(struct) argmax keyed by (doc, scene)."),
+      "g11_link_prediction" -> ("Link prediction: candidate pairs generate " +
+        "LOCALLY from each node's sorted neighbor posting list (triangle " +
+        "bound), the existing-edge removal is a hash anti-join, degrees " +
+        "re-enter via two shuffled equi-joins on the tiny node table."),
+      "t24_readability" -> ("Readability: all three counts (words, " +
+        "sentences, vowel-group syllables) are single-pass in-row regex/" +
+        "split facts inside the scan projection; one partial-agg shuffle " +
+        "on (lang, source) carries 5 longs per doc.")
     )
 
     val sb = new StringBuilder
