@@ -14,7 +14,7 @@ for exactly those queries, and replays scripts/check.py's compare. Run:
 
     python3 scripts/fixture_check.py
 
-Expect "== 18 ok, 0 fail ==" (exit 0).
+Expect "== 20 ok, 0 fail ==" (exit 0).
 """
 import os, shutil, subprocess, sys
 
@@ -33,6 +33,8 @@ QUERIES = [
     "t24_readability",
     "p27_bpe_pair_stats",
     "s17_multiprobe_lsh",
+    "s18_recall_curve",
+    "t25_perplexity_buckets",
     "d23_incremental_dedup",
     "p23_pipeline_manifest",
     "p24_quality_curriculum",

@@ -966,6 +966,110 @@ object SimilarityPack extends QueryPack {
       doc = "multi-probe LSH retrieval: each query probes its own cell plus the 4 " +
         "Hamming-1 cells (bucket XOR plane bit) — recall rises without extra hash " +
         "tables, cost stays a disjoint-cell equi-join; n_cand exposes the trade"
+    ),
+    // ---------------------------------------------------------------- s18
+    Q(
+      "s18_recall_curve",
+      (s, d) => {
+        // RECALL-vs-PROBES TUNING CURVE — the measurement that decides the
+        // multi-probe config before a 100 TB index run: recall@3 of the
+        // probe sequence (own cell, then Hamming-1 flips) at 1, 3, and 5
+        // probes, against exact brute-force truth on the SAME sampled
+        // query set. Ground truth is |Q|x|DB| by definition, so it is
+        // computed as a BLOCK equi-join (db blocked by vec_id%8, queries
+        // replicated x8) — distributed pair work, no cartesian, no
+        // single-key shuffle. The probe ladder reuses one candidate join:
+        // candidates tag their probe INDEX, explode to the probe counts
+        // that include them, and rank per (query, probe-count).
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            lshBucket(col("embedding"), 4).as("bucket"), norm(col("embedding")).as("nrm"))
+        val qs = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"), col("bucket").as("qb"))
+        val db = e.filter(col("vec_id") % 50 =!= 0)
+        val cos = quant(dot(col("embedding"), col("q_emb")) /
+          when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6)
+        // exact truth: block join spreads the |Q|x|DB| pair work over 8 keys
+        val truth = db.withColumn("blk", pmod(col("vec_id"), lit(8)))
+          .join(qs.select(col("q_id"), col("q_emb"), col("q_nrm"),
+            explode(sequence(lit(0L), lit(7L))).as("blk")), Seq("blk"))
+          .select(col("q_id"), col("vec_id").as("nn_id"), cos.as("cs"))
+          .withColumn("rk",
+            row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("nn_id"))))
+          .filter(col("rk") <= 3)
+          .select(col("q_id"), col("nn_id"))
+        // probe sequence: pi=1 own cell, pi=2..5 the Hamming-1 flips
+        val qcells = qs.select(col("q_id"), col("q_emb"), col("q_nrm"), col("qb"),
+          explode(array(Seq((0L, 1), (1L, 2), (2L, 3), (4L, 4), (8L, 5)).map {
+            case (m, i) => struct(lit(m).as("m"), lit(i).as("pi"))
+          }: _*)).as("pr"))
+          .select(col("q_id"), col("q_emb"), col("q_nrm"),
+            col("qb").bitwiseXOR(col("pr.m")).as("bucket"), col("pr.pi").as("pi"))
+        val cand = db.join(qcells, Seq("bucket"))
+          .select(col("q_id"), col("pi"), col("vec_id").as("nn_id"), cos.as("cs"))
+        val retrieved = cand
+          .select(col("q_id"), col("nn_id"), col("cs"),
+            explode(array(lit(1), lit(3), lit(5))).as("n_probes"))
+          .filter(col("pi") <= col("n_probes"))
+          .withColumn("rk",
+            row_number().over(
+              Window.partitionBy(col("q_id"), col("n_probes")).orderBy(col("cs").desc, col("nn_id"))))
+          .filter(col("rk") <= 3)
+        val nq = qs.agg(count(lit(1)).as("n_q"))
+        retrieved
+          .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "nn_id"), "left")
+          .groupBy(col("n_probes"))
+          .agg(count(lit(1)).as("n_retrieved"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .crossJoin(broadcast(nq))
+          .select(col("n_probes"), col("n_retrieved"), col("n_hits"),
+            expr("n_hits * 1000000 DIV (3 * n_q)").as("recall_ppm"))
+          .orderBy(col("n_probes"))
+      },
+      Some {
+        val bits = (0 until 4)
+          .map(j => s"CASE WHEN ${planeSql(j)} > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        val cosSql = s"""floor(${dotSql("db.embedding", "q.q_emb")} /
+           |          nullif(${normSql("db.embedding")} * ${normSql("q.q_emb")}, 0) * 1000000)
+           |      / 1000000""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id, emb AS embedding, CAST($bits AS BIGINT) AS bucket
+           |  FROM (SELECT vec_id, embedding AS emb FROM embeddings)),
+           |q AS (SELECT vec_id AS q_id, bucket AS qb, embedding AS q_emb
+           |      FROM e WHERE vec_id % 50 = 0),
+           |db AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+           |truth AS (
+           |  SELECT q_id, nn_id FROM (
+           |    SELECT q.q_id, db.vec_id AS nn_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY $cosSql DESC, db.vec_id) AS rk
+           |    FROM db, q) t WHERE rk <= 3),
+           |pr AS (SELECT unnest([0, 1, 2, 4, 8]) AS m, unnest([1, 2, 3, 4, 5]) AS pi),
+           |cand AS (
+           |  SELECT q.q_id, q.pi, db.vec_id AS nn_id, $cosSql AS cs
+           |  FROM db JOIN (SELECT q_id, q_emb, xor(qb, m) AS bucket, pi FROM q, pr) q
+           |    ON db.bucket = q.bucket),
+           |ret AS (
+           |  SELECT q_id, nn_id, n_probes FROM (
+           |    SELECT cand.q_id, cand.nn_id, p.n_probes,
+           |      ROW_NUMBER() OVER (PARTITION BY cand.q_id, p.n_probes
+           |                         ORDER BY cand.cs DESC, cand.nn_id) AS rk
+           |    FROM cand JOIN (SELECT unnest([1, 3, 5]) AS n_probes) p
+           |      ON cand.pi <= p.n_probes) t WHERE rk <= 3),
+           |nq AS (SELECT COUNT(*) AS n_q FROM q)
+           |SELECT n_probes, COUNT(*) AS n_retrieved,
+           |  CAST(SUM(CASE WHEN truth.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           |  CAST(SUM(CASE WHEN truth.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000 // (3 * (SELECT n_q FROM nq)) AS recall_ppm
+           |FROM ret LEFT JOIN truth USING (q_id, nn_id)
+           |GROUP BY n_probes
+           |ORDER BY n_probes""".stripMargin
+      },
+      doc = "recall@3-vs-probe-count tuning curve (1/3/5 probes) against exact " +
+        "brute-force truth on the sampled query set — truth via a blocked " +
+        "equi-join (db%8 x replicated queries, distributed pair work), one " +
+        "candidate join reused across the probe ladder"
     )
   )
 

@@ -1103,6 +1103,100 @@ object TextPack extends QueryPack {
         "vowel-group syllables as in-row integer facts, grade from exact " +
         "integer sums (order-independent) plus per-doc min/max — one scan, " +
         "one bounded aggregate"
+    ),
+    // ---------------------------------------------------------------- t25
+    Q(
+      "t25_perplexity_buckets",
+      (s, d) => {
+        // CCNet-style perplexity bucketing — THE canonical pretraining
+        // filter: score every document under the corpus bigram LM (t12's
+        // add-one-smoothed formulation, integer micro-nat grid so per-doc
+        // sums are order-free), then split the corpus into head / middle /
+        // tail by GLOBAL score rank and report each bucket's doc and
+        // bigram budget. The global tertile uses ops/GlobalOrder's range
+        // shuffle — never a single-partition ORDER BY window — and the
+        // per-doc score is an exact integer DIV, so bucket edges are
+        // bit-identical across engines and partitionings.
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("tk"))
+        val bg = base.filter(size(col("tk")) >= 2)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, size(tk) - 1), " +
+              "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+        val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
+        val v = base.select(explode(col("tk")).as("token"))
+          .agg(countDistinct(col("token")).as("vocab"))
+        val scored = bg.join(c2, Seq("w1", "w2"))
+          .join(c1, Seq("w1"))
+          .crossJoin(broadcast(v))
+          .select(col("doc_id"),
+            floor(log((col("n2") + 1).cast("double") / (col("n1") + col("vocab")).cast("double")) * 1e6)
+              .cast("long").as("q"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("sum_q DIV n_bigrams").as("score"))
+        val n = scored.agg(count(lit(1)).as("n_total"))
+        val ranked = graft.ops.GlobalOrder
+          .withRowNumber(scored, "rn", col("score").desc, col("doc_id"))
+        ranked.crossJoin(broadcast(n))
+          .withColumn("bucket",
+            when(col("rn") * 3 <= col("n_total"), "head")
+              .when(col("rn") * 3 <= col("n_total") * 2, "middle")
+              .otherwise("tail"))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_bigrams")).as("n_bigrams"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"))
+          .crossJoin(broadcast(n))
+          .select(col("bucket"), col("n_docs"), col("n_bigrams"),
+            col("min_score"), col("max_score"),
+            expr("n_docs * 1000000 DIV n_total").as("share_ppm"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |bg AS (
+             |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+             |  FROM toks, unnest(generate_series(1, len(tk)-1)) AS t(i)
+             |  WHERE len(tk) >= 2),
+             |c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM bg GROUP BY w1, w2),
+             |c1 AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+             |v AS (SELECT COUNT(DISTINCT token) AS vocab
+             |      FROM (SELECT unnest(tk) AS token FROM toks)),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(floor(ln(CAST(n2 + 1 AS DOUBLE) / CAST(n1 + vocab AS DOUBLE)) * 1000000) AS BIGINT) AS q
+             |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v),
+             |scored AS (
+             |  SELECT doc_id, COUNT(*) AS n_bigrams,
+             |    CAST(SUM(q) AS BIGINT) // COUNT(*) AS score
+             |  FROM sc GROUP BY doc_id),
+             |n AS (SELECT COUNT(*) AS n_total FROM scored),
+             |ranked AS (
+             |  SELECT doc_id, n_bigrams, score,
+             |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+             |  FROM scored),
+             |bk AS (
+             |  SELECT CASE WHEN rn * 3 <= n_total THEN 'head'
+             |              WHEN rn * 3 <= n_total * 2 THEN 'middle'
+             |              ELSE 'tail' END AS bucket,
+             |         n_bigrams, score
+             |  FROM ranked, n)
+             |SELECT bucket, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+             |  MIN(score) AS min_score, MAX(score) AS max_score,
+             |  COUNT(*) * 1000000 // (SELECT n_total FROM n) AS share_ppm
+             |FROM bk
+             |GROUP BY bucket
+             |ORDER BY bucket""".stripMargin),
+      doc = "CCNet-style perplexity bucketing: bigram-LM doc scores on the " +
+        "integer micro-nat grid (order-free sums, exact integer DIV mean), " +
+        "global head/middle/tail tertiles via GlobalOrder's range shuffle " +
+        "(no single-partition window), per-bucket doc/bigram budget"
     )
   )
 }

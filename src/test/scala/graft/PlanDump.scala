@@ -251,7 +251,17 @@ object PlanDump {
       "t24_readability" -> ("Readability: all three counts (words, " +
         "sentences, vowel-group syllables) are single-pass in-row regex/" +
         "split facts inside the scan projection; one partial-agg shuffle " +
-        "on (lang, source) carries 5 longs per doc.")
+        "on (lang, source) carries 5 longs per doc."),
+      "s18_recall_curve" -> ("Recall-vs-probes eval: brute-force truth is a " +
+        "BLOCKED equi-join (db%8 x replicated queries) — the |Q|x|DB| pair " +
+        "work distributes over the block key, no BroadcastNestedLoopJoin " +
+        "in the plan; the probe ladder reuses ONE candidate join and both " +
+        "rank windows run partitioned (per query / per query+probe-count)."),
+      "t25_perplexity_buckets" -> ("Perplexity bucketing: t12's LM joins " +
+        "feed per-doc integer scores; the global tertile is GlobalOrder's " +
+        "range exchange + mapPartitions rank — NO single-partition Window " +
+        "sort appears anywhere in the plan; bucket rollup is a 3-row " +
+        "aggregate.")
     )
 
     val sb = new StringBuilder

@@ -80,6 +80,32 @@ class Round10QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("s18 recall curve is monotone in probe count and internally bounded") {
+    val rows = q("s18_recall_curve").collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 3, 5))
+    val recalls = rows.map(r => r.getLong(r.fieldIndex("recall_ppm")))
+    assert(recalls.sliding(2).forall { case Array(a, b) => a <= b })
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_hits")) <= r.getLong(r.fieldIndex("n_retrieved")))
+      assert(r.getLong(r.fieldIndex("recall_ppm")) <= 1000000L)
+    }
+  }
+
+  test("t25 tertiles partition the scored corpus with ordered score ranges") {
+    val rows = q("t25_perplexity_buckets").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("head", "middle", "tail"))
+    def f(b: String, c: String) = rows(b).getLong(rows(b).fieldIndex(c))
+    // head holds the highest (least negative) scores; ranges must not overlap
+    assert(f("head", "min_score") >= f("middle", "max_score"))
+    assert(f("middle", "min_score") >= f("tail", "max_score"))
+    // tertile sizes differ by at most 1 and cover every scored doc
+    val sizes = Seq("head", "middle", "tail").map(b => f(b, "n_docs"))
+    assert(sizes.max - sizes.min <= 1)
+    val scoredDocs = q("t12_bigram_logprob").count()
+    assert(sizes.sum === scoredDocs)
+  }
+
   test("g11 candidates are non-edges with consistent bounds") {
     val g11 = q("g11_link_prediction")
     val bad = g11.filter(
