@@ -14,7 +14,7 @@ for exactly those queries, and replays scripts/check.py's compare. Run:
 
     python3 scripts/fixture_check.py
 
-Expect "== 20 ok, 0 fail ==" (exit 0).
+Expect "== 21 ok, 0 fail ==" (exit 0).
 """
 import os, shutil, subprocess, sys
 
@@ -36,6 +36,7 @@ QUERIES = [
     "s18_recall_curve",
     "t25_perplexity_buckets",
     "d23_incremental_dedup",
+    "d24_cluster_keep",
     "p23_pipeline_manifest",
     "p24_quality_curriculum",
     "p25_corpus_signature",

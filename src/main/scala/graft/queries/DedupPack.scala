@@ -1128,6 +1128,72 @@ object DedupPack extends QueryPack {
         "the standing corpus via broadcast batch-keys semi-join — the corpus is " +
         "scanned once and NEVER shuffled; hit keys return batch-bounded and " +
         "re-broadcast; within-batch dups rank inside the batch only"
+    ),
+    // ---------------------------------------------------------------- d24
+    Q(
+      "d24_cluster_keep",
+      (s, d) => {
+        // THE step after cluster assignment that actually shrinks the
+        // corpus: per near-dup cluster (d10's CC over the 0.8-Jaccard
+        // graph), choose the representative to KEEP — longest text, ties
+        // to the smallest doc_id — and account the chars dropped. Keeper
+        // selection is the deterministic min(struct(-len, id)) argmax
+        // inside one aggregate keyed by component (no window over the
+        // corpus); only multi-doc clusters surface. At 100 TB this is the
+        // manifest a dedup job emits: keep-list + reclaimed bytes per
+        // cluster.
+        val docs = Tables.documents(s, d)
+        val edges = graft.ops.TokenSets
+          .jaccardPairs(docs, "doc_id", "source", tokens(col("text")), 0.8)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val nodes = docs.select(col("doc_id").as("id"))
+        val comp = graft.ops.ConnectedComponents.run(nodes, edges)
+        comp.join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+          .groupBy(col("component"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("tot_chars"),
+            min(struct((-col("n_chars")).as("nl"), col("id").as("i"))).as("m"))
+          .filter(col("n_docs") >= 2)
+          .select(col("component"), col("n_docs"),
+            col("m.i").as("keep_id"), (-col("m.nl")).as("keep_chars"),
+            (col("tot_chars") - (-col("m.nl"))).as("dropped_chars"))
+          .orderBy(col("component"))
+      },
+      Some("""WITH RECURSIVE toksets AS (
+             |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM toksets a JOIN toksets b ON a.source = b.source AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+             |edges AS (SELECT a_id AS es, b_id AS ed FROM pairs UNION SELECT b_id, a_id FROM pairs),
+             |reach AS (
+             |  SELECT doc_id AS node, doc_id AS r FROM documents
+             |  UNION
+             |  SELECT reach.node, e.ed FROM reach JOIN edges e ON reach.r = e.es),
+             |cc AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+             |j AS (SELECT cc.component, d.doc_id, d.n_chars
+             |      FROM cc JOIN documents d USING (doc_id)),
+             |ag AS (
+             |  SELECT component, COUNT(*) AS n_docs,
+             |    CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+             |  FROM j GROUP BY component),
+             |keep AS (
+             |  SELECT component, doc_id AS keep_id, n_chars AS keep_chars FROM (
+             |    SELECT component, doc_id, n_chars,
+             |      ROW_NUMBER() OVER (PARTITION BY component
+             |                         ORDER BY n_chars DESC, doc_id) AS rn
+             |    FROM j) t WHERE rn = 1)
+             |SELECT ag.component, ag.n_docs, keep.keep_id, keep.keep_chars,
+             |  ag.tot_chars - keep.keep_chars AS dropped_chars
+             |FROM ag JOIN keep USING (component)
+             |WHERE ag.n_docs >= 2
+             |ORDER BY ag.component""".stripMargin),
+      doc = "dedup keep-list: per near-dup cluster (d10's CC graph) pick the " +
+        "longest-text representative (deterministic min(struct(-len, id)) " +
+        "argmax, no corpus window) and account reclaimed chars — the manifest " +
+        "a dedup job actually emits"
     )
   )
 }

@@ -106,6 +106,19 @@ class Round10QueriesSpec extends AnyFunSuite {
     assert(sizes.sum === scoredDocs)
   }
 
+  test("d24 keep-list agrees with d10's cluster assignment") {
+    val d10 = q("d10_dedup_clusters")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"), min(col("doc_id")).as("min_id"))
+      .filter(col("sz") >= 2)
+    val d24 = q("d24_cluster_keep")
+    val j = d24.join(d10, Seq("component"), "full_outer")
+    // same multi-doc clusters, same sizes, keeper inside the cluster
+    assert(j.filter(col("sz").isNull || col("n_docs").isNull ||
+      col("sz") =!= col("n_docs")).count() === 0)
+    assert(d24.filter(col("dropped_chars") < 0).count() === 0)
+  }
+
   test("g11 candidates are non-edges with consistent bounds") {
     val g11 = q("g11_link_prediction")
     val bad = g11.filter(
