@@ -144,6 +144,54 @@ class StreamingDifferentialSpec extends AnyFunSuite {
       s"stream-only=${(recount -- batch).take(5)} batch-only=${(batch -- recount).take(5)}")
   }
 
+  test("StreamingLmGate foreachBatch scoring == batch scoring == t25 tertiles on sf0.01") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val corpus = Tables.documents(spark, sf)
+    val lm = StreamingLmGate.fit(corpus)
+
+    // precondition for exact rank↔threshold agreement: tertile boundaries
+    // are strict (no two docs share a boundary score across buckets)
+    val batchScored = StreamingLmGate.scoreBatch(corpus, lm)
+    val boundaryTies = batchScored
+      .groupBy(col("score")).agg(countDistinct(col("bucket")).as("nb"))
+      .filter(col("nb") > 1).count()
+    assert(boundaryTies === 0, "corpus has cross-bucket score ties; tighten fixture")
+
+    // stream the same docs in 3 micro-batches through foreachBatch scoring
+    val docs = corpus.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = StreamingLmGate.scoreBatch(batch, lm)
+          .as[(Long, Long, Long, String)].collect()
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    docs.grouped((docs.length + 2) / 3).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // (a) stream == batch per doc (scoring is independent of micro-batch cut)
+    val gotSet = got.toSet
+    val batchSet = batchScored.as[(Long, Long, Long, String)].collect().toSet
+    assert(gotSet == batchSet,
+      s"stream-only=${(gotSet -- batchSet).take(3)} batch-only=${(batchSet -- gotSet).take(3)}")
+
+    // (b) frozen thresholds reproduce t25's rank tertiles exactly
+    val gateCounts = got.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val t25 = SparkEntry.queries("t25_perplexity_buckets")(spark, sf)
+      .select(col("bucket"), col("n_docs")).as[(String, Long)].collect().toMap
+    assert(gateCounts == t25, s"gate=$gateCounts t25=$t25")
+  }
+
   test("StreamingDedup.againstCorpus + in-batch rank == d23_incremental_dedup on sf0.01") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
