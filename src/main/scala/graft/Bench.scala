@@ -50,15 +50,13 @@ object Bench {
           count(lit(1)).as("n"))
         .count()
     } catch { case _: Throwable => () }
-    // NOT warmed: GlobalOrder queries pay ~1.2s on their first rep
-    // (x17 3.4→2.2s, p17 2.0→0.6s rep1→rep2). Controlled experiment
-    // (round 10): running a small GlobalOrder here does NOT shave it —
-    // the cost is the Encoders.row serializer + mapPartitions
-    // deserializer codegen for each query's OWN schema, which no
-    // cross-schema warmup can precompile. It is a per-plan JIT cost that
-    // amortizes over a real job's runtime; min-of-reps reports the
-    // steady state, and the max/min spread in BENCH_DETAIL carries the
-    // first-rep cost transparently.
+    // GlobalOrder's per-query first-rep spike (~1.2s of per-schema
+    // Encoders.row serializer+deserializer codegen, round-10 diagnosis) is
+    // FIXED at the source: the scan now runs at the InternalRow level
+    // (queryExecution.toRdd in, internalCreateDataFrame out — see
+    // ops/GlobalOrder.scala), so no per-schema encoder pair compiles and no
+    // per-row external boxing remains. A/B same-harness (GoBench, sf0.1):
+    // p17 rep1 1.77→1.03s, steady 0.71→0.53s; x20 rep1 4.39→3.33s.
     // iteration aid: SPARK_GRAFT_ONLY=q1,q3 times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // sorted-name order (stable across rounds, so per-query diffs compare

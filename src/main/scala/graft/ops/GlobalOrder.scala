@@ -1,8 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.catalyst.util.{ArrayData, MapData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Distributed global ordering: exact global `row_number` / running sums
   * without the single-task global window.
@@ -26,11 +30,24 @@ import org.apache.spark.sql.types._
   *      offsets, shipped to executors inside the scan closure;
   *   4. global value = local value + offset(partition [, group]).
   *
-  * The scan is `mapPartitions` deliberately: the alternative — a Window over
-  * (partition-id, group) — satisfies its ClusteredDistribution with a SECOND
-  * full hash exchange, because Catalyst cannot know the data is already
-  * physically partitioned by the stamped partition id. One narrow operator
-  * in exchange for one fewer full shuffle is the right trade at any scale.
+  * The scan is a per-partition iterator deliberately: the alternative — a
+  * Window over (partition-id, group) — satisfies its ClusteredDistribution
+  * with a SECOND full hash exchange, because Catalyst cannot know the data
+  * is already physically partitioned by the stamped partition id. One narrow
+  * operator in exchange for one fewer full shuffle is the right trade at any
+  * scale.
+  *
+  * The scan runs at the `InternalRow` level (`queryExecution.toRdd` in,
+  * `internalCreateDataFrame` out) rather than `Dataset.mapPartitions`: the
+  * encoder route compiles a per-schema `Encoders.row` serializer +
+  * deserializer pair (~1.2s of Janino work per distinct schema per JVM —
+  * measured round 10, the whole first-rep spike on this family) and then
+  * boxes every row out to external `Row` objects and back. Appending the
+  * rank/sum through a reused `JoinedRow` keeps the row in Tungsten format
+  * end-to-end; the only codegen left is the output projection Spark builds
+  * for any RDD scan. Upstream iterators reuse `UnsafeRow` buffers, so the
+  * group-key values the scan holds across rows are defensively copied
+  * ([[copyVal]]) and nothing else is buffered.
   *
   * Exact and deterministic when `sortCols` is a total order (callers pass a
   * unique tiebreak column, same as any reproducible rank); every task holds
@@ -44,7 +61,8 @@ object GlobalOrder {
     * same sampled partition boundaries and the input is not recomputed.
     */
   def withRowNumber(df: DataFrame, rnCol: String, sortCols: Column*): DataFrame = {
-    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val spark = df.sparkSession
+    val p = spark.sessionState.conf.numShufflePartitions
     val ranged = df
       .repartitionByRange(p, sortCols: _*)
       .withColumn("__go_pid", spark_partition_id())
@@ -61,16 +79,20 @@ object GlobalOrder {
     val sorted = ranged.sortWithinPartitions(sortCols: _*)
     val pidIdx = sorted.schema.fieldIndex("__go_pid")
     val outSchema = sorted.schema.add(rnCol, LongType, nullable = false)
-    sorted.mapPartitions { it =>
+    val rdd = GraftShims.toInternalRdd(sorted).mapPartitions { it =>
       var rn = 0L
       var off = 0L
       var seen = false
+      val extra = new GenericInternalRow(1)
+      val joined = new JoinedRow
       it.map { r =>
         if (!seen) { off = offByPid.getOrElse(r.getInt(pidIdx), 0L); seen = true }
         rn += 1
-        Row.fromSeq(r.toSeq :+ (rn + off))
+        extra.update(0, rn + off)
+        joined(r, extra): InternalRow
       }
-    }(Encoders.row(outSchema)).drop("__go_pid")
+    }
+    GraftShims.internalCreateDataFrame(spark, rdd, outSchema).drop("__go_pid")
   }
 
   /** Adds `rnCol` = exact per-group row_number (1-based, LongType) under
@@ -101,48 +123,58 @@ object GlobalOrder {
       .repartitionByRange(p, rangeCols: _*)
       .withColumn("__go_pid", spark_partition_id())
       .localCheckpoint()
-    // ≤ groups×P rows of (pid, group..., count) — partition-count-bounded
-    val counts = ranged
+    // ≤ groups×P rows of (pid, group..., count) — partition-count-bounded.
+    // Collected in CATALYST space (copied InternalRows) so the driver-built
+    // offset keys compare equal to executor-extracted values (UTF8String vs
+    // String, Decimal vs BigDecimal) without a per-row conversion.
+    val partials = ranged
       .groupBy(col("__go_pid") +: groupCols.map(col): _*)
       .agg(count(lit(1)).as("__go_n"))
-      .collect()
     val gN = groupCols.size
+    val gTypes = groupCols.indices.map(i => partials.schema(i + 1).dataType)
+    val counts = GraftShims.toInternalRdd(partials).map(_.copy()).collect()
+    val byGroup = counts.groupBy(r => groupCols.indices.map(i => r.get(i + 1, gTypes(i))).toIndexedSeq)
     // per-group prefix offsets in pid order + per-group totals (no ordering
     // needed ACROSS groups — only pid order within each group key)
-    val byGroup = counts.groupBy(r => groupCols.indices.map(i => r.get(i + 1)).toIndexedSeq)
     val offTot: Map[(Int, IndexedSeq[Any]), (Long, Long)] = byGroup.toSeq.flatMap {
       case (gvals, rs) =>
-        val sorted = rs.sortBy(_.getInt(0))
-        val total = sorted.map(_.getLong(gN + 1)).sum
-        sorted.map(_.getInt(0))
-          .zip(sorted.scanLeft(0L)(_ + _.getLong(gN + 1)))
+        val srt = rs.sortBy(_.getInt(0))
+        val total = srt.map(_.getLong(gN + 1)).sum
+        srt.map(_.getInt(0))
+          .zip(srt.scanLeft(0L)(_ + _.getLong(gN + 1)))
           .map { case (pid, off) => (pid, gvals) -> (off, total) }
     }.toMap
     val sorted = ranged.sortWithinPartitions(rangeCols: _*)
     val pidIdx = sorted.schema.fieldIndex("__go_pid")
-    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex).toIndexedSeq
+    val gDts = gIdx.map(i => sorted.schema(i).dataType)
     val outSchema = sorted.schema
       .add(rnCol, LongType, nullable = false)
       .add(cntCol, LongType, nullable = false)
-    sorted.mapPartitions { it =>
+    val rdd = GraftShims.toInternalRdd(sorted).mapPartitions { it =>
       var pid = -1
       var curKey: IndexedSeq[Any] = null
       var rn = 0L
       var off = 0L
       var tot = 0L
+      val extra = new GenericInternalRow(2)
+      val joined = new JoinedRow
       it.map { r =>
         if (pid < 0) pid = r.getInt(pidIdx)
-        val k: IndexedSeq[Any] = gIdx.map(r.get(_)).toIndexedSeq
+        val k: IndexedSeq[Any] = gIdx.indices.map(i => r.get(gIdx(i), gDts(i)))
         if (curKey == null || k != curKey) {
-          curKey = k
+          curKey = k.map(copyVal) // key outlives the reused row buffer
           rn = 0L
-          val (o, t) = offTot.getOrElse((pid, k), (0L, 0L))
-          off = o; tot = t
+          val ot = offTot.getOrElse((pid, curKey), (0L, 0L))
+          off = ot._1; tot = ot._2
         }
         rn += 1
-        Row.fromSeq(r.toSeq ++ Seq(rn + off, tot))
+        extra.update(0, rn + off)
+        extra.update(1, tot)
+        joined(r, extra): InternalRow
       }
-    }(Encoders.row(outSchema)).drop("__go_pid")
+    }
+    GraftShims.internalCreateDataFrame(spark, rdd, outSchema).drop("__go_pid")
   }
 
   /** Adds `runCol` = exact per-group RUNNING SUM of `measure` under
@@ -180,65 +212,86 @@ object GlobalOrder {
     val partials = ranged
       .groupBy(col("__go_pid") +: groupCols.map(col): _*)
       .agg(sum(col("__go_m")).as("__go_s"))
+    val gN = groupCols.size
+    val gTypes = groupCols.indices.map(i => partials.schema(i + 1).dataType)
     val sType = partials.schema("__go_s").dataType
     val zero: Any = sType match {
-      case _: DecimalType => java.math.BigDecimal.ZERO
+      case _: DecimalType => Decimal(0)
       case LongType => 0L
       case _ => 0.0
     }
-    // widen raw measure values to the accumulator type (sum(int) is long,
-    // sum(float) is double — the scan must accumulate in the same type)
+    // widen raw catalyst measure values to the accumulator type (sum(int) is
+    // long, sum(float) is double — the scan must accumulate in the same type)
     def widen(v: Any): Any = v match {
-      case i: java.lang.Integer => i.longValue()
-      case s: java.lang.Short => s.longValue()
-      case b: java.lang.Byte => b.longValue()
-      case f: java.lang.Float => f.doubleValue()
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case f: Float => f.toDouble
       case x => x
     }
     def plus(a: Any, b: Any): Any = (a, widen(b)) match {
       case (x, null) => x
       case (null, y) => y
-      case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.add(y)
+      case (x: Decimal, y: Decimal) => x + y
       case (x: Long, y: Long) => x + y
       case (x: Double, y: Double) => x + y
       case (x, y) => throw new IllegalArgumentException(s"unsupported measure sum: $x + $y")
     }
-    val counts = partials.collect()
-    val gN = groupCols.size
-    val byGroup = counts.groupBy(r => groupCols.indices.map(i => r.get(i + 1)).toIndexedSeq)
+    // catalyst-space collect, same rationale as withGroupedRowNumber
+    val counts = GraftShims.toInternalRdd(partials).map(_.copy()).collect()
+    val byGroup = counts.groupBy(r => groupCols.indices.map(i => r.get(i + 1, gTypes(i))).toIndexedSeq)
     val offTot: Map[(Int, IndexedSeq[Any]), (Any, Any)] = byGroup.toSeq.flatMap {
       case (gvals, rs) =>
-        val sorted = rs.sortBy(_.getInt(0))
-        val total = sorted.map(_.get(gN + 1)).foldLeft(zero)(plus)
-        sorted.map(_.getInt(0))
-          .zip(sorted.scanLeft(zero)((acc, r) => plus(acc, r.get(gN + 1))))
+        val srt = rs.sortBy(_.getInt(0))
+        val total = srt.map(_.get(gN + 1, sType)).foldLeft(zero)(plus)
+        srt.map(_.getInt(0))
+          .zip(srt.scanLeft(zero)((acc, r) => plus(acc, r.get(gN + 1, sType))))
           .map { case (pid, off) => (pid, gvals) -> (off, total) }
     }.toMap
     val sorted = ranged.sortWithinPartitions(rangeCols: _*)
     val pidIdx = sorted.schema.fieldIndex("__go_pid")
     val mIdx = sorted.schema.fieldIndex("__go_m")
-    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val mDt = sorted.schema(mIdx).dataType
+    val gIdx = groupCols.map(sorted.schema.fieldIndex).toIndexedSeq
+    val gDts = gIdx.map(i => sorted.schema(i).dataType)
     val outSchema = sorted.schema
       .add(runCol, sType, nullable = true)
       .add(totCol, sType, nullable = true)
-    sorted.mapPartitions { it =>
+    val rdd = GraftShims.toInternalRdd(sorted).mapPartitions { it =>
       var pid = -1
       var curKey: IndexedSeq[Any] = null
       var local: Any = zero
       var off: Any = zero
       var tot: Any = zero
+      val extra = new GenericInternalRow(2)
+      val joined = new JoinedRow
       it.map { r =>
         if (pid < 0) pid = r.getInt(pidIdx)
-        val k: IndexedSeq[Any] = gIdx.map(r.get(_)).toIndexedSeq
+        val k: IndexedSeq[Any] = gIdx.indices.map(i => r.get(gIdx(i), gDts(i)))
         if (curKey == null || k != curKey) {
-          curKey = k
+          curKey = k.map(copyVal) // key outlives the reused row buffer
           local = zero
-          val (o, t) = offTot.getOrElse((pid, k), (zero, zero))
-          off = o; tot = t
+          val ot = offTot.getOrElse((pid, curKey), (zero, zero))
+          off = ot._1; tot = ot._2
         }
-        local = plus(local, r.get(mIdx))
-        Row.fromSeq(r.toSeq ++ Seq(plus(local, off), tot))
+        local = plus(local, r.get(mIdx, mDt))
+        extra.update(0, plus(local, off))
+        extra.update(1, tot)
+        joined(r, extra): InternalRow
       }
-    }(Encoders.row(outSchema)).drop("__go_pid", "__go_m")
+    }
+    GraftShims.internalCreateDataFrame(spark, rdd, outSchema).drop("__go_pid", "__go_m")
+  }
+
+  /** Defensive copy of a catalyst value extracted from a (possibly reused)
+    * UnsafeRow buffer. Primitives and Decimal are fresh objects already;
+    * UTF8String/array/map/struct values are views into the row's bytes.
+    */
+  private def copyVal(v: Any): Any = v match {
+    case s: UTF8String => s.copy()
+    case a: ArrayData => a.copy()
+    case m: MapData => m.copy()
+    case r: InternalRow => r.copy()
+    case x => x
   }
 }

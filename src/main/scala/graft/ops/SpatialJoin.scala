@@ -109,4 +109,62 @@ object SpatialJoin {
       .filter(col("rn") <= k)
       .drop("__sj_cx", "__sj_cy")
   }
+
+  /** [[knnInGrid]] with the cell size chosen IN-PLAN from measured density:
+    *
+    *   cell = clamp[1, 64]( ⌊ √(domainArea · targetPerCell / N) ⌋ ),  N = |points|
+    *
+    * Per-cell occupancy then stays ≈ `targetPerCell` as the corpus grows, so
+    * candidate volume is ≈ 9·targetPerCell·|Q| — linear in the data — where a
+    * FIXED cell size degrades quadratically with density (measured: g6 pays
+    * 13× wall for 10× rows at sf1 on the fixed 360×170 domain; SCALING.md
+    * names this exact lever). The count enters as a broadcast single-row
+    * aggregate — no eager driver action at construction — and both join
+    * sides derive the identical cell from it. `floor(sqrt(·))` on IEEE
+    * doubles is engine-reproducible, so a SQL oracle recomputes the same
+    * cell from the same formula. The clamp bounds both extremes: an empty
+    * or tiny corpus gets the 64-unit cell (floor of ∞ saturates, no NaN),
+    * an enormous one never shrinks below 1 unit.
+    *
+    * The neighborhood semantics follow the cell: results are the k nearest
+    * WITHIN the adaptive 3×3 neighborhood (≈ the current density's natural
+    * search radius), which is the production contract for grid kNN — a
+    * radius that ignored density would either miss neighbors or go
+    * quadratic.
+    */
+  def knnInGridAdaptive(
+      queries: DataFrame,
+      points: DataFrame,
+      domainArea: Double,
+      targetPerCell: Int,
+      k: Int,
+      keyCol: String,
+      tie: org.apache.spark.sql.Column): DataFrame = {
+    require(domainArea > 0 && targetPerCell > 0 && k > 0,
+      "domainArea, targetPerCell and k must be positive")
+    val stats = points.agg(count(lit(1)).as("__sj_n"))
+    val cell = least(lit(64.0), greatest(lit(1.0),
+      floor(sqrt(lit(domainArea) * targetPerCell / col("__sj_n")))))
+    val p = points.crossJoin(broadcast(stats))
+      .withColumn("__sj_cell", cell)
+      .withColumn("__sj_cx", floor(col("x") / col("__sj_cell")).cast("long"))
+      .withColumn("__sj_cy", floor(col("y") / col("__sj_cell")).cast("long"))
+      .drop("__sj_n", "__sj_cell")
+    val q = queries.crossJoin(broadcast(stats))
+      .withColumn("__sj_cell", cell)
+      .withColumn("__sj_dx", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("__sj_dy", explode(sequence(lit(-1L), lit(1L))))
+      .withColumn("__sj_cx", floor(col("qx") / col("__sj_cell")).cast("long") + col("__sj_dx"))
+      .withColumn("__sj_cy", floor(col("qy") / col("__sj_cell")).cast("long") + col("__sj_dy"))
+      .drop("__sj_dx", "__sj_dy", "__sj_n", "__sj_cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("dist2"), tie)
+    q.join(p, Seq("__sj_cx", "__sj_cy"))
+      .withColumn("dist2",
+        (col("qx") - col("x")) * (col("qx") - col("x")) +
+          (col("qy") - col("y")) * (col("qy") - col("y")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .drop("__sj_cx", "__sj_cy")
+  }
 }

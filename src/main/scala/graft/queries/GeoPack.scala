@@ -278,6 +278,59 @@ object GeoPack extends QueryPack {
         "exact relative density threshold, 8-neighbor adjacency via offset explode " +
         "+ cell equi-join, connected components over the (grid-bounded) dense-cell " +
         "graph — vs a DuckDB recursive-CTE transitive closure"
+    ),
+    // ------------------------------------------------------- g12 adaptive knn
+    Q(
+      "g12_adaptive_knn",
+      (s, d) => {
+        // g6's production twin: same grid-kNN machinery, but the cell size
+        // is derived IN-PLAN from measured point density (cell ∝ 1/√density,
+        // SpatialJoin.knnInGridAdaptive) so per-cell occupancy — and with it
+        // candidate volume per query — stays constant as the corpus grows.
+        // g6 keeps the fixed 30-unit cell as the oracle-pinned baseline and
+        // measures 13× wall for 10× rows (SCALING.md); this variant is the
+        // configuration a standing corpus actually runs, and its oracle
+        // recomputes the identical cell from the identical formula
+        // (floor∘sqrt on IEEE doubles is engine-reproducible).
+        val sp = Tables.supplier(s, d).select(
+          col("s_suppkey"),
+          ((col("s_suppkey") * 17) % 360).as("qx"),
+          ((col("s_suppkey") * 23) % 170).as("qy"))
+        val cp = Tables.customer(s, d).select(
+          col("c_custkey"),
+          ((col("c_custkey") * 29) % 360).as("x"),
+          ((col("c_custkey") * 31) % 170).as("y"))
+        graft.ops.SpatialJoin
+          .knnInGridAdaptive(sp, cp, domainArea = 360.0 * 170.0,
+            targetPerCell = 8, k = 3, keyCol = "s_suppkey", tie = col("c_custkey"))
+          .select(col("s_suppkey"), col("rn"), col("c_custkey"), col("dist2"))
+          .orderBy(col("s_suppkey"), col("rn"))
+      },
+      Some("""WITH g AS (
+             |  SELECT LEAST(64.0, GREATEST(1.0,
+             |           FLOOR(SQRT(360.0 * 170.0 * 8 / COUNT(*))))) AS cell
+             |  FROM customer),
+             |sp AS (
+             |  SELECT s_suppkey, (s_suppkey*17)%360 AS sx, (s_suppkey*23)%170 AS sy FROM supplier),
+             |cp AS (
+             |  SELECT c_custkey, (c_custkey*29)%360 AS cx, (c_custkey*31)%170 AS cy FROM customer),
+             |pairs AS (
+             |  SELECT s_suppkey, c_custkey,
+             |    (sx-cx)*(sx-cx) + (sy-cy)*(sy-cy) AS dist2
+             |  FROM sp CROSS JOIN g JOIN cp
+             |    ON CAST(floor(cx/cell) AS BIGINT)
+             |         BETWEEN CAST(floor(sx/cell) AS BIGINT) - 1 AND CAST(floor(sx/cell) AS BIGINT) + 1
+             |   AND CAST(floor(cy/cell) AS BIGINT)
+             |         BETWEEN CAST(floor(sy/cell) AS BIGINT) - 1 AND CAST(floor(sy/cell) AS BIGINT) + 1),
+             |r AS (
+             |  SELECT s_suppkey, c_custkey, dist2,
+             |    row_number() OVER (PARTITION BY s_suppkey ORDER BY dist2, c_custkey) AS rn
+             |  FROM pairs)
+             |SELECT s_suppkey, rn, c_custkey, dist2 FROM r WHERE rn <= 3
+             |ORDER BY s_suppkey, rn""".stripMargin),
+      doc = "density-adaptive grid kNN (g6 with cell ∝ 1/√density computed in-plan " +
+        "from a broadcast count): constant per-cell occupancy keeps candidate " +
+        "volume linear in the corpus — the scale configuration for grid kNN"
     )
   )
 }

@@ -11,6 +11,14 @@ object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The physical plan's RDD of catalyst rows — the encoder-free twin of
+    * `Dataset.rdd` (which compiles a per-schema deserializer and boxes every
+    * row into external objects). Rows may be reused by the upstream iterator;
+    * callers must not buffer them without `copy()`.
+    */
+  def toInternalRdd(df: Dataset[Row]): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
+
   def internalCreateDataFrame(
       spark: SparkSession,
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],

@@ -83,7 +83,8 @@ object PlanDump {
       "x17_weighted_median" -> ("Distributed decimal prefix sums (GlobalOrder." +
         "withGroupedRunningSum): the range exchange spreads each 3-value group over " +
         "every partition; after the checkpointed shuffle the running sum is a " +
-        "partition-local Sort + MapPartitions (prefix offsets ride in the closure) — " +
+        "partition-local Sort + narrow InternalRow scan (prefix offsets ride in the "+
+        "closure; encoder-free since round 10) — " +
         "NO Window node, NO second exchange, no whole-group single task."),
       "g6_grid_knn" -> ("Grid-blocked spatial kNN: candidates come from a plain " +
         "equi-join on the cell key (query side ×9 replication via explode), " +
@@ -92,7 +93,7 @@ object PlanDump {
       "x20_ks_test" -> ("Two-sample KS at VALUE level (ties pre-aggregated before " +
         "the CDF gap): ONE range exchange (the checkpointed prefix-sum shuffle) " +
         "carries BOTH cumulative counts packed into a single accumulator — then a " +
-        "partition-local Sort + MapPartitions and one tiny aggregate. No Window " +
+        "partition-local Sort + narrow InternalRow scan and one tiny aggregate. No Window " +
         "over data-sized input, no second shuffle, packing bound driver-checked."),
       "d7_shingle_jaccard" -> ("Pruned set-similarity join (ops/SetSimJoin): the " +
         "shingle arrays materialize ONCE (Scan ExistingRDD under every subtree); " +
@@ -136,7 +137,7 @@ object PlanDump {
       "t19_vocab_growth" -> ("Heaps-law vocabulary growth: one token-keyed " +
         "min aggregate attributes first occurrences; both cumulative series " +
         "run through GlobalOrder range shuffles over a ONE-ROW-PER-DOCUMENT " +
-        "frame (Sort + MapPartitions, no Window) — the token-sized postings " +
+        "frame (Sort + narrow InternalRow scan, no Window) — the token-sized postings " +
         "never enter a window."),
       "g8_kcore" -> ("Iterative k-core peel (ops/KCore): the fact-derived " +
         "adjacency aggregates and localCheckpoints ONCE (Scan ExistingRDD " +
@@ -146,7 +147,7 @@ object PlanDump {
         "shrinking alive-set fits."),
       "p17_token_budget_cut" -> ("Token-budget curriculum cut: the corpus' " +
         "global quality-ordered running token sum is ONE GlobalOrder range " +
-        "exchange + partition-local Sort + MapPartitions (prefix offsets in " +
+        "exchange + partition-local Sort + narrow InternalRow scan (prefix offsets in " +
         "the closure) — a SUM OVER (ORDER BY) window would move the whole " +
         "corpus into a single task; the budget filter and per-source " +
         "aggregate run on the same pass's output."),
@@ -167,7 +168,7 @@ object PlanDump {
         "cardinalities broadcast into the final 190-row report."),
       "x25_gini" -> ("Gini concentration: ascending per-segment ranks come " +
         "from GlobalOrder's range exchange + partition-local sort + " +
-        "MapPartitions prefix offsets — no whole-segment window task; rank " +
+        "encoder-free scan prefix offsets — no whole-segment window task; rank " +
         "products accumulate in DECIMAL(38,0), one IEEE division at the " +
         "end."),
       "t20_holdout_crossentropy" -> ("Held-out cross-entropy: train-split " +
@@ -259,9 +260,14 @@ object PlanDump {
         "rank windows run partitioned (per query / per query+probe-count)."),
       "t25_perplexity_buckets" -> ("Perplexity bucketing: t12's LM joins " +
         "feed per-doc integer scores; the global tertile is GlobalOrder's " +
-        "range exchange + mapPartitions rank — NO single-partition Window " +
+        "range exchange + narrow scan rank — NO single-partition Window " +
         "sort appears anywhere in the plan; bucket rollup is a 3-row " +
-        "aggregate.")
+        "aggregate."),
+      "d24_cluster_keep" -> ("Cluster representative selection: component " +
+        "ids come from the checkpointed ConnectedComponents edge table " +
+        "(Scan ExistingRDD, no recompute); keeper + reclaimed-chars are " +
+        "ONE aggregate on the component key — count/sum/min(struct) argmax " +
+        "partial-combine map-side, no per-cluster window sort anywhere.")
     )
 
     val sb = new StringBuilder
