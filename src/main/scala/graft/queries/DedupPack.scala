@@ -1194,6 +1194,95 @@ object DedupPack extends QueryPack {
         "longest-text representative (deterministic min(struct(-len, id)) " +
         "argmax, no corpus window) and account reclaimed chars — the manifest " +
         "a dedup job actually emits"
+    ),
+    // ------------------------------------------------------- d25 lsh clusters
+    Q(
+      "d25_lsh_clusters",
+      (s, d) => {
+        // d10's production twin: the CC edge list comes from LSH band
+        // collisions (per-bucket-bounded candidates, linear in the corpus)
+        // instead of the source-blocked all-pairs join, which goes
+        // quadratic in per-source density (d10 measures 12.8× wall for
+        // 10× rows on the fixed source set, SCALING.md). The MinHash runs
+        // over TRIGRAM SHINGLES, not unigram tokens — unigram minhash over
+        // a Zipf vocabulary collapses: whichever common token carries the
+        // globally minimal hash puts most of the corpus into one bucket
+        // (measured: 3,176-doc mega-bucket, 5.3M pairs/band at sf0.1).
+        // Shingles are near-unique per document, so buckets hold only
+        // genuine near-dups. Every candidate is then verified with EXACT
+        // shingle Jaccard ≥ 0.8 via integer cross-multiplication (no
+        // division, engine-exact): precision is exact, recall is the LSH
+        // contract — at scale you buy recall with more bands, never with
+        // quadratic blocking.
+        import graft.functions.TextExpressions
+        import graft.functions.TextOps
+        val docs = Tables.documents(s, d)
+        val sh = docs
+          .select(col("doc_id"), TextExpressions.shingles(col("text"), 3).as("sh"))
+          .filter(size(col("sh")) > 0)
+        val sigs = sh.select(
+          col("doc_id") +: MhSeeds.zipWithIndex.map { case ((a, b), i) =>
+            array_min(transform(col("sh"),
+              t => (lit(a) * TextOps.tokenHash(t) + lit(b)) % lit(1000000007L))).as(s"mh$i")
+          }: _*)
+        def bandPairs(c1: String, c2: String) = {
+          val x = sigs.select(col("doc_id").as("a_id"), col(c1), col(c2))
+          val y = sigs.select(col("doc_id").as("b_id"), col(c1), col(c2))
+          x.join(y, Seq(c1, c2)).filter(col("a_id") < col("b_id"))
+            .select(col("a_id"), col("b_id"))
+        }
+        val cand = bandPairs("mh0", "mh1").unionByName(bandPairs("mh2", "mh3")).distinct()
+        val verified = cand
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+          .withColumn("ni", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+          .filter(col("ni") * 10 >=
+            (size(col("a_sh")).cast("long") + size(col("b_sh")) - col("ni")) * 8)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val nodes = docs.select(col("doc_id").as("id"))
+        graft.ops.ConnectedComponents.run(nodes, verified)
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        def mh(a: Long, b: Long) =
+          s"list_aggregate(list_transform(sh, x -> ($a * ${thSql("x")} + $b) % 1000000007), 'min')"
+        s"""WITH RECURSIVE sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+           |  WHERE len(toks) >= 3),
+           |sigs AS (
+           |  SELECT doc_id,
+           |    ${mh(MhSeeds(0)._1, MhSeeds(0)._2)} AS m0,
+           |    ${mh(MhSeeds(1)._1, MhSeeds(1)._2)} AS m1,
+           |    ${mh(MhSeeds(2)._1, MhSeeds(2)._2)} AS m2,
+           |    ${mh(MhSeeds(3)._1, MhSeeds(3)._2)} AS m3
+           |  FROM sh),
+           |cand AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sigs a JOIN sigs b
+           |    ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+           |  UNION
+           |  SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b
+           |    ON a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id),
+           |ver AS (
+           |  SELECT a_id, b_id FROM cand
+           |  JOIN sh ta ON ta.doc_id = a_id
+           |  JOIN sh tb ON tb.doc_id = b_id
+           |  WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS BIGINT) * 10 >=
+           |        8 * (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)))),
+           |edges AS (SELECT a_id AS es, b_id AS ed FROM ver UNION SELECT b_id, a_id FROM ver),
+           |reach AS (
+           |  SELECT doc_id AS node, doc_id AS r FROM documents
+           |  UNION
+           |  SELECT reach.node, e.ed FROM reach JOIN edges e ON reach.r = e.es)
+           |SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+      },
+      doc = "LSH-edged dedup clusters (d10's scale path): shingle-MinHash band " +
+        "collisions generate the candidate edges (linear in the corpus — " +
+        "unigram minhash would mega-bucket on the Zipf head), exact integer-" +
+        "compare shingle Jaccard verifies them, CC labels the clusters"
     )
   )
 }

@@ -267,7 +267,19 @@ object PlanDump {
         "ids come from the checkpointed ConnectedComponents edge table " +
         "(Scan ExistingRDD, no recompute); keeper + reclaimed-chars are " +
         "ONE aggregate on the component key — count/sum/min(struct) argmax " +
-        "partial-combine map-side, no per-cluster window sort anywhere.")
+        "partial-combine map-side, no per-cluster window sort anywhere."),
+      "g12_adaptive_knn" -> ("Density-adaptive grid kNN: the corpus count " +
+        "enters as a broadcast 1-row aggregate (BroadcastNestedLoopJoin " +
+        "over one row) and BOTH join sides derive the same cell size from " +
+        "it in-plan; candidates remain a plain cell equi-join. Constant " +
+        "per-cell occupancy ⇒ linear candidate volume: measured 1.3× wall " +
+        "for 10× rows vs fixed-cell g6's 9.0× (SCALING.md)."),
+      "d25_lsh_clusters" -> ("LSH-edged dedup clusters: shingle arrays " +
+        "compile once (ShingleArray inside the scan projection) and the " +
+        "four minhash lanes are in-row array_min/transform HOFs; band " +
+        "candidates are TWO equi-joins on (mh,mh) keys unioned + distinct; " +
+        "exact shingle-Jaccard verify touches only candidate pairs; CC " +
+        "runs over the verified edge table, not the corpus.")
     )
 
     val sb = new StringBuilder
