@@ -181,11 +181,46 @@ object TextExpressions {
     sim
   }
 
+  /** Seeded variant of [[simHash60Eval]]: the seed offsets the token hash
+    * BEFORE the multiplicative mix, giving an independent 60-bit half for
+    * wide (120-bit) fingerprints. Seed must stay small enough that
+    * `(tokenHash + seed) * 2654435761` cannot overflow a signed long
+    * (tokenHash < 1e9+7, so any seed < ~2e9 is safe) — overflow would
+    * break parity with the oracle's non-overflowing `%` arithmetic.
+    * SQL twin: `(((th(x) + seed) * 2654435761) % 2^60)` then `xor(m, m >> 30)`.
+    */
+  def simHash60SeededEval(text: UTF8String, seed: Long): Long = {
+    val toks = splitTokens(text.toString)
+    val votes = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val h = tokenHash(toks(i)) + seed
+      val m = (h * 2654435761L) & ((1L << 60) - 1)
+      val v = m ^ (m >>> 30)
+      var b = 0
+      while (b < 60) {
+        if (((v >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
   def shingles(text: Column, n: Int): Column =
     GraftShims.column(ShingleArray(GraftShims.expression(text), n))
 
   def simhash60(text: Column): Column =
     GraftShims.column(SimHash60(GraftShims.expression(text)))
+
+  def simhash60Seeded(text: Column, seed: Long): Column =
+    GraftShims.column(SimHash60Seeded(GraftShims.expression(text), seed))
 
   def minhashSignature(text: Column, seeds: Seq[(Long, Long)]): Column =
     GraftShims.column(
@@ -226,6 +261,18 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.simHash60Eval($c)")
   override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
   override def prettyName: String = "simhash60"
+}
+
+case class SimHash60Seeded(child: Expression, seed: Long) extends UnaryExpression {
+  require(seed >= 0 && seed < 2000000000L,
+    "seed must be in [0, 2e9) so the mix cannot overflow a signed long")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextExpressions.simHash60SeededEval(v.asInstanceOf[UTF8String], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.simHash60SeededEval($c, ${seed}L)")
+  override protected def withNewChildInternal(c: Expression): SimHash60Seeded = copy(child = c)
+  override def prettyName: String = "simhash60_seeded"
 }
 
 case class SortedIntersectSize(left: Expression, right: Expression)

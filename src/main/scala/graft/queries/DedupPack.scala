@@ -1283,6 +1283,75 @@ object DedupPack extends QueryPack {
         "collisions generate the candidate edges (linear in the corpus — " +
         "unigram minhash would mega-bucket on the Zipf head), exact integer-" +
         "compare shingle Jaccard verifies them, CC labels the clusters"
+    ),
+    // ------------------------------------------------------- d26 wide simhash
+    Q(
+      "d26_wide_simhash",
+      (s, d) => {
+        // d20's production twin: d20's 4×15-bit band index lives in a FIXED
+        // 32,768-value space per band, so bucket density — and with it the
+        // candidate join — grows linearly with the corpus (d20 measures 9×
+        // wall for 10× rows, SCALING.md). The scale lever is a WIDER
+        // fingerprint: two independent 60-bit simhash halves (the second
+        // seeded before the multiplicative mix), bands pair the k-th 15-bit
+        // segment of BOTH halves into a 30-bit key (2^30 buckets — the
+        // space now outgrows any realistic corpus density). Pigeonhole
+        // stays EXACT for the d≤3 contract over the 120-bit fingerprint:
+        // ≤3 differing bits touch ≤3 of the 4 band slots, so a qualifying
+        // pair collides on at least one intact band. The oracle runs the
+        // brute-force all-pairs comparison of both halves.
+        import graft.functions.TextExpressions
+        val sims = Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            TextExpressions.simhash60(col("text")).as("s1"),
+            TextExpressions.simhash60Seeded(col("text"), 777L).as("s2"))
+        val bands = sims.select(
+          col("doc_id"), col("s1"), col("s2"),
+          posexplode(array((0 until 4).map(k =>
+            (shiftright(col("s1"), 15 * k) % 32768) * 32768 +
+              shiftright(col("s2"), 15 * k) % 32768): _*))
+        ).select(col("doc_id"), col("s1"), col("s2"),
+          col("pos").as("band"), col("col").as("bv"))
+        val x = bands.select(col("band"), col("bv"),
+          col("doc_id").as("doc_a"), col("s1").as("s1a"), col("s2").as("s2a"))
+        val y = bands.select(col("band"), col("bv"),
+          col("doc_id").as("doc_b"), col("s1").as("s1b"), col("s2").as("s2b"))
+        x.join(y, Seq("band", "bv"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("s1a"), col("s1b"), col("s2a"), col("s2b"))
+          .distinct()
+          .select(
+            col("doc_a"), col("doc_b"),
+            expr("CAST(bit_count(s1a ^ s1b) + bit_count(s2a ^ s2b) AS BIGINT)").as("hamming"))
+          .filter(col("hamming") <= 3)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val m = 1L << 60
+        def half(seedExpr: String) = {
+          val mixed = s"((${thSql("x")}$seedExpr) * 2654435761) % $m"
+          s"xor($mixed, ($mixed) >> 30)"
+        }
+        def bits(v: String) = (0 until 60).map { b =>
+          s"(CASE WHEN SUM(CASE WHEN ($v >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS x FROM documents),
+           |tv AS (SELECT doc_id, ${half("")} AS v1, ${half(" + 777")} AS v2 FROM tok),
+           |sims AS (SELECT doc_id,
+           |    CAST(${bits("v1")} AS BIGINT) AS s1,
+           |    CAST(${bits("v2")} AS BIGINT) AS s2
+           |  FROM tv GROUP BY doc_id)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS BIGINT) AS hamming
+           |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+      doc = "wide (120-bit) multi-index Hamming near-dup — d20's scale path: two " +
+        "independent codegen'd simhash halves, 4×30-bit band index (bucket space " +
+        "outgrows corpus density), pigeonhole-exact recall for d<=3, exact " +
+        "two-half bit_count verify — oracle runs brute-force all-pairs"
     )
   )
 }
