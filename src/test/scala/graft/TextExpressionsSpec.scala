@@ -94,4 +94,40 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(banded.exceptAll(brute).count() == 0, "banded index invented pairs")
     assert(banded.count() > 0, "degenerate test: no near-dup pairs at sf0.001")
   }
+
+  test("seeded simhash: seed 0 degenerates to simhash60, seeds decorrelate, bound enforced") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val cmp = docs.select(
+      TextExpressions.simhash60(col("text")).as("a"),
+      TextExpressions.simhash60Seeded(col("text"), 0L).as("b"),
+      TextExpressions.simhash60Seeded(col("text"), 777L).as("c"))
+    assert(cmp.filter(col("a") =!= col("b")).count() == 0,
+      "seed 0 must be exactly the unseeded fingerprint")
+    // an independent half must actually be independent: identical on every
+    // doc would make the wide index vacuous
+    assert(cmp.filter(col("a") =!= col("c")).count() > 0,
+      "seed 777 produced the same fingerprint as seed 0 on every doc")
+    // overflow guard: a seed large enough to overflow the mix is rejected
+    intercept[IllegalArgumentException] {
+      graft.functions.SimHash60Seeded(
+        org.apache.spark.sql.GraftShims.expression(col("text")), 3000000000L)
+    }
+  }
+
+  test("d26 wide band index finds exactly the brute-force 120-bit Hamming<=3 pairs") {
+    val sims = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        TextExpressions.simhash60(col("text")).as("s1"),
+        TextExpressions.simhash60Seeded(col("text"), 777L).as("s2"))
+    val a = sims.select(col("doc_id").as("a_id"), col("s1").as("s1a"), col("s2").as("s2a"))
+    val b = sims.select(col("doc_id").as("b_id"), col("s1").as("s1b"), col("s2").as("s2b"))
+    val brute = a.crossJoin(b)
+      .filter(col("a_id") < col("b_id"))
+      .filter(expr("bit_count(s1a ^ s1b) + bit_count(s2a ^ s2b)") <= 3)
+      .select(col("a_id"), col("b_id"))
+    val banded = SparkEntry.queries("d26_wide_simhash")(spark, "/root/testdata/sf0.001")
+      .select(col("doc_a").as("a_id"), col("doc_b").as("b_id"))
+    assert(brute.exceptAll(banded).count() == 0, "wide banded index missed pairs")
+    assert(banded.exceptAll(brute).count() == 0, "wide banded index invented pairs")
+  }
 }
