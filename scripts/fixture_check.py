@@ -44,6 +44,7 @@ QUERIES = [
     "s13_scalar_quant",
     "s15_mips_topk",
     "s16_batch_ann",
+    "s19_hard_negatives",
 ]
 
 

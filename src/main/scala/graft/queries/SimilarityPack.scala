@@ -1070,6 +1070,74 @@ object SimilarityPack extends QueryPack {
         "brute-force truth on the sampled query set — truth via a blocked " +
         "equi-join (db%8 x replicated queries, distributed pair work), one " +
         "candidate join reused across the probe ladder"
+    ),
+    // ---------------------------------------------------------------- s19
+    Q(
+      "s19_hard_negatives",
+      (s, d) => {
+        // CONTRASTIVE HARD-NEGATIVE MINING — for every anchor vector, the
+        // most-similar vectors with a DIFFERENT label: the negatives a
+        // contrastive/embedding training run actually wants (easy negatives
+        // teach nothing; the hard ones define the margin). Candidates come
+        // from the anchor's 4-plane LSH cell (equi-join — per-cell fan-out,
+        // never |A|x|DB|), the different-label predicate rides the join,
+        // exact cosine reranks, and top-3 per anchor is the row_number
+        // window the TopKToNative rule lowers to the bounded-heap operator.
+        // At 100 TB this is s16's batched-ANN shape plus a label guard:
+        // mining cost stays proportional to cell density and the anchor
+        // set is the small side of every stage.
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            lshBucket(col("embedding"), 4).as("bucket"), norm(col("embedding")).as("nrm"))
+        val anchors = e.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+            col("bucket"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+        val scored = e.join(anchors, Seq("bucket"))
+          .filter(col("label") =!= col("q_lbl"))
+          .select(col("q_id"), col("q_lbl").cast("long").as("q_label"),
+            col("vec_id").as("neg_id"), col("label").cast("long").as("neg_label"),
+            // NULL divisor on a zero-norm vector (when-guard here, nullif in
+            // the oracle) — floor(NaN) is 0 in Spark but NaN in DuckDB.
+            quant(dot(col("embedding"), col("q_emb")) /
+              when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6)
+              .as("cos_sim"))
+        scored
+          .withColumn("rank",
+            row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("neg_id")))
+              .cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("neg_id"), col("q_label"),
+            col("neg_label"), col("cos_sim"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val bits = (0 until 4)
+          .map(j => s"CASE WHEN ${planeSql(j)} > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH e AS (
+           |  SELECT vec_id, label, emb AS embedding, CAST($bits AS BIGINT) AS bucket
+           |  FROM (SELECT vec_id, label, embedding AS emb FROM embeddings)),
+           |a AS (SELECT vec_id AS q_id, label AS q_lbl, bucket, embedding AS q_emb
+           |      FROM e WHERE vec_id % 25 = 0),
+           |sc AS (
+           |  SELECT a.q_id, CAST(a.q_lbl AS BIGINT) AS q_label,
+           |    e.vec_id AS neg_id, CAST(e.label AS BIGINT) AS neg_label,
+           |    floor(${dotSql("e.embedding", "a.q_emb")} /
+           |          nullif(${normSql("e.embedding")} * ${normSql("a.q_emb")}, 0) * 1000000)
+           |      / 1000000 AS cos_sim
+           |  FROM e JOIN a ON e.bucket = a.bucket AND e.label <> a.q_lbl)
+           |SELECT q_id, rank, neg_id, q_label, neg_label, cos_sim FROM (
+           |  SELECT q_id, q_label, neg_id, neg_label, cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neg_id) AS rank
+           |  FROM sc) t
+           |WHERE rank <= 3
+           |ORDER BY q_id, rank""".stripMargin
+      },
+      doc = "contrastive hard-negative mining: per anchor, the top-3 most-similar " +
+        "DIFFERENT-label vectors — LSH-cell equi-join candidates with the label " +
+        "guard on the join, exact cosine rerank, native bounded-heap top-k"
     )
   )
 

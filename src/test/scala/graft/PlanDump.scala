@@ -258,6 +258,11 @@ object PlanDump {
         "work distributes over the block key, no BroadcastNestedLoopJoin " +
         "in the plan; the probe ladder reuses ONE candidate join and both " +
         "rank windows run partitioned (per query / per query+probe-count)."),
+      "s19_hard_negatives" -> ("Hard-negative mining: anchors and index " +
+        "meet on the LSH-cell equi-join with the label-inequality guard " +
+        "riding the join condition (never |A|x|DB|, no post-join label " +
+        "filter stage); exact cosine reranks in the join projection and " +
+        "the per-anchor top-3 lowers to the native bounded-heap operator."),
       "t25_perplexity_buckets" -> ("Perplexity bucketing: t12's LM joins " +
         "feed per-doc integer scores; the global tertile is GlobalOrder's " +
         "range exchange + narrow scan rank — NO single-partition Window " +

@@ -179,4 +179,39 @@ class Round10QueriesSpec extends AnyFunSuite {
     val d25 = q("d25_lsh_clusters")
     assert(d25.count() === nDocs)
   }
+
+  test("s19 negatives are genuinely cross-label and rank-consistent") {
+    val s19 = q("s19_hard_negatives")
+    // no negative may share the anchor's label, and ranks per anchor must
+    // be the dense prefix 1..n (the bounded-heap contract)
+    assert(s19.filter(col("q_label") === col("neg_label")).count() === 0)
+    val badRanks = s19.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"), min(col("rank")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1L || col("n") > 3L)
+    assert(badRanks.count() === 0)
+  }
+
+  test("s19 hard negative is at least as close as any other cell-mate negative (spot)") {
+    // recompute the best cross-label cosine within the anchor's LSH cell for
+    // one anchor and check s19's rank-1 matches it
+    import graft.functions.VectorOps._
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        lshBucket(col("embedding"), 4).as("bucket"), norm(col("embedding")).as("nrm"))
+    val a = e.filter(col("vec_id") === 0).select(
+      col("bucket").as("ab"), col("label").as("al"),
+      col("embedding").as("ae"), col("nrm").as("an"))
+    val best = e.join(a, col("bucket") === col("ab") && col("label") =!= col("al"))
+      .select(col("vec_id"),
+        graft.queries.quant(dot(col("embedding"), col("ae")) /
+          when(col("nrm") * col("an") > 0.0, col("nrm") * col("an")), 1e6).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(1).collect()
+    val got = q("s19_hard_negatives")
+      .filter(col("q_id") === 0 && col("rank") === 1).collect()
+    assert(best.isEmpty === got.isEmpty)
+    if (best.nonEmpty) {
+      assert(got.head.getAs[Long]("neg_id") === best.head.getLong(0))
+      assert(got.head.getAs[Double]("cos_sim") === best.head.getDouble(1))
+    }
+  }
 }
