@@ -37,6 +37,7 @@ QUERIES = [
     "t25_perplexity_buckets",
     "d23_incremental_dedup",
     "d24_cluster_keep",
+    "d27_keep_lsh",
     "p23_pipeline_manifest",
     "p24_quality_curriculum",
     "p25_corpus_signature",

@@ -24,6 +24,80 @@ object DedupPack extends QueryPack {
   /** (a,b) parameters of the 4 MinHash permutations. */
   private val MhSeeds = Seq((7L, 3L), (11L, 17L), (13L, 41L), (17L, 59L))
 
+  /** Shared by d25/d27: trigram-shingle MinHash band collisions → exact
+    * integer-compare Jaccard (≥0.8) verified near-dup edges. Shingles (not
+    * unigram tokens) keep band buckets near-dup-only — unigram minhash
+    * mega-buckets on the Zipf head (measured 3,176-doc bucket at sf0.1).
+    * Linear in the corpus: candidates are per-bucket-bounded, never the
+    * source-blocked all-pairs join that goes quadratic in block density.
+    */
+  private def lshVerifiedEdges(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.{TextExpressions, TextOps}
+    val sh = docs
+      .select(col("doc_id"), TextExpressions.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sigs = sh.select(
+      col("doc_id") +: MhSeeds.zipWithIndex.map { case ((a, b), i) =>
+        array_min(transform(col("sh"),
+          t => (lit(a) * TextOps.tokenHash(t) + lit(b)) % lit(1000000007L))).as(s"mh$i")
+      }: _*)
+    def bandPairs(c1: String, c2: String) = {
+      val x = sigs.select(col("doc_id").as("a_id"), col(c1), col(c2))
+      val y = sigs.select(col("doc_id").as("b_id"), col(c1), col(c2))
+      x.join(y, Seq(c1, c2)).filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+    }
+    val cand = bandPairs("mh0", "mh1").unionByName(bandPairs("mh2", "mh3")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("ni", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
+      .filter(col("ni") * 10 >=
+        (size(col("a_sh")).cast("long") + size(col("b_sh")) - col("ni")) * 8)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+  }
+
+  /** The d25/d27 oracle's shared CTE chain, ending at `cc(doc_id, component)`
+    * — DuckDB recomputes the identical shingle-MinHash bands, exact-Jaccard
+    * verify, and reachability closure.
+    */
+  private def lshCcSql: String = {
+    def mh(a: Long, b: Long) =
+      s"list_aggregate(list_transform(sh, x -> ($a * ${thSql("x")} + $b) % 1000000007), 'min')"
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(generate_series(1, len(toks)-2),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    ${mh(MhSeeds(0)._1, MhSeeds(0)._2)} AS m0,
+       |    ${mh(MhSeeds(1)._1, MhSeeds(1)._2)} AS m1,
+       |    ${mh(MhSeeds(2)._1, MhSeeds(2)._2)} AS m2,
+       |    ${mh(MhSeeds(3)._1, MhSeeds(3)._2)} AS m3
+       |  FROM sh),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sigs a JOIN sigs b
+       |    ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
+       |  UNION
+       |  SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b
+       |    ON a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id),
+       |ver AS (
+       |  SELECT a_id, b_id FROM cand
+       |  JOIN sh ta ON ta.doc_id = a_id
+       |  JOIN sh tb ON tb.doc_id = b_id
+       |  WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS BIGINT) * 10 >=
+       |        8 * (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)))),
+       |edges AS (SELECT a_id AS es, b_id AS ed FROM ver UNION SELECT b_id, a_id FROM ver),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT reach.node, e.ed FROM reach JOIN edges e ON reach.r = e.es),
+       |cc AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
     // ---------------------------------------------------------------- exact
     Q(
@@ -1214,75 +1288,71 @@ object DedupPack extends QueryPack {
         // division, engine-exact): precision is exact, recall is the LSH
         // contract — at scale you buy recall with more bands, never with
         // quadratic blocking.
-        import graft.functions.TextExpressions
-        import graft.functions.TextOps
         val docs = Tables.documents(s, d)
-        val sh = docs
-          .select(col("doc_id"), TextExpressions.shingles(col("text"), 3).as("sh"))
-          .filter(size(col("sh")) > 0)
-        val sigs = sh.select(
-          col("doc_id") +: MhSeeds.zipWithIndex.map { case ((a, b), i) =>
-            array_min(transform(col("sh"),
-              t => (lit(a) * TextOps.tokenHash(t) + lit(b)) % lit(1000000007L))).as(s"mh$i")
-          }: _*)
-        def bandPairs(c1: String, c2: String) = {
-          val x = sigs.select(col("doc_id").as("a_id"), col(c1), col(c2))
-          val y = sigs.select(col("doc_id").as("b_id"), col(c1), col(c2))
-          x.join(y, Seq(c1, c2)).filter(col("a_id") < col("b_id"))
-            .select(col("a_id"), col("b_id"))
-        }
-        val cand = bandPairs("mh0", "mh1").unionByName(bandPairs("mh2", "mh3")).distinct()
-        val verified = cand
-          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-          .withColumn("ni", size(array_intersect(col("a_sh"), col("b_sh"))).cast("long"))
-          .filter(col("ni") * 10 >=
-            (size(col("a_sh")).cast("long") + size(col("b_sh")) - col("ni")) * 8)
-          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val verified = lshVerifiedEdges(docs)
         val nodes = docs.select(col("doc_id").as("id"))
         graft.ops.ConnectedComponents.run(nodes, verified)
           .select(col("id").as("doc_id"), col("component"))
           .orderBy(col("doc_id"))
       },
-      Some {
-        def mh(a: Long, b: Long) =
-          s"list_aggregate(list_transform(sh, x -> ($a * ${thSql("x")} + $b) % 1000000007), 'min')"
-        s"""WITH RECURSIVE sh AS (
-           |  SELECT doc_id,
-           |    list_distinct(list_transform(generate_series(1, len(toks)-2),
-           |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-           |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-           |  WHERE len(toks) >= 3),
-           |sigs AS (
-           |  SELECT doc_id,
-           |    ${mh(MhSeeds(0)._1, MhSeeds(0)._2)} AS m0,
-           |    ${mh(MhSeeds(1)._1, MhSeeds(1)._2)} AS m1,
-           |    ${mh(MhSeeds(2)._1, MhSeeds(2)._2)} AS m2,
-           |    ${mh(MhSeeds(3)._1, MhSeeds(3)._2)} AS m3
-           |  FROM sh),
-           |cand AS (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM sigs a JOIN sigs b
-           |    ON a.m0 = b.m0 AND a.m1 = b.m1 AND a.doc_id < b.doc_id
-           |  UNION
-           |  SELECT a.doc_id, b.doc_id FROM sigs a JOIN sigs b
-           |    ON a.m2 = b.m2 AND a.m3 = b.m3 AND a.doc_id < b.doc_id),
-           |ver AS (
-           |  SELECT a_id, b_id FROM cand
-           |  JOIN sh ta ON ta.doc_id = a_id
-           |  JOIN sh tb ON tb.doc_id = b_id
-           |  WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS BIGINT) * 10 >=
-           |        8 * (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh)))),
-           |edges AS (SELECT a_id AS es, b_id AS ed FROM ver UNION SELECT b_id, a_id FROM ver),
-           |reach AS (
-           |  SELECT doc_id AS node, doc_id AS r FROM documents
-           |  UNION
-           |  SELECT reach.node, e.ed FROM reach JOIN edges e ON reach.r = e.es)
-           |SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
-      },
+      Some(s"""$lshCcSql
+           |SELECT doc_id, component FROM cc ORDER BY doc_id""".stripMargin),
       doc = "LSH-edged dedup clusters (d10's scale path): shingle-MinHash band " +
         "collisions generate the candidate edges (linear in the corpus — " +
         "unigram minhash would mega-bucket on the Zipf head), exact integer-" +
         "compare shingle Jaccard verifies them, CC labels the clusters"
+    ),
+    // ------------------------------------------------------- d27 keep via lsh
+    Q(
+      "d27_keep_lsh",
+      (s, d) => {
+        // The END-TO-END dedup scale path: d24's keep-manifest (per-cluster
+        // representative + reclaimed chars) computed on d25's LSH-verified
+        // edges instead of d10's source-blocked all-pairs graph. This is
+        // the composition a 100 TB dedup job actually runs — every stage
+        // is corpus-linear: band-bucket candidates, exact-Jaccard verify,
+        // CC, then ONE aggregate keyed by component for the keeper argmax
+        // (min(struct(-len, id)) — no corpus window). d24 stays as the
+        // oracle-pinned exact-blocked baseline; SCALING.md carries both
+        // curves (d24 inherits d10's density-quadratic edges, this stays
+        // near-linear).
+        val docs = Tables.documents(s, d)
+        val verified = lshVerifiedEdges(docs)
+        val nodes = docs.select(col("doc_id").as("id"))
+        val comp = graft.ops.ConnectedComponents.run(nodes, verified)
+        comp.join(docs.select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+          .groupBy(col("component"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("tot_chars"),
+            min(struct((-col("n_chars")).as("nl"), col("id").as("i"))).as("m"))
+          .filter(col("n_docs") >= 2)
+          .select(col("component"), col("n_docs"),
+            col("m.i").as("keep_id"), (-col("m.nl")).as("keep_chars"),
+            (col("tot_chars") - (-col("m.nl"))).as("dropped_chars"))
+          .orderBy(col("component"))
+      },
+      Some(s"""$lshCcSql,
+           |j AS (SELECT cc.component, dd.doc_id, dd.n_chars
+           |      FROM cc JOIN documents dd USING (doc_id)),
+           |ag AS (
+           |  SELECT component, COUNT(*) AS n_docs,
+           |    CAST(SUM(n_chars) AS BIGINT) AS tot_chars
+           |  FROM j GROUP BY component),
+           |keep AS (
+           |  SELECT component, doc_id AS keep_id, n_chars AS keep_chars FROM (
+           |    SELECT component, doc_id, n_chars,
+           |      ROW_NUMBER() OVER (PARTITION BY component
+           |                         ORDER BY n_chars DESC, doc_id) AS rn
+           |    FROM j) t WHERE rn = 1)
+           |SELECT ag.component, ag.n_docs, keep.keep_id, keep.keep_chars,
+           |  ag.tot_chars - keep.keep_chars AS dropped_chars
+           |FROM ag JOIN keep USING (component)
+           |WHERE ag.n_docs >= 2
+           |ORDER BY ag.component""".stripMargin),
+      doc = "end-to-end dedup scale path: d24's keep-manifest (representative " +
+        "+ reclaimed chars) over d25's LSH-verified edges — every stage " +
+        "corpus-linear, keeper argmax one component-keyed aggregate"
     ),
     // ------------------------------------------------------- d26 wide simhash
     Q(

@@ -258,6 +258,12 @@ object PlanDump {
         "work distributes over the block key, no BroadcastNestedLoopJoin " +
         "in the plan; the probe ladder reuses ONE candidate join and both " +
         "rank windows run partitioned (per query / per query+probe-count)."),
+      "d27_keep_lsh" -> ("End-to-end dedup scale path: the keep-manifest " +
+        "runs on d25's LSH-verified edge machinery (shared helper — both " +
+        "plans carry the same band equi-joins and exact-Jaccard verify, " +
+        "no source-blocked all-pairs join anywhere); CC labels come from " +
+        "the checkpointed component table and the keeper argmax is ONE " +
+        "component-keyed aggregate, no corpus window."),
       "s19_hard_negatives" -> ("Hard-negative mining: anchors and index " +
         "meet on the LSH-cell equi-join with the label-inequality guard " +
         "riding the join condition (never |A|x|DB|, no post-join label " +

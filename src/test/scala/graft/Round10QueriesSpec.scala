@@ -180,6 +180,27 @@ class Round10QueriesSpec extends AnyFunSuite {
     assert(d25.count() === nDocs)
   }
 
+  test("d27 keep-manifest agrees with d25's clusters") {
+    // every d27 row must describe a multi-doc d25 component exactly:
+    // same membership count, keeper is the longest text (ties: smallest id)
+    val d25 = q("d25_lsh_clusters")
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val expected = d25.join(docs, Seq("doc_id"))
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n2"), sum(col("n_chars")).as("tot2"),
+        min(struct((-col("n_chars")).as("nl"), col("doc_id").as("i"))).as("m2"))
+      .filter(col("n2") >= 2)
+    val d27 = q("d27_keep_lsh")
+    assert(d27.count() === expected.count())
+    val joined = d27.join(expected, Seq("component"), "full_outer")
+    assert(joined.filter(
+      col("n_docs").isNull || col("n2").isNull ||
+        col("n_docs") =!= col("n2") ||
+        col("keep_id") =!= col("m2.i") ||
+        col("keep_chars") =!= -col("m2.nl") ||
+        col("dropped_chars") =!= (col("tot2") + col("m2.nl"))).count() === 0)
+  }
+
   test("s19 negatives are genuinely cross-label and rank-consistent") {
     val s19 = q("s19_hard_negatives")
     // no negative may share the anchor's label, and ranks per anchor must
