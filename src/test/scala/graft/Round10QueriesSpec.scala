@@ -180,6 +180,22 @@ class Round10QueriesSpec extends AnyFunSuite {
     assert(d25.count() === nDocs)
   }
 
+  test("d27 and s19 are invariant to the shuffle-partition count") {
+    // retry/reproducibility contract at 100 TB: the same query on the same
+    // data must produce identical rows no matter how the shuffle is laid
+    // out. Exercises the iterative CC machinery (d27) and the LSH-cell
+    // join + bounded-heap top-k (s19) at two partitionings.
+    def rows(name: String) =
+      q(name).collect().map(_.toString).sorted.toSeq
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    val (d27a, s19a) = (rows("d27_keep_lsh"), rows("s19_hard_negatives"))
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      assert(rows("d27_keep_lsh") === d27a)
+      assert(rows("s19_hard_negatives") === s19a)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
+  }
+
   test("d27 keep-manifest agrees with d25's clusters") {
     // every d27 row must describe a multi-doc d25 component exactly:
     // same membership count, keeper is the longest text (ties: smallest id)
