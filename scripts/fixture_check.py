@@ -46,6 +46,8 @@ QUERIES = [
     "s15_mips_topk",
     "s16_batch_ann",
     "s19_hard_negatives",
+    "s20_wide_ann",
+    "s21_wide_recall",
 ]
 
 

@@ -65,7 +65,14 @@ object Bench {
     try {
       import spark.implicits._
       spark.range(1000).toDF("x").localCheckpoint(true).count()
-    } catch { case _: Throwable => () }
+    } catch {
+      // NonFatal only, and loudly: a genuinely broken checkpoint path must
+      // not be silently absorbed here (the rep-1 spike would quietly return
+      // to whichever CC query checkpoints first, and worse, every CC query
+      // would be broken); OOM/interrupts propagate.
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] localCheckpoint warm-up failed: $e")
+    }
     // iteration aid: SPARK_GRAFT_ONLY=q1,q3 times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // sorted-name order (stable across rounds, so per-query diffs compare

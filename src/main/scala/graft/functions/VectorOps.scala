@@ -38,8 +38,21 @@ object VectorOps {
     VectorExpressions.planeDot(emb, j, shift)
 
   /** Random-hyperplane LSH bucket id over `nPlanes` sign bits. */
-  def lshBucket(emb: Column, nPlanes: Int): Column =
-    (0 until nPlanes).map { j =>
-      when(hashPlaneDot(emb, j, 0.5) > 0, lit(1L << j)).otherwise(lit(0L))
+  def lshBucket(emb: Column, nPlanes: Int): Column = lshBucketAt(emb, nPlanes, 0)
+
+  /** LSH bucket over planes [offset, offset+nPlanes) — bit b of the bucket is
+    * the sign of plane (offset+b). The multi-table OR-construction (E2LSH /
+    * FAISS-style: L independent tables of k planes each) uses offset = t*k so
+    * table t draws a disjoint plane set. Corpus-proof sizing rule: pick k ≈
+    * log2(N / targetCellSize) so per-cell density — and with it the candidate
+    * join's per-key fan-out — stays CONSTANT as the corpus grows; recall is
+    * then bought back with tables (OR over L) and multi-probe (Hamming-ball
+    * query-side fan-out), both of which cost query replication, never index
+    * density. The 4-plane/16-cell config (s3/s4/s16/s17/s19) is the pinned
+    * small-corpus baseline; s20/s21 run this parametric form at 4x12 planes.
+    */
+  def lshBucketAt(emb: Column, nPlanes: Int, offset: Int): Column =
+    (0 until nPlanes).map { b =>
+      when(hashPlaneDot(emb, offset + b, 0.5) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
 }

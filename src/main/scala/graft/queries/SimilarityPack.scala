@@ -1103,6 +1103,10 @@ object SimilarityPack extends QueryPack {
               when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6)
               .as("cos_sim"))
         scored
+          // a zero-norm vector (NULL cos_sim) is not a meaningful hard
+          // negative — drop it BEFORE ranking so it can't claim a top-3
+          // slot in a sparse cell (ADVICE r10); same predicate in the oracle
+          .filter(col("cos_sim").isNotNull)
           .withColumn("rank",
             row_number().over(
               Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("neg_id")))
@@ -1131,13 +1135,269 @@ object SimilarityPack extends QueryPack {
            |SELECT q_id, rank, neg_id, q_label, neg_label, cos_sim FROM (
            |  SELECT q_id, q_label, neg_id, neg_label, cos_sim,
            |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neg_id) AS rank
-           |  FROM sc) t
+           |  FROM sc WHERE cos_sim IS NOT NULL) t
            |WHERE rank <= 3
            |ORDER BY q_id, rank""".stripMargin
       },
       doc = "contrastive hard-negative mining: per anchor, the top-3 most-similar " +
         "DIFFERENT-label vectors — LSH-cell equi-join candidates with the label " +
         "guard on the join, exact cosine rerank, native bounded-heap top-k"
+    ),
+    // ---------------------------------------------------------------- s20
+    Q(
+      "s20_wide_ann",
+      (s, d) => {
+        // WIDE-CODE MULTI-TABLE ANN — the corpus-proof retrieval config the
+        // 4-plane family (s3/s4/s16/s17/s19) is the small-corpus baseline
+        // for. Those pin 16 cells, so per-cell density — and the candidate
+        // equi-join's per-key fan-out — grows linearly with the corpus: the
+        // same fixed-key-space density class d20/g6/d3 were in before
+        // d26/g12/d25. Here the code is 12 planes = 4096 cells per table
+        // (sized so cell density at the test corpus is O(1) vectors; at
+        // 100 TB you bump k ~ log2(N/targetCellSize) — identical machinery,
+        // see VectorOps.lshBucketAt), and recall lost to selectivity is
+        // bought back the two ways that cost QUERY replication rather than
+        // index density: L=4 independent tables (E2LSH OR-construction,
+        // disjoint plane sets) and Hamming-1 multi-probe within each table
+        // (13 probe cells/table). Index side carries L rows per vector —
+        // the standard L-times space trade; query side fans out 52x; the
+        // join stays an equi-join on (table, bucket). Tables overlap, so
+        // candidates dedup by (q_id, nn_id) — quantized cosine is
+        // deterministic per pair, so distinct() after scoring is exact.
+        import org.apache.spark.sql.expressions.Window
+        val K = 12
+        val L = 4
+        val masks = 0L +: (0 until K).map(b => 1L << b)
+        val e = Tables.embeddings(s, d).select(
+          Seq(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")) ++
+            (0 until L).map(t => lshBucketAt(col("embedding"), K, t * K).as(s"wb$t")): _*)
+        val db = e.filter(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            explode(array((0 until L).map(t =>
+              struct(lit(t).as("tbl"), col(s"wb$t").as("bucket"))): _*)).as("tb"))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val qs = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+            explode(array((for { t <- 0 until L; m <- masks } yield
+              struct(lit(t).as("tbl"), col(s"wb$t").bitwiseXOR(lit(m)).as("bucket"))): _*)).as("tb"))
+          .select(col("q_id"), col("q_emb"), col("q_nrm"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val cand = db.join(qs, Seq("tbl", "bucket"))
+          .select(col("q_id"), col("vec_id").as("nn_id"),
+            quant(dot(col("embedding"), col("q_emb")) /
+              when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6)
+              .as("cos_sim"))
+          .filter(col("cos_sim").isNotNull)
+          .distinct()
+        cand
+          .withColumn("n_cand", count(lit(1)).over(Window.partitionBy(col("q_id"))))
+          .withColumn("rank",
+            row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("nn_id")))
+              .cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("nn_id"), col("cos_sim"), col("n_cand"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        def bucketAt(k: Int, offset: Int): String = (0 until k)
+          .map(b => s"CASE WHEN ${planeSql(offset + b)} > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        val wcols = (0 until 4)
+          .map(t => s"CAST(${bucketAt(12, t * 12)} AS BIGINT) AS wb$t")
+          .mkString(",\n    ")
+        val wcase = "CASE t.tbl WHEN 0 THEN wb0 WHEN 1 THEN wb1 WHEN 2 THEN wb2 ELSE wb3 END"
+        val pcase = "CASE p.tbl WHEN 0 THEN wb0 WHEN 1 THEN wb1 WHEN 2 THEN wb2 ELSE wb3 END"
+        val probeRows = (for { t <- 0 until 4; m <- 0L +: (0 until 12).map(b => 1L << b) }
+          yield s"($t,$m)").mkString(",")
+        s"""WITH e AS (
+           |  SELECT vec_id, emb AS embedding,
+           |    $wcols
+           |  FROM (SELECT vec_id, embedding AS emb FROM embeddings)),
+           |db AS (
+           |  SELECT e.vec_id, e.embedding, t.tbl, $wcase AS bucket
+           |  FROM e, (SELECT unnest([0,1,2,3]) AS tbl) t
+           |  WHERE e.vec_id % 50 <> 0),
+           |q AS (
+           |  SELECT e.vec_id AS q_id, e.embedding AS q_emb, p.tbl,
+           |    xor($pcase, p.m) AS bucket
+           |  FROM e, (VALUES $probeRows) p(tbl, m)
+           |  WHERE e.vec_id % 50 = 0),
+           |cand AS (
+           |  SELECT DISTINCT q_id, nn_id, cos_sim FROM (
+           |    SELECT q.q_id, db.vec_id AS nn_id,
+           |      floor(${dotSql("db.embedding", "q.q_emb")} /
+           |            nullif(${normSql("db.embedding")} * ${normSql("q.q_emb")}, 0) * 1000000)
+           |        / 1000000 AS cos_sim
+           |    FROM db JOIN q ON db.tbl = q.tbl AND db.bucket = q.bucket) t
+           |  WHERE cos_sim IS NOT NULL)
+           |SELECT q_id, rank, nn_id, cos_sim, n_cand FROM (
+           |  SELECT q_id, nn_id, cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, nn_id) AS rank,
+           |    COUNT(*) OVER (PARTITION BY q_id) AS n_cand
+           |  FROM cand) t
+           |WHERE rank <= 3
+           |ORDER BY q_id, rank""".stripMargin
+      },
+      doc = "corpus-proof ANN config: 4 tables x 12 planes (4096 cells each, " +
+        "E2LSH OR-construction) + Hamming-1 multi-probe per table — per-cell " +
+        "density stays O(1) as the corpus grows, recall is bought with query-side " +
+        "fan-out (52 probes) and L-table index replication, never index density"
+    ),
+    // ---------------------------------------------------------------- s21
+    Q(
+      "s21_wide_recall",
+      (s, d) => {
+        // RECALL/COST LADDER, narrow vs wide — the s18-style measurement
+        // that justifies s20's config: recall@3 against exact blocked-join
+        // truth AND total candidate volume for (a) the pinned 16-cell code
+        // single-probe, (b) 16-cell with s17's 5-probe ladder, (c) s20's
+        // 4x12-plane multi-table Hamming-1 config. One (table, bucket)
+        // equi-join serves all three configs: the index explodes to 5 keyed
+        // rows per vector (tbl=-1 the narrow code, 0..3 the wide tables),
+        // the query side fans out per config x probe, and candidates dedup
+        // per (config, query, neighbor). The artifact shows the trade the
+        // 100 TB operator tunes: candidates per unit recall, with the wide
+        // config's candidate volume two orders below the narrow probes'.
+        import org.apache.spark.sql.expressions.Window
+        val K = 12
+        val L = 4
+        val wmasks = 0L +: (0 until K).map(b => 1L << b)
+        val e = Tables.embeddings(s, d).select(
+          Seq(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+            lshBucket(col("embedding"), 4).as("nb")) ++
+            (0 until L).map(t => lshBucketAt(col("embedding"), K, t * K).as(s"wb$t")): _*)
+        val db = e.filter(col("vec_id") % 50 =!= 0)
+        val qs = e.filter(col("vec_id") % 50 === 0)
+        val dbx = db
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            explode(array(
+              struct(lit(-1).as("tbl"), col("nb").as("bucket")) +:
+                (0 until L).map(t => struct(lit(t).as("tbl"), col(s"wb$t").as("bucket"))): _*))
+              .as("tb"))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val probes =
+          Seq(struct(lit("lsh_16c_1p").as("config"), lit(-1).as("tbl"), col("nb").as("bucket"))) ++
+            Seq(0L, 1L, 2L, 4L, 8L).map(m =>
+              struct(lit("lsh_16c_5p").as("config"), lit(-1).as("tbl"),
+                col("nb").bitwiseXOR(lit(m)).as("bucket"))) ++
+            (for { t <- 0 until L; m <- wmasks } yield
+              struct(lit("lsh_4096c_x4_h1").as("config"), lit(t).as("tbl"),
+                col(s"wb$t").bitwiseXOR(lit(m)).as("bucket")))
+        val qp = qs
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+            explode(array(probes: _*)).as("pr"))
+          .select(col("q_id"), col("q_emb"), col("q_nrm"),
+            col("pr.config").as("config"), col("pr.tbl").as("tbl"), col("pr.bucket").as("bucket"))
+        val cosExpr = quant(dot(col("embedding"), col("q_emb")) /
+          when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6)
+        val cand = dbx.join(qp, Seq("tbl", "bucket"))
+          .select(col("config"), col("q_id"), col("vec_id").as("nn_id"), cosExpr.as("cos_sim"))
+          .filter(col("cos_sim").isNotNull)
+          .distinct()
+        val counts = cand.groupBy(col("config")).agg(count(lit(1)).as("n_cand"))
+        val top3 = cand
+          .withColumn("rk",
+            row_number().over(
+              Window.partitionBy(col("config"), col("q_id"))
+                .orderBy(col("cos_sim").desc, col("nn_id"))))
+          .filter(col("rk") <= 3)
+          .select(col("config"), col("q_id"), col("nn_id"))
+        // exact truth: block join spreads the |Q|x|DB| pair work over 8 keys
+        val truth = db.withColumn("blk", pmod(col("vec_id"), lit(8)))
+          .join(qs.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"), explode(sequence(lit(0L), lit(7L))).as("blk")), Seq("blk"))
+          .select(col("q_id"), col("vec_id").as("nn_id"), cosExpr.as("cs"))
+          .withColumn("rk",
+            row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("nn_id"))))
+          .filter(col("rk") <= 3)
+          .select(col("q_id"), col("nn_id"))
+        val hits = top3
+          .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "nn_id"), "left")
+          .groupBy(col("config"))
+          .agg(count(lit(1)).as("n_retrieved"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        val nq = qs.agg(count(lit(1)).as("n_q"))
+        counts.join(hits, Seq("config"))
+          .crossJoin(broadcast(nq))
+          .select(col("config"), col("n_cand"), col("n_retrieved"), col("n_hits"),
+            expr("n_hits * 1000000 DIV (3 * n_q)").as("recall_ppm"))
+          .orderBy(col("config"))
+      },
+      Some {
+        def bucketAt(k: Int, offset: Int): String = (0 until k)
+          .map(b => s"CASE WHEN ${planeSql(offset + b)} > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        val nbits = (0 until 4)
+          .map(j => s"CASE WHEN ${planeSql(j)} > 0 THEN ${1L << j} ELSE 0 END")
+          .mkString(" + ")
+        val wcols = (0 until 4)
+          .map(t => s"CAST(${bucketAt(12, t * 12)} AS BIGINT) AS wb$t")
+          .mkString(",\n    ")
+        val tcase = "CASE t.tbl WHEN -1 THEN nb WHEN 0 THEN wb0 WHEN 1 THEN wb1 WHEN 2 THEN wb2 ELSE wb3 END"
+        val pcase = "CASE p.tbl WHEN -1 THEN nb WHEN 0 THEN wb0 WHEN 1 THEN wb1 WHEN 2 THEN wb2 ELSE wb3 END"
+        val probeRows = (
+          Seq("('lsh_16c_1p',-1,0)") ++
+            Seq(0L, 1L, 2L, 4L, 8L).map(m => s"('lsh_16c_5p',-1,$m)") ++
+            (for { t <- 0 until 4; m <- 0L +: (0 until 12).map(b => 1L << b) }
+              yield s"('lsh_4096c_x4_h1',$t,$m)")
+          ).mkString(",")
+        val candCos = s"""floor(${dotSql("d.embedding", "p.q_emb")} /
+           |            nullif(${normSql("d.embedding")} * ${normSql("p.q_emb")}, 0) * 1000000)
+           |        / 1000000""".stripMargin
+        val truthCos = s"""floor(${dotSql("db.embedding", "q.q_emb")} /
+           |          nullif(${normSql("db.embedding")} * ${normSql("q.q_emb")}, 0) * 1000000)
+           |      / 1000000""".stripMargin
+        s"""WITH e AS (
+           |  SELECT vec_id, emb AS embedding,
+           |    CAST($nbits AS BIGINT) AS nb,
+           |    $wcols
+           |  FROM (SELECT vec_id, embedding AS emb FROM embeddings)),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nb, wb0, wb1, wb2, wb3
+           |      FROM e WHERE vec_id % 50 = 0),
+           |db AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+           |dbx AS (
+           |  SELECT db.vec_id, db.embedding, t.tbl, $tcase AS bucket
+           |  FROM db, (SELECT unnest([-1,0,1,2,3]) AS tbl) t),
+           |qp AS (
+           |  SELECT q.q_id, q.q_emb, p.config, p.tbl, xor($pcase, p.m) AS bucket
+           |  FROM q, (VALUES $probeRows) p(config, tbl, m)),
+           |cand AS (
+           |  SELECT DISTINCT config, q_id, nn_id, cos_sim FROM (
+           |    SELECT p.config, p.q_id, d.vec_id AS nn_id,
+           |      $candCos AS cos_sim
+           |    FROM dbx d JOIN qp p ON d.tbl = p.tbl AND d.bucket = p.bucket) t
+           |  WHERE cos_sim IS NOT NULL),
+           |counts AS (SELECT config, COUNT(*) AS n_cand FROM cand GROUP BY config),
+           |top3 AS (
+           |  SELECT config, q_id, nn_id FROM (
+           |    SELECT config, q_id, nn_id,
+           |      ROW_NUMBER() OVER (PARTITION BY config, q_id
+           |                         ORDER BY cos_sim DESC, nn_id) AS rk
+           |    FROM cand) t WHERE rk <= 3),
+           |truth AS (
+           |  SELECT q_id, nn_id FROM (
+           |    SELECT q.q_id, db.vec_id AS nn_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+           |                         ORDER BY $truthCos DESC, db.vec_id) AS rk
+           |    FROM db, q) t WHERE rk <= 3),
+           |hits AS (
+           |  SELECT config, COUNT(*) AS n_retrieved,
+           |    CAST(SUM(CASE WHEN truth.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |  FROM top3 LEFT JOIN truth USING (q_id, nn_id)
+           |  GROUP BY config),
+           |nq AS (SELECT COUNT(*) AS n_q FROM q)
+           |SELECT counts.config, n_cand, n_retrieved, n_hits,
+           |  n_hits * 1000000 // (3 * (SELECT n_q FROM nq)) AS recall_ppm
+           |FROM counts JOIN hits USING (config)
+           |ORDER BY config""".stripMargin
+      },
+      doc = "recall@3/candidate-volume ladder vs exact blocked-join truth for the " +
+        "pinned 16-cell code (1 and 5 probes) against s20's 4x12-plane multi-table " +
+        "Hamming-1 config — one (table,bucket) equi-join serves all three configs; " +
+        "the artifact quantifies candidates-per-unit-recall, the knob a 100 TB " +
+        "index run tunes"
     )
   )
 

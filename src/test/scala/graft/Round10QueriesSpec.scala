@@ -188,9 +188,13 @@ class Round10QueriesSpec extends AnyFunSuite {
     def rows(name: String) =
       q(name).collect().map(_.toString).sorted.toSeq
     val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    // derive the second partitioning from the current one so the test can
+    // never silently compare a run against itself (ADVICE r10)
+    val alt = (conf.toInt + 5).toString
+    assert(alt !== conf)
     val (d27a, s19a) = (rows("d27_keep_lsh"), rows("s19_hard_negatives"))
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      spark.conf.set("spark.sql.shuffle.partitions", alt)
       assert(rows("d27_keep_lsh") === d27a)
       assert(rows("s19_hard_negatives") === s19a)
     } finally spark.conf.set("spark.sql.shuffle.partitions", conf)

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-query differential invariants for the round-11 additions — each new
+  * query is checked against an independent formulation or an already-oracled
+  * sibling, not just its own DuckDB twin.
+  */
+class Round11QueriesSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val spark = SparkTestSession.spark
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("s20 wide-ANN results are true candidates: top-1 never beats brute force") {
+    // the wide config retrieves a SUBSET of the db, so its per-query best
+    // cosine is bounded by the exact best over all of db (s1-style brute
+    // force recomputed here over the same %50 query/db split)
+    import graft.functions.VectorOps._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val qs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val db = e.filter(col("vec_id") % 50 =!= 0)
+    val exact = db.crossJoin(qs)
+      .select(col("q_id"),
+        queries.quant(dot(col("embedding"), col("q_emb")) /
+          when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6).as("cs"))
+      .filter(col("cs").isNotNull)
+      .groupBy(col("q_id")).agg(max(col("cs")).as("best"))
+    val s20 = q("s20_wide_ann").filter(col("rank") === 1)
+      .select(col("q_id"), col("cos_sim"))
+    val j = s20.join(exact, Seq("q_id"), "left")
+    assert(j.filter(col("best").isNull || col("cos_sim") > col("best")).count() === 0)
+  }
+
+  test("s21 ladder agrees with s18 on the shared narrow configs") {
+    // s21's lsh_16c_1p and lsh_16c_5p rows retrieve exactly what s18's
+    // 1-probe and 5-probe rungs retrieve (same query sample, same probe
+    // cells, same truth), so n_retrieved/n_hits/recall_ppm must match the
+    // already-oracled s18 rows
+    def l(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.get(i).asInstanceOf[Number].longValue
+    val s18 = q("s18_recall_curve")
+      .select(col("n_probes"), col("n_retrieved"), col("n_hits"), col("recall_ppm"))
+      .collect().map(r => l(r, 0) -> ((l(r, 1), l(r, 2), l(r, 3)))).toMap
+    val s21 = q("s21_wide_recall")
+      .select(col("config"), col("n_retrieved"), col("n_hits"), col("recall_ppm"))
+      .collect().map(r => r.getString(0) -> ((l(r, 1), l(r, 2), l(r, 3)))).toMap
+    assert(s21("lsh_16c_1p") === s18(1L))
+    assert(s21("lsh_16c_5p") === s18(5L))
+  }
+
+  test("s21 probe ladder is monotone and the wide config is the cheap one") {
+    val rows = q("s21_wide_recall")
+      .select(col("config"), col("n_cand"), col("n_hits"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (c1, h1) = rows("lsh_16c_1p")
+    val (c5, h5) = rows("lsh_16c_5p")
+    val (cw, _) = rows("lsh_4096c_x4_h1")
+    // 5-probe candidates are a superset of 1-probe's (probe set contains the
+    // own cell) -> more candidates, no fewer hits
+    assert(c5 >= c1 && h5 >= h1)
+    // the wide config's whole point: fewer candidates than the narrow
+    // multi-probe ladder at the same corpus
+    assert(cw < c5)
+  }
+
+  test("s20 results invariant to the shuffle-partition count") {
+    def rows() = q("s20_wide_ann").collect().map(_.toString).sorted.toSeq
+    val conf = spark.conf.get("spark.sql.shuffle.partitions")
+    val alt = (conf.toInt + 5).toString
+    assert(alt !== conf)
+    val a = rows()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", alt)
+      assert(rows() === a)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", conf)
+  }
+}
