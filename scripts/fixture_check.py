@@ -30,6 +30,7 @@ QUERIES = [
     "m11_audio_fingerprint",
     "m12_scene_segments",
     "m13_keyframe_pick",
+    "m14_png_decode",
     "t24_readability",
     "p27_bpe_pair_stats",
     "s17_multiprobe_lsh",

@@ -7,16 +7,18 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 
-/** A REAL media codec with zero external dependencies: the RIFF/WAVE (PCM)
-  * container header, packed and parsed byte-exactly as Catalyst
-  * expressions. The container has no image/audio libraries, so
-  * [[graft.ops.MediaOps.decodeStub]] documents the stubbed image-decode
-  * seam — but a WAV header is pure byte arithmetic, so the audio-metadata
-  * path can be the genuine article: [[WavPack]] builds the standard 44-byte
-  * PCM header in front of a payload, [[WavMeta]] validates the four chunk
-  * markers and reads the little-endian fields back. decode(pack(x)) == x
-  * is the oracle-checkable round trip (query m8), and [[WavMeta]] on
-  * non-WAV bytes returns null — the parse-don't-throw edge contract every
+/** REAL media codecs with zero external dependencies. Audio: the RIFF/WAVE
+  * (PCM) container header, packed and parsed byte-exactly as Catalyst
+  * expressions — [[WavPack]] builds the standard 44-byte PCM header in
+  * front of a payload, [[WavMeta]] validates the four chunk markers and
+  * reads the little-endian fields back. Image: genuine PNG via the JDK's
+  * own `javax.imageio` (public, ships with every JRE — no external
+  * library): [[PngEncodeGray]] renders a payload as an 8-bit grayscale
+  * PNG through the real deflate/filter encoder, [[PngStats]] runs the real
+  * PNG decoder and folds width/height/pixel statistics in one pass.
+  * decode(pack(x)) == x is the oracle-checkable round trip (queries m8 and
+  * m14), and both [[WavMeta]] and [[PngStats]] return null on bytes that
+  * are not their container — the parse-don't-throw edge contract every
   * source in this engine follows.
   *
   * CodegenFallback is deliberate: header codec runs ONCE per media row over
@@ -42,6 +44,86 @@ object MediaExpressions {
 
   def frameSums(bytes: Column, frameLen: Int): Column =
     GraftShims.column(FrameSums(GraftShims.expression(bytes), frameLen))
+
+  def pngEncodeGray(payload: Column, width: Int): Column =
+    GraftShims.column(PngEncodeGray(GraftShims.expression(payload), width))
+
+  def pngStats(bytes: Column): Column =
+    GraftShims.column(PngStats(GraftShims.expression(bytes)))
+
+  /** Render a payload as a REAL 8-bit grayscale PNG via the JDK encoder:
+    * pixel i (row-major at the given width) is unsigned byte i; the last
+    * row zero-pads, and an empty payload still renders one all-zero row
+    * (a PNG must have height >= 1). Deterministic pixel plane in, real
+    * deflate-compressed PNG container out.
+    */
+  private[graft] def pngEncodeGrayBytes(payload: Array[Byte], width: Int): Array[Byte] = {
+    val n = payload.length
+    val h = math.max(1, (n + width - 1) / width)
+    val img = new java.awt.image.BufferedImage(
+      width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < n) {
+      raster.setSample(i % width, i / width, 0, payload(i) & 0xff)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    // MemoryCacheImageOutputStream: no ImageIO disk-cache temp file per row
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      if (!javax.imageio.ImageIO.write(img, "png", ios))
+        throw new IllegalStateException("JDK PNG writer unavailable")
+      ios.flush()
+    } finally ios.close()
+    baos.toByteArray
+  }
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Decode a PNG through the real JDK decoder and fold band-0 pixel stats:
+    * (width, height, n_pixels, pixel_sum, pixel_max, pixel_min). None when
+    * the bytes are not a PNG — signature sniff first (cheap rejection of
+    * the common non-image case), then any decoder failure on a
+    * signature-bearing-but-corrupt payload maps to None, never a thrown
+    * task failure.
+    */
+  private[graft] def pngStatsOf(
+      b: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] = {
+    if (b == null || b.length < 8) return None
+    var i = 0
+    while (i < 8) {
+      if ((b(i) & 0xff) != PngSig(i)) return None
+      i += 1
+    }
+    try {
+      // MemoryCacheImageInputStream: decode from heap, no temp file; the
+      // ImageInputStream overload closes the stream after reading
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(b)))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var sum = 0L
+      var mx = Long.MinValue
+      var mn = Long.MaxValue
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0).toLong
+          sum += v
+          if (v > mx) mx = v
+          if (v < mn) mn = v
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, w.toLong * h, sum, mx, mn))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Unsigned-byte sums over consecutive `frameLen`-byte windows (the last
     * window may be short). One compiled pass; shared by [[FrameSums]].
@@ -318,6 +400,56 @@ case class PcmFingerprint(child: Expression, bins: Int)
     val v = child.eval(input)
     if (v == null) null
     else MediaExpressions.pcmFingerprintOf(v.asInstanceOf[Array[Byte]], bins).orNull
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+/** Payload bytes → REAL 8-bit grayscale PNG (JDK `javax.imageio` encoder):
+  * pixel i at row-major position, last row zero-padded, height >= 1. The
+  * genuine deflate/filter pipeline runs per row — CodegenFallback per
+  * [[MediaExpressions]]' codec contract (one encode per media row, never in
+  * a per-token loop).
+  */
+@ExpressionDescription(usage = "png_encode_gray(payload, width) - grayscale PNG bytes")
+case class PngEncodeGray(child: Expression, width: Int)
+    extends Expression with CodegenFallback {
+  require(width >= 1, s"png_encode_gray: width must be >= 1, got $width")
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MediaExpressions.pngEncodeGrayBytes(v.asInstanceOf[Array[Byte]], width)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+/** Decode a PNG via the real JDK decoder → struct(width_px, height_px,
+  * n_pixels, pixel_sum, pixel_max, pixel_min) over band 0; null when the
+  * bytes are not a decodable PNG (signature sniff, then parse-don't-throw).
+  */
+@ExpressionDescription(usage = "png_stats(bytes) - decoded PNG dimension + pixel stats or null")
+case class PngStats(child: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = StructType(Seq(
+    StructField("width_px", IntegerType),
+    StructField("height_px", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("pixel_sum", LongType),
+    StructField("pixel_max", LongType),
+    StructField("pixel_min", LongType)))
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MediaExpressions.pngStatsOf(v.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some((w, h, np, sum, mx, mn)) =>
+        new GenericInternalRow(Array[Any](w, h, np, sum, mx, mn))
+    }
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c(0))

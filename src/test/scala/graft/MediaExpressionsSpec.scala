@@ -4,8 +4,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.MediaExpressions
 
-/** Byte-exact tests for the WAV PCM header codec (the real, dependency-free
-  * media codec path next to the documented image-decode stub).
+/** Byte-exact tests for the dependency-free media codecs: the WAV PCM
+  * header pack/parse and the real JDK-ImageIO PNG encode/decode.
   */
 class MediaExpressionsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -154,5 +154,64 @@ class MediaExpressionsSpec extends AnyFunSuite {
     // boundary values construct fine
     graft.functions.PcmFingerprint(b, 1)
     graft.functions.PcmFingerprint(b, 64)
+  }
+
+  test("pngEncodeGrayBytes -> pngStatsOf: real codec loop inverts the pixel plane") {
+    // 5 bytes at width 4 -> 4x2 image, 3 padding zeros
+    val payload = Array[Byte](10, 200.toByte, 0, 37, 255.toByte)
+    val png = MediaExpressions.pngEncodeGrayBytes(payload, 4)
+    // genuine PNG container: signature + IHDR
+    assert(png.take(8).map(_ & 0xff).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a))
+    assert(new String(png.slice(12, 16), "US-ASCII") === "IHDR")
+    val Some((w, h, np, sum, mx, mn)) = MediaExpressions.pngStatsOf(png)
+    assert((w, h, np) === ((4, 2, 8L)))
+    assert(sum === 10L + 200L + 0L + 37L + 255L)
+    assert(mx === 255L && mn === 0L)
+    // pixel-exact beyond stats: decode again and check each sample
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val expect = payload.map(_ & 0xff) ++ Seq(0, 0, 0)
+    for (i <- 0 until 8)
+      assert(img.getRaster.getSample(i % 4, i / 4, 0) === expect(i), s"pixel $i")
+  }
+
+  test("pngEncodeGrayBytes: empty payload renders one all-zero row") {
+    val png = MediaExpressions.pngEncodeGrayBytes(Array.emptyByteArray, 16)
+    assert(MediaExpressions.pngStatsOf(png) === Some((16, 1, 16L, 0L, 0L, 0L)))
+  }
+
+  test("pngStatsOf rejects malformed bytes: no signature, truncated, corrupt body") {
+    assert(MediaExpressions.pngStatsOf(null) === None)
+    assert(MediaExpressions.pngStatsOf("not a png at all".getBytes("UTF-8")) === None)
+    assert(MediaExpressions.pngStatsOf(Array[Byte](0x89.toByte, 'P', 'N')) === None)
+    val good = MediaExpressions.pngEncodeGrayBytes(Array[Byte](1, 2, 3), 2)
+    // signature present but body truncated mid-chunk -> decoder failure -> None
+    assert(MediaExpressions.pngStatsOf(good.take(20)) === None)
+    // signature followed by garbage -> None, never a throw
+    assert(MediaExpressions.pngStatsOf(
+      good.take(8) ++ Array.fill[Byte](32)(0x7f)) === None)
+  }
+
+  test("PngStats column surface: round trip in a DataFrame; non-PNG -> null struct") {
+    import graft.functions.MediaExpressions.{pngEncodeGray, pngStats}
+    import spark.implicits._
+    val df = Seq((1L, "hello png"), (2L, "")).toDF("id", "txt")
+      .select(col("id"), pngStats(pngEncodeGray(encode(col("txt"), "UTF-8"), 8)).as("st"))
+      .orderBy("id")
+    val rows = df.select("id", "st.width_px", "st.height_px", "st.pixel_sum").collect()
+    assert(rows(0).getInt(1) === 8)
+    assert(rows(0).getInt(2) === 2) // 9 bytes at width 8 -> 2 rows
+    assert(rows(0).getLong(3) === "hello png".getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum)
+    assert(rows(1).getInt(2) === 1) // empty -> one all-zero row
+    val nulls = Seq((1L, "plain text")).toDF("id", "txt")
+      .select(pngStats(encode(col("txt"), "UTF-8")).as("st"))
+      .filter(col("st").isNull)
+    assert(nulls.count() === 1)
+    // width guard fails at construction, like the other codec expressions
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.PngEncodeGray(
+        org.apache.spark.sql.catalyst.expressions.Literal(Array[Byte](1)), 0)
+    }
+    assert(e.getMessage.contains("width must be >= 1"))
   }
 }
