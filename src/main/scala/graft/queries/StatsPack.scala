@@ -1450,6 +1450,89 @@ object StatsPack extends QueryPack {
       doc = "Theil-Sen robust trend: median of all pairwise slopes over the " +
         "calendar-bounded daily series (pair set <= 365^2 per group at any " +
         "corpus size), exact integer micro-unit slopes, lower-median rank"
+    ),
+    // ---------------------------------------------------------------- x31
+    Q(
+      "x31_robust_zscore_dist",
+      (s, d) => {
+        // x16's SCALE PATH (the d26/g12 pattern: pinned baseline + shipped
+        // fix). x16 computes median/MAD with Spark's exact `percentile`
+        // aggregate, which buffers an entire group's values in ONE
+        // aggregation buffer — at 100 TB a single group is billions of
+        // rows in one task's memory. Here both order statistics go through
+        // GlobalOrder's range shuffle instead (each group spread over ALL
+        // partitions, per-partition running counts + broadcast prefix
+        // offsets, same machinery as x17): the median is the smallest v
+        // whose doubled cumulative count reaches the group total (exact
+        // discrete lower median — hence a separate query: x16's
+        // interpolated percentile stays oracle-pinned), MAD repeats the
+        // pass on |v − med|, and the outlier count is one more scan. No
+        // stage ever holds more than a partition's slice of any group.
+        val base = Tables.lineitem(s, d)
+          .select(
+            col("l_returnflag"),
+            dec(col("l_extendedprice")).as("v"),
+            col("l_orderkey"), col("l_linenumber"))
+        def discMedian(df: org.apache.spark.sql.DataFrame, vCol: String, out: String) =
+          graft.ops.GlobalOrder
+            .withGroupedRunningSum(
+              df, "cw", "tw", lit(1L),
+              Seq("l_returnflag"),
+              Seq(col(vCol), col("l_orderkey"), col("l_linenumber")))
+            .filter(col("cw") * 2 >= col("tw"))
+            .groupBy(col("l_returnflag"))
+            .agg(min(col(vCol)).as(out))
+        val med = discMedian(base, "v", "med")
+        val dev = base.join(broadcast(med), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("med"),
+            abs(col("v") - col("med")).as("ad"),
+            col("l_orderkey"), col("l_linenumber"))
+        val mad = discMedian(dev, "ad", "mad")
+        dev
+          .join(broadcast(mad), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("med")).cast("double").as("median_price"),
+            min(col("mad")).cast("double").as("mad_price"),
+            sum(when(col("ad") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH v AS (
+             |  SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+             |    l_orderkey, l_linenumber
+             |  FROM lineitem),
+             |medr AS (
+             |  SELECT l_returnflag, v,
+             |    2 * ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |          ORDER BY v, l_orderkey, l_linenumber)
+             |      >= COUNT(*) OVER (PARTITION BY l_returnflag) AS hit
+             |  FROM v),
+             |med AS (
+             |  SELECT l_returnflag, MIN(v) AS med FROM medr WHERE hit GROUP BY l_returnflag),
+             |dev AS (
+             |  SELECT v.l_returnflag, med, abs(v - med) AS ad, l_orderkey, l_linenumber
+             |  FROM v JOIN med USING (l_returnflag)),
+             |madr AS (
+             |  SELECT l_returnflag, ad,
+             |    2 * ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |          ORDER BY ad, l_orderkey, l_linenumber)
+             |      >= COUNT(*) OVER (PARTITION BY l_returnflag) AS hit
+             |  FROM dev),
+             |mad AS (
+             |  SELECT l_returnflag, MIN(ad) AS mad FROM madr WHERE hit GROUP BY l_returnflag)
+             |SELECT dev.l_returnflag, COUNT(*) AS n,
+             |  CAST(MIN(med) AS DOUBLE) AS median_price,
+             |  CAST(MIN(mad.mad) AS DOUBLE) AS mad_price,
+             |  CAST(SUM(CASE WHEN ad > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM dev JOIN mad ON dev.l_returnflag = mad.l_returnflag
+             |GROUP BY dev.l_returnflag
+             |ORDER BY dev.l_returnflag""".stripMargin),
+      doc = "x16's scale path: median + MAD robust z-score with BOTH order " +
+        "statistics through GlobalOrder's range shuffle (exact discrete lower " +
+        "median — smallest value whose doubled cumulative count reaches the " +
+        "group total) instead of the whole-group-in-one-buffer percentile " +
+        "aggregate; no stage holds more than a partition slice of any group"
     )
   )
 

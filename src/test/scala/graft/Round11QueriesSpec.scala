@@ -68,6 +68,36 @@ class Round11QueriesSpec extends AnyFunSuite {
     assert(cw < c5)
   }
 
+  test("x31 discrete median/MAD agree with an in-driver exact recompute") {
+    // independent of both engines: pull each group's values and compute the
+    // lower median / MAD / outlier count directly (sf0.01 is 60k rows)
+    val vals = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_extendedprice").cast("decimal(18,2)"))
+      .collect().map(r => (r.getString(0), BigDecimal(r.getDecimal(1))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def lowerMedian(s: Seq[BigDecimal]): BigDecimal = {
+      val n = s.size
+      // smallest value at 1-based rank r with 2r >= n
+      s((n + 1) / 2 - 1)
+    }
+    val expected = vals.map { case (g, s) =>
+      // exact decimal arithmetic, like the query — a double recompute would
+      // drift in the last ulp of the MAD
+      val med = lowerMedian(s.toSeq)
+      val ads = s.map(v => (v - med).abs).sorted
+      val mad = lowerMedian(ads.toSeq)
+      g -> ((s.size.toLong, med.toDouble, mad.toDouble, ads.count(_ > 3 * mad).toLong))
+    }
+    val got = q("x31_robust_zscore_dist").collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    }.toMap
+    assert(got === expected)
+    // and the pinned interpolated baseline sees the same group sizes
+    val x16n = q("x16_robust_zscore").select(col("l_returnflag"), col("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.view.mapValues(_._1).toMap === x16n)
+  }
+
   test("s20 results invariant to the shuffle-partition count") {
     def rows() = q("s20_wide_ann").collect().map(_.toString).sorted.toSeq
     val conf = spark.conf.get("spark.sql.shuffle.partitions")
