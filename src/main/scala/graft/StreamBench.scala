@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Standing-corpus streaming measurement (SCALING.md's streaming section):
+  * replays a scaled corpus through the three streaming production twins and
+  * reports per-batch latency plus state size, so the "state stays bounded"
+  * claim is measured, not argued.
+  *
+  *   1. `StreamingDedup.run` — stateful per-band-bucket first-claim LSH
+  *      dedup (flatMapGroupsWithState): state rows = distinct band buckets
+  *      seen, reported from the query progress after every micro-batch.
+  *   2. `StreamingDedup.againstCorpus` — stream-static join of the incoming
+  *      stream against the standing corpus' key set: stateless by design,
+  *      per-batch cost tracks batch size however large the corpus is.
+  *   3. `StreamingLmGate` — fit once on the standing corpus (frozen LM +
+  *      tertile thresholds), then stateless per-batch scoring.
+  *
+  * Usage: `runMain graft.StreamBench [corpusDir] [nBatches]` (defaults
+  * testdata-sf1, 8). Prints one JSON line per pipeline with per-batch
+  * milliseconds and state rows.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("testdata-sf1")
+    val nBatches = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val corpus = Tables.documents(spark, dir).select(col("doc_id").cast("long"), col("text"))
+    val docs = corpus.as[(Long, String)].collect().sortBy(_._1)
+    val chunks = docs.grouped((docs.length + nBatches - 1) / nBatches).toIndexedSeq
+    def r1(v: Double): String = f"$v%.1f"
+    def report(name: String, fitMs: Double, batches: Seq[(Double, Long)]): Unit = {
+      val ms = batches.map(_._1)
+      val st = batches.map(_._2)
+      println(s"""{"pipeline":"$name","corpus":"$dir","n_docs":${docs.length},""" +
+        s""""n_batches":${batches.size},"fit_ms":${r1(fitMs)},""" +
+        s""""batch_ms":[${ms.map(r1).mkString(",")}],""" +
+        s""""mean_batch_ms":${r1(ms.sum / ms.size)},"max_batch_ms":${r1(ms.max)},""" +
+        s""""state_rows":[${st.mkString(",")}]}""")
+    }
+    /** Feed the corpus chunk-by-chunk, timing each processAllAvailable and
+      * reading the stateful operator's row count off the progress event.
+      */
+    def drive(
+        mkQuery: MemoryStream[(Long, String)] => org.apache.spark.sql.streaming.StreamingQuery)
+      : Seq[(Double, Long)] = {
+      val input = MemoryStream[(Long, String)]
+      val q = mkQuery(input)
+      val out = chunks.map { c =>
+        val t0 = System.nanoTime()
+        input.addData(c)
+        q.processAllAvailable()
+        val ms = (System.nanoTime() - t0) / 1e6
+        val stateRows = Option(q.lastProgress)
+          .flatMap(p => p.stateOperators.headOption)
+          .map(_.numRowsTotal).getOrElse(0L)
+        (ms, stateRows)
+      }
+      q.stop()
+      out
+    }
+
+    // 1. stateful LSH dedup: state = one row per distinct band bucket
+    val dedup = drive { in =>
+      streaming.StreamingDedup.run(in.toDS().toDF("doc_id", "text"))
+        .writeStream.outputMode("append")
+        .foreachBatch((df: org.apache.spark.sql.Dataset[streaming.DupCandidate], _: Long) =>
+          { df.count(); () })
+        .start()
+    }
+    report("lsh_dedup_stateful", 0.0, dedup)
+
+    // 2. stream-static incremental dedup against the standing corpus' keys
+    val tCk = System.nanoTime()
+    val pkey = array_join(slice(split(col("text"), " "), 1, 5), " ")
+    val corpusKeys = corpus.select(pkey.as("pkey")).distinct().localCheckpoint()
+    val ckMs = (System.nanoTime() - tCk) / 1e6
+    val inc = drive { in =>
+      streaming.StreamingDedup
+        .againstCorpus(in.toDS().toDF("doc_id", "text"), corpusKeys)
+        .writeStream.outputMode("append")
+        .foreachBatch((df: DataFrame, _: Long) => { df.count(); () })
+        .start()
+    }
+    report("incremental_vs_corpus", ckMs, inc)
+
+    // 3. frozen-LM perplexity gate: fit once, score statelessly per batch
+    val tFit = System.nanoTime()
+    val lm = streaming.StreamingLmGate.fit(corpus)
+    val fitMs = (System.nanoTime() - tFit) / 1e6
+    val gate = drive { in =>
+      in.toDS().toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch((df: DataFrame, _: Long) =>
+          { streaming.StreamingLmGate.scoreBatch(df, lm)
+              .groupBy(col("bucket")).count().collect(); () })
+        .start()
+    }
+    report("lm_gate_frozen", fitMs, gate)
+
+    spark.stop()
+  }
+}
