@@ -1473,22 +1473,27 @@ object StatsPack extends QueryPack {
             col("l_returnflag"),
             dec(col("l_extendedprice")).as("v"),
             col("l_orderkey"), col("l_linenumber"))
-        def discMedian(df: org.apache.spark.sql.DataFrame, vCol: String, out: String) =
-          graft.ops.GlobalOrder
-            .withGroupedRunningSum(
-              df, "cw", "tw", lit(1L),
-              Seq("l_returnflag"),
-              Seq(col(vCol), col("l_orderkey"), col("l_linenumber")))
+        def ranked(df: org.apache.spark.sql.DataFrame, vCol: String) =
+          graft.ops.GlobalOrder.withGroupedRunningSum(
+            df, "cw", "tw", lit(1L),
+            Seq("l_returnflag"),
+            Seq(col(vCol), col("l_orderkey"), col("l_linenumber")))
+        def discMedian(rankedDf: org.apache.spark.sql.DataFrame, vCol: String, out: String) =
+          rankedDf
             .filter(col("cw") * 2 >= col("tw"))
             .groupBy(col("l_returnflag"))
             .agg(min(col(vCol)).as(out))
-        val med = discMedian(base, "v", "med")
+        val med = discMedian(ranked(base, "v"), "v", "med")
         val dev = base.join(broadcast(med), Seq("l_returnflag"))
           .select(col("l_returnflag"), col("med"),
             abs(col("v") - col("med")).as("ad"),
             col("l_orderkey"), col("l_linenumber"))
-        val mad = discMedian(dev, "ad", "mad")
-        dev
+        // the ranked frame is internally checkpointed by GlobalOrder —
+        // reuse ONE materialization for both the MAD extraction and the
+        // final outlier count instead of re-deriving dev from the scan
+        val p2 = ranked(dev, "ad")
+        val mad = discMedian(p2, "ad", "mad")
+        p2
           .join(broadcast(mad), Seq("l_returnflag"))
           .groupBy(col("l_returnflag"))
           .agg(
