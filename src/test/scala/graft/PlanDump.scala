@@ -290,7 +290,22 @@ object PlanDump {
         "four minhash lanes are in-row array_min/transform HOFs; band " +
         "candidates are TWO equi-joins on (mh,mh) keys unioned + distinct; " +
         "exact shingle-Jaccard verify touches only candidate pairs; CC " +
-        "runs over the verified edge table, not the corpus.")
+        "runs over the verified edge table, not the corpus."),
+      "s20_wide_ann" -> ("Corpus-proof wide-code ANN (4 tables x 12 planes " +
+        "+ Hamming-1 multi-probe): the 48 plane dots compile into the scan " +
+        "projection once per side; index explodes to L=4 keyed rows/vector " +
+        "and queries to 52 probe rows; candidates are ONE ShuffledHashJoin/" +
+        "SortMergeJoin on (tbl, bucket); HashAggregate dedups (q,nn) pairs " +
+        "before the bounded-heap top-k. Per-cell density O(1) in the " +
+        "corpus: measured marginal 1.59x at 20x vs the 16-cell config's " +
+        "2.85x (SCALING.md)."),
+      "x31_robust_zscore_dist" -> ("Distributed median+MAD: both order " +
+        "statistics ride GlobalOrder's range shuffle (RangePartitioning " +
+        "over (group, value) then Scan ExistingRDD of the checkpointed " +
+        "ranged frame — each group spread over ALL partitions, prefix " +
+        "offsets from a driver-bounded partials collect); no " +
+        "whole-group-in-one-buffer percentile aggregate anywhere; the " +
+        "final outlier count reuses the second pass's materialization.")
     )
 
     val sb = new StringBuilder
