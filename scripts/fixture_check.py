@@ -31,6 +31,7 @@ QUERIES = [
     "m12_scene_segments",
     "m13_keyframe_pick",
     "m14_png_decode",
+    "m15_image_ahash_dedup",
     "t24_readability",
     "p27_bpe_pair_stats",
     "s17_multiprobe_lsh",

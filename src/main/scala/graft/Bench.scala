@@ -95,7 +95,16 @@ object Bench {
           System.err.println(s"[bench-trace] ${java.time.Instant.now()} $name")
         def once(): Double = {
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          // consume the OUTPUT rows, not count(): under a count() aggregate
+          // Catalyst prunes the final projection, so a per-row kernel query
+          // (codec round trips, token stats) would time only its scan. The
+          // InternalRow sweep forces every output column to materialize on
+          // the executors with nothing collected to the driver.
+          try {
+            fn(spark, sfDir).queryExecution.toRdd.foreachPartition { it =>
+              while (it.hasNext) it.next()
+            }
+          } catch { case _: Throwable => () }
           (System.nanoTime() - t0) / 1e9
         }
         val samples = scala.collection.mutable.ArrayBuffer.fill(reps)(once())

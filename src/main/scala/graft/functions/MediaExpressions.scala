@@ -51,6 +51,9 @@ object MediaExpressions {
   def pngStats(bytes: Column): Column =
     GraftShims.column(PngStats(GraftShims.expression(bytes)))
 
+  def pngAHash(bytes: Column): Column =
+    GraftShims.column(PngAHash(GraftShims.expression(bytes)))
+
   /** Render a payload as a REAL 8-bit grayscale PNG via the JDK encoder:
     * pixel i (row-major at the given width) is unsigned byte i; the last
     * row zero-pads, and an empty payload still renders one all-zero row
@@ -80,6 +83,60 @@ object MediaExpressions {
   }
 
   private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Average-hash (aHash) over a decoded PNG's band-0 pixel plane: pixel
+    * (x, y) belongs to grid block (⌊8y/h⌋, ⌊8x/w⌋), and bit bi*8+bj
+    * (LSB-first) is set when that block's mean exceeds the global mean —
+    * compared cross-multiplied (blockSum·w·h > total·blockArea, with the
+    * block area counted during the same scan so assignment and area can
+    * never disagree on ragged grids), so the hash is pure integer math and
+    * reproducible on any engine (the same trick as [[pcmFingerprintOf]]'s
+    * envelope bits). Blocks empty at h<8 or w<8 have area 0 and never set
+    * their bit. None when the bytes are not a decodable PNG.
+    */
+  private[graft] def pngAHashOf(b: Array[Byte]): Option[Long] = {
+    if (b == null || b.length < 8) return None
+    var i = 0
+    while (i < 8) {
+      if ((b(i) & 0xff) != PngSig(i)) return None
+      i += 1
+    }
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(b)))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var total = 0L
+      val sums = new Array[Long](64)
+      val areas = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val bi = y.toLong * 8 / h
+        var x = 0
+        while (x < w) {
+          val bj = x.toLong * 8 / w
+          val idx = (bi * 8 + bj).toInt
+          val v = raster.getSample(x, y, 0).toLong
+          total += v
+          sums(idx) += v
+          areas(idx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val area = w.toLong * h
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (sums(k) * area > total * areas(k)) hash |= (1L << k)
+        k += 1
+      }
+      Some(hash)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Decode a PNG through the real JDK decoder and fold band-0 pixel stats:
     * (width, height, n_pixels, pixel_sum, pixel_max, pixel_min). None when
@@ -422,6 +479,26 @@ case class PngEncodeGray(child: Expression, width: Int)
     val v = child.eval(input)
     if (v == null) null
     else MediaExpressions.pngEncodeGrayBytes(v.asInstanceOf[Array[Byte]], width)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+/** Perceptual average-hash of a decoded PNG (see
+  * [[MediaExpressions.pngAHashOf]]): 8×8 grid-block means binarized
+  * against the global mean, packed LSB-first into one long — the
+  * locality-sensitive image near-dup key (m15), integer-exact so both
+  * engines agree bit-for-bit. Null when the bytes are not a decodable PNG.
+  */
+@ExpressionDescription(usage = "png_ahash(bytes) - 64-bit average-hash of the decoded image")
+case class PngAHash(child: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MediaExpressions.pngAHashOf(v.asInstanceOf[Array[Byte]]).orNull
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c(0))

@@ -644,6 +644,77 @@ object MultimodalPack extends QueryPack {
         "document bytes as a genuine grayscale PNG in-plan, decode it with the " +
         "real PNG decoder, emit dimension + pixel stats; the oracle recomputes " +
         "them from the source hex dump, certifying the decode byte-for-byte"
+    ),
+    // ---------------------------------------------------------------- m15
+    Q(
+      "m15_image_ahash_dedup",
+      (s, d) => {
+        // IMAGE NEAR-DUP via perceptual hash over REAL decoded pixels: each
+        // document renders as a genuine PNG (m14's codec), the real decoder
+        // feeds an 8x8 average-hash (block means binarized against the
+        // global mean, cross-multiplied integer compare — engine-exact),
+        // and near-dup groups are one hash-keyed aggregate. The oracle
+        // recomputes every hash from the source bytes' hex dump with the
+        // identical block-assignment arithmetic, so the hash match
+        // certifies decode + downsample + binarize end to end. At 100 TB
+        // this is the image-dedup shape: one decoder pass per payload
+        // inside the scan, 8 bytes per image to the shuffle, groupBy on
+        // the hash — payloads never move.
+        import graft.functions.MediaExpressions.{pngAHash, pngEncodeGray}
+        val hashes = Tables.documents(s, d)
+          .select(col("doc_id"),
+            pngAHash(pngEncodeGray(encode(col("text"), "UTF-8"), 16)).as("ahash"))
+        val groups = hashes.groupBy(col("ahash"))
+          .agg(count(lit(1)).as("n_same"), min(col("doc_id")).as("group_rep"))
+        hashes.join(groups, Seq("ahash"))
+          .select(col("doc_id"), col("ahash"), col("n_same"), col("group_rep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH v AS (
+             |  SELECT doc_id, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS nb,
+             |    CASE WHEN octet_length(encode(text)) = 0 THEN 1
+             |         ELSE (octet_length(encode(text)) + 15) // 16 END AS hh
+             |  FROM documents),
+             |pxr AS (
+             |  SELECT doc_id, hh, nb, h,
+             |    unnest(generate_series(0, 16 * hh - 1)) AS k
+             |  FROM v),
+             |pv AS (
+             |  SELECT doc_id,
+             |    ((8 * (k // 16)) // hh) * 8 + (k % 16) // 2 AS blk,
+             |    CASE WHEN k < nb
+             |         THEN CAST(('0x' || substring(h, 2 * k + 1, 2)) AS INT)
+             |         ELSE 0 END AS val
+             |  FROM pxr),
+             |bsum AS (
+             |  SELECT doc_id, blk, CAST(SUM(val) AS BIGINT) AS s,
+             |    COUNT(*) AS a
+             |  FROM pv GROUP BY doc_id, blk),
+             |tot AS (
+             |  SELECT doc_id, CAST(SUM(val) AS BIGINT) AS tot, COUNT(*) AS area
+             |  FROM pv GROUP BY doc_id),
+             |hashes AS (
+             |  SELECT b.doc_id,
+             |    CAST(SUM(CASE WHEN b.s * t.area > t.tot * b.a
+             |      THEN CASE WHEN b.blk = 63
+             |           THEN CAST(-9223372036854775808 AS BIGINT)
+             |           ELSE (CAST(1 AS BIGINT) << b.blk) END
+             |      ELSE 0 END) AS BIGINT) AS ahash
+             |  FROM bsum b JOIN tot t USING (doc_id)
+             |  GROUP BY b.doc_id),
+             |groups AS (
+             |  SELECT ahash, COUNT(*) AS n_same, MIN(doc_id) AS group_rep
+             |  FROM hashes GROUP BY ahash)
+             |SELECT h.doc_id, h.ahash, g.n_same, g.group_rep
+             |FROM hashes h JOIN groups g USING (ahash)
+             |ORDER BY h.doc_id""".stripMargin),
+      doc = "perceptual image hashing for near-dup grouping: real PNG decode " +
+        "feeds an integer-exact 8x8 average-hash (block means vs global mean, " +
+        "cross-multiplied), every doc reports its hash + hash-group size via " +
+        "one hash-keyed aggregate; oracle recomputes all 500 hashes from the " +
+        "source hex dump with identical block arithmetic — payloads never " +
+        "shuffle, 8 bytes per image do"
     )
   )
 }

@@ -180,6 +180,26 @@ class MediaExpressionsSpec extends AnyFunSuite {
     assert(MediaExpressions.pngStatsOf(png) === Some((16, 1, 16L, 0L, 0L, 0L)))
   }
 
+  test("pngAHashOf: hand-computed block bits on a 4x2 plane; dup planes agree; rejects") {
+    // pixels [[10,200,0,37],[255,0,0,0]]: with w=4,h=2 every pixel is its
+    // own grid block — row 0 -> block row 0, row 1 -> block row 4; col x ->
+    // block col 2x. total=502 over area 8, so bit set iff v*8 > 502*1, i.e.
+    // v in {200, 255}: indices 0*8+2=2 and 4*8+0=32.
+    val payload = Array[Byte](10, 200.toByte, 0, 37, 255.toByte, 0, 0, 0)
+    val png = MediaExpressions.pngEncodeGrayBytes(payload, 4)
+    assert(MediaExpressions.pngAHashOf(png) === Some((1L << 2) | (1L << 32)))
+    // identical pixel planes hash identically even via separate encodes
+    val png2 = MediaExpressions.pngEncodeGrayBytes(payload.clone(), 4)
+    assert(MediaExpressions.pngAHashOf(png2) === MediaExpressions.pngAHashOf(png))
+    // constant plane: no block exceeds the global mean -> hash 0
+    val flat = MediaExpressions.pngEncodeGrayBytes(Array.fill[Byte](64)(100.toByte), 8)
+    assert(MediaExpressions.pngAHashOf(flat) === Some(0L))
+    // malformed
+    assert(MediaExpressions.pngAHashOf(null) === None)
+    assert(MediaExpressions.pngAHashOf("nope".getBytes("UTF-8")) === None)
+    assert(MediaExpressions.pngAHashOf(png.take(16)) === None)
+  }
+
   test("pngStatsOf rejects malformed bytes: no signature, truncated, corrupt body") {
     assert(MediaExpressions.pngStatsOf(null) === None)
     assert(MediaExpressions.pngStatsOf("not a png at all".getBytes("UTF-8")) === None)
