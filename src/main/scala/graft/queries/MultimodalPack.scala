@@ -5,12 +5,14 @@ import graft.Tables
 import graft.ops.MediaOps
 
 /** Multimodal-column operators (SURVEY.md §2.9, driver mandate): binary
-  * payloads + typed metadata, frame sampling, batch feature extraction.
-  * The corpus has no real media files, so document text bytes stand in as
-  * the payload (ASCII → byte ops are reproducible in the DuckDB oracle via
-  * char ops); the codec itself is the documented stub in
-  * [[graft.ops.MediaOps.decodeStub]] — schema, plumbing and batch shape are
-  * the real thing.
+  * payloads + typed metadata, frame sampling, batch feature extraction,
+  * real codec round trips. The corpus has no real media files, so document
+  * text bytes stand in as the payload (byte ops are reproduced in the
+  * DuckDB oracle from the hex dump, exact for any encoding); the codecs
+  * are REAL — WAV/PCM pack/parse (m8/m9) and genuine PNG encode/decode +
+  * perceptual hash via the JDK's javax.imageio (m14/m15) — with
+  * [[graft.ops.MediaOps.decodeStub]] remaining only as the deterministic
+  * fake inside the m3/m4 batch-shape tests.
   */
 object MultimodalPack extends QueryPack {
 
