@@ -40,6 +40,7 @@ QUERIES = [
     "d23_incremental_dedup",
     "d24_cluster_keep",
     "d27_keep_lsh",
+    "d28_semdedup_wide",
     "p23_pipeline_manifest",
     "p24_quality_curriculum",
     "p25_corpus_signature",

@@ -1422,6 +1422,113 @@ object DedupPack extends QueryPack {
         "independent codegen'd simhash halves, 4×30-bit band index (bucket space " +
         "outgrows corpus density), pigeonhole-exact recall for d<=3, exact " +
         "two-half bit_count verify — oracle runs brute-force all-pairs"
+    ),
+    // ---------------------------------------------------------------- d28
+    Q(
+      "d28_semdedup_wide",
+      (s, d) => {
+        // SemDeDup's SCALE PATH (the d25/d26/g12 pattern applied to d14).
+        // d14 blocks the cosine pair join on 4 FIXED coarse centroids, so
+        // per-cluster size — and the pair join — grows quadratically with
+        // the corpus (measured marginal 6.6× at 20×, the steepest in the
+        // suite once the honest bench basis exposed it). Here the candidate
+        // set comes from the wide multi-table LSH code instead (s20's
+        // machinery: 4 tables × 12 planes = 4096 cells each, Hamming-1
+        // probes): per-cell density is O(1) in the corpus, so prior-
+        // neighbor candidate volume tracks the corpus linearly. Semantics
+        // stay SemDeDup's: a vector is a semantic duplicate if some
+        // LOWER-id candidate has cosine >= 0.85 (keep-lowest-id exemplar);
+        // the deterministic candidate set is replicated exactly in the
+        // oracle, and n_cand_prior rides in the output so the artifact
+        // shows the bounded candidate volume. Zero-norm guard as s19/s20.
+        import graft.functions.VectorOps.{dot, lshBucketAt, norm}
+        val K = 12
+        val L = 4
+        val masks = 0L +: (0 until K).map(b => 1L << b)
+        val e = Tables.embeddings(s, d).select(
+          Seq(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm")) ++
+            (0 until L).map(t => lshBucketAt(col("embedding"), K, t * K).as(s"wb$t")): _*)
+        val idx = e
+          .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"),
+            explode(array((0 until L).map(t =>
+              struct(lit(t).as("tbl"), col(s"wb$t").as("bucket"))): _*)).as("tb"))
+          .select(col("b_id"), col("b_emb"), col("b_nrm"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val probes = e
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"),
+            explode(array((for { t <- 0 until L; m <- masks } yield
+              struct(lit(t).as("tbl"), col(s"wb$t").bitwiseXOR(lit(m)).as("bucket"))): _*)).as("tb"))
+          .select(col("a_id"), col("a_emb"), col("a_nrm"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val cand = idx.join(probes, Seq("tbl", "bucket"))
+          .filter(col("b_id") < col("a_id"))
+          .select(col("a_id"), col("b_id"),
+            quant(dot(col("a_emb"), col("b_emb")) /
+              when(col("a_nrm") * col("b_nrm") > 0.0, col("a_nrm") * col("b_nrm")), 1e6)
+              .as("cos_sim"))
+          .filter(col("cos_sim").isNotNull)
+          .distinct()
+        val best = cand.groupBy(col("a_id"))
+          .agg(count(lit(1)).as("n_cand_prior"), max(col("cos_sim")).as("best_prior_sim"))
+        val ids = e.select(col("vec_id"))
+        ids
+          .join(best, ids("vec_id") === best("a_id"), "left")
+          .select(
+            col("vec_id"),
+            coalesce(col("n_cand_prior"), lit(0L)).as("n_cand_prior"),
+            col("best_prior_sim"),
+            coalesce(col("best_prior_sim") >= 0.85, lit(false)).as("is_sem_dup"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def planeSql(j: Int) =
+          s"list_sum(list_transform(emb, (x, i) -> CAST(x AS DOUBLE) * (((($j*64 + (i-1)) * 2654435761) % 1000000007) / 1000000000.0 - 0.5)))"
+        def bucketAt(k: Int, offset: Int): String = (0 until k)
+          .map(b => s"CASE WHEN ${planeSql(offset + b)} > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        val wcols = (0 until 4)
+          .map(t => s"CAST(${bucketAt(12, t * 12)} AS BIGINT) AS wb$t")
+          .mkString(",\n    ")
+        val tcase = "CASE t.tbl WHEN 0 THEN wb0 WHEN 1 THEN wb1 WHEN 2 THEN wb2 ELSE wb3 END"
+        val pcase = "CASE p.tbl WHEN 0 THEN wb0 WHEN 1 THEN wb1 WHEN 2 THEN wb2 ELSE wb3 END"
+        val probeRows = (for { t <- 0 until 4; m <- 0L +: (0 until 12).map(b => 1L << b) }
+          yield s"($t,$m)").mkString(",")
+        val dotS = "list_sum(list_transform(list_zip(i.b_emb, p.a_emb), " +
+          "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+        def normS(c: String) =
+          s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        s"""WITH e AS (
+           |  SELECT vec_id, emb AS embedding,
+           |    $wcols
+           |  FROM (SELECT vec_id, embedding AS emb FROM embeddings)),
+           |idx AS (
+           |  SELECT e.vec_id AS b_id, e.embedding AS b_emb, t.tbl, $tcase AS bucket
+           |  FROM e, (SELECT unnest([0,1,2,3]) AS tbl) t),
+           |pr AS (
+           |  SELECT e.vec_id AS a_id, e.embedding AS a_emb, p.tbl,
+           |    xor($pcase, p.m) AS bucket
+           |  FROM e, (VALUES $probeRows) p(tbl, m)),
+           |cand AS (
+           |  SELECT DISTINCT a_id, b_id, cos_sim FROM (
+           |    SELECT p.a_id, i.b_id,
+           |      floor($dotS /
+           |            nullif(${normS("i.b_emb")} * ${normS("p.a_emb")}, 0) * 1000000)
+           |        / 1000000 AS cos_sim
+           |    FROM idx i JOIN pr p
+           |      ON i.tbl = p.tbl AND i.bucket = p.bucket AND i.b_id < p.a_id) t
+           |  WHERE cos_sim IS NOT NULL),
+           |best AS (
+           |  SELECT a_id, COUNT(*) AS n_cand_prior, MAX(cos_sim) AS best_prior_sim
+           |  FROM cand GROUP BY a_id)
+           |SELECT e.vec_id, COALESCE(n_cand_prior, 0) AS n_cand_prior, best_prior_sim,
+           |  COALESCE(best_prior_sim >= 0.85, FALSE) AS is_sem_dup
+           |FROM e LEFT JOIN best ON e.vec_id = best.a_id
+           |ORDER BY e.vec_id""".stripMargin
+      },
+      doc = "SemDeDup at corpus-proof density — d14's scale path: prior-neighbor " +
+        "candidates from the wide multi-table LSH code (4x4096 cells + Hamming-1 " +
+        "probes, per-cell density O(1)) instead of 4 fixed coarse clusters; " +
+        "keep-lowest-id exemplar semantics unchanged, candidate volume in-output"
     )
   )
 }

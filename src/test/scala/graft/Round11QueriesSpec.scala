@@ -68,6 +68,31 @@ class Round11QueriesSpec extends AnyFunSuite {
     assert(cw < c5)
   }
 
+  test("d28 candidates are sound: best prior sim never beats brute force, volume bounded") {
+    import graft.functions.VectorOps._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val brute = a.crossJoin(b).filter(col("b_id") < col("a_id"))
+      .select(col("a_id"),
+        queries.quant(dot(col("a_emb"), col("b_emb")) /
+          when(col("a_nrm") * col("b_nrm") > 0.0, col("a_nrm") * col("b_nrm")), 1e6).as("cs"))
+      .filter(col("cs").isNotNull)
+      .groupBy(col("a_id"))
+      .agg(max(col("cs")).as("brute_best"), count(lit(1)).as("n_prior"))
+    val d28 = q("d28_semdedup_wide")
+    val j = d28.join(brute, d28("vec_id") === brute("a_id"), "left")
+    // wide-cell candidates are a SUBSET of all prior pairs: the best
+    // candidate sim can never exceed the true best, and the candidate count
+    // can never exceed the prior count
+    assert(j.filter(col("best_prior_sim").isNotNull &&
+      (col("brute_best").isNull || col("best_prior_sim") > col("brute_best"))).count() === 0)
+    assert(j.filter(col("n_cand_prior") > coalesce(col("n_prior"), lit(0L))).count() === 0)
+    // non-vacuous: the wide cells do produce candidates on this corpus
+    assert(d28.filter(col("n_cand_prior") > 0).count() > 0)
+  }
+
   test("x31 discrete median/MAD agree with an in-driver exact recompute") {
     // independent of both engines: pull each group's values and compute the
     // lower median / MAD / outlier count directly (sf0.01 is 60k rows)
