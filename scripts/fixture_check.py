@@ -41,6 +41,7 @@ QUERIES = [
     "d24_cluster_keep",
     "d27_keep_lsh",
     "d28_semdedup_wide",
+    "d29_semdedup_adaptive",
     "p23_pipeline_manifest",
     "p24_quality_curriculum",
     "p25_corpus_signature",

@@ -96,8 +96,45 @@ object VectorExpressions {
   def planeDot(a: Column, j: Int, shift: Double): Column =
     GraftShims.column(PlaneDot(GraftShims.expression(a), j, shift))
 
+  /** LSH bucket over a RUNTIME plane count: bit b (b < k) is the sign of
+    * hash plane (offset + b). One compiled pass — replaces the interpreted
+    * `aggregate(sequence(0, k-1), …, transform(embedding, …))` lambda tower
+    * (which materializes a 64-element array per plane per row) and is
+    * bit-identical to it: each plane dot is the same left-to-right double
+    * sum [[planeDotEval]] computes, so the DuckDB HOF oracles are
+    * unchanged. Powers the corpus-adaptive code width in d29.
+    */
+  def lshBucketDynEval(a: ArrayData, k: Int, offset: Int): Long = {
+    var bucket = 0L
+    var b = 0
+    while (b < k) {
+      if (planeDotEval(a, offset + b, 0.5) > 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  def lshBucketDyn(emb: Column, k: Column, offset: Int): Column =
+    GraftShims.column(LshBucketDyn(GraftShims.expression(emb), GraftShims.expression(k), offset))
+
   def pqDists(a: Column): Column =
     GraftShims.column(PqDists(GraftShims.expression(a)))
+}
+
+case class LshBucketDyn(emb: Expression, k: Expression, offset: Int)
+    extends BinaryExpression {
+  override def left: Expression = emb
+  override def right: Expression = k
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, kv: Any): Any =
+    VectorExpressions.lshBucketDynEval(
+      a.asInstanceOf[ArrayData], kv.asInstanceOf[Number].intValue(), offset)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, kv) =>
+      s"graft.functions.VectorExpressions.lshBucketDynEval($a, (int)($kv), $offset)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LshBucketDyn =
+    copy(emb = l, k = r)
+  override def prettyName: String = "lsh_bucket_dyn"
 }
 
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {

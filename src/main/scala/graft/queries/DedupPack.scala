@@ -1529,6 +1529,130 @@ object DedupPack extends QueryPack {
         "candidates from the wide multi-table LSH code (4x4096 cells + Hamming-1 " +
         "probes, per-cell density O(1)) instead of 4 fixed coarse clusters; " +
         "keep-lowest-id exemplar semantics unchanged, candidate volume in-output"
+    ),
+    // ---------------------------------------------------------------- d29
+    Q(
+      "d29_semdedup_adaptive",
+      (s, d) => {
+        // SemDeDup with a CORPUS-ADAPTIVE code width — the g12 pattern
+        // (derive the key space from a broadcast count IN-PLAN) applied to
+        // hyperplane LSH. d28 widened d14's 4 cells to 4 tables x 2^12, but
+        // any pinned k re-densifies eventually (measured: d28's marginal
+        // bends up at 20x as cells fill). Here k = len(bin(ceil(n/8)))
+        // clamped to [4,16] — an INTEGER-EXACT formula both engines
+        // evaluate identically (no float log2 at a cell boundary) — so
+        // per-cell density stays ~8 vectors per table at ANY corpus size
+        // while the probe fan-out grows only as k (Hamming-1 over k
+        // planes). Plane dots ride the same deterministic hash family
+        // (disjoint offsets t*20+b), expressed as nested HOFs over the
+        // runtime k on both engines; candidates, zero-norm guard, and
+        // keep-lowest-id semantics are exactly d28's.
+        import graft.functions.VectorOps.{dot, norm}
+        import graft.functions.VectorExpressions.lshBucketDyn
+        val kdf = Tables.embeddings(s, d)
+          .agg(count(lit(1)).as("n"))
+          .select(expr("GREATEST(4, LEAST(16, length(bin((n + 7) DIV 8)))) AS k"))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(kdf))
+          .select(
+            Seq(col("vec_id"), col("embedding"), col("k"), norm(col("embedding")).as("nrm")) ++
+              // compiled dynamic-k kernel — bit-identical to the oracle's
+              // nested-HOF spelling (same left-to-right plane dots), one
+              // tight loop instead of a 64-element array per plane per row
+              (0 until 4).map(t => lshBucketDyn(col("embedding"), col("k"), t * 20).as(s"wb$t")): _*)
+        val idxArr = (0 until 4)
+          .map(t => s"named_struct('tbl', $t, 'bucket', wb$t)")
+          .mkString("array(", ", ", ")")
+        val probeArr = (0 until 4)
+          .map(t => s"""transform(sequence(0, k), p -> named_struct('tbl', $t,
+             |  'bucket', CASE WHEN p = 0 THEN wb$t
+             |            ELSE wb$t ^ shiftleft(CAST(1 AS BIGINT), p - 1) END))""".stripMargin)
+          .mkString("concat(", ", ", ")")
+        val idx = e
+          .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"),
+            explode(expr(idxArr)).as("tb"))
+          .select(col("b_id"), col("b_emb"), col("b_nrm"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val probes = e
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"),
+            explode(expr(probeArr)).as("tb"))
+          .select(col("a_id"), col("a_emb"), col("a_nrm"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val cand = idx.join(probes, Seq("tbl", "bucket"))
+          .filter(col("b_id") < col("a_id"))
+          .select(col("a_id"), col("b_id"),
+            quant(dot(col("a_emb"), col("b_emb")) /
+              when(col("a_nrm") * col("b_nrm") > 0.0, col("a_nrm") * col("b_nrm")), 1e6)
+              .as("cos_sim"))
+          .filter(col("cos_sim").isNotNull)
+          .distinct()
+        val best = cand.groupBy(col("a_id"))
+          .agg(count(lit(1)).as("n_cand_prior"), max(col("cos_sim")).as("best_prior_sim"))
+        val ids = e.select(col("vec_id"), col("k").cast("long").as("k_planes"))
+        ids
+          .join(best, ids("vec_id") === best("a_id"), "left")
+          .select(
+            col("vec_id"),
+            col("k_planes"),
+            coalesce(col("n_cand_prior"), lit(0L)).as("n_cand_prior"),
+            col("best_prior_sim"),
+            coalesce(col("best_prior_sim") >= 0.85, lit(false)).as("is_sem_dup"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def wbSql(t: Int): String = {
+          val j = s"((${t * 20} + b) * 64 + (i - 1))"
+          s"""CAST(list_sum(list_transform(generate_series(0, k - 1), b ->
+             |    CASE WHEN list_sum(list_transform(emb, (x, i) ->
+             |        CAST(x AS DOUBLE) * ((($j * 2654435761) % 1000000007) / 1000000000.0 - 0.5))) > 0
+             |      THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+        }
+        val wcols = (0 until 4).map(t => s"${wbSql(t)} AS wb$t").mkString(",\n    ")
+        val tcase = "CASE t.tbl WHEN 0 THEN wb0 WHEN 1 THEN wb1 WHEN 2 THEN wb2 ELSE wb3 END"
+        val dotS = "list_sum(list_transform(list_zip(i.b_emb, p.a_emb), " +
+          "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+        def normS(c: String) =
+          s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        s"""WITH kk AS (
+           |  SELECT GREATEST(4, LEAST(16, length(bin((COUNT(*) + 7) // 8)))) AS k
+           |  FROM embeddings),
+           |e AS (
+           |  SELECT vec_id, emb AS embedding, k,
+           |    $wcols
+           |  FROM (SELECT vec_id, embedding AS emb FROM embeddings), kk),
+           |idx AS (
+           |  SELECT e.vec_id AS b_id, e.embedding AS b_emb, t.tbl, $tcase AS bucket
+           |  FROM e, (SELECT unnest([0,1,2,3]) AS tbl) t),
+           |pr AS (
+           |  SELECT e.vec_id AS a_id, e.embedding AS a_emb, t.tbl,
+           |    CASE WHEN pp.p = 0 THEN $tcase
+           |         ELSE xor($tcase, CAST(1 AS BIGINT) << (pp.p - 1)) END AS bucket
+           |  FROM e, (SELECT unnest([0,1,2,3]) AS tbl) t,
+           |       (SELECT unnest(generate_series(0, (SELECT k FROM kk))) AS p) pp),
+           |cand AS (
+           |  SELECT DISTINCT a_id, b_id, cos_sim FROM (
+           |    SELECT p.a_id, i.b_id,
+           |      floor($dotS /
+           |            nullif(${normS("i.b_emb")} * ${normS("p.a_emb")}, 0) * 1000000)
+           |        / 1000000 AS cos_sim
+           |    FROM idx i JOIN pr p
+           |      ON i.tbl = p.tbl AND i.bucket = p.bucket AND i.b_id < p.a_id) t
+           |  WHERE cos_sim IS NOT NULL),
+           |best AS (
+           |  SELECT a_id, COUNT(*) AS n_cand_prior, MAX(cos_sim) AS best_prior_sim
+           |  FROM cand GROUP BY a_id)
+           |SELECT e.vec_id, CAST(e.k AS BIGINT) AS k_planes,
+           |  COALESCE(n_cand_prior, 0) AS n_cand_prior, best_prior_sim,
+           |  COALESCE(best_prior_sim >= 0.85, FALSE) AS is_sem_dup
+           |FROM e LEFT JOIN best ON e.vec_id = best.a_id
+           |ORDER BY e.vec_id""".stripMargin
+      },
+      doc = "SemDeDup with corpus-adaptive code width (the g12 pattern for " +
+        "hyperplane LSH): k = len(bin(ceil(n/8))) planes per table derived " +
+        "in-plan from a broadcast count — integer-exact on both engines — so " +
+        "per-cell density stays ~8 at any corpus size while probe fan-out " +
+        "grows only as k; candidates/semantics exactly d28's"
     )
   )
 }

@@ -93,6 +93,31 @@ class Round11QueriesSpec extends AnyFunSuite {
     assert(d28.filter(col("n_cand_prior") > 0).count() > 0)
   }
 
+  test("d29 adaptive code: k matches the integer formula, candidates sound vs brute") {
+    val d29 = q("d29_semdedup_adaptive")
+    // k = clamp(len(bin(ceil(n/8))), 4, 16) — n=500 at sf0.01 -> bin(63) -> 6
+    val n = Tables.embeddings(spark, sf).count()
+    val expK = math.max(4, math.min(16, java.lang.Long.toBinaryString((n + 7) / 8).length))
+    assert(d29.select(col("k_planes")).distinct().collect().map(_.getLong(0)).toSeq === Seq(expK.toLong))
+    // soundness: the adaptive candidate set is a subset of all prior pairs
+    import graft.functions.VectorOps._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val brute = a.crossJoin(b).filter(col("b_id") < col("a_id"))
+      .select(col("a_id"),
+        queries.quant(dot(col("a_emb"), col("b_emb")) /
+          when(col("a_nrm") * col("b_nrm") > 0.0, col("a_nrm") * col("b_nrm")), 1e6).as("cs"))
+      .filter(col("cs").isNotNull)
+      .groupBy(col("a_id")).agg(max(col("cs")).as("brute_best"), count(lit(1)).as("n_prior"))
+    val j = d29.join(brute, d29("vec_id") === brute("a_id"), "left")
+    assert(j.filter(col("best_prior_sim").isNotNull &&
+      (col("brute_best").isNull || col("best_prior_sim") > col("brute_best"))).count() === 0)
+    assert(j.filter(col("n_cand_prior") > coalesce(col("n_prior"), lit(0L))).count() === 0)
+    assert(d29.filter(col("n_cand_prior") > 0).count() > 0)
+  }
+
   test("x31 discrete median/MAD agree with an in-driver exact recompute") {
     // independent of both engines: pull each group's values and compute the
     // lower median / MAD / outlier count directly (sf0.01 is 60k rows)
