@@ -305,7 +305,16 @@ object PlanDump {
         "ranged frame — each group spread over ALL partitions, prefix " +
         "offsets from a driver-bounded partials collect); no " +
         "whole-group-in-one-buffer percentile aggregate anywhere; the " +
-        "final outlier count reuses the second pass's materialization.")
+        "final outlier count reuses the second pass's materialization."),
+      "d29_semdedup_adaptive" -> ("Corpus-adaptive SemDeDup: the code " +
+        "width k enters as a broadcast 1-row aggregate " +
+        "(BroadcastNestedLoopJoin over one row — the g12 pattern) and " +
+        "BOTH join sides derive their lsh_bucket_dyn(embedding, k, " +
+        "offset) cells from it inside the scan projection (one compiled " +
+        "pass per table, no per-plane array materialization); candidates " +
+        "stay a (tbl, bucket) equi-join + HashAggregate dedup. Per-cell " +
+        "density ~8 at any corpus size: measured marginal 3.1× at 20× vs " +
+        "the fixed-cluster baseline's 6.3× (SCALING.md).")
     )
 
     val sb = new StringBuilder
