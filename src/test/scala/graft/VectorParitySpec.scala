@@ -62,6 +62,31 @@ class VectorParitySpec extends AnyFunSuite {
       Math.sqrt(1.5 * 1.5 + 2.25 * 2.25 + 3.0 * 3.0))
   }
 
+  test("LshBucketDyn kernel == static lshBucketAt bits == nested-HOF spelling") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // static equivalence: dyn kernel at a literal k/offset must reproduce
+    // the pinned-k bucket column exactly
+    for ((k, off) <- Seq((4, 0), (12, 20), (16, 40))) {
+      val bad = e.select(
+        VectorExpressions.lshBucketDyn(col("embedding"), lit(k), off).as("dynb"),
+        VectorOps.lshBucketAt(col("embedding"), k, off).as("statb"))
+        .filter(col("dynb") =!= col("statb"))
+      assert(bad.count() === 0, s"k=$k offset=$off")
+    }
+    // HOF equivalence at a RUNTIME k (the d29 oracle spelling)
+    val hof = """aggregate(sequence(0, k - 1), CAST(0 AS BIGINT), (acc, b) ->
+      acc + (CASE WHEN aggregate(transform(embedding, (x, i) ->
+          CAST(x AS DOUBLE) * (((((20 + b) * 64 + i) * 2654435761) % 1000000007) / 1000000000.0 - 0.5)),
+          CAST(0 AS DOUBLE), (a, v) -> a + v) > 0
+        THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END))"""
+    val bad2 = e.withColumn("k", (col("vec_id") % 13 + 4).cast("int"))
+      .select(
+        VectorExpressions.lshBucketDyn(col("embedding"), col("k"), 20).as("dynb"),
+        expr(hof).as("hofb"))
+      .filter(col("dynb") =!= col("hofb"))
+    assert(bad2.count() === 0)
+  }
+
   test("PqDists kernel is bit-identical to the SQL HOF spelling") {
     // the SQL formulation is what the s7/s10 DuckDB oracles encode; the
     // kernel must reproduce it exactly (Math.pow, left-to-right sum,
