@@ -52,6 +52,8 @@ QUERIES = [
     "s19_hard_negatives",
     "s20_wide_ann",
     "s21_wide_recall",
+    "s22_adaptive_ann",
+    "s23_adaptive_recall",
 ]
 
 

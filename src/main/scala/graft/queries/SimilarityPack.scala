@@ -991,11 +991,17 @@ object SimilarityPack extends QueryPack {
         val db = e.filter(col("vec_id") % 50 =!= 0)
         val cos = quant(dot(col("embedding"), col("q_emb")) /
           when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6)
-        // exact truth: block join spreads the |Q|x|DB| pair work over 8 keys
+        // exact truth: block join spreads the |Q|x|DB| pair work over 8 keys.
+        // NULL (zero-norm) similarities are dropped BEFORE ranking on both
+        // sides so parity never leans on an engine's default null order
+        // (ADVICE r11 — Spark desc = nulls-last happens to match DuckDB's
+        // default_null_order, but a non-default session setting would
+        // silently flip membership)
         val truth = db.withColumn("blk", pmod(col("vec_id"), lit(8)))
           .join(qs.select(col("q_id"), col("q_emb"), col("q_nrm"),
             explode(sequence(lit(0L), lit(7L))).as("blk")), Seq("blk"))
           .select(col("q_id"), col("vec_id").as("nn_id"), cos.as("cs"))
+          .filter(col("cs").isNotNull)
           .withColumn("rk",
             row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("nn_id"))))
           .filter(col("rk") <= 3)
@@ -1009,6 +1015,7 @@ object SimilarityPack extends QueryPack {
             col("qb").bitwiseXOR(col("pr.m")).as("bucket"), col("pr.pi").as("pi"))
         val cand = db.join(qcells, Seq("bucket"))
           .select(col("q_id"), col("pi"), col("vec_id").as("nn_id"), cos.as("cs"))
+          .filter(col("cs").isNotNull)
         val retrieved = cand
           .select(col("q_id"), col("nn_id"), col("cs"),
             explode(array(lit(1), lit(3), lit(5))).as("n_probes"))
@@ -1042,14 +1049,17 @@ object SimilarityPack extends QueryPack {
            |db AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
            |truth AS (
            |  SELECT q_id, nn_id FROM (
-           |    SELECT q.q_id, db.vec_id AS nn_id,
-           |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY $cosSql DESC, db.vec_id) AS rk
-           |    FROM db, q) t WHERE rk <= 3),
+           |    SELECT q_id, nn_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, nn_id) AS rk
+           |    FROM (
+           |      SELECT q.q_id, db.vec_id AS nn_id, $cosSql AS cs
+           |      FROM db, q) t0 WHERE cs IS NOT NULL) t WHERE rk <= 3),
            |pr AS (SELECT unnest([0, 1, 2, 4, 8]) AS m, unnest([1, 2, 3, 4, 5]) AS pi),
            |cand AS (
-           |  SELECT q.q_id, q.pi, db.vec_id AS nn_id, $cosSql AS cs
-           |  FROM db JOIN (SELECT q_id, q_emb, xor(qb, m) AS bucket, pi FROM q, pr) q
-           |    ON db.bucket = q.bucket),
+           |  SELECT * FROM (
+           |    SELECT q.q_id, q.pi, db.vec_id AS nn_id, $cosSql AS cs
+           |    FROM db JOIN (SELECT q_id, q_emb, xor(qb, m) AS bucket, pi FROM q, pr) q
+           |      ON db.bucket = q.bucket) c WHERE cs IS NOT NULL),
            |ret AS (
            |  SELECT q_id, nn_id, n_probes FROM (
            |    SELECT cand.q_id, cand.nn_id, p.n_probes,
@@ -1243,7 +1253,8 @@ object SimilarityPack extends QueryPack {
       doc = "corpus-proof ANN config: 4 tables x 12 planes (4096 cells each, " +
         "E2LSH OR-construction) + Hamming-1 multi-probe per table — per-cell " +
         "density stays O(1) as the corpus grows, recall is bought with query-side " +
-        "fan-out (52 probes) and L-table index replication, never index density"
+        "fan-out (52 probes) and L-table index replication, never index density; " +
+        "PINNED-K BASELINE — production path is s22_adaptive_ann (in-plan k)"
     ),
     // ---------------------------------------------------------------- s21
     Q(
@@ -1310,6 +1321,9 @@ object SimilarityPack extends QueryPack {
           .join(qs.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
             col("nrm").as("q_nrm"), explode(sequence(lit(0L), lit(7L))).as("blk")), Seq("blk"))
           .select(col("q_id"), col("vec_id").as("nn_id"), cosExpr.as("cs"))
+          // NULL (zero-norm) similarities dropped BEFORE the truth window so
+          // parity never leans on an engine's default null order (ADVICE r11)
+          .filter(col("cs").isNotNull)
           .withColumn("rk",
             row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("nn_id"))))
           .filter(col("rk") <= 3)
@@ -1378,10 +1392,11 @@ object SimilarityPack extends QueryPack {
            |    FROM cand) t WHERE rk <= 3),
            |truth AS (
            |  SELECT q_id, nn_id FROM (
-           |    SELECT q.q_id, db.vec_id AS nn_id,
-           |      ROW_NUMBER() OVER (PARTITION BY q.q_id
-           |                         ORDER BY $truthCos DESC, db.vec_id) AS rk
-           |    FROM db, q) t WHERE rk <= 3),
+           |    SELECT q_id, nn_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, nn_id) AS rk
+           |    FROM (
+           |      SELECT q.q_id, db.vec_id AS nn_id, $truthCos AS cs
+           |      FROM db, q) t0 WHERE cs IS NOT NULL) t WHERE rk <= 3),
            |hits AS (
            |  SELECT config, COUNT(*) AS n_retrieved,
            |    CAST(SUM(CASE WHEN truth.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
@@ -1398,6 +1413,308 @@ object SimilarityPack extends QueryPack {
         "Hamming-1 config — one (table,bucket) equi-join serves all three configs; " +
         "the artifact quantifies candidates-per-unit-recall, the knob a 100 TB " +
         "index run tunes"
+    ),
+    // ---------------------------------------------------------------- s22
+    Q(
+      "s22_adaptive_ann",
+      (s, d) => {
+        // SERVING ANN WITH CORPUS-ADAPTIVE CODE WIDTH — d29's in-plan
+        // adaptive-k pattern transplanted to the retrieval shape. s20 (the
+        // pinned-k baseline this query is the production path for)
+        // hardcodes K=12/L=4 and documents re-tuning as an offline step;
+        // here k = len(bin(ceil(n_db/8))) clamped to [4,16] is derived from
+        // a broadcast count of the INDEX side, so per-cell density stays ~8
+        // vectors per table at ANY corpus size — the index can never
+        // silently re-densify between retunes. The integer-exact formula
+        // (no float log2 at a cell boundary) and the compiled LshBucketDyn
+        // kernel are exactly d29's; plane offsets t*20 keep the 4 tables'
+        // plane sets disjoint at the max width. Query side fans out over
+        // the exact cell + Hamming-1 probes (k+1 probes/table, growing only
+        // as k ~ log2 n); index carries L=4 rows/vector; the candidate join
+        // stays an equi-join on (tbl, bucket). Scoring, zero-norm guard,
+        // dedup, and bounded-heap top-3 are exactly s20's.
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.VectorExpressions.lshBucketDyn
+        val L = 4
+        val kdf = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 50 =!= 0)
+          .agg(count(lit(1)).as("n"))
+          .select(expr("GREATEST(4, LEAST(16, length(bin((n + 7) DIV 8)))) AS k"))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(kdf))
+          .select(
+            Seq(col("vec_id"), col("embedding"), col("k"), norm(col("embedding")).as("nrm")) ++
+              (0 until L).map(t => lshBucketDyn(col("embedding"), col("k"), t * 20).as(s"wb$t")): _*)
+        val idxArr = (0 until L)
+          .map(t => s"named_struct('tbl', $t, 'bucket', wb$t)")
+          .mkString("array(", ", ", ")")
+        val probeArr = (0 until L)
+          .map(t => s"""transform(sequence(0, k), p -> named_struct('tbl', $t,
+             |  'bucket', CASE WHEN p = 0 THEN wb$t
+             |            ELSE wb$t ^ shiftleft(CAST(1 AS BIGINT), p - 1) END))""".stripMargin)
+          .mkString("concat(", ", ", ")")
+        val db = e.filter(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id"), col("embedding"), col("nrm"), explode(expr(idxArr)).as("tb"))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val qs = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"), col("k").cast("long").as("k_planes"),
+            explode(expr(probeArr)).as("tb"))
+          .select(col("q_id"), col("q_emb"), col("q_nrm"), col("k_planes"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val cand = db.join(qs, Seq("tbl", "bucket"))
+          .select(col("q_id"), col("k_planes"), col("vec_id").as("nn_id"),
+            quant(dot(col("embedding"), col("q_emb")) /
+              when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6)
+              .as("cos_sim"))
+          .filter(col("cos_sim").isNotNull)
+          .distinct()
+        cand
+          .withColumn("n_cand", count(lit(1)).over(Window.partitionBy(col("q_id"))))
+          .withColumn("rank",
+            row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("nn_id")))
+              .cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("nn_id"), col("cos_sim"),
+            col("n_cand"), col("k_planes"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        def wbSql(t: Int): String = {
+          val j = s"((${t * 20} + b) * 64 + (i - 1))"
+          s"""CAST(list_sum(list_transform(generate_series(0, k - 1), b ->
+             |    CASE WHEN list_sum(list_transform(emb, (x, i) ->
+             |        CAST(x AS DOUBLE) * ((($j * 2654435761) % 1000000007) / 1000000000.0 - 0.5))) > 0
+             |      THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+        }
+        val wcols = (0 until 4).map(t => s"${wbSql(t)} AS wb$t").mkString(",\n    ")
+        val tcase = "CASE t.tbl WHEN 0 THEN wb0 WHEN 1 THEN wb1 WHEN 2 THEN wb2 ELSE wb3 END"
+        s"""WITH kk AS (
+           |  SELECT GREATEST(4, LEAST(16, length(bin((COUNT(*) + 7) // 8)))) AS k
+           |  FROM embeddings WHERE vec_id % 50 <> 0),
+           |e AS (
+           |  SELECT vec_id, emb AS embedding, k,
+           |    $wcols
+           |  FROM (SELECT vec_id, embedding AS emb FROM embeddings), kk),
+           |db AS (
+           |  SELECT e.vec_id, e.embedding, t.tbl, $tcase AS bucket
+           |  FROM e, (SELECT unnest([0,1,2,3]) AS tbl) t
+           |  WHERE e.vec_id % 50 <> 0),
+           |qp AS (
+           |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+           |    CAST(e.k AS BIGINT) AS k_planes, t.tbl,
+           |    CASE WHEN pp.p = 0 THEN $tcase
+           |         ELSE xor($tcase, CAST(1 AS BIGINT) << (pp.p - 1)) END AS bucket
+           |  FROM e, (SELECT unnest([0,1,2,3]) AS tbl) t,
+           |       (SELECT unnest(generate_series(0, (SELECT k FROM kk))) AS p) pp
+           |  WHERE e.vec_id % 50 = 0),
+           |cand AS (
+           |  SELECT DISTINCT q_id, k_planes, nn_id, cos_sim FROM (
+           |    SELECT q.q_id, q.k_planes, db.vec_id AS nn_id,
+           |      floor(${dotSql("db.embedding", "q.q_emb")} /
+           |            nullif(${normSql("db.embedding")} * ${normSql("q.q_emb")}, 0) * 1000000)
+           |        / 1000000 AS cos_sim
+           |    FROM db JOIN qp q ON db.tbl = q.tbl AND db.bucket = q.bucket) t
+           |  WHERE cos_sim IS NOT NULL)
+           |SELECT q_id, rank, nn_id, cos_sim, n_cand, k_planes FROM (
+           |  SELECT q_id, k_planes, nn_id, cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, nn_id) AS rank,
+           |    COUNT(*) OVER (PARTITION BY q_id) AS n_cand
+           |  FROM cand) t
+           |WHERE rank <= 3
+           |ORDER BY q_id, rank""".stripMargin
+      },
+      doc = "serving ANN with corpus-adaptive code width — the production path " +
+        "for pinned-k s20: k = len(bin(ceil(n_db/8))) planes per table derived " +
+        "in-plan from a broadcast index-side count (integer-exact on both " +
+        "engines) through the compiled LshBucketDyn kernel, so per-cell density " +
+        "stays ~8 at any corpus size; exact-cell + Hamming-1 probes (k+1 per " +
+        "table) buy recall with query fan-out that grows only as log2 n"
+    ),
+    // ---------------------------------------------------------------- s23
+    Q(
+      "s23_adaptive_recall",
+      (s, d) => {
+        // RECALL PARITY, pinned-k vs adaptive-k — the s21-style measurement
+        // that certifies s22 as s20's production path: recall@3 against
+        // exact blocked-join truth AND total candidate volume for (a) s20's
+        // pinned 4x12-plane Hamming-1 config and (b) s22's adaptive-k
+        // config, in one frame. One (tbl, bucket) equi-join serves both:
+        // the index explodes to 8 keyed rows per vector (tbl 0..3 the
+        // pinned code, 10..13 the adaptive tables — disjoint key spaces),
+        // the query side fans out per config x probe, candidates dedup per
+        // (config, query, neighbor). At the test corpus the adaptive k
+        // lands BELOW 12, so the adaptive config trades more candidates for
+        // recall >= pinned — the direction that matters: adaptivity never
+        // loses recall at small corpora, and caps density at large ones.
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.VectorExpressions.lshBucketDyn
+        val K = 12
+        val L = 4
+        val kdf = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 50 =!= 0)
+          .agg(count(lit(1)).as("n"))
+          .select(expr("GREATEST(4, LEAST(16, length(bin((n + 7) DIV 8)))) AS k"))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(kdf))
+          .select(
+            Seq(col("vec_id"), col("embedding"), col("k"), norm(col("embedding")).as("nrm")) ++
+              (0 until L).map(t => lshBucketAt(col("embedding"), K, t * K).as(s"fb$t")) ++
+              (0 until L).map(t => lshBucketDyn(col("embedding"), col("k"), t * 20).as(s"ab$t")): _*)
+        val db = e.filter(col("vec_id") % 50 =!= 0)
+        val qs = e.filter(col("vec_id") % 50 === 0)
+        val idxArr = (
+          (0 until L).map(t => s"named_struct('tbl', $t, 'bucket', fb$t)") ++
+            (0 until L).map(t => s"named_struct('tbl', ${10 + t}, 'bucket', ab$t)")
+          ).mkString("array(", ", ", ")")
+        val fixedProbes = for { t <- 0 until L; m <- 0L +: (0 until K).map(b => 1L << b) }
+          yield s"named_struct('config', 'wide_fixed_k12', 'tbl', $t, " +
+            s"'bucket', fb$t ^ CAST($m AS BIGINT))"
+        val adaptProbes = (0 until L).map(t =>
+          s"""transform(sequence(0, k), p -> named_struct('config', 'wide_adaptive',
+             |  'tbl', ${10 + t},
+             |  'bucket', CASE WHEN p = 0 THEN ab$t
+             |            ELSE ab$t ^ shiftleft(CAST(1 AS BIGINT), p - 1) END))""".stripMargin)
+        val probeArr =
+          (s"array(${fixedProbes.mkString(", ")})" +: adaptProbes).mkString("concat(", ", ", ")")
+        val dbx = db
+          .select(col("vec_id"), col("embedding"), col("nrm"), explode(expr(idxArr)).as("tb"))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val qp = qs
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+            explode(expr(probeArr)).as("pr"))
+          .select(col("q_id"), col("q_emb"), col("q_nrm"),
+            col("pr.config").as("config"), col("pr.tbl").as("tbl"), col("pr.bucket").as("bucket"))
+        val cosExpr = quant(dot(col("embedding"), col("q_emb")) /
+          when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6)
+        val cand = dbx.join(qp, Seq("tbl", "bucket"))
+          .select(col("config"), col("q_id"), col("vec_id").as("nn_id"), cosExpr.as("cos_sim"))
+          .filter(col("cos_sim").isNotNull)
+          .distinct()
+        val counts = cand.groupBy(col("config")).agg(count(lit(1)).as("n_cand"))
+        val top3 = cand
+          .withColumn("rk",
+            row_number().over(
+              Window.partitionBy(col("config"), col("q_id"))
+                .orderBy(col("cos_sim").desc, col("nn_id"))))
+          .filter(col("rk") <= 3)
+          .select(col("config"), col("q_id"), col("nn_id"))
+        // exact truth: block join spreads the |Q|x|DB| pair work over 8 keys;
+        // NULL (zero-norm) similarities are dropped BEFORE the truth window so
+        // parity never leans on an engine's default null order (ADVICE r11)
+        val truth = db.withColumn("blk", pmod(col("vec_id"), lit(8)))
+          .join(qs.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"), explode(sequence(lit(0L), lit(7L))).as("blk")), Seq("blk"))
+          .select(col("q_id"), col("vec_id").as("nn_id"), cosExpr.as("cs"))
+          .filter(col("cs").isNotNull)
+          .withColumn("rk",
+            row_number().over(Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("nn_id"))))
+          .filter(col("rk") <= 3)
+          .select(col("q_id"), col("nn_id"))
+        val hits = top3
+          .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "nn_id"), "left")
+          .groupBy(col("config"))
+          .agg(count(lit(1)).as("n_retrieved"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        val nq = qs.agg(count(lit(1)).as("n_q"))
+        counts.join(hits, Seq("config"))
+          .crossJoin(broadcast(nq))
+          .select(col("config"), col("n_cand"), col("n_retrieved"), col("n_hits"),
+            expr("n_hits * 1000000 DIV (3 * n_q)").as("recall_ppm"))
+          .orderBy(col("config"))
+      },
+      Some {
+        def fbSql(k: Int, offset: Int): String = (0 until k)
+          .map(b => s"CASE WHEN ${planeSql(offset + b)} > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        def abSql(t: Int): String = {
+          val j = s"((${t * 20} + b) * 64 + (i - 1))"
+          s"""CAST(list_sum(list_transform(generate_series(0, k - 1), b ->
+             |    CASE WHEN list_sum(list_transform(emb, (x, i) ->
+             |        CAST(x AS DOUBLE) * ((($j * 2654435761) % 1000000007) / 1000000000.0 - 0.5))) > 0
+             |      THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+        }
+        val wcols = (
+          (0 until 4).map(t => s"CAST(${fbSql(12, t * 12)} AS BIGINT) AS fb$t") ++
+            (0 until 4).map(t => s"${abSql(t)} AS ab$t")
+          ).mkString(",\n    ")
+        val fcase = "CASE t.tbl WHEN 0 THEN fb0 WHEN 1 THEN fb1 WHEN 2 THEN fb2 ELSE fb3 END"
+        val acase = "CASE t.tbl WHEN 0 THEN ab0 WHEN 1 THEN ab1 WHEN 2 THEN ab2 ELSE ab3 END"
+        val pfix = "CASE p.tbl WHEN 0 THEN fb0 WHEN 1 THEN fb1 WHEN 2 THEN fb2 ELSE fb3 END"
+        val fixedProbeRows = (for { t <- 0 until 4; m <- 0L +: (0 until 12).map(b => 1L << b) }
+          yield s"($t,$m)").mkString(",")
+        val candCos = s"""floor(${dotSql("d.embedding", "p.q_emb")} /
+           |            nullif(${normSql("d.embedding")} * ${normSql("p.q_emb")}, 0) * 1000000)
+           |        / 1000000""".stripMargin
+        val truthCos = s"""floor(${dotSql("db.embedding", "q.embedding")} /
+           |          nullif(${normSql("db.embedding")} * ${normSql("q.embedding")}, 0) * 1000000)
+           |      / 1000000""".stripMargin
+        s"""WITH kk AS (
+           |  SELECT GREATEST(4, LEAST(16, length(bin((COUNT(*) + 7) // 8)))) AS k
+           |  FROM embeddings WHERE vec_id % 50 <> 0),
+           |e AS (
+           |  SELECT vec_id, emb AS embedding, k,
+           |    $wcols
+           |  FROM (SELECT vec_id, embedding AS emb FROM embeddings), kk),
+           |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+           |db AS (SELECT * FROM e WHERE vec_id % 50 <> 0),
+           |dbx AS (
+           |  SELECT e.vec_id, e.embedding, t.tbl, $fcase AS bucket
+           |  FROM db e, (SELECT unnest([0,1,2,3]) AS tbl) t
+           |  UNION ALL
+           |  SELECT e.vec_id, e.embedding, 10 + t.tbl, $acase AS bucket
+           |  FROM db e, (SELECT unnest([0,1,2,3]) AS tbl) t),
+           |qp AS (
+           |  SELECT e.vec_id AS q_id, e.embedding AS q_emb,
+           |    'wide_fixed_k12' AS config, p.tbl, xor($pfix, p.m) AS bucket
+           |  FROM q e, (VALUES $fixedProbeRows) p(tbl, m)
+           |  UNION ALL
+           |  SELECT e.vec_id, e.embedding, 'wide_adaptive', 10 + t.tbl,
+           |    CASE WHEN pp.p = 0 THEN $acase
+           |         ELSE xor($acase, CAST(1 AS BIGINT) << (pp.p - 1)) END
+           |  FROM q e, (SELECT unnest([0,1,2,3]) AS tbl) t,
+           |       (SELECT unnest(generate_series(0, (SELECT k FROM kk))) AS p) pp),
+           |cand AS (
+           |  SELECT DISTINCT config, q_id, nn_id, cos_sim FROM (
+           |    SELECT p.config, p.q_id, d.vec_id AS nn_id,
+           |      $candCos AS cos_sim
+           |    FROM dbx d JOIN qp p ON d.tbl = p.tbl AND d.bucket = p.bucket) t
+           |  WHERE cos_sim IS NOT NULL),
+           |counts AS (SELECT config, COUNT(*) AS n_cand FROM cand GROUP BY config),
+           |top3 AS (
+           |  SELECT config, q_id, nn_id FROM (
+           |    SELECT config, q_id, nn_id,
+           |      ROW_NUMBER() OVER (PARTITION BY config, q_id
+           |                         ORDER BY cos_sim DESC, nn_id) AS rk
+           |    FROM cand) t WHERE rk <= 3),
+           |truth AS (
+           |  SELECT q_id, nn_id FROM (
+           |    SELECT q_id, nn_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, nn_id) AS rk
+           |    FROM (
+           |      SELECT q.vec_id AS q_id, db.vec_id AS nn_id,
+           |        $truthCos AS cs
+           |      FROM db, q) t0 WHERE cs IS NOT NULL) t WHERE rk <= 3),
+           |hits AS (
+           |  SELECT config, COUNT(*) AS n_retrieved,
+           |    CAST(SUM(CASE WHEN truth.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |  FROM top3 LEFT JOIN truth USING (q_id, nn_id)
+           |  GROUP BY config),
+           |nq AS (SELECT COUNT(*) AS n_q FROM q)
+           |SELECT counts.config, n_cand, n_retrieved, n_hits,
+           |  n_hits * 1000000 // (3 * (SELECT n_q FROM nq)) AS recall_ppm
+           |FROM counts JOIN hits USING (config)
+           |ORDER BY config""".stripMargin
+      },
+      doc = "recall@3/candidate-volume parity, pinned-k vs adaptive-k wide ANN " +
+        "(s20 vs s22) against exact blocked-join truth — one (tbl,bucket) " +
+        "equi-join serves both configs over disjoint table-id key spaces; " +
+        "certifies the adaptive config trades candidates for recall >= pinned " +
+        "at small corpora while capping per-cell density at large ones"
     )
   )
 

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-query differential invariants for the round-12 additions — the
+  * adaptive-width serving ANN (s22) and its recall-parity measurement (s23)
+  * are checked against independent formulations and the already-oracled s20,
+  * not just their own DuckDB twins.
+  */
+class Round12QueriesSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.01"
+  private lazy val spark = SparkTestSession.spark
+
+  private def q(name: String, dir: String = sf) = SparkEntry.queries(name)(spark, dir)
+
+  /** The adaptive-width formula, recomputed independently of the plan:
+    * k = len(bin(ceil(n/8))) clamped to [4,16] — target per-cell density ~8.
+    */
+  private def expectedK(nDb: Long): Long =
+    math.max(4, math.min(16, java.lang.Long.toBinaryString((nDb + 7) / 8).length)).toLong
+
+  test("s22 derives k in-plan from the index-side count — and k ADAPTS across corpora") {
+    // a 10x replica corpus (disjoint vec_ids) written to a temp dir: the SAME
+    // plan must come back with a wider code, no retune — the property s20's
+    // pinned K=12 cannot have
+    val big = java.nio.file.Files.createTempDirectory("s22corpus").toString
+    Tables.embeddings(spark, sf)
+      .crossJoin(spark.range(10).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
+        col("label"), col("embedding"))
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    val kAt = Seq(sf, big).map { dir =>
+      val nDb = Tables.embeddings(spark, dir).filter(col("vec_id") % 50 =!= 0).count()
+      val ks = q("s22_adaptive_ann", dir).select(col("k_planes")).distinct().collect()
+      assert(ks.length === 1, s"$dir: one k for the whole run, got ${ks.length}")
+      val k = ks.head.getLong(0)
+      assert(k === expectedK(nDb), s"$dir: k=$k, expected ${expectedK(nDb)} for n_db=$nDb")
+      k
+    }
+    assert(kAt(1) > kAt(0), s"k did not widen with the corpus: $kAt")
+  }
+
+  test("s22 results are true candidates: top-1 never beats brute force") {
+    import graft.functions.VectorOps._
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val qs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val db = e.filter(col("vec_id") % 50 =!= 0)
+    val exact = db.crossJoin(qs)
+      .select(col("q_id"),
+        queries.quant(dot(col("embedding"), col("q_emb")) /
+          when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6).as("cs"))
+      .filter(col("cs").isNotNull)
+      .groupBy(col("q_id")).agg(max(col("cs")).as("best"))
+    val s22 = q("s22_adaptive_ann").filter(col("rank") === 1)
+      .select(col("q_id"), col("cos_sim"))
+    val j = s22.join(exact, Seq("q_id"), "left")
+    assert(j.filter(col("best").isNull || col("cos_sim") > col("best")).count() === 0)
+  }
+
+  test("s23's pinned-k row agrees with the oracled s20 run") {
+    // s23's wide_fixed_k12 config retrieves exactly what s20 retrieves (same
+    // plane family, same probes, same query sample), so its candidate volume
+    // must equal the sum of s20's per-query n_cand and its retrieved count
+    // must equal s20's output row count
+    val s20 = q("s20_wide_ann")
+    val s20Cand = s20.filter(col("rank") === 1)
+      .agg(sum(col("n_cand"))).collect().head.getLong(0)
+    val s20Rows = s20.count()
+    val fixedRow = q("s23_adaptive_recall")
+      .filter(col("config") === "wide_fixed_k12")
+      .select(col("n_cand"), col("n_retrieved")).collect().head
+    assert(fixedRow.getLong(0) === s20Cand)
+    assert(fixedRow.getLong(1) === s20Rows)
+  }
+
+  test("s23 certifies the adaptive trade at a small corpus: recall >= pinned, more candidates") {
+    val rows = q("s23_adaptive_recall")
+      .select(col("config"), col("n_cand"), col("recall_ppm"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (cFix, rFix) = rows("wide_fixed_k12")
+    val (cAda, rAda) = rows("wide_adaptive")
+    // at the test corpus the adaptive k lands BELOW 12, so the adaptive
+    // config spends more candidates and can only gain recall — the safe
+    // direction; at large corpora the same formula caps density instead
+    assert(cAda > cFix, s"adaptive should widen cells here: $cAda <= $cFix")
+    assert(rAda >= rFix, s"adaptive recall regressed: $rAda < $rFix")
+  }
+}
