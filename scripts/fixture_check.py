@@ -32,6 +32,7 @@ QUERIES = [
     "m13_keyframe_pick",
     "m14_png_decode",
     "m15_image_ahash_dedup",
+    "m16_bmp_decode",
     "t24_readability",
     "p27_bpe_pair_stats",
     "s17_multiprobe_lsh",

@@ -24,14 +24,24 @@ object Bench {
     // measured query of each family isn't charged for first-touch I/O;
     // query-specific codegen/JIT is still charged to the query. Each table
     // warms independently so one missing file doesn't skip the rest.
+    // NonFatal only, and loudly (same argument as the checkpoint warm-up
+    // below): a missing/corrupt table must be VISIBLE in the bench log —
+    // every query over it is about to fail — not silently absorbed; fatal
+    // errors (OOM, interrupts) propagate.
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] lineitem warm-up failed: $e")
+    }
     Seq("orders", "customer", "supplier", "part", "nation", "region",
       "events", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $t warm-up failed: $e")
+      }
     }
     // JIT/codegen warm for the shared physical shapes (shuffle hash join,
     // window, decimal aggregate) so the first measured query of the run
@@ -49,7 +59,10 @@ object Bench {
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("s"),
           count(lit(1)).as("n"))
         .count()
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] join/window/decimal shape warm-up failed: $e")
+    }
     // GlobalOrder's per-query first-rep spike (~1.2s of per-schema
     // Encoders.row serializer+deserializer codegen, round-10 diagnosis) is
     // FIXED at the source: the scan now runs at the InternalRow level
@@ -100,29 +113,47 @@ object Bench {
           // (codec round trips, token stats) would time only its scan. The
           // InternalRow sweep forces every output column to materialize on
           // the executors with nothing collected to the driver.
+          // A broken query returns -1 (sample invalid) and is logged loudly
+          // — recording elapsed-until-failure as a valid sample would let a
+          // broken path SHRINK the suite total instead of failing visibly
+          // (ADVICE r11; same argument as the warm-up catches). Fatal errors
+          // (OOM, interrupts) propagate.
           try {
             fn(spark, sfDir).queryExecution.toRdd.foreachPartition { it =>
               while (it.hasNext) it.next()
             }
-          } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+            (System.nanoTime() - t0) / 1e9
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] query $name FAILED: $e")
+              -1.0
+          }
         }
-        val samples = scala.collection.mutable.ArrayBuffer.fill(reps)(once())
+        // stop sampling a query at its first failure — reps of a broken
+        // query are noise, and the failure is already on stderr
+        val samples = scala.collection.mutable.ArrayBuffer(once())
+        while (samples.last >= 0 && samples.size < reps) samples += once()
         def best2Spread: Double = {
           val s = samples.sorted
           if (s.size < 2 || s.head <= 0) 1.0 else s(1) / s.head
         }
-        while (samples.min >= 0.05 && best2Spread > 2.0 && samples.size < reps + extraReps)
+        while (samples.last >= 0 && samples.min >= 0.05 && best2Spread > 2.0 &&
+          samples.size < reps + extraReps)
           samples += once()
         name -> samples.toSeq
       }
       .map { case (name, samples) =>
-        val s = samples.sorted
-        val best2 = if (s.size < 2 || s.head <= 0) 1.0 else s(1) / s.head
-        (name, s.head, s.last, best2, samples.size)
+        if (samples.exists(_ < 0)) (name, -1.0, -1.0, 1.0, samples.size)
+        else {
+          val s = samples.sorted
+          val best2 = if (s.size < 2 || s.head <= 0) 1.0 else s(1) / s.head
+          (name, s.head, s.last, best2, samples.size)
+        }
       }
     def r3(v: Double): String = f"$v%.3f"
-    val total = results.map(_._2).sum
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val ok = results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
     // full detail to a file (unbounded size is fine there). min/max over all
     // reps go out so the artifact shows the raw noise; `contended` is judged
     // on the BEST-2 spread after the re-rep ladder above — a query is only
@@ -130,14 +161,17 @@ object Bench {
     // totals stop wobbling with scheduler noise (sub-50ms mins are excluded:
     // at that scale the spread is timer noise). `reps` appears when the
     // ladder took extra samples.
-    val flagged = results.filter { case (_, mn, _, b2, _) => mn >= 0.05 && b2 > 2.0 }
-    val eligible = results.count(_._2 >= 0.05).max(1)
+    val flagged = ok.filter { case (_, mn, _, b2, _) => mn >= 0.05 && b2 > 2.0 }
+    val eligible = ok.count(_._2 >= 0.05).max(1)
     val contentionScore = flagged.size.toDouble / eligible
     val detail = results.sortBy(-_._2)
       .map { case (k, mn, mx, b2, n) =>
-        val c = if (mn >= 0.05 && b2 > 2.0) ",\"contended\":true" else ""
-        val r = if (n > reps) s""","reps":$n""" else ""
-        s"\"" + k + "\":{\"min\":" + r3(mn) + ",\"max\":" + r3(mx) + c + r + "}"
+        if (mn < 0) s"\"" + k + "\":{\"failed\":true}"
+        else {
+          val c = if (mn >= 0.05 && b2 > 2.0) ",\"contended\":true" else ""
+          val r = if (n > reps) s""","reps":$n""" else ""
+          s"\"" + k + "\":{\"min\":" + r3(mn) + ",\"max\":" + r3(mx) + c + r + "}"
+        }
       }.mkString("{", ",", "}")
     // the r8 detail artifact silently carried 205 of 206 rows — make the
     // invariant explicit so a dropped row fails loudly instead
@@ -146,20 +180,28 @@ object Bench {
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       w.println(
-        s"""{"total":${r3(total)},"n_queries":${results.size},"sf":"$sfDir",""" +
+        s"""{"total":${r3(total)},"n_queries":${ok.size},"n_failed":${failed.size},""" +
+          s""""sf":"$sfDir",""" +
           s""""contention":{"n_contended":${flagged.size},"n_eligible":$eligible,""" +
-          s""""score":${r3(contentionScore)},"sum_max":${r3(results.map(_._3).sum)}},""" +
+          s""""score":${r3(contentionScore)},"sum_max":${r3(ok.map(_._3).sum)}},""" +
           s""""queries":$detail}""")
       w.close()
-    } catch { case _: Throwable => () }
-    // compact stdout line: family subtotals + slowest 30 queries
-    val families = results.groupBy(_._1.takeWhile(_ != '_').filter(_.isLetter))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write BENCH_DETAIL.json: $e")
+    }
+    // compact stdout line: family subtotals + slowest 30 queries; failures
+    // ride the headline line so the artifact itself shows them
+    val families = ok.groupBy(_._1.takeWhile(_ != '_').filter(_.isLetter))
       .toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"" + f + "\":" + r3(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
-    val slowest = results.sortBy(-_._2).take(30)
+    val slowest = ok.sortBy(-_._2).take(30)
       .map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"contended":${flagged.size},"families":$families,"queries":$slowest,"sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"contended":${flagged.size}$failedJson,"families":$families,"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,9 +41,19 @@ object StreamBench {
 
     val corpus = Tables.documents(spark, dir).select(col("doc_id").cast("long"), col("text"))
     val docs = corpus.as[(Long, String)].collect().sortBy(_._1)
-    val chunks = docs.grouped((docs.length + nBatches - 1) / nBatches).toIndexedSeq
+    // a missing/empty corpus would otherwise surface as grouped(0)'s opaque
+    // IllegalArgumentException several stages later (ADVICE r11)
+    require(docs.nonEmpty, s"StreamBench: no documents found under $dir/documents.parquet")
+    def chunked[T](rows: Array[T]): IndexedSeq[IndexedSeq[T]] =
+      rows.grouped(math.max(1, (rows.length + nBatches - 1) / nBatches))
+        .map(_.toIndexedSeq).toIndexedSeq
+    val chunks = chunked(docs)
     def r1(v: Double): String = f"$v%.1f"
     def report(name: String, fitMs: Double, batches: Seq[(Double, Long)]): Unit = {
+      if (batches.isEmpty) {
+        System.err.println(s"[streambench] $name: no batches ran — skipping report")
+        return
+      }
       val ms = batches.map(_._1)
       val st = batches.map(_._2)
       println(s"""{"pipeline":"$name","corpus":"$dir","n_docs":${docs.length},""" +
@@ -52,15 +62,15 @@ object StreamBench {
         s""""mean_batch_ms":${r1(ms.sum / ms.size)},"max_batch_ms":${r1(ms.max)},""" +
         s""""state_rows":[${st.mkString(",")}]}""")
     }
-    /** Feed the corpus chunk-by-chunk, timing each processAllAvailable and
+    /** Feed a corpus chunk-by-chunk, timing each processAllAvailable and
       * reading the stateful operator's row count off the progress event.
       */
-    def drive(
-        mkQuery: MemoryStream[(Long, String)] => org.apache.spark.sql.streaming.StreamingQuery)
+    def driveWith[T: org.apache.spark.sql.Encoder](batchData: IndexedSeq[IndexedSeq[T]])(
+        mkQuery: MemoryStream[T] => org.apache.spark.sql.streaming.StreamingQuery)
       : Seq[(Double, Long)] = {
-      val input = MemoryStream[(Long, String)]
+      val input = MemoryStream[T]
       val q = mkQuery(input)
-      val out = chunks.map { c =>
+      val out = batchData.map { c =>
         val t0 = System.nanoTime()
         input.addData(c)
         q.processAllAvailable()
@@ -73,6 +83,9 @@ object StreamBench {
       q.stop()
       out
     }
+    def drive(
+        mkQuery: MemoryStream[(Long, String)] => org.apache.spark.sql.streaming.StreamingQuery)
+      : Seq[(Double, Long)] = driveWith(chunks)(mkQuery)
 
     // 1. stateful LSH dedup: state = one row per distinct band bucket
     val dedup = drive { in =>
@@ -111,6 +124,28 @@ object StreamBench {
         .start()
     }
     report("lm_gate_frozen", fitMs, gate)
+
+    // 4. streaming SemDeDup: width frozen at fit time by d29's adaptive
+    //    formula over the standing corpus; state = one (id, 64-dim owner
+    //    embedding) row per distinct LSH cell — O(distinct cells), never
+    //    O(vectors)
+    val embCorpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long"), col("embedding"))
+    val tSem = System.nanoTime()
+    val kSem = streaming.StreamingSemDedup.fitK(embCorpus)
+    val semFitMs = (System.nanoTime() - tSem) / 1e6
+    val vecs = embCorpus.as[(Long, Array[Float])].collect().sortBy(_._1)
+    if (vecs.isEmpty) System.err.println(s"[streambench] no embeddings under $dir — skipping semdedup")
+    else {
+      val sem = driveWith(chunked(vecs)) { in =>
+        streaming.StreamingSemDedup.run(in.toDS().toDF("vec_id", "embedding"), kSem)
+          .writeStream.outputMode("append")
+          .foreachBatch((df: org.apache.spark.sql.Dataset[streaming.SemDupCandidate], _: Long) =>
+            { df.count(); () })
+          .start()
+      }
+      report(s"semdedup_stateful_k$kSem", semFitMs, sem)
+    }
 
     spark.stop()
   }

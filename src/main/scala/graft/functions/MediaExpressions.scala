@@ -48,8 +48,14 @@ object MediaExpressions {
   def pngEncodeGray(payload: Column, width: Int): Column =
     GraftShims.column(PngEncodeGray(GraftShims.expression(payload), width))
 
+  def bmpEncodeGray(payload: Column, width: Int): Column =
+    GraftShims.column(BmpEncodeGray(GraftShims.expression(payload), width))
+
   def pngStats(bytes: Column): Column =
     GraftShims.column(PngStats(GraftShims.expression(bytes)))
+
+  def imageStats(bytes: Column): Column =
+    GraftShims.column(ImageStats(GraftShims.expression(bytes)))
 
   def pngAHash(bytes: Column): Column =
     GraftShims.column(PngAHash(GraftShims.expression(bytes)))
@@ -82,7 +88,94 @@ object MediaExpressions {
     baos.toByteArray
   }
 
+  /** Render the same deterministic pixel plane as [[pngEncodeGrayBytes]]
+    * into a REAL 8-bit BMP via the JDK encoder — the second container of
+    * the format matrix (PNG: deflate + scanline filters; BMP: uncompressed
+    * palette-indexed scanlines; both lossless for 8-bit gray, so decoded
+    * stats from either container hash-match the same byte-derived oracle).
+    */
+  private[graft] def bmpEncodeGrayBytes(payload: Array[Byte], width: Int): Array[Byte] = {
+    val n = payload.length
+    val h = math.max(1, (n + width - 1) / width)
+    val img = new java.awt.image.BufferedImage(
+      width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < n) {
+      raster.setSample(i % width, i / width, 0, payload(i) & 0xff)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      if (!javax.imageio.ImageIO.write(img, "bmp", ios))
+        throw new IllegalStateException("JDK BMP writer unavailable")
+      ios.flush()
+    } finally ios.close()
+    baos.toByteArray
+  }
+
   private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** Container sniff over the magic bytes: Some("png"|"bmp"|"gif") for the
+    * formats the JDK decodes without native delegates, None otherwise. The
+    * cheap rejection gate in front of every decode — at 100 TB the common
+    * case in a mixed corpus is "not an image at all", and that must cost a
+    * few byte compares, not a decoder exception.
+    */
+  private[graft] def imageSniff(b: Array[Byte]): Option[String] = {
+    if (b == null || b.length < 8) return None
+    var isPng = true
+    var i = 0
+    while (i < 8 && isPng) {
+      if ((b(i) & 0xff) != PngSig(i)) isPng = false
+      i += 1
+    }
+    if (isPng) Some("png")
+    else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
+    else None
+  }
+
+  /** Band-0 pixel stats of any sniffable container ([[imageSniff]]),
+    * decoded through the real JDK decoder — the container-agnostic twin of
+    * [[pngStatsOf]] (identical fold; only the admission gate differs).
+    */
+  private[graft] def imageStatsOf(
+      b: Array[Byte]): Option[(Int, Int, Long, Long, Long, Long)] = {
+    if (imageSniff(b).isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(b)))
+      if (img == null) return None
+      Some(rasterStats(img))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** One pass over band 0: (width, height, n_pixels, sum, max, min). */
+  private def rasterStats(
+      img: java.awt.image.BufferedImage): (Int, Int, Long, Long, Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var sum = 0L
+    var mx = Long.MinValue
+    var mn = Long.MaxValue
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = raster.getSample(x, y, 0).toLong
+        sum += v
+        if (v > mx) mx = v
+        if (v < mn) mn = v
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, w.toLong * h, sum, mx, mn)
+  }
 
   /** Average-hash (aHash) over a decoded PNG's band-0 pixel plane: pixel
     * (x, y) belongs to grid block (⌊8y/h⌋, ⌊8x/w⌋), and bit bi*8+bj
@@ -160,25 +253,7 @@ object MediaExpressions {
         new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(b)))
       if (img == null) return None
-      val w = img.getWidth
-      val h = img.getHeight
-      val raster = img.getRaster
-      var sum = 0L
-      var mx = Long.MinValue
-      var mn = Long.MaxValue
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v = raster.getSample(x, y, 0).toLong
-          sum += v
-          if (v > mx) mx = v
-          if (v < mn) mn = v
-          x += 1
-        }
-        y += 1
-      }
-      Some((w, h, w.toLong * h, sum, mx, mn))
+      Some(rasterStats(img))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -499,6 +574,54 @@ case class PngAHash(child: Expression) extends Expression with CodegenFallback {
     val v = child.eval(input)
     if (v == null) null
     else MediaExpressions.pngAHashOf(v.asInstanceOf[Array[Byte]]).orNull
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+/** Render the deterministic gray plane as a REAL 8-bit BMP via the JDK
+  * encoder — [[PngEncodeGray]]'s container-matrix sibling (same plane,
+  * uncompressed container, equally lossless for 8-bit gray).
+  */
+@ExpressionDescription(usage = "bmp_encode_gray(payload, width) - grayscale BMP bytes")
+case class BmpEncodeGray(child: Expression, width: Int)
+    extends Expression with CodegenFallback {
+  require(width >= 1, s"bmp_encode_gray: width must be >= 1, got $width")
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MediaExpressions.bmpEncodeGrayBytes(v.asInstanceOf[Array[Byte]], width)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+/** Container-agnostic image decode via the real JDK decoders → the same
+  * stats struct as [[PngStats]]; admits any [[MediaExpressions.imageSniff]]
+  * container (PNG/BMP/GIF), null otherwise.
+  */
+@ExpressionDescription(usage = "image_stats(bytes) - decoded image dimension + pixel stats or null")
+case class ImageStats(child: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = StructType(Seq(
+    StructField("width_px", IntegerType),
+    StructField("height_px", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("pixel_sum", LongType),
+    StructField("pixel_max", LongType),
+    StructField("pixel_min", LongType)))
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MediaExpressions.imageStatsOf(v.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some((w, h, np, sum, mx, mn)) =>
+        new GenericInternalRow(Array[Any](w, h, np, sum, mx, mn))
+    }
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c(0))

@@ -160,7 +160,7 @@ object DedupPack extends QueryPack {
              |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id) p
              |WHERE jaccard >= 0.95
              |ORDER BY a_id, b_id""".stripMargin),
-      doc = "blocked token-set Jaccard near-dup; block key = source (LSH bucket at scale)"
+      doc = "blocked token-set Jaccard near-dup; block key = source (LSH bucket at scale); BASELINE RUNG (COVERAGE.md registry) — production path at scale: d25_lsh_clusters"
     ),
     // ---------------------------------------------------------------- minhash sigs
     Q(
@@ -246,7 +246,7 @@ object DedupPack extends QueryPack {
            |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
            |ORDER BY doc_id""".stripMargin
       },
-      doc = "8-bit SimHash from per-bit majority votes over token hashes"
+      doc = "8-bit SimHash from per-bit majority votes over token hashes; BASELINE RUNG (COVERAGE.md registry) — production path at scale: d26_wide_simhash"
     ),
     // ---------------------------------------------------------------- shingles
     Q(
@@ -343,7 +343,7 @@ object DedupPack extends QueryPack {
              |WHERE rnk = 1
              |ORDER BY vec_id""".stripMargin),
       doc = "embedding-cosine nearest neighbor within label blocks (IVF-style): the " +
-        "near-dup primitive — is_near_dup thresholds the top match"
+        "near-dup primitive — is_near_dup thresholds the top match; BASELINE RUNG (COVERAGE.md registry) — production path at scale: d29_semdedup_adaptive / s22_adaptive_ann"
     ),
     // ---------------------------------------------------------------- cross-source
     Q(
@@ -443,7 +443,7 @@ object DedupPack extends QueryPack {
              |SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
       doc = "dedup-cluster assignment: near-dup pairs as edges → distributed connected " +
         "components (iterative min-label propagation, ops/ConnectedComponents) vs a " +
-        "DuckDB recursive-CTE transitive closure — the canonical-doc-per-cluster step"
+        "DuckDB recursive-CTE transitive closure — the canonical-doc-per-cluster step; BASELINE RUNG (COVERAGE.md registry) — production path at scale: d25_lsh_clusters"
     ),
     // ---------------------------------------------------------------- edit dist
     Q(
@@ -605,7 +605,7 @@ object DedupPack extends QueryPack {
            |ORDER BY assigned.vec_id""".stripMargin
       },
       doc = "SemDeDup semantic dedup: coarse-cluster assignment blocks the cosine " +
-        "pair join, keep-lowest-id exemplar per semantic duplicate group"
+        "pair join, keep-lowest-id exemplar per semantic duplicate group; BASELINE RUNG (COVERAGE.md registry) — production path at scale: d29_semdedup_adaptive"
     ),
     // ---------------------------------------------------------------- paragraph
     Q(
@@ -1005,7 +1005,7 @@ object DedupPack extends QueryPack {
       },
       doc = "multi-index Hamming near-dup join: 60-bit SimHash (codegen'd one-pass " +
         "expression), 4x15-bit band index with pigeonhole-exact recall for d<=3, " +
-        "exact bit_count verify — oracle runs the brute-force all-pairs comparison"
+        "exact bit_count verify — oracle runs the brute-force all-pairs comparison; BASELINE RUNG (COVERAGE.md registry) — production path at scale: d26_wide_simhash"
     ),
     // ---------------------------------------------------------------- pipeline
     Q(
@@ -1267,7 +1267,7 @@ object DedupPack extends QueryPack {
       doc = "dedup keep-list: per near-dup cluster (d10's CC graph) pick the " +
         "longest-text representative (deterministic min(struct(-len, id)) " +
         "argmax, no corpus window) and account reclaimed chars — the manifest " +
-        "a dedup job actually emits"
+        "a dedup job actually emits; BASELINE RUNG (COVERAGE.md registry) — production path at scale: d27_keep_lsh"
     ),
     // ------------------------------------------------------- d25 lsh clusters
     Q(
@@ -1528,7 +1528,7 @@ object DedupPack extends QueryPack {
       doc = "SemDeDup at corpus-proof density — d14's scale path: prior-neighbor " +
         "candidates from the wide multi-table LSH code (4x4096 cells + Hamming-1 " +
         "probes, per-cell density O(1)) instead of 4 fixed coarse clusters; " +
-        "keep-lowest-id exemplar semantics unchanged, candidate volume in-output"
+        "keep-lowest-id exemplar semantics unchanged, candidate volume in-output; BASELINE RUNG (COVERAGE.md registry) — production path at scale: d29_semdedup_adaptive"
     ),
     // ---------------------------------------------------------------- d29
     Q(

@@ -205,7 +205,7 @@ object GeoPack extends QueryPack {
              |ORDER BY s_suppkey, rn""".stripMargin),
       doc = "grid-blocked spatial kNN (3 nearest customers per supplier station " +
         "within the 3×3 cell neighborhood) — cell equi-join candidates, exact " +
-        "integer dist², per-query rank windows that scale with the query count"
+        "integer dist², per-query rank windows that scale with the query count; BASELINE RUNG (COVERAGE.md registry) — production path at scale: g12_adaptive_knn"
     ),
     // ------------------------------------------------------ g7 density clusters
     Q(

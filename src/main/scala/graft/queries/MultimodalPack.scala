@@ -717,6 +717,68 @@ object MultimodalPack extends QueryPack {
         "one hash-keyed aggregate; oracle recomputes all 500 hashes from the " +
         "source hex dump with identical block arithmetic — payloads never " +
         "shuffle, 8 bytes per image do"
+    ),
+    // ---------------------------------------------------------------- m16
+    Q(
+      "m16_bmp_decode",
+      (s, d) => {
+        // SECOND REAL CODEC of the format matrix — proves the image path is
+        // container-agnostic, not PNG-shaped: the same deterministic pixel
+        // plane as m14 renders through the JDK's BMP encoder (uncompressed
+        // palette-indexed scanlines — lossless for 8-bit gray, so unlike a
+        // JPEG rung the decoded plane is byte-certifiable), and the
+        // container-SNIFFING ImageStats decoder (magic dispatch: PNG / BMP
+        // / GIF) runs the real BMP decode in the same pass. The oracle
+        // recomputes every decoded field from the source bytes' hex dump
+        // (exactly m14's arithmetic) PLUS the container length itself —
+        // BMP's fixed layout (14B header + 40B info + 1024B palette +
+        // 16B/row at this width) makes n_bytes = 1078 + 16*rows an
+        // integer-exact cross-check that the real container, not a
+        // passthrough, sat between encode and decode. Payloads never
+        // shuffle; 7 longs per row leave the scan.
+        import graft.functions.MediaExpressions.{bmpEncodeGray, imageStats}
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            bmpEncodeGray(encode(col("text"), "UTF-8"), 16).as("bmp"))
+          .select(col("doc_id"),
+            length(col("bmp")).cast("long").as("n_bytes"),
+            imageStats(col("bmp")).as("st"))
+          .select(
+            col("doc_id"),
+            col("n_bytes"),
+            col("st.width_px").as("width_px"),
+            col("st.height_px").as("height_px"),
+            col("st.n_pixels").as("n_pixels"),
+            col("st.pixel_sum").as("pixel_sum"),
+            col("st.pixel_max").as("pixel_max"),
+            col("st.pixel_min").as("pixel_min"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, hex(encode(text)) AS h,
+             |    octet_length(encode(text)) AS nb
+             |  FROM documents),
+             |v AS (
+             |  SELECT doc_id, nb,
+             |    CASE WHEN nb = 0 THEN 1 ELSE (nb + 15) // 16 END AS hh,
+             |    list_transform(generate_series(1, nb),
+             |      k -> CAST(('0x' || substring(h, 2*k-1, 2)) AS INT)) AS bs
+             |  FROM b)
+             |SELECT doc_id,
+             |  CAST(1078 + 16 * hh AS BIGINT) AS n_bytes,
+             |  CAST(16 AS BIGINT) AS width_px,
+             |  CAST(hh AS BIGINT) AS height_px,
+             |  CAST(16 * hh AS BIGINT) AS n_pixels,
+             |  CAST(coalesce(list_sum(bs), 0) AS BIGINT) AS pixel_sum,
+             |  CAST(coalesce(list_max(bs), 0) AS BIGINT) AS pixel_max,
+             |  CAST(CASE WHEN 16 * hh > nb THEN 0 ELSE list_min(bs) END AS BIGINT) AS pixel_min
+             |FROM v
+             |ORDER BY doc_id""".stripMargin),
+      doc = "second real image codec (BMP via the JDK encoder/decoder, " +
+        "magic-sniffing container dispatch) — the format matrix proof that the " +
+        "image path is container-agnostic; the oracle recomputes decoded stats " +
+        "from the source hex AND the exact BMP container length (fixed " +
+        "header+palette+row layout), certifying a real codec round trip"
     )
   )
 }

@@ -579,7 +579,7 @@ object StatsPack extends QueryPack {
              |GROUP BY dev.l_returnflag
              |ORDER BY dev.l_returnflag""".stripMargin),
       doc = "median + MAD robust z-score outlier count per group — resistant to the " +
-        "outliers themselves, exact interpolated percentiles on both engines"
+        "outliers themselves, exact interpolated percentiles on both engines; BASELINE RUNG (COVERAGE.md registry) — production path at scale: x31_robust_zscore_dist"
     ),
     // ---------------------------------------------------------------- weighted median
     Q(

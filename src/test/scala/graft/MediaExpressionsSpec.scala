@@ -234,4 +234,51 @@ class MediaExpressionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("width must be >= 1"))
   }
+
+  test("format matrix: PNG and BMP encode the same plane, sniffing decoder agrees exactly") {
+    val payload = (0 until 37).map(i => (i * 7 + 200).toByte).toArray
+    val png = MediaExpressions.pngEncodeGrayBytes(payload, 16)
+    val bmp = MediaExpressions.bmpEncodeGrayBytes(payload, 16)
+    // different real containers...
+    assert(MediaExpressions.imageSniff(png) === Some("png"))
+    assert(MediaExpressions.imageSniff(bmp) === Some("bmp"))
+    assert(!png.sameElements(bmp))
+    // ...same decoded pixel plane, through the container-agnostic decoder
+    val sPng = MediaExpressions.imageStatsOf(png)
+    val sBmp = MediaExpressions.imageStatsOf(bmp)
+    assert(sPng.isDefined && sPng === sBmp)
+    // and the agnostic decoder matches the PNG-only one on PNG input
+    assert(sPng === MediaExpressions.pngStatsOf(png))
+    // BMP fixed layout: 14B header + 40B info + 1024B palette + 16B/row
+    assert(bmp.length === 1078 + 16 * 3)
+  }
+
+  test("imageSniff rejects non-image bytes cheaply; imageStatsOf never throws") {
+    assert(MediaExpressions.imageSniff("plain text bytes".getBytes("UTF-8")) === None)
+    assert(MediaExpressions.imageSniff(Array[Byte](1, 2, 3)) === None)
+    assert(MediaExpressions.imageSniff(null) === None)
+    // sniffable magic but corrupt body -> None, never a task failure
+    val fakeBmp = "BM".getBytes("UTF-8") ++ Array.fill[Byte](32)(0x11)
+    assert(MediaExpressions.imageSniff(fakeBmp) === Some("bmp"))
+    assert(MediaExpressions.imageStatsOf(fakeBmp) === None)
+  }
+
+  test("BmpEncodeGray/ImageStats column surface: BMP round trip; empty payload; width guard") {
+    import graft.functions.MediaExpressions.{bmpEncodeGray, imageStats}
+    import spark.implicits._
+    val rows = Seq((1L, "hello bmp"), (2L, "")).toDF("id", "txt")
+      .select(col("id"),
+        imageStats(bmpEncodeGray(encode(col("txt"), "UTF-8"), 8)).as("st"))
+      .orderBy("id")
+      .select("id", "st.width_px", "st.height_px", "st.pixel_sum").collect()
+    assert(rows(0).getInt(1) === 8)
+    assert(rows(0).getInt(2) === 2)
+    assert(rows(0).getLong(3) === "hello bmp".getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum)
+    assert(rows(1).getInt(2) === 1) // empty -> one all-zero row
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.BmpEncodeGray(
+        org.apache.spark.sql.catalyst.expressions.Literal(Array[Byte](1)), 0)
+    }
+    assert(e.getMessage.contains("width must be >= 1"))
+  }
 }

@@ -239,4 +239,70 @@ class StreamingDifferentialSpec extends AnyFunSuite {
     assert(ranked == expected,
       s"stream-only=${(ranked -- expected).take(5)} batch-only=${(expected -- ranked).take(5)}")
   }
+
+  test("StreamingSemDedup == owner-restricted d29 semantics on sf0.01 embeddings; dup set ⊆ d29's") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.functions.VectorOps.{dot, norm}
+
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("long"), col("embedding"))
+    // the fit-time frozen width equals what batch d29 derives IN-PLAN over
+    // the same standing corpus — same integer-exact formula, same count
+    val k = StreamingSemDedup.fitK(embs)
+    val d29 = SparkEntry.queries("d29_semdedup_adaptive")(spark, sf)
+      .select(col("vec_id"), col("k_planes"), col("best_prior_sim"),
+        col("is_sem_dup")).collect()
+    assert(d29.map(_.getLong(1)).distinct.toSeq === Seq(k.toLong))
+
+    val vecs = embs.as[(Long, Array[Float])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingSemDedup.run(input.toDS().toDF("vec_id", "embedding"), k)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semdd_diff").start()
+    // 4 micro-batches in ascending vec_id order (ingest-tail replay)
+    vecs.grouped((vecs.length + 3) / 4).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("semdd_diff").as[SemDupCandidate].collect()
+    val streamedSet = streamed.map(c => (c.vecId, c.ownerId, c.cellKey, c.cosSim)).toSet
+
+    // batch twin: with id-ordered arrival the cell owner is the global min
+    // vec_id per cell; every later cell-sharer emits one exact-cosine
+    // candidate against the owner (zero-norm cosines dropped like batch)
+    val hits = StreamingSemDedup.cellHits(embs, k)
+    val owners = hits.groupBy(col("cellKey")).agg(min(col("vecId")).as("ownerId"))
+    val ownerEmb = hits.select(col("vecId").as("ownerId"), col("emb").as("o_emb"))
+      .join(owners.select(col("ownerId")).distinct(), Seq("ownerId"))
+      .dropDuplicates("ownerId")
+    val expected = hits.join(owners, Seq("cellKey"))
+      .filter(col("vecId") =!= col("ownerId"))
+      .join(ownerEmb, Seq("ownerId"))
+      .select(col("vecId"), col("ownerId"), col("cellKey"),
+        queries.quant(dot(col("emb"), col("o_emb")) /
+          when(norm(col("emb")) * norm(col("o_emb")) > 0.0,
+            norm(col("emb")) * norm(col("o_emb"))), 1e6).as("cos"))
+      .filter(col("cos").isNotNull)
+      .as[(Long, Long, String, Double)].collect().toSet
+
+    assert(streamedSet.nonEmpty, "corpus produced no cell collisions — differential is vacuous")
+    assert(streamedSet == expected,
+      s"stream-only=${(streamedSet -- expected).take(5)} batch-only=${(expected -- streamedSet).take(5)}")
+
+    // conservative-direction guarantee vs the ORACLED full-prior d29: the
+    // per-vector owner max is a lower bound on best_prior_sim, so the
+    // streaming dup set at the 0.85 threshold is a subset of d29's
+    val streamMax = streamed.groupBy(_.vecId).view.mapValues(_.map(_.cosSim).max).toMap
+    val d29Best = d29.map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    streamMax.foreach { case (v, m) =>
+      val best = d29Best(v).getOrElse(fail(s"vec $v: stream found a candidate, d29 none"))
+      assert(m <= best, s"vec $v: owner max $m beats d29 best $best")
+    }
+    val streamDups = streamMax.filter(_._2 >= 0.85).keySet
+    val d29Dups = d29.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(streamDups.subsetOf(d29Dups))
+  }
 }
