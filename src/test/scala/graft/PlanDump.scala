@@ -298,7 +298,7 @@ object PlanDump {
         "SortMergeJoin on (tbl, bucket); HashAggregate dedups (q,nn) pairs " +
         "before the bounded-heap top-k. Per-cell density O(1) in the " +
         "corpus: measured marginal 1.59x at 20x vs the 16-cell config's " +
-        "2.85x (SCALING.md)."),
+        "2.67x; production path = s22_adaptive_ann (SCALING.md)."),
       "x31_robust_zscore_dist" -> ("Distributed median+MAD: both order " +
         "statistics ride GlobalOrder's range shuffle (RangePartitioning " +
         "over (group, value) then Scan ExistingRDD of the checkpointed " +
@@ -313,8 +313,17 @@ object PlanDump {
         "offset) cells from it inside the scan projection (one compiled " +
         "pass per table, no per-plane array materialization); candidates " +
         "stay a (tbl, bucket) equi-join + HashAggregate dedup. Per-cell " +
-        "density ~8 at any corpus size: measured marginal 3.1× at 20× vs " +
-        "the fixed-cluster baseline's 6.3× (SCALING.md).")
+        "density ~8 at any corpus size: measured marginal 2.8× at 20× vs " +
+        "the fixed-cluster baseline's 6.8× (SCALING.md)."),
+      "s22_adaptive_ann" -> ("Adaptive-width SERVING ANN (d29's pattern on " +
+        "the retrieval shape): the broadcast index-side count fixes k " +
+        "in-plan, lsh_bucket_dyn(embedding, k, t*20) compiles into the " +
+        "scan projection on both sides, the query side explodes to " +
+        "4·(k+1) Hamming-1 probe rows (fan-out grows as log2 n), and " +
+        "candidates are ONE (tbl, bucket) equi-join + HashAggregate " +
+        "dedup + bounded-heap top-3. Per-cell density ~8 at any corpus " +
+        "size with no retune knob: measured marginal 1.44× at 20×, " +
+        "fastest serving config absolute (SCALING.md).")
     )
 
     val sb = new StringBuilder
