@@ -55,6 +55,7 @@ QUERIES = [
     "s21_wide_recall",
     "s22_adaptive_ann",
     "s23_adaptive_recall",
+    "s24_adaptive_negatives",
 ]
 
 

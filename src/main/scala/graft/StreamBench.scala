@@ -147,6 +147,26 @@ object StreamBench {
       report(s"semdedup_stateful_k$kSem", semFitMs, sem)
     }
 
+    // 5. streaming ANN serving: index fitted once at the adaptive width
+    //    (count -> k -> compiled bucket pass -> localCheckpoint), then
+    //    every micro-batch of queries is a STATELESS stream-static
+    //    equi-join + rerank against it — per-batch cost tracks batch size,
+    //    not stream lifetime
+    if (vecs.nonEmpty) {
+      val tIx = System.nanoTime()
+      val ix = streaming.StreamingAnnServe.fit(embCorpus)
+      ix.index.count() // force the checkpoint materialization into fit time
+      val ixFitMs = (System.nanoTime() - tIx) / 1e6
+      val serve = driveWith(chunked(vecs)) { in =>
+        in.toDS().toDF("vec_id", "embedding")
+          .writeStream.outputMode("append")
+          .foreachBatch((df: DataFrame, _: Long) =>
+            { streaming.StreamingAnnServe.serveBatch(df, ix).count(); () })
+          .start()
+      }
+      report(s"ann_serve_k${ix.k}", ixFitMs, serve)
+    }
+
     spark.stop()
   }
 }

@@ -1151,7 +1151,9 @@ object SimilarityPack extends QueryPack {
       },
       doc = "contrastive hard-negative mining: per anchor, the top-3 most-similar " +
         "DIFFERENT-label vectors — LSH-cell equi-join candidates with the label " +
-        "guard on the join, exact cosine rerank, native bounded-heap top-k"
+        "guard on the join, exact cosine rerank, native bounded-heap top-k; " +
+        "BASELINE RUNG (COVERAGE.md registry) — production path at scale: " +
+        "s24_adaptive_negatives"
     ),
     // ---------------------------------------------------------------- s20
     Q(
@@ -1715,6 +1717,126 @@ object SimilarityPack extends QueryPack {
         "equi-join serves both configs over disjoint table-id key spaces; " +
         "certifies the adaptive config trades candidates for recall >= pinned " +
         "at small corpora while capping per-cell density at large ones"
+    ),
+    // ---------------------------------------------------------------- s24
+    Q(
+      "s24_adaptive_negatives",
+      (s, d) => {
+        // HARD-NEGATIVE MINING ON THE ADAPTIVE CODE — closes the last
+        // serving-family user of the pinned 4-plane code: s19's semantics
+        // (per anchor, the top-3 most-similar DIFFERENT-label vectors)
+        // with candidates from the corpus-adaptive 4-table wide code
+        // instead of the 16 fixed cells. The label-inequality guard rides
+        // the candidate join exactly as in s19; k derives in-plan from the
+        // full corpus count (every vector is a potential negative, so the
+        // index side IS the corpus); multi-table + Hamming-1 probes buy
+        // back the recall the wider cells cost, and overlapping tables
+        // dedup per (anchor, negative) before the bounded-heap top-3.
+        // At 100 TB: mining cost ∝ (anchors × probes × ~8 per cell),
+        // never anchor-count × corpus-fraction — and never retuned.
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.VectorExpressions.lshBucketDyn
+        val L = 4
+        val kdf = Tables.embeddings(s, d)
+          .agg(count(lit(1)).as("n"))
+          .select(expr("GREATEST(4, LEAST(16, length(bin((n + 7) DIV 8)))) AS k"))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .crossJoin(broadcast(kdf))
+          .select(
+            Seq(col("vec_id"), col("label"), col("embedding"), col("k"),
+              norm(col("embedding")).as("nrm")) ++
+              (0 until L).map(t => lshBucketDyn(col("embedding"), col("k"), t * 20).as(s"wb$t")): _*)
+        val idxArr = (0 until L)
+          .map(t => s"named_struct('tbl', $t, 'bucket', wb$t)")
+          .mkString("array(", ", ", ")")
+        val probeArr = (0 until L)
+          .map(t => s"""transform(sequence(0, k), p -> named_struct('tbl', $t,
+             |  'bucket', CASE WHEN p = 0 THEN wb$t
+             |            ELSE wb$t ^ shiftleft(CAST(1 AS BIGINT), p - 1) END))""".stripMargin)
+          .mkString("concat(", ", ", ")")
+        val idx = e
+          .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+            explode(expr(idxArr)).as("tb"))
+          .select(col("vec_id"), col("label"), col("embedding"), col("nrm"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val anchors = e.filter(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+            col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+            col("k").cast("long").as("k_planes"),
+            explode(expr(probeArr)).as("tb"))
+          .select(col("q_id"), col("q_lbl"), col("q_emb"), col("q_nrm"), col("k_planes"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val cand = idx.join(anchors, Seq("tbl", "bucket"))
+          .filter(col("label") =!= col("q_lbl"))
+          .select(col("q_id"), col("q_lbl").cast("long").as("q_label"),
+            col("k_planes"), col("vec_id").as("neg_id"),
+            col("label").cast("long").as("neg_label"),
+            quant(dot(col("embedding"), col("q_emb")) /
+              when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6)
+              .as("cos_sim"))
+          .filter(col("cos_sim").isNotNull)
+          .distinct()
+        cand
+          .withColumn("rank",
+            row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("neg_id")))
+              .cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("rank"), col("neg_id"), col("q_label"),
+            col("neg_label"), col("cos_sim"), col("k_planes"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        def wbSql(t: Int): String = {
+          val j = s"((${t * 20} + b) * 64 + (i - 1))"
+          s"""CAST(list_sum(list_transform(generate_series(0, k - 1), b ->
+             |    CASE WHEN list_sum(list_transform(emb, (x, i) ->
+             |        CAST(x AS DOUBLE) * ((($j * 2654435761) % 1000000007) / 1000000000.0 - 0.5))) > 0
+             |      THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+        }
+        val wcols = (0 until 4).map(t => s"${wbSql(t)} AS wb$t").mkString(",\n    ")
+        val tcase = "CASE t.tbl WHEN 0 THEN wb0 WHEN 1 THEN wb1 WHEN 2 THEN wb2 ELSE wb3 END"
+        s"""WITH kk AS (
+           |  SELECT GREATEST(4, LEAST(16, length(bin((COUNT(*) + 7) // 8)))) AS k
+           |  FROM embeddings),
+           |e AS (
+           |  SELECT vec_id, label, emb AS embedding, k,
+           |    $wcols
+           |  FROM (SELECT vec_id, label, embedding AS emb FROM embeddings), kk),
+           |idx AS (
+           |  SELECT e.vec_id, e.label, e.embedding, t.tbl, $tcase AS bucket
+           |  FROM e, (SELECT unnest([0,1,2,3]) AS tbl) t),
+           |qp AS (
+           |  SELECT e.vec_id AS q_id, e.label AS q_lbl, e.embedding AS q_emb,
+           |    CAST(e.k AS BIGINT) AS k_planes, t.tbl,
+           |    CASE WHEN pp.p = 0 THEN $tcase
+           |         ELSE xor($tcase, CAST(1 AS BIGINT) << (pp.p - 1)) END AS bucket
+           |  FROM e, (SELECT unnest([0,1,2,3]) AS tbl) t,
+           |       (SELECT unnest(generate_series(0, (SELECT k FROM kk))) AS p) pp
+           |  WHERE e.vec_id % 25 = 0),
+           |cand AS (
+           |  SELECT DISTINCT q_id, q_label, k_planes, neg_id, neg_label, cos_sim FROM (
+           |    SELECT q.q_id, CAST(q.q_lbl AS BIGINT) AS q_label, q.k_planes,
+           |      i.vec_id AS neg_id, CAST(i.label AS BIGINT) AS neg_label,
+           |      floor(${dotSql("i.embedding", "q.q_emb")} /
+           |            nullif(${normSql("i.embedding")} * ${normSql("q.q_emb")}, 0) * 1000000)
+           |        / 1000000 AS cos_sim
+           |    FROM idx i JOIN qp q
+           |      ON i.tbl = q.tbl AND i.bucket = q.bucket AND i.label <> q.q_lbl) t
+           |  WHERE cos_sim IS NOT NULL)
+           |SELECT q_id, rank, neg_id, q_label, neg_label, cos_sim, k_planes FROM (
+           |  SELECT q_id, q_label, k_planes, neg_id, neg_label, cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neg_id) AS rank
+           |  FROM cand) t
+           |WHERE rank <= 3
+           |ORDER BY q_id, rank""".stripMargin
+      },
+      doc = "hard-negative mining on the corpus-adaptive wide code — s19's " +
+        "production path: per anchor the top-3 most-similar different-label " +
+        "vectors, candidates from 4 adaptive-width tables + Hamming-1 probes " +
+        "(label guard rides the join, k in-plan from the corpus count), " +
+        "deduped per (anchor, negative) before the bounded-heap top-3"
     )
   )
 

@@ -63,13 +63,17 @@ object StreamingSemDedup {
   /** Tables in the wide code — matches d29/s22 (plane offsets t*20). */
   val L = 4
 
-  /** d29's corpus-adaptive width formula, evaluated once at fit time over
-    * the standing corpus: target per-cell density ~8 vectors per table.
+  /** d29's corpus-adaptive width formula: k = len(bin(ceil(n/8))) clamped
+    * to [4,16] — between the clamps, 2^(k-1) <= ceil(n/8) < 2^k, so the
+    * per-table density n/2^k sits in [4, 16) (~8 on average) at ANY corpus
+    * size. Integer-exact (no float log2 at a cell boundary), matching the
+    * in-plan SQL spelling in d29/s22 bit for bit.
     */
-  def fitK(corpus: DataFrame): Int = {
-    val n = corpus.count()
+  def widthFor(n: Long): Int =
     math.max(4, math.min(16, java.lang.Long.toBinaryString((n + 7) / 8).length))
-  }
+
+  /** The formula evaluated once at fit time over the standing corpus. */
+  def fitK(corpus: DataFrame): Int = widthFor(corpus.count())
 
   /** `(vec_id, embedding)` stream → exploded (cell, vector) hits at the
     * frozen width. Pure per-row map through the compiled kernel: no

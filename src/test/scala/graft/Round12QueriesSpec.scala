@@ -20,6 +20,33 @@ class Round12QueriesSpec extends AnyFunSuite {
   private def expectedK(nDb: Long): Long =
     math.max(4, math.min(16, java.lang.Long.toBinaryString((nDb + 7) / 8).length)).toLong
 
+  test("adaptive-width formula: clamps, monotonicity, and the density-band invariant") {
+    import graft.streaming.StreamingSemDedup.widthFor
+    // tiny corpora pin to the floor (ceil(n/8) <= 15 through n=120);
+    // astronomically large ones to the cap
+    assert((0L to 120L).forall(widthFor(_) == 4))
+    assert(widthFor(121L) == 5)
+    assert(widthFor(1L << 40) == 16 && widthFor(Long.MaxValue / 2) == 16)
+    // monotone nondecreasing: a bigger corpus never narrows the code
+    val probes = (0 until 60).map(i => 1L << (i / 2)) ++ Seq(100L, 999L, 12345L, 999999L)
+    probes.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(widthFor(a) <= widthFor(b), s"$a -> $b narrowed")
+      case _ =>
+    }
+    // between the clamps: 2^(k-1) <= ceil(n/8) < 2^k, so the per-table
+    // density n/2^k is pinned inside (4 - 8/2^k, 8) — bounded above AND
+    // below by constants at every corpus size: the O(1)-density contract
+    // the SCALING tables measure ("~8" = the ceil(n/8) target cell size)
+    (200L to 500000L by 997L).foreach { n =>
+      val k = widthFor(n)
+      if (k > 4 && k < 16) {
+        val cells = 1L << k
+        val density = n.toDouble / cells
+        assert(density > 4.0 - 8.0 / cells && density < 8.0, s"n=$n k=$k density=$density")
+      }
+    }
+  }
+
   test("s22 derives k in-plan from the index-side count — and k ADAPTS across corpora") {
     // a 10x replica corpus (disjoint vec_ids) written to a temp dir: the SAME
     // plan must come back with a wider code, no retune — the property s20's
@@ -74,6 +101,35 @@ class Round12QueriesSpec extends AnyFunSuite {
       .select(col("n_cand"), col("n_retrieved")).collect().head
     assert(fixedRow.getLong(0) === s20Cand)
     assert(fixedRow.getLong(1) === s20Rows)
+  }
+
+  test("s24 negatives honor the label guard and the brute-force bound; k matches the formula") {
+    import graft.functions.VectorOps._
+    val s24 = q("s24_adaptive_negatives")
+    val rows = s24.collect()
+    assert(rows.nonEmpty)
+    // every mined negative really is a different-label vector
+    assert(rows.forall(r => r.getLong(3) != r.getLong(4)),
+      "a negative shares its anchor's label")
+    // in-plan k equals the formula over the FULL corpus (negatives index = corpus)
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(6)).distinct.toSeq === Seq(expectedK(n)))
+    // rank-1 cosine never beats the exact best different-label cosine
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val anchors = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_lbl"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val exact = e.crossJoin(anchors)
+      .filter(col("label") =!= col("q_lbl"))
+      .select(col("q_id"),
+        queries.quant(dot(col("embedding"), col("q_emb")) /
+          when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6).as("cs"))
+      .filter(col("cs").isNotNull)
+      .groupBy(col("q_id")).agg(max(col("cs")).as("best"))
+    val top1 = s24.filter(col("rank") === 1).select(col("q_id"), col("cos_sim"))
+    val j = top1.join(exact, Seq("q_id"), "left")
+    assert(j.filter(col("best").isNull || col("cos_sim") > col("best")).count() === 0)
   }
 
   test("s23 certifies the adaptive trade at a small corpus: recall >= pinned, more candidates") {

@@ -305,4 +305,44 @@ class StreamingDifferentialSpec extends AnyFunSuite {
     val d29Dups = d29.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
     assert(streamDups.subsetOf(d29Dups))
   }
+
+  test("StreamingAnnServe over any batching == oracled s22_adaptive_ann row-for-row") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("long"), col("embedding"))
+    val ix = StreamingAnnServe.fit(embs.filter(col("vec_id") % 50 =!= 0))
+    // the fit-time width equals what s22 derives in-plan from the same
+    // index side
+    val s22 = SparkEntry.queries("s22_adaptive_ann")(spark, sf).collect()
+    assert(s22.map(_.getLong(5)).distinct.toSeq === Seq(ix.k.toLong))
+
+    val queries = embs.filter(col("vec_id") % 50 === 0)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Array[Float])]
+    val served = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Long, Long)]
+    val q = input.toDS().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        served.synchronized {
+          served ++= StreamingAnnServe.serveBatch(df, ix)
+            .as[(Long, Long, Long, Double, Long, Long)].collect()
+        }
+        ()
+      }
+      .start()
+    // 3 micro-batches — per-query results must not depend on the batching
+    queries.grouped((queries.length + 2) / 3).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val expected = s22.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))).toSet
+    assert(served.nonEmpty)
+    assert(served.toSet == expected,
+      s"stream-only=${(served.toSet -- expected).take(3)} batch-only=${(expected -- served.toSet).take(3)}")
+  }
 }
