@@ -9,10 +9,20 @@ import org.apache.spark.sql.types._
   * struct; decode / feature-extract / frame-sample are batch operations
   * over those bytes.
   *
-  * The codecs themselves are REAL: WAV/PCM byte-exact pack/parse and
-  * genuine PNG encode/decode through the JDK's own `javax.imageio` live in
-  * [[graft.functions.MediaExpressions]] (queries m8/m9/m14 certify both
-  * round trips against byte-derived oracles). [[decodeStub]]/[[resizeStub]]
+  * The codecs themselves are REAL — the format matrix as of round 12:
+  *
+  * | container | encode | decode | lossless | certified by |
+  * |---|---|---|---|---|
+  * | WAV/PCM s16le | `WavPack` | `WavMeta`/`PcmStats` | yes | m8/m9 byte-derived oracles |
+  * | PNG (deflate + filters) | `PngEncodeGray` | `PngStats`/`PngAHash` | yes (8-bit gray) | m14/m15 hex-dump oracles |
+  * | BMP (uncompressed palette) | `BmpEncodeGray` | `ImageStats` (magic-sniffing) | yes (8-bit gray) | m16 hex-dump + exact container length |
+  * | GIF | — | `ImageStats` admits it (JDK decoder) | n/a | sniff path in MediaExpressionsSpec |
+  *
+  * All through the JDK's own `javax.imageio`/byte kernels in
+  * [[graft.functions.MediaExpressions]] — zero external libs, and the
+  * container-agnostic [[graft.functions.ImageStats]] dispatches on magic
+  * bytes so a mixed corpus pays a few byte compares, not a decoder
+  * exception, per non-image row. [[decodeStub]]/[[resizeStub]]
   * below are NOT the decode path — they are deterministic fakes that keep
   * the `mapPartitions` batch shape (one codec init per partition, tight
   * row loop — where a heavier JNI codec would sit) testable with stable
