@@ -56,6 +56,7 @@ QUERIES = [
     "s22_adaptive_ann",
     "s23_adaptive_recall",
     "s24_adaptive_negatives",
+    "s25_adaptive_ivf",
 ]
 
 

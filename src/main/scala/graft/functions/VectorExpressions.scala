@@ -117,6 +117,28 @@ object VectorExpressions {
   def lshBucketDyn(emb: Column, k: Column, offset: Int): Column =
     GraftShims.column(LshBucketDyn(GraftShims.expression(emb), GraftShims.expression(k), offset))
 
+  /** All `c` centroid similarities of one embedding in ONE compiled pass:
+    * element j is the floor-quantized (1e-6) dot with deterministic
+    * centroid j (the shift=0 hash family, exactly s5's scores) — c is a
+    * RUNTIME value, so the coarse quantizer's size can derive from a
+    * broadcast corpus count (the adaptive-nlist IVF, s25). Bit-identical
+    * to the interpreted `transform(sequence(0, c-1), …)` spelling and to
+    * the DuckDB list_transform twin; replaces c interpreted lambda towers
+    * (each materializing a 64-element array) with one tight loop.
+    */
+  def centroidScoresDynEval(a: ArrayData, c: Int): ArrayData = {
+    val out = new Array[Any](c)
+    var j = 0
+    while (j < c) {
+      out(j) = Math.floor(planeDotEval(a, j, 0.0) * 1000000.0) / 1000000.0
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def centroidScoresDyn(emb: Column, c: Column): Column =
+    GraftShims.column(CentroidScoresDyn(GraftShims.expression(emb), GraftShims.expression(c)))
+
   def pqDists(a: Column): Column =
     GraftShims.column(PqDists(GraftShims.expression(a)))
 }
@@ -135,6 +157,21 @@ case class LshBucketDyn(emb: Expression, k: Expression, offset: Int)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): LshBucketDyn =
     copy(emb = l, k = r)
   override def prettyName: String = "lsh_bucket_dyn"
+}
+
+case class CentroidScoresDyn(emb: Expression, c: Expression) extends BinaryExpression {
+  override def left: Expression = emb
+  override def right: Expression = c
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(a: Any, cv: Any): Any =
+    VectorExpressions.centroidScoresDynEval(
+      a.asInstanceOf[ArrayData], cv.asInstanceOf[Number].intValue())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, cv) =>
+      s"graft.functions.VectorExpressions.centroidScoresDynEval($a, (int)($cv))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CentroidScoresDyn =
+    copy(emb = l, c = r)
+  override def prettyName: String = "centroid_scores_dyn"
 }
 
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {

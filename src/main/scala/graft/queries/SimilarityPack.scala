@@ -182,7 +182,7 @@ object SimilarityPack extends QueryPack {
            |ORDER BY centroid""".stripMargin
       },
       doc = "IVF coarse-quantizer assignment step: argmax similarity over 4 deterministic " +
-        "centroids with fixed tie order — the partition-pruning key for ANN at scale"
+        "centroids with fixed tie order — the partition-pruning key for ANN at scale; BASELINE RUNG (COVERAGE.md registry) — production path at scale: s25_adaptive_ivf"
     ),
     // ---------------------------------------------------------------- ivf search
     Q(
@@ -256,7 +256,7 @@ object SimilarityPack extends QueryPack {
       doc = "IVF ANN search end-to-end: coarse-quantize every vector (s5), probe only " +
         "the query's top-2 centroid partitions (nprobe=2 prunes the scan to ~half " +
         "the corpus; at 100 TB the centroid id is the physical partition key so " +
-        "pruning is I/O, not compute), exact-cosine re-rank inside the probed subset"
+        "pruning is I/O, not compute), exact-cosine re-rank inside the probed subset; BASELINE RUNG (COVERAGE.md registry) — production path at scale: s25_adaptive_ivf"
     ),
     // ---------------------------------------------------------------- s7 PQ/ADC
     Q(
@@ -528,7 +528,7 @@ object SimilarityPack extends QueryPack {
         "prune is I/O skipped, not compute); INSIDE the probed cells vectors are " +
         "PQ-encoded (4 subspaces x 4 centroids, 16x compression) and ranked by " +
         "the broadcast ADC lookup table — 4 table lookups per candidate, never " +
-        "a 64-dim scan. Both stages of the production ANN ladder in one plan"
+        "a 64-dim scan. Both stages of the production ANN ladder in one plan; BASELINE RUNG (COVERAGE.md registry) — production path at scale: s25_adaptive_ivf (coarse stage; PQ rescore unchanged)"
     ),
     // ------------------------------------------------------------ dim moments
     Q(
@@ -1837,6 +1837,116 @@ object SimilarityPack extends QueryPack {
         "vectors, candidates from 4 adaptive-width tables + Hamming-1 probes " +
         "(label guard rides the join, k in-plan from the corpus count), " +
         "deduped per (anchor, negative) before the bounded-heap top-3"
+    ),
+    // ---------------------------------------------------------------- s25
+    Q(
+      "s25_adaptive_ivf",
+      (s, d) => {
+        // ADAPTIVE-NLIST IVF — the adaptive-key-space pattern applied to
+        // the THIRD pinned quantizer family: s5/s6/s10 coarse-quantize
+        // over 4 FIXED deterministic centroids, so each IVF cell is a
+        // fixed FRACTION of the corpus and per-query probe cost grows
+        // linearly with it. Here nlist = clamp(4, 256, ceil(n_db/64))
+        // derives from a broadcast index-side count (integer-exact — no
+        // bin/log needed, the target is a ~64-vector cell), ALL nlist
+        // centroid scores come from one compiled pass (CentroidScoresDyn:
+        // same shift=0 hash family and 1e-6 floor quantization as s5, so
+        // assignment ties break identically on both engines via
+        // first-index-of-max), each query probes its top-2 centroids
+        // (score desc, id asc — in-plan struct sort, no collect), and
+        // candidates are an EQUI-JOIN on the centroid id — at 100 TB the
+        // centroid is the physical partition key, so nprobe/nlist prunes
+        // I/O and per-query cost is O(nprobe * 64) at any corpus size.
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.VectorExpressions.centroidScoresDyn
+        val kdf = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 50 =!= 0)
+          .agg(count(lit(1)).as("n"))
+          .select(expr("GREATEST(4, LEAST(256, (n + 63) DIV 64)) AS c"))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(kdf))
+          .select(col("vec_id"), col("embedding"), col("c"),
+            norm(col("embedding")).as("nrm"),
+            centroidScoresDyn(col("embedding"), col("c")).as("scores"))
+          .withColumn("centroid",
+            (array_position(col("scores"), array_max(col("scores"))) - 1))
+        val db = e.filter(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("centroid"))
+        val qs = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_nrm"), col("c").cast("long").as("n_cent"),
+            explode(slice(array_sort(zip_with(
+              col("scores"), sequence(lit(0), col("c") - 1),
+              (sc, j) => struct((-sc).as("neg"), j.as("cid")))), 1, 2)).as("pr"))
+          .select(col("q_id"), col("q_emb"), col("q_nrm"), col("n_cent"),
+            col("pr.cid").cast("long").as("centroid"))
+        db.join(qs, Seq("centroid"))
+          .select(col("q_id"), col("vec_id").as("nn_id"), col("centroid"), col("n_cent"),
+            quant(dot(col("embedding"), col("q_emb")) /
+              when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6)
+              .as("cos_sim"))
+          .filter(col("cos_sim").isNotNull)
+          .withColumn("rank",
+            row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("nn_id")))
+              .cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("q_id"), col("rank"), col("nn_id"), col("centroid"),
+            col("cos_sim"), col("n_cent"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some {
+        val scoreList =
+          """list_transform(generate_series(0, c - 1), j ->
+            |      floor(list_sum(list_transform(emb, (x, i) ->
+            |        CAST(x AS DOUBLE) * ((((j*64 + (i-1)) * 2654435761) % 1000000007) / 1000000000.0))) * 1000000) / 1000000)""".stripMargin
+        s"""WITH kk AS (
+           |  SELECT GREATEST(4, LEAST(256, (COUNT(*) + 63) // 64)) AS c
+           |  FROM embeddings WHERE vec_id % 50 <> 0),
+           |e AS (
+           |  SELECT vec_id, emb AS embedding, c,
+           |    $scoreList AS scores
+           |  FROM (SELECT vec_id, embedding AS emb FROM embeddings), kk),
+           |a AS (
+           |  SELECT vec_id, embedding, c, scores,
+           |    CAST(list_position(scores, list_max(scores)) - 1 AS BIGINT) AS centroid
+           |  FROM e),
+           |db AS (SELECT * FROM a WHERE vec_id % 50 <> 0),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_emb, c, scores
+           |      FROM a WHERE vec_id % 50 = 0),
+           |probes AS (
+           |  SELECT q_id, q_emb, CAST(c AS BIGINT) AS n_cent, CAST(j AS BIGINT) AS centroid
+           |  FROM (
+           |    SELECT q_id, q_emb, c, j, sc,
+           |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sc DESC, j) AS rn
+           |    FROM (
+           |      SELECT q_id, q_emb, c,
+           |        unnest(generate_series(0, c - 1)) AS j, unnest(scores) AS sc
+           |      FROM q) t) t2
+           |  WHERE rn <= 2)
+           |SELECT q_id, rank, nn_id, centroid, cos_sim, n_cent FROM (
+           |  SELECT p.q_id, db.vec_id AS nn_id, db.centroid, p.n_cent,
+           |    floor(${dotSql("db.embedding", "p.q_emb")} /
+           |          nullif(${normSql("db.embedding")} * ${normSql("p.q_emb")}, 0) * 1000000)
+           |      / 1000000 AS cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+           |      floor(${dotSql("db.embedding", "p.q_emb")} /
+           |            nullif(${normSql("db.embedding")} * ${normSql("p.q_emb")}, 0) * 1000000)
+           |        / 1000000 DESC, db.vec_id) AS rank
+           |  FROM db JOIN probes p ON db.centroid = p.centroid
+           |  WHERE floor(${dotSql("db.embedding", "p.q_emb")} /
+           |          nullif(${normSql("db.embedding")} * ${normSql("p.q_emb")}, 0) * 1000000)
+           |      / 1000000 IS NOT NULL) t
+           |WHERE rank <= 10
+           |ORDER BY q_id, rank""".stripMargin
+      },
+      doc = "adaptive-nlist IVF retrieval — the production path for the " +
+        "fixed-4-centroid family (s5/s6/s10): nlist = clamp(4,256,ceil(n/64)) " +
+        "from a broadcast index-side count keeps IVF cells at ~64 vectors at " +
+        "any corpus size; one compiled pass scores all centroids, top-2 probes " +
+        "per query resolve in-plan, candidates ride an equi-join on the " +
+        "centroid id (the physical partition key at 100 TB — pruning is I/O)"
     )
   )
 

@@ -323,7 +323,17 @@ object PlanDump {
         "candidates are ONE (tbl, bucket) equi-join + HashAggregate " +
         "dedup + bounded-heap top-3. Per-cell density ~8 at any corpus " +
         "size with no retune knob: measured marginal 1.44× at 20×, " +
-        "fastest serving config absolute (SCALING.md).")
+        "fastest serving config absolute (SCALING.md)."),
+      "s25_adaptive_ivf" -> ("Adaptive-nlist IVF: the broadcast index-side " +
+        "count fixes nlist in-plan (clamp(4,256,ceil(n/64)) — ~64-vector " +
+        "cells at any corpus size); centroid_scores_dyn computes ALL " +
+        "centroid similarities in one compiled pass inside the scan " +
+        "projection, assignment is first-index-of-max over that array, " +
+        "per-query top-2 probes resolve via an in-plan struct sort " +
+        "(no collect), and candidates ride ONE equi-join on the centroid " +
+        "id — the physical partition key at 100 TB, so nprobe/nlist " +
+        "pruning is I/O, not compute — before the native bounded-heap " +
+        "top-10.")
     )
 
     val sb = new StringBuilder

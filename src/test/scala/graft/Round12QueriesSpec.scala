@@ -132,6 +132,45 @@ class Round12QueriesSpec extends AnyFunSuite {
     assert(j.filter(col("best").isNull || col("cos_sim") > col("best")).count() === 0)
   }
 
+  test("s25 adaptive IVF: nlist formula, probe containment, brute-force bound") {
+    import graft.functions.VectorOps._
+    import graft.functions.VectorExpressions.centroidScoresDyn
+    val s25 = q("s25_adaptive_ivf")
+    val rows = s25.collect()
+    assert(rows.nonEmpty)
+    // nlist == the in-plan formula over the index side
+    val nDb = Tables.embeddings(spark, sf).filter(col("vec_id") % 50 =!= 0).count()
+    val expC = math.max(4L, math.min(256L, (nDb + 63) / 64))
+    assert(rows.map(_.getLong(5)).distinct.toSeq === Seq(expC))
+    // every returned neighbor sits in one of its query's top-2 probe cells
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        centroidScoresDyn(col("embedding"), lit(expC.toInt)).as("scores"))
+      .withColumn("centroid", array_position(col("scores"), array_max(col("scores"))) - 1)
+    val probesByQ = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"),
+        slice(array_sort(zip_with(col("scores"), sequence(lit(0), lit(expC.toInt - 1)),
+          (sc, j) => struct((-sc).as("neg"), j.as("cid")))), 1, 2).as("pr"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getInt(1).toLong).toSet).toMap
+    rows.foreach { r =>
+      assert(probesByQ(r.getLong(0)).contains(r.getLong(3)),
+        s"q=${r.getLong(0)} neighbor centroid ${r.getLong(3)} not probed")
+    }
+    // rank-1 never beats the exact global best (IVF is a pruning, not a rescore)
+    val qside = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val exact = e.filter(col("vec_id") % 50 =!= 0).crossJoin(qside)
+      .select(col("q_id"),
+        queries.quant(dot(col("embedding"), col("q_emb")) /
+          when(col("nrm") * col("q_nrm") > 0.0, col("nrm") * col("q_nrm")), 1e6).as("cs"))
+      .filter(col("cs").isNotNull)
+      .groupBy(col("q_id")).agg(max(col("cs")).as("best"))
+    val top1 = s25.filter(col("rank") === 1).select(col("q_id"), col("cos_sim"))
+    val j = top1.join(exact, Seq("q_id"), "left")
+    assert(j.filter(col("best").isNull || col("cos_sim") > col("best")).count() === 0)
+  }
+
   test("s23 certifies the adaptive trade at a small corpus: recall >= pinned, more candidates") {
     val rows = q("s23_adaptive_recall")
       .select(col("config"), col("n_cand"), col("recall_ppm"))

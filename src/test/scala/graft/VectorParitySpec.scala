@@ -87,6 +87,30 @@ class VectorParitySpec extends AnyFunSuite {
     assert(bad2.count() === 0)
   }
 
+  test("CentroidScoresDyn kernel == per-plane hashPlaneDot == HOF spelling at runtime c") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // static equivalence: element j of the dyn array must reproduce s5's
+    // quantized hashPlaneDot(j, shift=0) column exactly
+    val staticBad = e.select(
+      (VectorExpressions.centroidScoresDyn(col("embedding"), lit(4)).as("sc") +:
+        (0 until 4).map(j =>
+          queries.quant(VectorOps.hashPlaneDot(col("embedding"), j, 0.0), 1e6).as(s"s$j"))): _*)
+      .filter((0 until 4).map(j =>
+        element_at(col("sc"), j + 1) =!= col(s"s$j")).reduce(_ || _))
+    assert(staticBad.count() === 0)
+    // HOF equivalence at a RUNTIME c (the s25 oracle spelling)
+    val hof = """transform(sequence(0, c - 1), j ->
+      FLOOR(aggregate(transform(embedding, (x, i) ->
+        CAST(x AS DOUBLE) * ((((j*64 + i) * 2654435761) % 1000000007) / 1000000000.0)),
+        CAST(0 AS DOUBLE), (a, v) -> a + v) * 1000000) / 1000000)"""
+    val bad2 = e.withColumn("c", (col("vec_id") % 29 + 4).cast("int"))
+      .select(
+        VectorExpressions.centroidScoresDyn(col("embedding"), col("c")).as("dyn"),
+        expr(hof).as("hofc"))
+      .filter(col("dyn") =!= col("hofc"))
+    assert(bad2.count() === 0)
+  }
+
   test("PqDists kernel is bit-identical to the SQL HOF spelling") {
     // the SQL formulation is what the s7/s10 DuckDB oracles encode; the
     // kernel must reproduce it exactly (Math.pow, left-to-right sum,
