@@ -297,8 +297,8 @@ object PlanDump {
         "and queries to 52 probe rows; candidates are ONE ShuffledHashJoin/" +
         "SortMergeJoin on (tbl, bucket); HashAggregate dedups (q,nn) pairs " +
         "before the bounded-heap top-k. Per-cell density O(1) in the " +
-        "corpus: measured marginal 1.59x at 20x vs the 16-cell config's " +
-        "2.67x; production path = s22_adaptive_ann (SCALING.md)."),
+        "corpus: measured marginal 1.47x at 20x vs the 16-cell config's " +
+        "1.9-3.3x; production path = s22_adaptive_ann (SCALING.md)."),
       "x31_robust_zscore_dist" -> ("Distributed median+MAD: both order " +
         "statistics ride GlobalOrder's range shuffle (RangePartitioning " +
         "over (group, value) then Scan ExistingRDD of the checkpointed " +
@@ -313,8 +313,8 @@ object PlanDump {
         "offset) cells from it inside the scan projection (one compiled " +
         "pass per table, no per-plane array materialization); candidates " +
         "stay a (tbl, bucket) equi-join + HashAggregate dedup. Per-cell " +
-        "density ~8 at any corpus size: measured marginal 2.8× at 20× vs " +
-        "the fixed-cluster baseline's 6.8× (SCALING.md)."),
+        "density ~8 at any corpus size: measured marginal 2.4× at 20× vs " +
+        "the fixed-cluster baseline's 7.0× (SCALING.md)."),
       "s22_adaptive_ann" -> ("Adaptive-width SERVING ANN (d29's pattern on " +
         "the retrieval shape): the broadcast index-side count fixes k " +
         "in-plan, lsh_bucket_dyn(embedding, k, t*20) compiles into the " +
@@ -322,7 +322,7 @@ object PlanDump {
         "4·(k+1) Hamming-1 probe rows (fan-out grows as log2 n), and " +
         "candidates are ONE (tbl, bucket) equi-join + HashAggregate " +
         "dedup + bounded-heap top-3. Per-cell density ~8 at any corpus " +
-        "size with no retune knob: measured marginal 1.44× at 20×, " +
+        "size with no retune knob: measured marginal 1.29× at 20×, " +
         "fastest serving config absolute (SCALING.md)."),
       "s25_adaptive_ivf" -> ("Adaptive-nlist IVF: the broadcast index-side " +
         "count fixes nlist in-plan (clamp(4,256,ceil(n/64)) — ~64-vector " +
