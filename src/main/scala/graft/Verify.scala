@@ -45,8 +45,13 @@ object Verify {
       if (selected(name))
         try canonical(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        catch {
+          // per-query isolation is the contract (one broken query must not
+          // zero the round's other 238 results), but NonFatal only — an
+          // OOM/interrupt must crash the dump, not leave a silently
+          // truncated artifact (same argument as Bench's r11 fix)
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
