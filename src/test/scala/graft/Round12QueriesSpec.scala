@@ -48,10 +48,11 @@ class Round12QueriesSpec extends AnyFunSuite {
   }
 
   test("s22 derives k in-plan from the index-side count — and k ADAPTS across corpora") {
-    // a 10x replica corpus (disjoint vec_ids) written to a temp dir: the SAME
-    // plan must come back with a wider code, no retune — the property s20's
-    // pinned K=12 cannot have
-    val big = java.nio.file.Files.createTempDirectory("s22corpus").toString
+    // a 10x replica corpus (disjoint vec_ids) written under target/ (fixed
+    // path, overwritten per run — no /tmp accumulation): the SAME plan must
+    // come back with a wider code, no retune — the property s20's pinned
+    // K=12 cannot have
+    val big = "target/s22-replica-corpus"
     Tables.embeddings(spark, sf)
       .crossJoin(spark.range(10).select(col("id").as("rep")))
       .select((col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),
