@@ -105,6 +105,9 @@ object VectorExpressions {
     * unchanged. Powers the corpus-adaptive code width in d29.
     */
   def lshBucketDynEval(a: ArrayData, k: Int, offset: Int): Long = {
+    // k is a runtime column value (adaptive code width); > 63 would shift
+    // past the Long and < 0 would silently yield bucket 0 — fail loudly.
+    require(k >= 0 && k <= 63, s"lsh_bucket_dyn: code width $k outside [0, 63]")
     var bucket = 0L
     var b = 0
     while (b < k) {
@@ -127,6 +130,13 @@ object VectorExpressions {
     * (each materializing a 64-element array) with one tight loop.
     */
   def centroidScoresDynEval(a: ArrayData, c: Int): ArrayData = {
+    // c is a runtime column value (adaptive nlist from a broadcast count);
+    // guard it here so a bad/unclamped input fails loudly instead of
+    // NegativeArraySizeException / an arbitrarily large per-row allocation.
+    // 65536 is far above any sane coarse-quantizer size (s25 clamps to
+    // [4, 256] in-plan; the cap only bounds the damage of a bug).
+    require(c >= 0 && c <= 65536,
+      s"centroid_scores_dyn: centroid count $c outside [0, 65536]")
     val out = new Array[Any](c)
     var j = 0
     while (j < c) {

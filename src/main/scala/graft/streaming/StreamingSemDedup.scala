@@ -40,9 +40,13 @@ case class SemDupCandidate(vecId: Long, ownerId: Long, cellKey: String, cosSim: 
   * Semantics vs batch d29: the batch plan scores every prior cell-sharing
   * vector; bounded state cannot hold them all, so the streaming twin scores
   * against each cell's OWNER (first claimant — the min vec_id under
-  * id-ordered replay, exactly [[StreamingDedup]]'s first-claim convention).
-  * Every emitted pair is therefore one of d29's candidate pairs (owner
-  * shares a cell and precedes the vector), so per-vector max(cosSim) is a
+  * id-ordered replay, exactly [[StreamingDedup]]'s first-claim convention),
+  * and [[candidates]] only emits a pair when the colliding vector's id is
+  * GREATER than the owner's. Under out-of-order arrival a lower-id vector
+  * can reach a cell after a higher-id owner claimed it; that collision is
+  * suppressed rather than emitted, so in ANY arrival order every emitted
+  * pair is one of d29's candidate pairs (owner
+  * shares a cell and precedes the vector), and per-vector max(cosSim) is a
   * LOWER BOUND on d29's best_prior_sim and the dup set at any threshold is
   * a subset of d29's — the conservative direction for a dedup gate (never
   * drops a document d29 would keep). The differential spec pins both the
@@ -133,7 +137,7 @@ object StreamingSemDedup {
               (o, rows.tail)
           }
           rest.iterator
-            .filter(_.vecId != owner.vecId)
+            .filter(_.vecId > owner.vecId)
             .flatMap(h => cosQ(h.emb, owner.emb)
               .map(c => SemDupCandidate(h.vecId, owner.vecId, key, c)))
         }

@@ -48,11 +48,13 @@ class Round12QueriesSpec extends AnyFunSuite {
   }
 
   test("s22 derives k in-plan from the index-side count — and k ADAPTS across corpora") {
-    // a 10x replica corpus (disjoint vec_ids) written under target/ (fixed
-    // path, overwritten per run — no /tmp accumulation): the SAME plan must
-    // come back with a wider code, no retune — the property s20's pinned
-    // K=12 cannot have
-    val big = "target/s22-replica-corpus"
+    // a 10x replica corpus (disjoint vec_ids) written under java.io.tmpdir
+    // at a FIXED name, overwritten per run (no accumulation) — an absolute
+    // path, so the test does not depend on the test JVM's working
+    // directory: the SAME plan must come back with a wider code, no
+    // retune — the property s20's pinned K=12 cannot have
+    val big = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft-s22-replica-corpus").getAbsolutePath
     Tables.embeddings(spark, sf)
       .crossJoin(spark.range(10).select(col("id").as("rep")))
       .select((col("vec_id") + col("rep") * lit(1000000L)).as("vec_id"),

@@ -306,6 +306,61 @@ class StreamingDifferentialSpec extends AnyFunSuite {
     assert(streamDups.subsetOf(d29Dups))
   }
 
+  test("StreamingSemDedup out-of-order replay: every emitted pair is still a d29 candidate pair") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.functions.VectorOps.{dot, norm}
+
+    val embs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("long"), col("embedding"))
+    val k = StreamingSemDedup.fitK(embs)
+
+    // DESCENDING-id replay: cells get claimed by HIGH-id owners first, so a
+    // later lower-id collision must be SUPPRESSED (emitting it would invert
+    // the owner-precedes-vector direction and produce a pair batch d29
+    // never scores)
+    val vecs = embs.as[(Long, Array[Float])].collect().sortBy(-_._1)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingSemDedup.run(input.toDS().toDF("vec_id", "embedding"), k)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semdd_ooo").start()
+    vecs.grouped((vecs.length + 3) / 4).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("semdd_ooo").as[SemDupCandidate].collect()
+
+    // direction invariant holds in ANY arrival order
+    streamed.foreach(c => assert(c.vecId > c.ownerId,
+      s"inverted pair emitted: vec ${c.vecId} vs owner ${c.ownerId}"))
+
+    // every emitted pair is one of d29's candidate pairs: same cell, owner
+    // strictly prior, identical quantized cosine
+    val hits = StreamingSemDedup.cellHits(embs, k)
+    val allPrior = hits.join(
+        hits.select(col("cellKey"), col("vecId").as("ownerId"), col("emb").as("o_emb")),
+        Seq("cellKey"))
+      .filter(col("ownerId") < col("vecId"))
+      .select(col("vecId"), col("ownerId"), col("cellKey"),
+        queries.quant(dot(col("emb"), col("o_emb")) /
+          when(norm(col("emb")) * norm(col("o_emb")) > 0.0,
+            norm(col("emb")) * norm(col("o_emb"))), 1e6).as("cos"))
+      .filter(col("cos").isNotNull)
+      .as[(Long, Long, String, Double)].collect().toSet
+    val streamedSet = streamed.map(c => (c.vecId, c.ownerId, c.cellKey, c.cosSim)).toSet
+    assert(streamedSet.nonEmpty, "descending replay emitted nothing — in-batch ties should emit")
+    assert(streamedSet.subsetOf(allPrior),
+      s"non-d29 pairs emitted: ${(streamedSet -- allPrior).take(5)}")
+
+    // and the dup set at the gate threshold is still a subset of d29's
+    val d29Dups = SparkEntry.queries("d29_semdedup_adaptive")(spark, sf)
+      .filter(col("is_sem_dup")).select(col("vec_id")).as[Long].collect().toSet
+    val streamDups = streamed.groupBy(_.vecId).view.mapValues(_.map(_.cosSim).max)
+      .filter(_._2 >= 0.85).keySet
+    assert(streamDups.subsetOf(d29Dups))
+  }
+
   test("StreamingAnnServe over any batching == oracled s22_adaptive_ann row-for-row") {
     import spark.implicits._
     implicit val sql = spark.sqlContext

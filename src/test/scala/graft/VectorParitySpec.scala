@@ -111,6 +111,26 @@ class VectorParitySpec extends AnyFunSuite {
     assert(bad2.count() === 0)
   }
 
+  test("dyn kernels reject out-of-range runtime sizes loudly") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val a = new GenericArrayData(Array[Any](1.5f, -2.25f, 3.0f))
+    // a runtime width/count is a column value — a bad/unclamped input must
+    // fail with the kernel's own message, not NegativeArraySizeException or
+    // a giant per-row allocation
+    for (c <- Seq(-1, 65537)) {
+      val e = intercept[IllegalArgumentException](
+        VectorExpressions.centroidScoresDynEval(a, c))
+      assert(e.getMessage.contains("centroid_scores_dyn"))
+    }
+    assert(VectorExpressions.centroidScoresDynEval(a, 0).numElements() === 0)
+    for (k <- Seq(-1, 64)) {
+      val e = intercept[IllegalArgumentException](
+        VectorExpressions.lshBucketDynEval(a, k, 0))
+      assert(e.getMessage.contains("lsh_bucket_dyn"))
+    }
+    assert(VectorExpressions.lshBucketDynEval(a, 0, 0) === 0L)
+  }
+
   test("PqDists kernel is bit-identical to the SQL HOF spelling") {
     // the SQL formulation is what the s7/s10 DuckDB oracles encode; the
     // kernel must reproduce it exactly (Math.pow, left-to-right sum,
