@@ -1097,24 +1097,33 @@ object StatsPack extends QueryPack {
         // "resampling" method.
         val P = 1000000007L
         val (t0, t1) = (367879441L, 735758882L) // e^-1, 2e^-1 on the hash grid
+        // prices ride as LONG CENTS, not DECIMAL: the 64 weighted replicate
+        // sums then stay primitive-long inside whole-stage codegen (a
+        // Decimal multiply per (row, replicate) was the whole cost of this
+        // query — ~2.5x at sf0.1). Exactness is unchanged: cents sums are
+        // exact integers (< 2^53 up to ~4e8 rows x 1e5-cent prices; beyond
+        // that, split high/low words or return to decimal), and
+        // double(sum_cents)/100.0 is the correctly-rounded double of the
+        // same rational the oracle's CAST(SUM(decimal) AS DOUBLE) rounds,
+        // so every replicate mean is bit-identical to the oracle's.
         val base = Tables.lineitem(s, d).select(
           col("l_returnflag"),
-          dec(col("l_extendedprice")).as("x"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("xc"),
           ((col("l_orderkey") * 131 + col("l_linenumber")) % P).as("k"))
         def w(b: Int) = {
           val h = (col("k") * ((2654435761L + 97L * b) % P)) % P
           when(h < t0, 0L).when(h < t1, 1L).otherwise(2L)
         }
         val aggs = (0 until 32).flatMap { b =>
-          Seq(sum(col("x") * w(b)).as(s"s$b"), sum(w(b)).as(s"c$b"))
-        } ++ Seq(sum(col("x")).as("sx"), count(lit(1)).as("n_rows"))
+          Seq(sum(col("xc") * w(b)).as(s"s$b"), sum(w(b)).as(s"c$b"))
+        } ++ Seq(sum(col("xc")).as("sxc"), count(lit(1)).as("n_rows"))
         val means = sort_array(array(
-          (0 until 32).map(b => col(s"s$b").cast("double") / col(s"c$b")): _*))
+          (0 until 32).map(b => col(s"s$b").cast("double") / lit(100.0) / col(s"c$b")): _*))
         base.groupBy(col("l_returnflag"))
           .agg(aggs.head, aggs.tail: _*)
           .select(
             col("l_returnflag"), col("n_rows"),
-            (col("sx").cast("double") / col("n_rows")).as("mean_price"),
+            (col("sxc").cast("double") / lit(100.0) / col("n_rows")).as("mean_price"),
             quant(element_at(means, 2), 1e6).as("ci_lo"),
             quant(element_at(means, 31), 1e6).as("ci_hi"))
           .orderBy(col("l_returnflag"))
@@ -1538,8 +1547,138 @@ object StatsPack extends QueryPack {
         "median — smallest value whose doubled cumulative count reaches the " +
         "group total) instead of the whole-group-in-one-buffer percentile " +
         "aggregate; no stage holds more than a partition slice of any group"
+    ),
+    // ---------------------------------------------------------------- x32
+    Q(
+      "x32_hdr_quantiles",
+      (s, d) => {
+        // The SKETCH path for order statistics (see ops/HdrSketch): x2 /
+        // x17 / x31 are exact and pay a per-row sort or range shuffle;
+        // this is the one-pass mergeable answer — log-bucket the value
+        // (relative bucket width <= 1/32, ~2k buckets for all of long
+        // range), ONE map-side-combined count shuffle of O(groups x 2k)
+        // rows, then p50/p90/p99 fall out of a cumulative sum over
+        // BUCKET-level rows. Integer-exact end to end (length(bin()),
+        // shifts, the all-integer rank test cum*den >= n*num), so the
+        // sketch itself is hash-certified against DuckDB — not "close":
+        // identical. x33 certifies the error bound against exact order
+        // statistics.
+        import graft.ops.HdrSketch
+        val base = Tables.lineitem(s, d).select(
+          col("l_returnflag"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        val sk = HdrSketch.counts(
+          HdrSketch.bucketize(base, col("cents"), col("l_returnflag")),
+          col("l_returnflag"))
+        HdrSketch.estimates(sk, col("l_returnflag"))
+          .select(col("l_returnflag"), col("q_label"),
+            col("est_lo").as("est_lo_cents"), col("est_hi").as("est_hi_cents"),
+            col("n_group"))
+          .orderBy(col("l_returnflag"), col("q_label"))
+      },
+      Some(HdrOracleCte +
+        """SELECT l_returnflag, q_label,
+           |  MIN(lo) AS est_lo_cents, MIN(hi) AS est_hi_cents,
+           |  CAST(n_group AS BIGINT) AS n_group
+           |FROM cum CROSS JOIN spec
+           |WHERE cum * den >= n_group * num
+           |GROUP BY l_returnflag, q_label, n_group
+           |ORDER BY l_returnflag, q_label""".stripMargin),
+      doc = "HDR-style log-bucket quantile sketch (mergeable, O(2k) buckets, " +
+        "relative bucket width <= 1/32): p50/p90/p99 bounds from ONE " +
+        "map-side-combined count aggregate — the bounded-state production " +
+        "path beside exact x2/x17/x31; integer-exact, hash-certified"
+    ),
+    // ---------------------------------------------------------------- x33
+    Q(
+      "x33_hdr_certify",
+      (s, d) => {
+        // CERTIFY rung for x32 (the s21/s18 class: carries exact truth by
+        // construction, production path is x32 alone): the rank-r order
+        // statistic (r = ceil(q*n), exact discrete, any tie order — ties
+        // share a value) must lie inside the sketch's picked bucket
+        // [lo, hi]. The truth side is a per-group row_number sort — priced
+        // like every certify rung, it exists to measure the sketch, not to
+        // run at 100 TB.
+        import graft.ops.HdrSketch
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.lineitem(s, d).select(
+          col("l_returnflag"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        val est = HdrSketch.estimates(
+          HdrSketch.counts(
+            HdrSketch.bucketize(base, col("cents"), col("l_returnflag")),
+            col("l_returnflag")),
+          col("l_returnflag"))
+        val ranked = base
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("l_returnflag")).orderBy(col("cents"))))
+          .select(col("l_returnflag").as("rf"), col("cents"), col("rn"))
+        est
+          .withColumn("r", expr("(n_group * num + den - 1) DIV den"))
+          .join(ranked, col("l_returnflag") === col("rf") && col("rn") === col("r"))
+          .select(col("l_returnflag"), col("q_label"),
+            col("est_lo").as("est_lo_cents"), col("est_hi").as("est_hi_cents"),
+            col("cents").as("exact_cents"),
+            (col("cents") >= col("est_lo") && col("cents") <= col("est_hi"))
+              .as("within_bucket"))
+          .orderBy(col("l_returnflag"), col("q_label"))
+      },
+      Some(HdrOracleCte +
+        """, est AS (
+           |  SELECT l_returnflag, q_label, num, den,
+           |    MIN(lo) AS est_lo_cents, MIN(hi) AS est_hi_cents, n_group
+           |  FROM cum CROSS JOIN spec
+           |  WHERE cum * den >= n_group * num
+           |  GROUP BY l_returnflag, q_label, num, den, n_group),
+           |ranked AS (
+           |  SELECT l_returnflag, c,
+           |    row_number() OVER (PARTITION BY l_returnflag ORDER BY c) AS rn
+           |  FROM base)
+           |SELECT est.l_returnflag, q_label, est_lo_cents, est_hi_cents,
+           |  c AS exact_cents,
+           |  (c >= est_lo_cents AND c <= est_hi_cents) AS within_bucket
+           |FROM est JOIN ranked ON est.l_returnflag = ranked.l_returnflag
+           |  AND rn = (n_group * num + den - 1) // den
+           |ORDER BY est.l_returnflag, q_label""".stripMargin),
+      doc = "x32's certify rung (production path: x32): the exact rank-r order " +
+        "statistic (r = ceil(q*n)) provably falls inside the sketch's picked " +
+        "bucket [lo, hi] — checked value-for-value, truth side carries a " +
+        "per-group sort by construction"
     )
   )
+
+  /** Shared DuckDB CTE prefix for the x32/x33 HDR-sketch oracles: the
+    * bit-identical bucketization (length(bin()), shifts, masks), bucket
+    * counts, cumulative counts, and the 3-row quantile spec.
+    */
+  private val HdrOracleCte: String =
+    """WITH base AS (
+      |  SELECT l_returnflag,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM lineitem),
+      |bk AS (
+      |  SELECT l_returnflag, c,
+      |    CAST(length(bin(c)) AS BIGINT) AS msb,
+      |    CAST(greatest(length(bin(c)) - 6, 0) AS INT) AS shift
+      |  FROM base),
+      |sk AS (
+      |  SELECT l_returnflag,
+      |    msb * 32 + ((c >> shift) & 31) AS bucket,
+      |    CASE WHEN msb >= 6 THEN (32 + ((c >> shift) & 31)) << shift
+      |         ELSE (c >> shift) & 31 END AS lo,
+      |    (CASE WHEN msb >= 6 THEN (32 + ((c >> shift) & 31)) << shift
+      |          ELSE (c >> shift) & 31 END) + (CAST(1 AS BIGINT) << shift) - 1 AS hi,
+      |    COUNT(*) AS cnt
+      |  FROM bk GROUP BY 1, 2, 3, 4),
+      |cum AS (
+      |  SELECT l_returnflag, bucket, lo, hi, cnt,
+      |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n_group
+      |  FROM sk),
+      |spec(q_label, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+      |""".stripMargin
 
   private val GroupingSetsSql =
     """SELECT

@@ -510,26 +510,29 @@ object TextPack extends QueryPack {
         // co-occurrences the word participates in (left or right slot of any
         // bigram occurrence), freq(word) = occurrences; score = degree/freq
         // ranks words that appear in varied contexts over mere repetition.
-        // Two exploded aggregates + one join on the (small) vocabulary.
+        // ONE posexplode + ONE aggregate: an occurrence at position p of an
+        // n-token doc sits in the right slot of a bigram iff p > 0 and the
+        // left slot iff p < n-1, so its degree contribution is
+        // (2 - [p=0] - [p=n-1]) when n >= 2 and 0 in a 1-token doc — degree
+        // and freq fall out of the same grouped sum, with no bigram-struct
+        // HOF, no second explode, and no vocabulary join (the oracle keeps
+        // the literal two-aggregate + join spelling; the counts are
+        // identical per occurrence, repeats included).
         val toks = tokens(col("text"))
-        val bigrams = Tables.documents(s, d)
-          .filter(size(toks) >= 2)
-          .select(explode(transform(
-            sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))
-          )).as("bg"))
-        val deg = bigrams
-          .select(explode(array(col("bg.w1"), col("bg.w2"))).as("token"))
-          .groupBy(col("token")).agg(count(lit(1)).as("degree"))
-        val freq = Tables.documents(s, d)
-          .select(explode(toks).as("token"))
-          .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-        freq.join(deg, Seq("token"), "left")
+        Tables.documents(s, d)
+          .select(size(toks).as("n"), posexplode(toks).as(Seq("pos", "token")))
+          .groupBy(col("token"))
+          .agg(
+            count(lit(1)).as("freq"),
+            sum(when(col("n") >= 2,
+              lit(2L) - when(col("pos") === 0, 1L).otherwise(0L) -
+                when(col("pos") === col("n") - 1, 1L).otherwise(0L))
+              .otherwise(0L)).as("degree"))
           .select(
             col("token"),
             col("freq"),
-            coalesce(col("degree"), lit(0L)).as("degree"),
-            quant(coalesce(col("degree"), lit(0L)).cast("double") / col("freq"), 1e6).as("score")
+            col("degree"),
+            quant(col("degree").cast("double") / col("freq"), 1e6).as("score")
           )
           .orderBy(col("token"))
       },
