@@ -167,6 +167,29 @@ object StreamBench {
       report(s"ann_serve_k${ix.k}", ixFitMs, serve)
     }
 
+    // 6. streaming HDR quantiles over the same 50k-doc corpus (group =
+    //    source, value = token count): nothing fitted (log bucketing is
+    //    value-range-adaptive by construction); the sketch IS a built-in
+    //    streaming aggregation (map-side combined, fully parallel), state =
+    //    one count row per (group, live bucket), <= ~2k per group FOREVER;
+    //    per-batch p50/p90/p99 = the batch estimates plan applied to the
+    //    Complete-mode snapshot — per-batch cost and state must stay flat
+    val tokenCounts = Tables.documents(spark, dir)
+      .select(col("source").cast("string"), size(split(col("text"), " ")).cast("long"))
+      .as[(String, Long)].collect().sortBy(_._2)
+    if (tokenCounts.isEmpty) System.err.println(s"[streambench] no documents under $dir — skipping hdr")
+    else {
+      val hdr = driveWith(chunked(tokenCounts)) { in =>
+        streaming.StreamingHdrQuantiles.sketchCounts(in.toDS().toDF("group", "v"))
+          .writeStream.outputMode("complete")
+          .foreachBatch((df: DataFrame, _: Long) =>
+            { streaming.StreamingHdrQuantiles.quantilesOf(df).collect(); () })
+          .start()
+      }
+      report("hdr_quantiles_stateful", 0.0, hdr)
+    }
+
+
     spark.stop()
   }
 }

@@ -400,4 +400,64 @@ class StreamingDifferentialSpec extends AnyFunSuite {
     assert(served.toSet == expected,
       s"stream-only=${(served.toSet -- expected).take(3)} batch-only=${(expected -- served.toSet).take(3)}")
   }
+
+  test("StreamingHdrQuantiles snapshot quantiles == batch HDR sketch on every prefix, and == x32 at the end") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.HdrSketch
+
+    // the exact input frame x32 sketches: (returnflag group, price cents)
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .as[(String, Long)].collect().sortBy(r => (r._1, r._2))
+
+    def quantRows(df: DataFrame): Set[(String, String, Long, Long, Long)] =
+      df.select(col("group"), col("q_label"), col("est_lo"), col("est_hi"), col("n_group"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+
+    val input = MemoryStream[(String, Long)]
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(String, String, Long, Long, Long)])]
+    val q = StreamingHdrQuantiles.sketchCounts(input.toDS().toDF("group", "v"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        perBatch.synchronized {
+          perBatch += ((id, quantRows(StreamingHdrQuantiles.quantilesOf(df))))
+        }
+        ()
+      }
+      .start()
+    // 4 micro-batches; counts commute, so the batching must not matter —
+    // EVERY prefix snapshot must equal the batch sketch over that prefix
+    val chunks = rows.grouped((rows.length + 3) / 4).toIndexedSeq
+    chunks.foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(perBatch.size == chunks.size)
+
+    var prefix = Array.empty[(String, Long)]
+    perBatch.toSeq.sortBy(_._1).zip(chunks).foreach { case ((_, streamed), chunk) =>
+      prefix = prefix ++ chunk
+      val expected = quantRows(HdrSketch.estimates(
+        HdrSketch.counts(
+          HdrSketch.bucketize(prefix.toSeq.toDF("group", "v"), col("v"), col("group")),
+          col("group")),
+        col("group")))
+      assert(streamed == expected,
+        s"prefix ${prefix.length}: stream-only=${(streamed -- expected).take(3)} " +
+          s"batch-only=${(expected -- streamed).take(3)}")
+    }
+
+    // and the full-corpus snapshot ties back to the ORACLED x32 plan
+    val x32 = SparkEntry.queries("x32_hdr_quantiles")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(perBatch.maxBy(_._1)._2 == x32)
+  }
 }
