@@ -74,6 +74,21 @@ object HdrSketch {
       .groupBy(groupCols :+ col("bucket") :+ col("lo") :+ col("hi"): _*)
       .agg(count(lit(1)).as("cnt"))
 
+  /** Weighted sketch: per-bucket WEIGHT sums instead of row counts — the
+    * sketch analog of the exact weighted median (`x17`), whose
+    * "smallest value with cum·2 ≥ total" test [[estimates]] applies
+    * unchanged because `cnt` only ever enters the cumulative-rank
+    * inequality. The weight column rides through [[bucketize]] as a
+    * passthrough (groupCols carry any extra columns). Integer weights keep
+    * the whole sketch integer-exact and oracle-certifiable; the exact
+    * weighted rank-q statistic provably lands in the picked bucket (same
+    * first-crossing argument as the unweighted proof in HdrSketchSpec).
+    */
+  def weightedCounts(bucketized: DataFrame, weight: Column, groupCols: Column*): DataFrame =
+    bucketized
+      .groupBy(groupCols :+ col("bucket") :+ col("lo") :+ col("hi"): _*)
+      .agg(sum(weight).as("cnt"))
+
   /** Quantile spec rows (label, num, den): rank threshold is
     * ceil(n*num/den), applied as the all-integer `cum*den >= n*num`.
     */

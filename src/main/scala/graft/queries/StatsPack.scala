@@ -1645,40 +1645,90 @@ object StatsPack extends QueryPack {
         "statistic (r = ceil(q*n)) provably falls inside the sketch's picked " +
         "bucket [lo, hi] — checked value-for-value, truth side carries a " +
         "per-group sort by construction"
+    ),
+    // ---------------------------------------------------------------- x34
+    Q(
+      "x34_hdr_weighted",
+      (s, d) => {
+        // WEIGHTED quantile sketch — the bounded-state analog of
+        // x17_weighted_median (whose exact path pays a range shuffle over
+        // every row): per-bucket QUANTITY-weight sums instead of row
+        // counts, then the identical first-crossing rank test — p50 here
+        // is "the price bucket below which half the group's shipped
+        // quantity sits". Weights ride as integer centi-units (exact), so
+        // the whole sketch is still hash-certified; the exact weighted
+        // rank-q value provably lands in the picked bucket
+        // (HdrSketchSpec's weighted-median property). One
+        // map-side-combined shuffle of O(groups x 2k) rows, like x32.
+        import graft.ops.HdrSketch
+        val base = Tables.lineitem(s, d).select(
+          col("l_returnflag"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
+          (dec(col("l_quantity")) * 100).cast("long").as("wc"))
+        val sk = HdrSketch.weightedCounts(
+          HdrSketch.bucketize(base, col("cents"), col("l_returnflag"), col("wc")),
+          col("wc"), col("l_returnflag"))
+        HdrSketch.estimates(sk, col("l_returnflag"))
+          .select(col("l_returnflag"), col("q_label"),
+            col("est_lo").as("est_lo_cents"), col("est_hi").as("est_hi_cents"),
+            col("n_group").as("total_weight_c"))
+          .orderBy(col("l_returnflag"), col("q_label"))
+      },
+      Some(HdrWeightedOracleCte +
+        """SELECT l_returnflag, q_label,
+           |  MIN(lo) AS est_lo_cents, MIN(hi) AS est_hi_cents,
+           |  CAST(n_group AS BIGINT) AS total_weight_c
+           |FROM cum CROSS JOIN spec
+           |WHERE cum * den >= n_group * num
+           |GROUP BY l_returnflag, q_label, n_group
+           |ORDER BY l_returnflag, q_label""".stripMargin),
+      doc = "weight-aware HDR quantile sketch (quantity-weighted price " +
+        "percentiles): per-bucket weight sums through the same integer-exact " +
+        "first-crossing test — the bounded-state production path beside " +
+        "x17's exact range-shuffle weighted median; hash-certified"
     )
   )
 
-  /** Shared DuckDB CTE prefix for the x32/x33 HDR-sketch oracles: the
+  /** Shared DuckDB CTE prefix for the x32/x33/x34 HDR-sketch oracles: the
     * bit-identical bucketization (length(bin()), shifts, masks), bucket
-    * counts, cumulative counts, and the 3-row quantile spec.
+    * counts (row counts or weight sums), cumulative counts, and the 3-row
+    * quantile spec.
     */
-  private val HdrOracleCte: String =
-    """WITH base AS (
-      |  SELECT l_returnflag,
-      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-      |  FROM lineitem),
-      |bk AS (
-      |  SELECT l_returnflag, c,
-      |    CAST(length(bin(c)) AS BIGINT) AS msb,
-      |    CAST(greatest(length(bin(c)) - 6, 0) AS INT) AS shift
-      |  FROM base),
-      |sk AS (
-      |  SELECT l_returnflag,
-      |    msb * 32 + ((c >> shift) & 31) AS bucket,
-      |    CASE WHEN msb >= 6 THEN (32 + ((c >> shift) & 31)) << shift
-      |         ELSE (c >> shift) & 31 END AS lo,
-      |    (CASE WHEN msb >= 6 THEN (32 + ((c >> shift) & 31)) << shift
-      |          ELSE (c >> shift) & 31 END) + (CAST(1 AS BIGINT) << shift) - 1 AS hi,
-      |    COUNT(*) AS cnt
-      |  FROM bk GROUP BY 1, 2, 3, 4),
-      |cum AS (
-      |  SELECT l_returnflag, bucket, lo, hi, cnt,
-      |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-      |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n_group
-      |  FROM sk),
-      |spec(q_label, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
-      |""".stripMargin
+  private def hdrOracleCte(weighted: Boolean): String = {
+    val wCol = if (weighted)
+      ",\n    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS w" else ""
+    val wKeep = if (weighted) ", w" else ""
+    val cnt = if (weighted) "SUM(w)" else "COUNT(*)"
+    s"""WITH base AS (
+       |  SELECT l_returnflag,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c$wCol
+       |  FROM lineitem),
+       |bk AS (
+       |  SELECT l_returnflag, c$wKeep,
+       |    CAST(length(bin(c)) AS BIGINT) AS msb,
+       |    CAST(greatest(length(bin(c)) - 6, 0) AS INT) AS shift
+       |  FROM base),
+       |sk AS (
+       |  SELECT l_returnflag,
+       |    msb * 32 + ((c >> shift) & 31) AS bucket,
+       |    CASE WHEN msb >= 6 THEN (32 + ((c >> shift) & 31)) << shift
+       |         ELSE (c >> shift) & 31 END AS lo,
+       |    (CASE WHEN msb >= 6 THEN (32 + ((c >> shift) & 31)) << shift
+       |          ELSE (c >> shift) & 31 END) + (CAST(1 AS BIGINT) << shift) - 1 AS hi,
+       |    $cnt AS cnt
+       |  FROM bk GROUP BY 1, 2, 3, 4),
+       |cum AS (
+       |  SELECT l_returnflag, bucket, lo, hi, cnt,
+       |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n_group
+       |  FROM sk),
+       |spec(q_label, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+       |""".stripMargin
+  }
+
+  private val HdrOracleCte: String = hdrOracleCte(weighted = false)
+  private val HdrWeightedOracleCte: String = hdrOracleCte(weighted = true)
 
   private val GroupingSetsSql =
     """SELECT

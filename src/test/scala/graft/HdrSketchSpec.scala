@@ -78,6 +78,38 @@ class HdrSketchSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("weighted sketch: the exact weighted rank-q value falls inside the picked bucket") {
+    val rows = (1 to 4000).map { i =>
+      val g = s"g${i % 2}"
+      val v = ((i.toLong * 48271) % 1000) * ((i.toLong * 69621) % 97 + 1)
+      val w = (i.toLong * 16807) % 50 + 1 // weights in [1, 50]
+      (g, v, w)
+    }
+    val df = rows.toDF("g", "v", "w")
+    val est = HdrSketch.estimates(
+      HdrSketch.weightedCounts(
+        HdrSketch.bucketize(df, col("v"), col("g"), col("w")),
+        col("w"), col("g")),
+      col("g")).collect()
+    assert(est.length == 6) // 2 groups x 3 quantiles
+    val byGroup = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(t => (t._2, t._3)).sortBy(_._1)
+    }
+    est.foreach { r =>
+      val (g, num, den) = (r.getString(0), r.getLong(2), r.getLong(3))
+      val (lo, hi, tw) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      val sorted = byGroup(g)
+      assert(tw == sorted.map(_._2).sum)
+      // x17 semantics: smallest value whose cumulative weight crosses q*tw
+      var cum = 0L
+      val exact = sorted.iterator.dropWhile { case (_, w) =>
+        cum += w; cum * den < tw * num
+      }.next()._1
+      assert(exact >= lo && exact <= hi,
+        s"group $g q=$num/$den: weighted-exact $exact outside [$lo, $hi]")
+    }
+  }
+
   test("rank-r order statistic falls inside the picked bucket for every group/quantile") {
     val rows = (1 to 5000).map { i =>
       val g = s"g${i % 3}"
