@@ -189,6 +189,22 @@ object StreamBench {
       report("hdr_quantiles_stateful", 0.0, hdr)
     }
 
+    // 7. streaming priority sampling: the bounded PrioritySampleK sketch
+    //    as the streaming-aggregation state — AT MOST k=25 rows per source
+    //    FOREVER (set-determined, so any batching yields the batch sample);
+    //    nothing fitted, per-batch cost tracks batch size. The shared
+    //    (id, text) chunks carry no source column, so key by the corpus'
+    //    20-way srcN convention derived from the id
+    val prio = driveWith(chunks) { in =>
+      streaming.StreamingPrioritySample.run(in.toDS().toDF("doc_id", "text")
+          .withColumn("source", concat(lit("src"), col("doc_id") % 20))
+          .select(col("doc_id"), col("source"), col("text")))
+        .writeStream.outputMode("complete")
+        .foreachBatch((df: DataFrame, _: Long) => { df.count(); () })
+        .start()
+    }
+    report("priority_sample_stateful", 0.0, prio)
+
 
     spark.stop()
   }

@@ -198,4 +198,63 @@ object Aggregates {
     override def outputEncoder: Encoder[Seq[TermCount]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TermCount]]()
   }
+
+  /** One retained row of a weighted priority sample: the DLT priority, the
+    * document's stable id (the deterministic tiebreak), and its weight.
+    */
+  final case class SampleRow(priority: Long, docId: Long, w: Long)
+
+  /** Bounded priority-sample sketch: retains the k smallest rows by
+    * (priority, docId) — the Duffield-Lund-Thorup weighted sample p22
+    * computes with a rank window, as a MERGEABLE aggregate whose buffer
+    * never exceeds k rows. Insertion order cannot matter (the k smallest
+    * under a total order are set-determined), so reduce/merge are
+    * commutative+associative and the result is bit-reproducible across
+    * partitionings, retries, and engines — and the same buffer serves as
+    * bounded streaming-aggregation state (k rows per group FOREVER),
+    * which is what makes it p22's streaming twin.
+    */
+  final class PrioritySampleK(k: Int)
+      extends Aggregator[SampleRow, Seq[SampleRow], Seq[SampleRow]] {
+    require(k >= 1, s"sample size must be >= 1, got $k")
+
+    private def lt(a: SampleRow, b: SampleRow): Boolean =
+      a.priority < b.priority || (a.priority == b.priority && a.docId < b.docId)
+
+    override def zero: Seq[SampleRow] = Vector.empty
+
+    override def reduce(buf: Seq[SampleRow], r: SampleRow): Seq[SampleRow] = {
+      // buf is kept sorted ascending; the common case at steady state is a
+      // row worse than the current k-th — O(1) reject
+      if (buf.length >= k && !lt(r, buf.last)) buf
+      else {
+        val i = buf.indexWhere(b => lt(r, b)) match {
+          case -1 => buf.length
+          case j  => j
+        }
+        val grown = (buf.take(i) :+ r) ++ buf.drop(i)
+        if (grown.length > k) grown.take(k) else grown
+      }
+    }
+
+    override def merge(a: Seq[SampleRow], b: Seq[SampleRow]): Seq[SampleRow] = {
+      // merge two sorted runs, keep the k smallest
+      val out = Vector.newBuilder[SampleRow]
+      var (i, j, n) = (0, 0, 0)
+      while (n < k && (i < a.length || j < b.length)) {
+        val takeA = j >= b.length || (i < a.length && lt(a(i), b(j)))
+        if (takeA) { out += a(i); i += 1 } else { out += b(j); j += 1 }
+        n += 1
+      }
+      out.result()
+    }
+
+    override def finish(buf: Seq[SampleRow]): Seq[SampleRow] = buf
+
+    override def bufferEncoder: Encoder[Seq[SampleRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SampleRow]]()
+
+    override def outputEncoder: Encoder[Seq[SampleRow]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[SampleRow]]()
+  }
 }

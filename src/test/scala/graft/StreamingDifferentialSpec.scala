@@ -460,4 +460,70 @@ class StreamingDifferentialSpec extends AnyFunSuite {
       .toSet
     assert(perBatch.maxBy(_._1)._2 == x32)
   }
+
+  test("StreamingPrioritySample snapshot == p22's rank-window sample on every prefix and the oracled p22 aggregate at the end") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long"), col("source").cast("string"), col("text"))
+      .as[(Long, String, String)].collect().sortBy(_._1)
+
+    val input = MemoryStream[(Long, String, String)]
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[(String, Long, Long, Long)])]
+    val q = StreamingPrioritySample.run(input.toDS().toDF("doc_id", "source", "text"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val rows = df.select(col("source"), explode(col("sample")).as("s"))
+          .select(col("source"), col("s.priority"), col("s.docId"), col("s.w"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        perBatch.synchronized { perBatch += ((id, rows)) }
+        ()
+      }
+      .start()
+    val chunks = docs.grouped((docs.length + 3) / 4).toIndexedSeq
+    chunks.foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(perBatch.size == chunks.size)
+
+    // every prefix snapshot equals p22's rank-window formulation on it —
+    // the k smallest under a total order are SET-determined, so batching
+    // and arrival order cannot matter
+    var prefix = Array.empty[(Long, String, String)]
+    perBatch.toSeq.sortBy(_._1).zip(chunks).foreach { case ((_, streamed), chunk) =>
+      prefix = prefix ++ chunk
+      val expected = StreamingPrioritySample
+        .priorityRows(prefix.toSeq.toDF("doc_id", "source", "text"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("priority"), col("doc_id"))))
+        .filter(col("rk") <= StreamingPrioritySample.DefaultK)
+        .select(col("source"), col("priority"), col("doc_id"), col("w"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(streamed == expected,
+        s"prefix ${prefix.length}: stream-only=${(streamed -- expected).take(3)} " +
+          s"batch-only=${(expected -- streamed).take(3)}")
+    }
+
+    // the full-replay sample reproduces the ORACLED p22 aggregate exactly
+    val finalSample = perBatch.maxBy(_._1)._2
+    val fromStream = finalSample.groupBy(_._1).map { case (src, rows) =>
+      // toSeq before summing: mapping a Set would deduplicate equal weights
+      (src, rows.size.toLong, rows.toSeq.map(_._4).sum, rows.toSeq.map(_._2).max)
+    }.toSet
+    val p22 = SparkEntry.queries("p22_priority_sample")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(fromStream == p22,
+      s"stream-only=${(fromStream -- p22).take(3)} batch-only=${(p22 -- fromStream).take(3)}")
+  }
 }
