@@ -767,6 +767,73 @@ object EventsPack extends QueryPack {
       doc = "Kaplan-Meier time-to-conversion per cohort (right-censored at last " +
         "observation): one user-keyed aggregate, calendar-bounded grid windows, " +
         "risk sets from prefix sums, survival as exact integer micro-nat log sums"
+    ),
+    // ---------------------------------------------------------------- e21
+    Q(
+      "e21_windowed_quantiles",
+      (s, d) => {
+        // Per-(1-day tumbling window, event_type) p50/p90/p99 of the event
+        // value — the canonical observability query ("p99 latency per
+        // window"), priced the only way that scales: the HDR log-bucket
+        // sketch (ops/HdrSketch, <=3.1% relative bucket width) instead of a
+        // per-window sort. Values ride as integer cents so the whole plan
+        // is integer-exact and hash-certified; the sketch is ONE
+        // map-side-combined count shuffle of O(windows x types x 2k) rows,
+        // and the same plan shape runs unchanged as the watermark-append
+        // streaming twin (StreamingHdrQuantiles.windowedSketchCounts).
+        import graft.ops.HdrSketch
+        val base = Tables.events(s, d).select(
+          window(col("ts"), "1 day").as("w"),
+          col("event_type"),
+          (dec(col("value")) * 100).cast("long").as("vc"))
+        val sk = HdrSketch.counts(
+          HdrSketch.bucketize(base, col("vc"), col("w"), col("event_type")),
+          col("w"), col("event_type"))
+        HdrSketch.estimates(sk, col("w"), col("event_type"))
+          .select(
+            fts(col("w.start")).as("window_start"),
+            col("event_type"), col("q_label"),
+            col("est_lo").as("est_lo_c"), col("est_hi").as("est_hi_c"),
+            col("n_group"))
+          .orderBy(col("window_start"), col("event_type"), col("q_label"))
+      },
+      Some("""WITH base AS (
+             |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+             |    event_type,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+             |  FROM events),
+             |bk AS (
+             |  SELECT ws, event_type, c,
+             |    CAST(length(bin(c)) AS BIGINT) AS msb,
+             |    CAST(greatest(length(bin(c)) - 6, 0) AS INT) AS shift
+             |  FROM base),
+             |sk AS (
+             |  SELECT ws, event_type,
+             |    msb * 32 + ((c >> shift) & 31) AS bucket,
+             |    CASE WHEN msb >= 6 THEN (32 + ((c >> shift) & 31)) << shift
+             |         ELSE (c >> shift) & 31 END AS lo,
+             |    (CASE WHEN msb >= 6 THEN (32 + ((c >> shift) & 31)) << shift
+             |          ELSE (c >> shift) & 31 END) + (CAST(1 AS BIGINT) << shift) - 1 AS hi,
+             |    COUNT(*) AS cnt
+             |  FROM bk GROUP BY 1, 2, 3, 4, 5),
+             |cum AS (
+             |  SELECT ws, event_type, bucket, lo, hi, cnt,
+             |    SUM(cnt) OVER (PARTITION BY ws, event_type ORDER BY bucket
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    SUM(cnt) OVER (PARTITION BY ws, event_type) AS n_group
+             |  FROM sk),
+             |spec(q_label, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+             |SELECT ws AS window_start, event_type, q_label,
+             |  MIN(lo) AS est_lo_c, MIN(hi) AS est_hi_c,
+             |  CAST(n_group AS BIGINT) AS n_group
+             |FROM cum CROSS JOIN spec
+             |WHERE cum * den >= n_group * num
+             |GROUP BY ws, event_type, q_label, n_group
+             |ORDER BY window_start, event_type, q_label""".stripMargin),
+      doc = "per-(1-day window, event_type) p50/p90/p99 via the HDR log-bucket " +
+        "sketch — windowed observability quantiles with ONE bounded " +
+        "map-side-combined shuffle, no per-window sort; integer-exact, " +
+        "hash-certified; plan shape shared with the watermark streaming twin"
     )
   )
 }

@@ -58,4 +58,32 @@ object StreamingHdrQuantiles {
     */
   def quantilesOf(snapshot: DataFrame): DataFrame =
     HdrSketch.estimates(snapshot, col("group"))
+
+  /** Event-time windowed form — the streaming twin of the oracled
+    * `e21_windowed_quantiles` plan ("p99 per day per event type"): the SAME
+    * `bucketize → counts` spelling grouped by `window(ts)` under a
+    * watermark, run in APPEND mode so each (window, group, bucket) count
+    * row is emitted exactly once, when the watermark passes the window
+    * end. State holds only IN-FLIGHT windows' buckets (≤ live-windows ×
+    * groups × ~2k rows) and the watermark EVICTS finalized windows — the
+    * sketch inherits Spark's windowed-aggregation state lifecycle for
+    * free, which a keyed custom fold would have to re-implement.
+    * Finalized rows aggregate downstream with `HdrSketch.estimates`
+    * (grouped by window + group), and because counts are exact the result
+    * equals the batch e21 plan restricted to finalized windows, in any
+    * batching — the differential spec pins it.
+    *
+    * Input contract: `(ts timestamp, group, v long)`.
+    */
+  def windowedSketchCounts(events: DataFrame, windowDur: String, delay: String,
+      bits: Int = HdrSketch.DefaultBits): DataFrame = {
+    val typed = events
+      .select(col("ts"), col("group").cast("string").as("group"),
+        col("v").cast("long").as("v"))
+      .withWatermark("ts", delay)
+    HdrSketch.counts(
+      HdrSketch.bucketizeBits(typed, col("v"), bits,
+        window(col("ts"), windowDur).as("w"), col("group")),
+      col("w"), col("group"))
+  }
 }

@@ -526,4 +526,67 @@ class StreamingDifferentialSpec extends AnyFunSuite {
     assert(fromStream == p22,
       s"stream-only=${(fromStream -- p22).take(3)} batch-only=${(p22 -- fromStream).take(3)}")
   }
+
+  test("windowed HDR sketch (watermark append) == oracled e21 on finalized windows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.HdrSketch
+
+    // the exact input frame e21 sketches: (ts, event_type, value cents),
+    // replayed in event-time order (monotone watermark)
+    val events = Tables.events(spark, sf)
+      .select(col("ts"),
+        col("event_type").cast("string"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(java.sql.Timestamp, String, Long)].collect().sortBy(_._1.getTime)
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q = StreamingHdrQuantiles
+      .windowedSketchCounts(input.toDS().toDF("ts", "group", "v"), "1 day", "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("whdr_diff").start()
+    events.grouped((events.length + 3) / 4).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    // one empty trigger so the last data batch's watermark update finalizes
+    // every window it can
+    input.addData(IndexedSeq.empty)
+    q.processAllAvailable()
+    q.stop()
+
+    // finalized (window, type, bucket) rows, emitted exactly once each —
+    // aggregate them with the BATCH estimates plan
+    val fin = spark.table("whdr_diff")
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("group"), col("bucket"), col("lo"), col("hi"), col("cnt"))
+    assert(fin.count() > 0, "no windows finalized — differential is vacuous")
+    val streamed = HdrSketch.estimates(fin, col("ws"), col("group"))
+      .select(col("ws"), col("group"), col("q_label"),
+        col("est_lo"), col("est_hi"), col("n_group"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+
+    // expected: the ORACLED e21 rows for every window the watermark closed
+    // (all but those still in flight at stream end — with delay 0 and
+    // event-time replay, exactly the windows whose end <= max event time)
+    val maxTs = events.last._1.getTime
+    val e21 = SparkEntry.queries("e21_windowed_quantiles")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val dayMs = 24L * 3600 * 1000
+    val expected = e21.filter { case (ws, _, _, _, _, _) =>
+      fmt.parse(ws).getTime + dayMs <= maxTs
+    }
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).take(3)} batch-only=${(expected -- streamed).take(3)}")
+    // sanity: something was actually excluded as in-flight (the last day)
+    assert(expected.size < e21.size)
+  }
 }
