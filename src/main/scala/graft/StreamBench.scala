@@ -205,6 +205,22 @@ object StreamBench {
     }
     report("priority_sample_stateful", 0.0, prio)
 
+    // 8. streaming KMV distinct counting: the bounded KmvSketch as the
+    //    aggregation state — k=64 longs per source FOREVER; lifetime
+    //    distinct-content estimate per source from a stream, state never
+    //    tracks the corpus. Same synthetic 20-way source key as (7).
+    val dk = driveWith(chunks) { in =>
+      streaming.StreamingDistinctKmv.run(
+        in.toDS().toDF("doc_id", "text")
+          .select(concat(lit("src"), col("doc_id") % 20).as("group"),
+            graft.functions.TextOps.fingerprint(
+              graft.functions.TextOps.tokens(col("text"))).as("h")))
+        .writeStream.outputMode("complete")
+        .foreachBatch((df: DataFrame, _: Long) => { df.count(); () })
+        .start()
+    }
+    report("kmv_distinct_stateful", 0.0, dk)
+
 
     spark.stop()
   }

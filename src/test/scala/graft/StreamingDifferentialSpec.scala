@@ -589,4 +589,65 @@ class StreamingDifferentialSpec extends AnyFunSuite {
     // sanity: something was actually excluded as in-flight (the last day)
     assert(expected.size < e21.size)
   }
+
+  test("StreamingDistinctKmv snapshot == batch KMV sketch on every prefix and x3's oracled columns at the end") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+
+    // the exact hashed frame x3's KMV half aggregates
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").cast("string"),
+        ((lit(2654435761L) * col("l_partkey") + lit(12345L)) % StreamingDistinctKmv.P).as("h"))
+      .as[(String, Long)].collect()
+
+    val input = MemoryStream[(String, Long)]
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[String, Seq[Long]])]
+    val q = StreamingDistinctKmv.run(input.toDS().toDF("group", "h"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val m = df.select(col("group"), col("ret")).collect()
+          .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+        perBatch.synchronized { perBatch += ((id, m)) }
+        ()
+      }
+      .start()
+    val chunks = rows.grouped((rows.length + 3) / 4).toIndexedSeq
+    chunks.foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(perBatch.size == chunks.size)
+
+    // every prefix snapshot: the k smallest DISTINCT hashes are
+    // set-determined, so the streamed sketch must equal the batch UDAF on
+    // that prefix — the SKETCH itself, not just the estimate
+    val kmv = udaf(new graft.functions.Aggregates.KmvSketch(
+      StreamingDistinctKmv.DefaultK), Encoders.scalaLong)
+    var prefix = Array.empty[(String, Long)]
+    perBatch.toSeq.sortBy(_._1).zip(chunks).foreach { case ((_, streamed), chunk) =>
+      prefix = prefix ++ chunk
+      val expected = prefix.toSeq.toDF("group", "h")
+        .groupBy(col("group")).agg(kmv(col("h")).as("ret"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed == expected, s"prefix ${prefix.length} sketch mismatch")
+    }
+
+    // full replay ties back to the ORACLED x3 columns (kth + estimate)
+    val finalSketch = perBatch.maxBy(_._1)._2
+    val fromStream = finalSketch.map { case (g, ret) =>
+      val kth = ret.last
+      val est =
+        if (ret.size < StreamingDistinctKmv.DefaultK) ret.size.toLong
+        else (StreamingDistinctKmv.DefaultK - 1).toLong * StreamingDistinctKmv.P / kth
+      (g, kth, est)
+    }.toSet
+    val x3 = SparkEntry.queries("x3_approx_sketches")(spark, sf)
+      .select(col("l_returnflag"), col("kmv_kth"), col("kmv_est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromStream == x3,
+      s"stream-only=${(fromStream -- x3).take(3)} batch-only=${(x3 -- fromStream).take(3)}")
+  }
 }
