@@ -333,7 +333,22 @@ object PlanDump {
         "(no collect), and candidates ride ONE equi-join on the centroid " +
         "id — the physical partition key at 100 TB, so nprobe/nlist " +
         "pruning is I/O, not compute — before the native bounded-heap " +
-        "top-10.")
+        "top-10."),
+      "x32_hdr_quantiles" -> ("HDR log-bucket quantile sketch: the scan " +
+        "reads ONLY (l_extendedprice, l_returnflag); bucket/lo/hi are pure " +
+        "codegen'd integer projections (length(bin()), shifts, masks); " +
+        "partial_count runs map-side so the exchange carries bucket-level " +
+        "rows (O(groups x 2k) at ANY corpus size — this shuffle does not " +
+        "grow with rows); the cum/total windows then run over that bounded " +
+        "frame partitioned by group, and the 3-row quantile spec is a " +
+        "broadcast LocalTableScan. The sketch path's whole data-dependent " +
+        "cost is the one partial-aggregated scan."),
+      "e21_windowed_quantiles" -> ("Windowed observability quantiles: the " +
+        "same HDR sketch grouped by (window(ts), event_type) — the window " +
+        "struct is a per-row projection, NOT a blow-up; partial aggregation " +
+        "still collapses each mapper to bucket-level rows before the " +
+        "shuffle. Identical column spelling runs as the watermark-append " +
+        "streaming twin, where finalized windows are evicted from state.")
     )
 
     val sb = new StringBuilder
