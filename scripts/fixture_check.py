@@ -14,7 +14,7 @@ for exactly those queries, and replays scripts/check.py's compare. Run:
 
     python3 scripts/fixture_check.py
 
-Expect "== 21 ok, 0 fail ==" (exit 0).
+Expect "== 37 ok, 0 fail ==" (exit 0).
 """
 import os, shutil, subprocess, sys
 
@@ -57,6 +57,9 @@ QUERIES = [
     "s23_adaptive_recall",
     "s24_adaptive_negatives",
     "s25_adaptive_ivf",
+    "t26_cms_token_freq",
+    "t27_cms_certify",
+    "d30_kmv_overlap",
 ]
 
 

@@ -221,6 +221,35 @@ object StreamBench {
     }
     report("kmv_distinct_stateful", 0.0, dk)
 
+    // 9. streaming Count-Min point frequencies: the CMS cells as the
+    //    aggregation state — <= 4x512 = 2,048 count rows FOREVER however
+    //    long the stream runs or however the vocabulary grows; nothing
+    //    fitted (fixed hash rows). Each batch re-probes the watchlist (the
+    //    t26 probe shape) from the Complete-mode snapshot.
+    val cmsProbe = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 10)
+      .select(explode(split(col("text"), " ")).as("token")).distinct()
+      .localCheckpoint()
+    val cms = driveWith(chunks) { in =>
+      streaming.StreamingCmsFrequency.sketchCells(
+        in.toDS().toDF("doc_id", "text")
+          .select(explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
+          .select(graft.functions.TextOps.tokenHash(col("token")).as("h")))
+        .writeStream.outputMode("complete")
+        .foreachBatch((df: DataFrame, _: Long) => {
+          // materialize the <= 2,048-cell snapshot OFF the state store
+          // first (localCheckpoint runs a normal job over every partition,
+          // so the store's per-batch commit accounting is satisfied), then
+          // probe the pinned copy — the tiny cell table would otherwise be
+          // auto-broadcast and collected on a side path that skips the
+          // commit hooks (Spark's batch-commit validation rejects that)
+          streaming.StreamingCmsFrequency.probeOf(df.localCheckpoint(), cmsProbe,
+            graft.functions.TextOps.tokenHash(col("token")), col("token")).count()
+          ()
+        })
+        .start()
+    }
+    report("cms_pointfreq_stateful", 0.0, cms)
 
     spark.stop()
   }

@@ -1653,6 +1653,107 @@ object DedupPack extends QueryPack {
         "in-plan from a broadcast count — integer-exact on both engines — so " +
         "per-cell density stays ~8 at any corpus size while probe fan-out " +
         "grows only as k; candidates/semantics exactly d28's"
+    ),
+    // ---------------------------------------------------------------- kmv overlap
+    Q(
+      "d30_kmv_overlap",
+      (s, d) => {
+        // Bounded-state twin of d22_source_overlap (which stays the
+        // oracle-pinned EXACT report): pairwise source-overlap estimates
+        // from per-source KMV sketches over the hashed-shingle space
+        // (Beyer et al. 2007 k-minimum-values set operations). d22's exact
+        // path shuffles the whole shingle corpus into posting lists; here
+        // the corpus collapses to ONE k=256-long sketch per source inside a
+        // map-side-combined aggregate (the KmvSketch buffer is the partial
+        // state), so the exchange carries O(sources x k) longs at ANY
+        // corpus size. Pair math then runs on a single collected row
+        // (bounded by the SOURCE count, never the corpus): for each pair,
+        // merge = k smallest of the union; est_union from the classic
+        // (k-1)*P DIV kth; n_both = |merge ∩ A ∩ B| gives the standard KMV
+        // Jaccard estimator n_both/|merge| and, scaled by est_union, the
+        // intersection estimate — all integer arithmetic except the final
+        // quantized ratio, so DuckDB reproduces every sketch and estimate
+        // bit-for-bit. Hash = position-weighted trigram-shingle hash on
+        // the shared [0,P) grid (collisions shrink the DISTINCT-hash space
+        // both engines measure identically — the estimator's target).
+        import org.apache.spark.sql.Encoders
+        val P = 1000000007L
+        val kK = 256
+        val estCap = (kK - 1).toLong * P // 255000001785, fits a long
+        def thX(x: String): String =
+          s"((length($x)*2654435761 + ascii($x)*131 + ascii(substring($x, -1, 1))) % $P)"
+        val kmv = udaf(new graft.functions.Aggregates.KmvSketch(kK), Encoders.scalaLong)
+        val hs = Tables.documents(s, d)
+          .select(col("source"), tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("source"), explode(expr(
+            "transform(sequence(1, size(toks) - 2), i -> " +
+              s"(${thX("element_at(toks, i)")} * 131071 + " +
+              s"${thX("element_at(toks, i + 1)")} * 8191 + " +
+              s"${thX("element_at(toks, i + 2)")} * 127) % $P)")).as("h"))
+        val perSrc = hs
+          .groupBy(col("source")).agg(kmv(col("h")).as("ret"))
+          .withColumn("est", expr(
+            s"CASE WHEN size(ret) < $kK THEN CAST(size(ret) AS BIGINT) " +
+              s"ELSE $estCap DIV element_at(ret, size(ret)) END"))
+        val pairs = perSrc
+          .agg(array_sort(collect_list(struct(col("source"), col("ret"), col("est")))).as("all"))
+          .select(explode(expr(
+            "flatten(transform(all, (a, i) -> transform(" +
+              "slice(all, i + 2, size(all) - i - 1), " +
+              "b -> named_struct('src_a', a.source, 'src_b', b.source, " +
+              "'ra', a.ret, 'rb', b.ret, 'est_a', a.est, 'est_b', b.est))))")).as("p"))
+          .select(col("p.*"))
+        pairs
+          .withColumn("merged", expr(s"slice(array_sort(array_distinct(concat(ra, rb))), 1, $kK)"))
+          .withColumn("m", size(col("merged")).cast("long"))
+          .withColumn("n_both", size(expr(
+            "filter(merged, x -> array_contains(ra, x) AND array_contains(rb, x))")).cast("long"))
+          .withColumn("est_union", expr(
+            s"CASE WHEN m < $kK THEN m ELSE $estCap DIV element_at(merged, CAST(m AS INT)) END"))
+          .select(col("src_a"), col("src_b"), col("m"), col("n_both"),
+            col("est_a"), col("est_b"), col("est_union"),
+            expr("(n_both * est_union) DIV m").as("est_inter"),
+            quant(col("n_both").cast("double") / col("m"), 1e6).as("est_jaccard"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some(s"""WITH t AS (
+             |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+             |tt AS (SELECT source, toks FROM t WHERE len(toks) >= 3),
+             |sh AS (
+             |  SELECT DISTINCT source,
+             |    unnest(list_transform(generate_series(1, len(toks) - 2),
+             |      i -> ((${thSql("toks[i]")} * 131071 +
+             |            ${thSql("toks[i+1]")} * 8191 +
+             |            ${thSql("toks[i+2]")} * 127) % 1000000007))) AS h
+             |  FROM tt),
+             |r AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM sh),
+             |kk AS (SELECT source, list(h ORDER BY h) AS ret FROM r WHERE rn <= 256 GROUP BY source),
+             |ke AS (SELECT source, ret,
+             |  CASE WHEN len(ret) < 256 THEN CAST(len(ret) AS BIGINT)
+             |       ELSE 255000001785 // ret[len(ret)] END AS est
+             |  FROM kk),
+             |pr AS (SELECT a.source AS src_a, b.source AS src_b, a.ret AS ra, b.ret AS rb,
+             |    a.est AS est_a, b.est AS est_b
+             |  FROM ke a JOIN ke b ON a.source < b.source),
+             |mg AS (SELECT *, (list_sort(list_distinct(ra || rb)))[1:256] AS merged FROM pr),
+             |fin AS (SELECT src_a, src_b, est_a, est_b,
+             |  CAST(len(merged) AS BIGINT) AS m,
+             |  CAST(len(list_filter(merged, x -> list_contains(ra, x) AND list_contains(rb, x))) AS BIGINT) AS n_both,
+             |  CASE WHEN len(merged) < 256 THEN CAST(len(merged) AS BIGINT)
+             |       ELSE 255000001785 // merged[len(merged)] END AS est_union
+             |  FROM mg)
+             |SELECT src_a, src_b, m, n_both, est_a, est_b, est_union,
+             |  (n_both * est_union) // m AS est_inter,
+             |  floor(CAST(n_both AS DOUBLE) / m * 1000000) / 1000000 AS est_jaccard
+             |FROM fin
+             |ORDER BY src_a, src_b""".stripMargin),
+      doc = "KMV set-operation overlap estimates (Beyer et al. 2007) — the " +
+        "bounded-state scale path beside d22's exact posting-list report: " +
+        "one k=256 KMV sketch per source (map-side-combined, O(sources x k) " +
+        "exchange at any corpus size), pairwise union/intersection/Jaccard " +
+        "estimates from merged sketches on a single bounded row; " +
+        "integer-exact, hash-certified"
     )
   )
 }

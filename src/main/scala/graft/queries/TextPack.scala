@@ -1200,6 +1200,107 @@ object TextPack extends QueryPack {
         "integer micro-nat grid (order-free sums, exact integer DIV mean), " +
         "global head/middle/tail tertiles via GlobalOrder's range shuffle " +
         "(no single-partition window), per-bucket doc/bigram budget"
+    ),
+    // ---------------------------------------------------------------- cms
+    Q(
+      "t26_cms_token_freq",
+      (s, d) => {
+        // Count-Min point-frequency sketch over the token stream (see
+        // ops/CmsSketch): exact per-token counts (t2_wordcount) shuffle one
+        // row PER DISTINCT TOKEN — unbounded as the vocabulary grows; the
+        // CMS collapses every mapper to <= 4x512 cells before the exchange,
+        // so the shuffle is O(2048) rows at ANY corpus size and the sketch
+        // merges across shards/days by adding cells. Probing broadcasts the
+        // 2048-cell sketch against a BOUNDED probe set (the distinct tokens
+        // of the first ten documents — a deterministic watchlist, the shape
+        // of a production "how often do these terms appear" query); unseen
+        // cells read 0. All-integer affine hashes mod P mod width, so the
+        // whole sketch is hash-certified against DuckDB — identical cells,
+        // identical estimates. t27 certifies the one-sided error bound.
+        import graft.ops.CmsSketch
+        val docs = Tables.documents(s, d)
+        val hashed = docs
+          .select(explode(tokens(col("text"))).as("token"))
+          .select(tokenHash(col("token")).as("h"))
+        val sketch = CmsSketch.counts(CmsSketch.bucketize(hashed, col("h")))
+        val probe = docs.filter(col("doc_id") < 10)
+          .select(explode(tokens(col("text"))).as("token"))
+          .distinct()
+        CmsSketch
+          .probe(probe, sketch, tokenHash(col("token")), col("token"))
+          .orderBy(col("token"))
+      },
+      Some(s"""WITH v(row_i, a, b) AS (VALUES ${graft.ops.CmsSketch.rowSpecSql()}),
+              |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              |cells AS (
+              |  SELECT row_i, ((a * ${thSql("token")} + b) % 1000000007) % 512 AS bucket,
+              |    COUNT(*) AS cnt
+              |  FROM tok CROSS JOIN v GROUP BY 1, 2),
+              |probe AS (SELECT DISTINCT token FROM tok WHERE doc_id < 10),
+              |pc AS (
+              |  SELECT token, row_i,
+              |    ((a * ${thSql("token")} + b) % 1000000007) % 512 AS bucket
+              |  FROM probe CROSS JOIN v)
+              |SELECT token, MIN(COALESCE(cnt, 0)) AS est
+              |FROM pc LEFT JOIN cells USING (row_i, bucket)
+              |GROUP BY token
+              |ORDER BY token""".stripMargin),
+      doc = "Count-Min point-frequency sketch (4x512 all-integer affine-hash " +
+        "cells, ONE map-side-combined O(2048)-row shuffle at any corpus " +
+        "size): broadcast-probe estimates for a bounded token watchlist — " +
+        "the bounded-state production path beside exact t2 wordcount; " +
+        "hash-certified cell-for-cell"
+    ),
+    Q(
+      "t27_cms_certify",
+      (s, d) => {
+        // CERTIFY rung for t26 (the x33/s21 class: carries exact truth by
+        // construction, production path is t26 alone): the CMS estimate is
+        // provably >= the exact count for EVERY key (each counter holds the
+        // key's true count plus non-negative collision mass), checked key
+        // by key, with the measured overestimate beside it. The truth side
+        // is the full token-keyed count shuffle — priced like every certify
+        // rung, it exists to measure the sketch, not to run at 100 TB.
+        import graft.ops.CmsSketch
+        val docs = Tables.documents(s, d)
+        val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+        val sketch = CmsSketch.counts(
+          CmsSketch.bucketize(tok.select(tokenHash(col("token")).as("h")), col("h")))
+        val probe = tok.filter(col("doc_id") < 10).select(col("token")).distinct()
+        val est = CmsSketch
+          .probe(probe, sketch, tokenHash(col("token")), col("token"))
+        val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+        est.join(exact, Seq("token"))
+          .select(col("token"), col("est"), col("exact"),
+            (col("est") - col("exact")).as("overest"),
+            (col("est") >= col("exact")).as("ge_ok"))
+          .orderBy(col("token"))
+      },
+      Some(s"""WITH v(row_i, a, b) AS (VALUES ${graft.ops.CmsSketch.rowSpecSql()}),
+              |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+              |cells AS (
+              |  SELECT row_i, ((a * ${thSql("token")} + b) % 1000000007) % 512 AS bucket,
+              |    COUNT(*) AS cnt
+              |  FROM tok CROSS JOIN v GROUP BY 1, 2),
+              |probe AS (SELECT DISTINCT token FROM tok WHERE doc_id < 10),
+              |pc AS (
+              |  SELECT token, row_i,
+              |    ((a * ${thSql("token")} + b) % 1000000007) % 512 AS bucket
+              |  FROM probe CROSS JOIN v),
+              |e AS (
+              |  SELECT token, MIN(COALESCE(cnt, 0)) AS est
+              |  FROM pc LEFT JOIN cells USING (row_i, bucket)
+              |  GROUP BY token),
+              |x AS (SELECT token, COUNT(*) AS exact FROM tok GROUP BY token)
+              |SELECT e.token AS token, e.est AS est, x.exact AS exact,
+              |  e.est - x.exact AS overest, e.est >= x.exact AS ge_ok
+              |FROM e JOIN x USING (token)
+              |ORDER BY token""".stripMargin),
+      doc = "t26's certify rung (production path: t26): the CMS estimate is " +
+        ">= the exact count for every probed key — the deterministic " +
+        "one-sided Count-Min guarantee checked key by key, with the " +
+        "measured overestimate; truth side carries the full token shuffle " +
+        "by construction"
     )
   )
 }

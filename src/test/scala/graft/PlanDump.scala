@@ -348,7 +348,24 @@ object PlanDump {
         "struct is a per-row projection, NOT a blow-up; partial aggregation " +
         "still collapses each mapper to bucket-level rows before the " +
         "shuffle. Identical column spelling runs as the watermark-append " +
-        "streaming twin, where finalized windows are evicted from state.")
+        "streaming twin, where finalized windows are evicted from state."),
+      "t26_cms_token_freq" -> ("Count-Min point-frequency sketch: the " +
+        "token scan explodes to 4 (row_i, bucket) integer projections per " +
+        "token (codegen'd affine hashes), partial_count collapses every " +
+        "mapper to <= 2,048 cells BEFORE the exchange — the sketch " +
+        "shuffle is O(depth x width) at ANY corpus size. The probe side " +
+        "is a broadcast hash join of the 2,048-cell sketch against the " +
+        "bounded watchlist (missing cells read 0 via the left join + " +
+        "coalesce), then a min aggregate per key — no corpus-sized side " +
+        "moves for a point query."),
+      "d30_kmv_overlap" -> ("KMV set-operation overlap: ONE " +
+        "map-side-combined aggregate collapses each source to a k=256-long " +
+        "sorted-array sketch (the KmvSketch UDAF buffer IS the partial " +
+        "state), so the only data-dependent exchange carries " +
+        "O(sources x k) longs; the pair matrix then expands LOCALLY from a " +
+        "single collected row bounded by the SOURCE count (the d22 " +
+        "pattern) — merged sketches, union estimates, and Jaccard all " +
+        "compute as array expressions with zero joins.")
     )
 
     val sb = new StringBuilder

@@ -91,4 +91,91 @@ class SketchBoundsSpec extends AnyFunSuite {
         s"approx=$approx exact=$exact")
     }
   }
+
+  test("CMS estimate >= exact for EVERY key (one-sided guarantee) and the overestimate mass is eps-scale") {
+    import graft.ops.CmsSketch
+    import graft.functions.TextOps._
+    val tok = Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("token"))
+    val sketch = CmsSketch.counts(
+      CmsSketch.bucketize(tok.select(tokenHash(col("token")).as("h")), col("h")))
+    // ALL distinct tokens, not just t26's watchlist — the guarantee is
+    // per-key universal. est is keyed on the HASH (collisions only ever
+    // ADD mass), so est >= exact holds per token too.
+    val allKeys = tok.distinct()
+    val est = CmsSketch.probe(allKeys, sketch, tokenHash(col("token")), col("token"))
+    val exact = tok.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+    val joined = est.join(exact, Seq("token"))
+      .select(col("token"), col("est"), col("exact")).collect()
+    // the synthetic corpus has a tiny (~31-token) vocabulary — the real
+    // collision stress lives in the synthetic section below
+    assert(joined.length > 20)
+    joined.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"${r.getString(0)}: est=${r.getLong(1)} < exact=${r.getLong(2)}")
+    }
+
+    // high-cardinality synthetic stress: ~45k singleton keys + 97 heavy
+    // keys into 4x512 cells (~88 keys/bucket) — real collision mass, so
+    // the min-over-rows and the one-sided bound are exercised for real
+    val P = CmsSketch.P
+    val keyed = spark.range(0, 50000).select(
+      when(col("id") % 10 === 0, col("id") % 97).otherwise(col("id")).as("key"))
+    val hashed = keyed.select(col("key"),
+      ((lit(2654435761L) * col("key") + lit(987654321L)) % P).as("h"))
+    val sk2 = CmsSketch.counts(CmsSketch.bucketize(hashed.select(col("h")), col("h")))
+    val keys2 = hashed.select(col("key"), col("h")).distinct()
+    val est2 = CmsSketch.probe(keys2, sk2, col("h"), col("key"))
+    val exact2 = keyed.groupBy(col("key")).agg(count(lit(1)).as("exact"))
+    val j2 = est2.join(exact2, Seq("key"))
+      .select(col("key"), col("est"), col("exact")).collect()
+    assert(j2.length > 40000)
+    val n2 = j2.map(_.getLong(2)).sum
+    j2.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2),
+        s"key ${r.getLong(0)}: est=${r.getLong(1)} < exact=${r.getLong(2)}")
+    }
+    // expected overestimate per row is ~N/width per collision term; the
+    // median key must sit well inside a couple of eps*N (eps = e/512)
+    val eps = math.E / CmsSketch.DefaultWidth
+    val over = j2.map(r => r.getLong(1) - r.getLong(2)).sorted
+    val medianOver = over(over.length / 2).toDouble
+    assert(medianOver <= 2 * eps * n2,
+      s"median overestimate $medianOver vs bound ${2 * eps * n2} (n=$n2)")
+  }
+
+  test("CMS merges by cell addition: sketch(A union B) == cellwise sum of the shard sketches") {
+    import graft.ops.CmsSketch
+    import graft.functions.TextOps._
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .select(col("doc_id"), tokenHash(col("token")).as("h"))
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      CmsSketch.counts(CmsSketch.bucketize(df, col("h"))).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cells(tok)
+    val a = cells(tok.filter(col("doc_id") % 2 === 0))
+    val b = cells(tok.filter(col("doc_id") % 2 === 1))
+    val summed = (a.keySet ++ b.keySet)
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(whole == summed)
+  }
+
+  test("d30 KMV Jaccard estimates track d22's exact per-pair Jaccard") {
+    val est = SparkEntry.queries("d30_kmv_overlap")(spark, sf)
+      .select(col("src_a"), col("src_b"), col("est_jaccard")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = SparkEntry.queries("d22_source_overlap")(spark, sf)
+      .select(col("src_a"), col("src_b"), col("jaccard")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // d22 emits only pairs with >=1 shared shingle; d30 emits every pair
+    // (est 0 allowed). Compare on d22's support, expect KMV rsd ~1/sqrt(k)
+    assert(exact.nonEmpty)
+    val errs = exact.map { case (pair, j) =>
+      math.abs(est.getOrElse(pair, 0.0) - j)
+    }.toSeq.sorted
+    val mean = errs.sum / errs.size
+    assert(mean <= 0.05, s"mean |est - exact| = $mean over ${errs.size} pairs")
+    assert(errs.last <= 0.2, s"worst pair error ${errs.last}")
+  }
 }

@@ -650,4 +650,62 @@ class StreamingDifferentialSpec extends AnyFunSuite {
     assert(fromStream == x3,
       s"stream-only=${(fromStream -- x3).take(3)} batch-only=${(x3 -- fromStream).take(3)}")
   }
+
+  test("StreamingCmsFrequency snapshot == batch CMS sketch on every prefix and t26's oracled estimates at the end") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.CmsSketch
+    import graft.functions.TextOps._
+
+    // the exact hashed frame t26's sketch aggregates, in doc order
+    val rows = Tables.documents(spark, sf)
+      .orderBy(col("doc_id"))
+      .select(explode(tokens(col("text"))).as("token"))
+      .select(tokenHash(col("token")).as("h"))
+      .as[Long].collect()
+
+    val input = MemoryStream[Long]
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Map[(Int, Long), Long])]
+    val q = StreamingCmsFrequency.sketchCells(input.toDS().toDF("h"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val m = df.collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+        perBatch.synchronized { perBatch += ((id, m)) }
+        ()
+      }
+      .start()
+    val chunks = rows.grouped((rows.length + 3) / 4).toIndexedSeq
+    chunks.foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(perBatch.size == chunks.size)
+
+    // cell counts are additive, so every prefix snapshot must equal the
+    // batch sketch over that prefix CELL-FOR-CELL under any batching
+    var prefix = Array.empty[Long]
+    perBatch.toSeq.sortBy(_._1).zip(chunks).foreach { case ((_, streamed), chunk) =>
+      prefix = prefix ++ chunk
+      val expected = CmsSketch.counts(
+        CmsSketch.bucketize(prefix.toSeq.toDF("h"), col("h")))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed == expected, s"prefix ${prefix.length} sketch mismatch")
+    }
+
+    // full replay: probing the final snapshot answers t26's oracled rows
+    val finalCells = perBatch.maxBy(_._1)._2.toSeq
+      .map { case ((i, b), c) => (i, b, c) }.toDF("row_i", "bucket", "cnt")
+    val probe = Tables.documents(spark, sf).filter(col("doc_id") < 10)
+      .select(explode(tokens(col("text"))).as("token")).distinct()
+    val fromStream = StreamingCmsFrequency
+      .probeOf(finalCells, probe, tokenHash(col("token")), col("token"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val t26 = SparkEntry.queries("t26_cms_token_freq")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(fromStream == t26,
+      s"stream-only=${(fromStream -- t26).take(3)} batch-only=${(t26 -- fromStream).take(3)}")
+  }
 }
