@@ -77,6 +77,30 @@ object CmsSketch {
     }: _*)
   }
 
+  /** DYNAMIC-width variant: `width` is a runtime COLUMN (the d29/s22
+    * adaptive-key-space pattern — derive it in-plan from a broadcast
+    * count so the sketch never needs a human retune as cardinality
+    * grows). Used by the join-size estimator, whose error ε·|A|·|B| must
+    * shrink with the KEY cardinality: width ≈ 4×(distinct keys) keeps
+    * the collision mass a bounded fraction of the true inner product.
+    * The caller clamps/derives `width`; cells stay O(depth·width).
+    */
+  def bucketizeDyn(df: DataFrame, h: Column, width: Column,
+      groupCols: Column*): DataFrame =
+    bucketizeDynD(df, h, width, DefaultDepth, groupCols: _*)
+
+  def bucketizeDynD(df: DataFrame, h: Column, width: Column,
+      depth: Int, groupCols: Column*): DataFrame = {
+    require(depth >= 1 && depth <= RowA.size, s"depth must be in [1, ${RowA.size}]")
+    val cells = array((0 until depth).map { i =>
+      struct(
+        lit(i).as("row_i"),
+        (((lit(RowA(i)) * h + lit(RowB(i))) % lit(P)) % width).as("bucket"))
+    }: _*)
+    df.select(groupCols :+ explode(cells).as("rb"): _*)
+      .select(groupCols :+ col("rb.row_i").as("row_i") :+ col("rb.bucket").as("bucket"): _*)
+  }
+
   /** Rows with a hash column → exploded (groupCols…, row_i, bucket) —
     * `depth` rows per input row, each a pure integer projection.
     */

@@ -101,12 +101,31 @@ object HdrSketch {
       .toDF("q_label", "num", "den")
   }
 
+  /** Even k-way split spec (q1 = 1/parts … q(parts-1)): the boundary set
+    * an equi-depth range partitioner needs. Same (label, num, den) shape
+    * as [[quantileSpec]], same all-integer rank test downstream.
+    */
+  def splitSpec(df: DataFrame, parts: Int): DataFrame = {
+    require(parts >= 2 && parts <= 1024, s"parts must be in [2,1024], got $parts")
+    val s = df.sparkSession
+    import s.implicits._
+    (1 until parts).map(j => (s"q$j", j.toLong, parts.toLong))
+      .toDF("q_label", "num", "den")
+  }
+
   /** p50/p90/p99 bounds from a counts() snapshot: cumulative-sum the
     * BUCKET-level rows (bounded: <= ~2k per group at any corpus size),
     * broadcast the 3-row spec, pick each quantile's first crossing bucket.
     * Output: group cols + (q_label, num, den, est_lo, est_hi, n_group).
     */
-  def estimates(counts: DataFrame, groupCols: Column*): DataFrame = {
+  def estimates(counts: DataFrame, groupCols: Column*): DataFrame =
+    estimatesWith(counts, quantileSpec(counts), groupCols: _*)
+
+  /** [[estimates]] with a caller-provided quantile spec (e.g.
+    * [[splitSpec]] for equi-depth partition boundaries).
+    */
+  def estimatesWith(counts: DataFrame, spec: DataFrame,
+      groupCols: Column*): DataFrame = {
     val names = groupCols.map(c => counts.select(c).columns.head)
     val w = Window.partitionBy(groupCols: _*).orderBy(col("bucket"))
     val cum = counts
@@ -115,7 +134,7 @@ object HdrSketch {
       .withColumn("n_group", sum(col("cnt")).over(
         Window.partitionBy(groupCols: _*)))
     cum
-      .crossJoin(broadcast(quantileSpec(counts)))
+      .crossJoin(broadcast(spec))
       .filter(col("cum") * col("den") >= col("n_group") * col("num"))
       .groupBy(names.map(col) :+ col("q_label") :+ col("num") :+
         col("den") :+ col("n_group"): _*)

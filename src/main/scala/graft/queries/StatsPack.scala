@@ -1686,6 +1686,247 @@ object StatsPack extends QueryPack {
         "percentiles): per-bucket weight sums through the same integer-exact " +
         "first-crossing test — the bounded-state production path beside " +
         "x17's exact range-shuffle weighted median; hash-certified"
+    ),
+    // ---------------------------------------------------------------- x35
+    Q(
+      "x35_cms_join_size",
+      (s, d) => {
+        // JOIN-CARDINALITY ESTIMATION from Count-Min sketches (Cormode &
+        // Muthukrishnan's inner-product estimator): |A join B on key| =
+        // sum_k fA(k)*fB(k), estimated as min over hash rows of the
+        // cellwise product sum of the two sides' CMS. The planning
+        // primitive a 100 TB optimizer wants — estimate a join's output
+        // size between two FILTERED relations (where static NDV stats go
+        // stale) by shuffling O(depth x width) cells per side instead of
+        // running the join. The WIDTH is derived IN-PLAN from a broadcast
+        // distinct-key count (the d29/s22 adaptive-key-space rule): the
+        // estimator's collision mass is ~|A||B|/width, so width must
+        // track key cardinality, not a pinned constant — here the next
+        // power of two >= 4x distinct keys (clamped at 2^24), which
+        // bounds the overestimate at ~25% of the full inner product
+        // while the cells stay O(1) vs the corpus. One-sided like every
+        // CMS read: est >= exact always (collision mass only adds),
+        // certified key by x36. All integer, hash-certified.
+        import graft.ops.CmsSketch
+        val P = CmsSketch.P
+        val li = Tables.lineitem(s, d)
+        val wRow = li.agg(countDistinct(col("l_partkey")).as("nd"))
+          .select(expr(
+            "shiftleft(CAST(1 AS BIGINT), least(length(bin(greatest(4 * nd - 1, 1))), 24))")
+            .as("w"))
+        def keyed(f: org.apache.spark.sql.DataFrame) =
+          f.select(((lit(2654435761L) * col("l_partkey") + lit(12345L)) % P).as("h"))
+            .crossJoin(broadcast(wRow))
+        val a = li.filter(col("l_returnflag") === "R")
+        val b = li.filter(col("l_quantity") >= 30)
+        val sa = CmsSketch.counts(CmsSketch.bucketizeDyn(keyed(a), col("h"), col("w")))
+          .withColumnRenamed("cnt", "ca")
+        val sb = CmsSketch.counts(CmsSketch.bucketizeDyn(keyed(b), col("h"), col("w")))
+          .withColumnRenamed("cnt", "cb")
+        val prod = sa.join(sb, Seq("row_i", "bucket"))
+          .groupBy(col("row_i")).agg(sum(col("ca") * col("cb")).as("est_i"))
+        // every hash row must vote even when the sides share no cells
+        // (an absent row's product sum is 0, and min must see it)
+        val spec = s.range(0, CmsSketch.DefaultDepth)
+          .select(col("id").cast("int").as("row_i"))
+        val est = spec.join(prod, Seq("row_i"), "left_outer")
+          .select(coalesce(col("est_i"), lit(0L)).as("est_i"))
+          .agg(min(col("est_i")).as("est_join"))
+        val na = a.agg(count(lit(1)).as("n_a"))
+        val nb = b.agg(count(lit(1)).as("n_b"))
+        est.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+          .select(col("est_join"), col("n_a"), col("n_b"))
+      },
+      Some(s"""WITH v(row_i, m, c) AS (VALUES ${graft.ops.CmsSketch.rowSpecSql()}),
+              |wv AS (SELECT (CAST(1 AS BIGINT) << least(length(bin(greatest(4 * COUNT(DISTINCT l_partkey) - 1, 1))), 24)) AS w
+              |  FROM lineitem),
+              |ha AS (SELECT (2654435761 * l_partkey + 12345) % 1000000007 AS h
+              |  FROM lineitem WHERE l_returnflag = 'R'),
+              |hb AS (SELECT (2654435761 * l_partkey + 12345) % 1000000007 AS h
+              |  FROM lineitem WHERE l_quantity >= 30),
+              |ca AS (SELECT row_i, ((m * h + c) % 1000000007) % w AS bucket, COUNT(*) AS ca
+              |  FROM ha CROSS JOIN v CROSS JOIN wv GROUP BY 1, 2),
+              |cb AS (SELECT row_i, ((m * h + c) % 1000000007) % w AS bucket, COUNT(*) AS cb
+              |  FROM hb CROSS JOIN v CROSS JOIN wv GROUP BY 1, 2),
+              |j AS (SELECT ca.row_i AS row_i, ca.ca * cb.cb AS p
+              |  FROM ca JOIN cb ON ca.row_i = cb.row_i AND ca.bucket = cb.bucket),
+              |pr AS (SELECT v2.row_i, CAST(COALESCE(SUM(p), 0) AS BIGINT) AS est_i
+              |  FROM (SELECT DISTINCT row_i FROM v) v2 LEFT JOIN j ON v2.row_i = j.row_i
+              |  GROUP BY v2.row_i)
+              |SELECT (SELECT MIN(est_i) FROM pr) AS est_join,
+              |  (SELECT COUNT(*) FROM ha) AS n_a,
+              |  (SELECT COUNT(*) FROM hb) AS n_b""".stripMargin),
+      doc = "CMS inner-product join-cardinality estimate (Cormode-" +
+        "Muthukrishnan) with IN-PLAN adaptive width (next power of two " +
+        ">= 4x distinct keys, from a broadcast count — the d29 rule): " +
+        "|A join B| between two filtered relations from min-over-rows " +
+        "cellwise sketch products, O(depth x width) cells per side " +
+        "instead of the join; one-sided (est >= exact), integer-exact, " +
+        "hash-certified"
+    ),
+    // ---------------------------------------------------------------- x36
+    Q(
+      "x36_cms_join_certify",
+      (s, d) => {
+        // CERTIFY rung for x35 (production path: x35 alone): the exact
+        // join cardinality via per-key frequency products — carries the
+        // key-grouped join by construction — beside the sketch estimate,
+        // with the deterministic one-sided check est >= exact.
+        import graft.ops.CmsSketch
+        val P = CmsSketch.P
+        val li = Tables.lineitem(s, d)
+        val wRow = li.agg(countDistinct(col("l_partkey")).as("nd"))
+          .select(expr(
+            "shiftleft(CAST(1 AS BIGINT), least(length(bin(greatest(4 * nd - 1, 1))), 24))")
+            .as("w"))
+        def keyed(f: org.apache.spark.sql.DataFrame) =
+          f.select(((lit(2654435761L) * col("l_partkey") + lit(12345L)) % P).as("h"))
+            .crossJoin(broadcast(wRow))
+        val a = li.filter(col("l_returnflag") === "R")
+        val b = li.filter(col("l_quantity") >= 30)
+        val sa = CmsSketch.counts(CmsSketch.bucketizeDyn(keyed(a), col("h"), col("w")))
+          .withColumnRenamed("cnt", "ca")
+        val sb = CmsSketch.counts(CmsSketch.bucketizeDyn(keyed(b), col("h"), col("w")))
+          .withColumnRenamed("cnt", "cb")
+        val prod = sa.join(sb, Seq("row_i", "bucket"))
+          .groupBy(col("row_i")).agg(sum(col("ca") * col("cb")).as("est_i"))
+        val spec = s.range(0, CmsSketch.DefaultDepth)
+          .select(col("id").cast("int").as("row_i"))
+        val est = spec.join(prod, Seq("row_i"), "left_outer")
+          .select(coalesce(col("est_i"), lit(0L)).as("est_i"))
+          .agg(min(col("est_i")).as("est_join"))
+        val exact = a.groupBy(col("l_partkey")).agg(count(lit(1)).as("fa"))
+          .join(b.groupBy(col("l_partkey")).agg(count(lit(1)).as("fb")), Seq("l_partkey"))
+          .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_join"))
+        est.crossJoin(broadcast(exact))
+          .select(col("est_join"), col("exact_join"),
+            (col("est_join") - col("exact_join")).as("overest"),
+            (col("est_join") >= col("exact_join")).as("ge_ok"))
+      },
+      Some(s"""WITH v(row_i, m, c) AS (VALUES ${graft.ops.CmsSketch.rowSpecSql()}),
+              |wv AS (SELECT (CAST(1 AS BIGINT) << least(length(bin(greatest(4 * COUNT(DISTINCT l_partkey) - 1, 1))), 24)) AS w
+              |  FROM lineitem),
+              |ha AS (SELECT (2654435761 * l_partkey + 12345) % 1000000007 AS h
+              |  FROM lineitem WHERE l_returnflag = 'R'),
+              |hb AS (SELECT (2654435761 * l_partkey + 12345) % 1000000007 AS h
+              |  FROM lineitem WHERE l_quantity >= 30),
+              |ca AS (SELECT row_i, ((m * h + c) % 1000000007) % w AS bucket, COUNT(*) AS ca
+              |  FROM ha CROSS JOIN v CROSS JOIN wv GROUP BY 1, 2),
+              |cb AS (SELECT row_i, ((m * h + c) % 1000000007) % w AS bucket, COUNT(*) AS cb
+              |  FROM hb CROSS JOIN v CROSS JOIN wv GROUP BY 1, 2),
+              |j AS (SELECT ca.row_i AS row_i, ca.ca * cb.cb AS p
+              |  FROM ca JOIN cb ON ca.row_i = cb.row_i AND ca.bucket = cb.bucket),
+              |pr AS (SELECT v2.row_i, CAST(COALESCE(SUM(p), 0) AS BIGINT) AS est_i
+              |  FROM (SELECT DISTINCT row_i FROM v) v2 LEFT JOIN j ON v2.row_i = j.row_i
+              |  GROUP BY v2.row_i),
+              |xa AS (SELECT l_partkey, COUNT(*) AS fa FROM lineitem
+              |  WHERE l_returnflag = 'R' GROUP BY 1),
+              |xb AS (SELECT l_partkey, COUNT(*) AS fb FROM lineitem
+              |  WHERE l_quantity >= 30 GROUP BY 1),
+              |ex AS (SELECT CAST(COALESCE(SUM(fa * fb), 0) AS BIGINT) AS exact_join
+              |  FROM xa JOIN xb USING (l_partkey))
+              |SELECT (SELECT MIN(est_i) FROM pr) AS est_join,
+              |  exact_join,
+              |  (SELECT MIN(est_i) FROM pr) - exact_join AS overest,
+              |  (SELECT MIN(est_i) FROM pr) >= exact_join AS ge_ok
+              |FROM ex""".stripMargin),
+      doc = "x35's certify rung (production path: x35): the exact join " +
+        "cardinality (per-key frequency products — carries the key-grouped " +
+        "join by construction) beside the sketch estimate; est >= exact is " +
+        "the deterministic CMS inner-product guarantee"
+    ),
+    // ---------------------------------------------------------------- x37
+    Q(
+      "x37_sketch_partition",
+      (s, d) => {
+        // SKETCH-GUIDED EQUI-DEPTH PARTITIONING: derive 8-way range-
+        // partition boundaries from the HDR quantile sketch (q1/8..q7/8
+        // first-crossing buckets) instead of collecting a driver-side
+        // sample the way RangePartitioner does — the boundary set comes
+        // off a bounded O(2k)-bucket frame, so at 100 TB the planning
+        // pass is ONE map-side-combined count shuffle, no sample. The
+        // boundary search itself runs as array HOFs over ONE collected
+        // bucket row (<= ~2k structs by construction — a GLOBAL window
+        // here would put the whole frame through one unpartitioned
+        // window task, which the plan guard rightly rejects; the
+        // grouping-free collect is the provably-bounded spelling). Rows
+        // then tag their range bin against the broadcast 7-cut array and
+        // the output reports per-bin row counts, value bounds, and
+        // integer-ppm shares — the balance proof: every share sits near
+        // 125,000 ppm, off only by bucket-width granularity (<= 3.1%
+        // relative). All integer, hash-certified.
+        import graft.ops.HdrSketch
+        val base = Tables.lineitem(s, d)
+          .select((dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+        val sk = HdrSketch.counts(HdrSketch.bucketize(base, col("cents")))
+        val cuts = sk
+          .agg(array_sort(collect_list(struct(col("bucket"), col("hi"), col("cnt")))).as("bs"))
+          .withColumn("n_total", expr("aggregate(bs, CAST(0 AS BIGINT), (a, x) -> a + x.cnt)"))
+          .withColumn("cuts", expr(
+            "transform(sequence(1, 7), j -> " +
+              "aggregate(bs, named_struct('cum', CAST(0 AS BIGINT), 'cut', CAST(NULL AS BIGINT)), " +
+              "(st, x) -> named_struct('cum', st.cum + x.cnt, " +
+              "'cut', coalesce(st.cut, IF((st.cum + x.cnt) * 8 >= n_total * j, x.hi, CAST(NULL AS BIGINT))))).cut)"))
+          .select(col("cuts"), col("n_total"))
+        base.crossJoin(broadcast(cuts))
+          .select(col("cents"),
+            (size(expr("filter(cuts, c -> c < cents)")) + 1).cast("long").as("bin"),
+            col("n_total"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+            min(col("n_total")).as("nt"))
+          .select(col("bin"), col("n_rows"), col("min_cents"), col("max_cents"),
+            expr("n_rows * 1000000 DIV nt").as("share_ppm"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH base AS (
+             |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |  FROM lineitem),
+             |bk AS (
+             |  SELECT cents,
+             |    CAST(length(bin(cents)) AS BIGINT) AS msb,
+             |    CAST(greatest(length(bin(cents)) - 6, 0) AS INT) AS shift
+             |  FROM base),
+             |sk AS (
+             |  SELECT msb * 32 + ((cents >> shift) & 31) AS bucket,
+             |    CASE WHEN msb >= 6 THEN (32 + ((cents >> shift) & 31)) << shift
+             |         ELSE (cents >> shift) & 31 END AS lo,
+             |    (CASE WHEN msb >= 6 THEN (32 + ((cents >> shift) & 31)) << shift
+             |          ELSE (cents >> shift) & 31 END) + (CAST(1 AS BIGINT) << shift) - 1 AS hi,
+             |    COUNT(*) AS cnt
+             |  FROM bk GROUP BY 1, 2, 3),
+             |cum AS (
+             |  SELECT bucket, lo, hi, cnt,
+             |    SUM(cnt) OVER (ORDER BY bucket
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    CAST(SUM(cnt) OVER () AS BIGINT) AS n_group
+             |  FROM sk),
+             |spec(q_label, num, den) AS (VALUES ('q1', 1, 8), ('q2', 2, 8), ('q3', 3, 8),
+             |  ('q4', 4, 8), ('q5', 5, 8), ('q6', 6, 8), ('q7', 7, 8)),
+             |est AS (
+             |  SELECT q_label, MIN(hi) AS est_hi, n_group
+             |  FROM cum CROSS JOIN spec
+             |  WHERE cum * den >= n_group * num
+             |  GROUP BY q_label, n_group),
+             |ct AS (SELECT list_sort(list(est_hi)) AS cuts, MIN(n_group) AS n_total FROM est),
+             |binned AS (
+             |  SELECT cents,
+             |    CAST(len(list_filter(cuts, c -> c < cents)) + 1 AS BIGINT) AS bin,
+             |    n_total
+             |  FROM base CROSS JOIN ct)
+             |SELECT bin, COUNT(*) AS n_rows,
+             |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+             |  COUNT(*) * 1000000 // MIN(n_total) AS share_ppm
+             |FROM binned
+             |GROUP BY bin
+             |ORDER BY bin""".stripMargin),
+      doc = "HDR-sketch-guided equi-depth range partitioning: 8-way " +
+        "boundaries from the bounded bucket frame's q/8 first crossings " +
+        "(no driver-side sampling pass), rows binned against the broadcast " +
+        "7-cut array, per-bin counts/bounds/ppm shares as the balance " +
+        "proof — the sketch-native RangePartitioner planning pass; " +
+        "integer-exact, hash-certified"
     )
   )
 

@@ -358,6 +358,23 @@ object PlanDump {
         "bounded watchlist (missing cells read 0 via the left join + " +
         "coalesce), then a min aggregate per key — no corpus-sized side " +
         "moves for a point query."),
+      "x35_cms_join_size" -> ("CMS join-cardinality estimate: the " +
+        "distinct-key count broadcasts ONE row whose derived width " +
+        "parameterizes both sides' bucket projections in-plan (the d29 " +
+        "adaptive-key-space shape on the estimator); each side's " +
+        "partial_count collapses mappers to O(depth x width) cells before " +
+        "its exchange; the cellwise-product join runs over two bounded " +
+        "cell tables and min-reduces 4 rows — the join whose size is " +
+        "being estimated never executes."),
+      "x37_sketch_partition" -> ("Sketch-guided equi-depth partitioning: " +
+        "the planning pass is the HDR sketch's one map-side-combined " +
+        "count shuffle; the 7 cut points derive from a SINGLE collected " +
+        "bucket row via array HOFs (a global window here would funnel " +
+        "the frame through one unpartitioned window task — the " +
+        "grouping-free collect of a <= ~2k-bucket frame is the " +
+        "provably-bounded spelling), broadcast back, and every row bins " +
+        "against the 7-cut array in its scan projection. No sample " +
+        "collection, no second pass over the data."),
       "d30_kmv_overlap" -> ("KMV set-operation overlap: ONE " +
         "map-side-combined aggregate collapses each source to a k=256-long " +
         "sorted-array sketch (the KmvSketch UDAF buffer IS the partial " +

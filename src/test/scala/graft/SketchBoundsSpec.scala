@@ -161,6 +161,73 @@ class SketchBoundsSpec extends AnyFunSuite {
     assert(whole == summed)
   }
 
+  test("CMS join-size estimate: one-sided at ANY width, and adaptive width tames the collision mass") {
+    import graft.ops.CmsSketch
+    val P = CmsSketch.P
+    // skewed key frame: ~45k singletons + 97 heavy keys (the SAME frame as
+    // the point-estimate stress); join it with a filtered copy of itself
+    val keyed = spark.range(0, 50000).select(
+      when(col("id") % 10 === 0, col("id") % 97).otherwise(col("id")).as("key"))
+    val aSide = keyed.filter(col("key") % 2 === 0)
+    val bSide = keyed.filter(col("key") % 3 === 0)
+    def h(f: org.apache.spark.sql.DataFrame) =
+      f.select(((lit(2654435761L) * col("key") + lit(987654321L)) % P).as("h"))
+    val exact = aSide.groupBy(col("key")).agg(count(lit(1)).as("fa"))
+      .join(bSide.groupBy(col("key")).agg(count(lit(1)).as("fb")), Seq("key"))
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("x"))
+      .collect()(0).getLong(0)
+    def estAt(width: Int): Long = {
+      def sk(f: org.apache.spark.sql.DataFrame) = CmsSketch.counts(
+        CmsSketch.bucketizeDyn(h(f).withColumn("w", lit(width.toLong)), col("h"), col("w")))
+      val prod = sk(aSide).withColumnRenamed("cnt", "ca")
+        .join(sk(bSide).withColumnRenamed("cnt", "cb"), Seq("row_i", "bucket"))
+        .groupBy(col("row_i")).agg(sum(col("ca") * col("cb")).as("e"))
+        .agg(min(col("e")).as("est")).collect()
+      prod(0).getLong(0)
+    }
+    val narrow = estAt(512)     // pinned narrow width: heavy collision mass
+    val adaptive = estAt(1 << 18) // ~4x the ~46k distinct keys (the x35 rule)
+    assert(narrow >= exact, s"narrow est $narrow < exact $exact")
+    assert(adaptive >= exact, s"adaptive est $adaptive < exact $exact")
+    // the adaptive width must cut the overestimate by well over an order
+    // of magnitude relative to the pinned-narrow sketch
+    val narrowOver = narrow - exact
+    val adaptiveOver = adaptive - exact
+    assert(narrowOver > 0, "narrow sketch should collide on a 46k-key domain")
+    assert(adaptiveOver * 10 <= narrowOver,
+      s"adaptive overest $adaptiveOver not << narrow overest $narrowOver (exact $exact)")
+  }
+
+  test("HDR splitSpec boundaries: monotone cuts and every rank-ceil(j*n/8) statistic inside its cut bucket") {
+    import graft.ops.HdrSketch
+    val cents = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("c"))
+    val sk = HdrSketch.counts(
+      HdrSketch.bucketize(cents, col("c"), col("l_returnflag")), col("l_returnflag"))
+    // row: (group, q_label, num, den, est_lo, est_hi, n_group)
+    val est = HdrSketch.estimatesWith(sk, HdrSketch.splitSpec(sk, 8), col("l_returnflag"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(est.length > 0)
+    val exactRows = cents.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    est.groupBy(_._1).foreach { case (g, rows) =>
+      val cuts = rows.sortBy(_._2).map(_._5) // est_hi ordered by num (q1..q7)
+      assert(cuts.zip(cuts.tail).forall { case (a, b) => a <= b },
+        s"$g: cuts not monotone: ${cuts.mkString(",")}")
+      val vals = exactRows(g)
+      rows.foreach { case (_, num, den, estLo, estHi, nGroup) =>
+        assert(nGroup == vals.length)
+        val r = (nGroup * num + den - 1) / den // ceil(j*n/8)
+        val exact = vals(r.toInt - 1)
+        assert(exact >= estLo && exact <= estHi,
+          s"$g q$num/$den: exact rank-$r value $exact outside [$estLo, $estHi]")
+      }
+    }
+  }
+
   test("d30 KMV Jaccard estimates track d22's exact per-pair Jaccard") {
     val est = SparkEntry.queries("d30_kmv_overlap")(spark, sf)
       .select(col("src_a"), col("src_b"), col("est_jaccard")).collect()
