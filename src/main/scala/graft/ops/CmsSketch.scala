@@ -97,8 +97,7 @@ object CmsSketch {
         lit(i).as("row_i"),
         (((lit(RowA(i)) * h + lit(RowB(i))) % lit(P)) % width).as("bucket"))
     }: _*)
-    df.select(groupCols :+ explode(cells).as("rb"): _*)
-      .select(groupCols :+ col("rb.row_i").as("row_i") :+ col("rb.bucket").as("bucket"): _*)
+    explodeCells(df, cells, groupCols)
   }
 
   /** Rows with a hash column → exploded (groupCols…, row_i, bucket) —
@@ -109,8 +108,21 @@ object CmsSketch {
 
   def bucketizeDw(df: DataFrame, h: Column, depth: Int,
       width: Int, groupCols: Column*): DataFrame =
-    df.select(groupCols :+ explode(bucketCols(h, depth, width)).as("rb"): _*)
-      .select(groupCols :+ col("rb.row_i").as("row_i") :+ col("rb.bucket").as("bucket"): _*)
+    explodeCells(df, bucketCols(h, depth, width), groupCols)
+
+  /** Shared tail of the bucketizers: materialize groupCols + the exploded
+    * cell struct in ONE select, then unpack by OUTPUT NAME — group
+    * columns may be expressions (e.g. `window(ts).as("w")` in the
+    * streaming twins), which must not be re-evaluated against the
+    * post-explode frame.
+    */
+  private def explodeCells(df: DataFrame, cells: Column,
+      groupCols: Seq[Column]): DataFrame = {
+    val tmp = df.select(groupCols :+ explode(cells).as("rb"): _*)
+    val names = tmp.columns.dropRight(1)
+    tmp.select(names.map(col) :+ col("rb.row_i").as("row_i") :+
+      col("rb.bucket").as("bucket"): _*)
+  }
 
   /** The sketch itself: per (group…, row_i, bucket) counts. Works
     * identically as a batch aggregate and as a streaming aggregation

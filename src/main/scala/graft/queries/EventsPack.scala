@@ -834,6 +834,67 @@ object EventsPack extends QueryPack {
         "sketch — windowed observability quantiles with ONE bounded " +
         "map-side-combined shuffle, no per-window sort; integer-exact, " +
         "hash-certified; plan shape shared with the watermark streaming twin"
+    ),
+    // ---------------------------------------------------------------- e22
+    Q(
+      "e22_windowed_user_freq",
+      (s, d) => {
+        // Per-(1-day tumbling window) approximate per-user event counts
+        // from the Count-Min sketch — the rate-limit/abuse-monitor query
+        // ("how many events did each watched user fire this window"),
+        // priced the only way that scales: the per-window CMS holds
+        // <= 4x512 cells per window HOWEVER many distinct users appear
+        // (exact per-(window, user) counts shuffle one row per pair), and
+        // the watchlist probe broadcasts the single-row collected user
+        // set (the bounded-by-construction crossJoin spelling). Same
+        // column pipeline runs as the watermark-append streaming twin
+        // (StreamingCmsFrequency.windowedSketchCells). All integer,
+        // hash-certified cell-for-cell.
+        import graft.ops.CmsSketch
+        val P = CmsSketch.P
+        val ev = Tables.events(s, d)
+        val base = ev.select(
+          window(col("ts"), "1 day").as("w"),
+          ((lit(2654435761L) * col("user_id") + lit(12345L)) % P).as("h"))
+        val sk = CmsSketch.counts(CmsSketch.bucketize(base, col("h"), col("w")), col("w"))
+        val watch = ev.filter(col("user_id") < 10)
+          .agg(sort_array(collect_set(col("user_id"))).as("us"))
+        val probe = sk.select(col("w")).distinct()
+          .crossJoin(broadcast(watch))
+          .select(col("w"), explode(col("us")).as("user_id"))
+          .select(col("w"), col("user_id"),
+            ((lit(2654435761L) * col("user_id") + lit(12345L)) % P).as("h"))
+        CmsSketch.bucketize(probe, col("h"), col("w"), col("user_id"))
+          .join(sk, Seq("w", "row_i", "bucket"), "left_outer")
+          .groupBy(col("w"), col("user_id"))
+          .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+          .select(fts(col("w.start")).as("window_start"), col("user_id"), col("est"))
+          .orderBy(col("window_start"), col("user_id"))
+      },
+      Some(s"""WITH v(row_i, m, c) AS (VALUES ${graft.ops.CmsSketch.rowSpecSql()}),
+              |base AS (
+              |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+              |    (2654435761 * user_id + 12345) % 1000000007 AS h
+              |  FROM events),
+              |cells AS (
+              |  SELECT ws, row_i, ((m * h + c) % 1000000007) % 512 AS bucket, COUNT(*) AS cnt
+              |  FROM base CROSS JOIN v GROUP BY 1, 2, 3),
+              |wins AS (SELECT DISTINCT ws FROM base),
+              |watch AS (SELECT DISTINCT user_id,
+              |    (2654435761 * user_id + 12345) % 1000000007 AS h
+              |  FROM events WHERE user_id < 10),
+              |pc AS (
+              |  SELECT ws, user_id, row_i, ((m * h + c) % 1000000007) % 512 AS bucket
+              |  FROM wins CROSS JOIN watch CROSS JOIN v)
+              |SELECT ws AS window_start, user_id, MIN(COALESCE(cnt, 0)) AS est
+              |FROM pc LEFT JOIN cells USING (ws, row_i, bucket)
+              |GROUP BY 1, 2
+              |ORDER BY window_start, user_id""".stripMargin),
+      doc = "per-(1-day window) approximate per-user event counts via the " +
+        "Count-Min sketch: <= 4x512 cells per window regardless of user " +
+        "cardinality, broadcast watchlist probe (unseen users read 0) — " +
+        "the rate-limit monitor shape; integer-exact, hash-certified; " +
+        "plan shape shared with the watermark streaming twin"
     )
   )
 }

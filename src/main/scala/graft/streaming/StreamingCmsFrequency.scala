@@ -63,4 +63,27 @@ object StreamingCmsFrequency {
         Seq("row_i", "bucket"), "right_outer")
       .groupBy(keyCols: _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** WINDOWED form — the watermark-append twin of `e22_windowed_user_freq`:
+    * the same `bucketize → counts` pipeline grouped by the event-time
+    * window, under a watermark. In append mode each (window, row_i,
+    * bucket, cnt) cell row is emitted EXACTLY ONCE when the watermark
+    * closes its window, and the state store holds only in-flight windows'
+    * cells (≤ depth·width per open window), EVICTED on finalization —
+    * Spark's windowed-agg state lifecycle reused rather than
+    * re-implemented. Finalized cells probe exactly like a batch sketch
+    * (the differential spec pins finalized-window estimates against
+    * oracled e22).
+    */
+  def windowedSketchCells(events: DataFrame, windowDur: String, delay: String,
+      depth: Int = CmsSketch.DefaultDepth,
+      width: Int = CmsSketch.DefaultWidth): DataFrame = {
+    val typed = events
+      .select(col("ts"), col("h").cast("long").as("h"))
+      .withWatermark("ts", delay)
+    CmsSketch.counts(
+      CmsSketch.bucketizeDw(typed, col("h"), depth, width,
+        window(col("ts"), windowDur).as("w")),
+      col("w"))
+  }
 }

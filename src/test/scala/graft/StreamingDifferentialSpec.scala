@@ -708,4 +708,62 @@ class StreamingDifferentialSpec extends AnyFunSuite {
     assert(fromStream == t26,
       s"stream-only=${(fromStream -- t26).take(3)} batch-only=${(t26 -- fromStream).take(3)}")
   }
+
+  test("windowed CMS (watermark append) == oracled e22 on finalized windows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val P = graft.ops.CmsSketch.P
+
+    // the exact hashed frame e22's sketch aggregates, in event-time order
+    val events = Tables.events(spark, sf)
+      .select(col("ts"),
+        ((lit(2654435761L) * col("user_id") + lit(12345L)) % P).as("h"))
+      .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = StreamingCmsFrequency
+      .windowedSketchCells(input.toDS().toDF("ts", "h"), "1 day", "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wcms_diff").start()
+    events.grouped((events.length + 3) / 4).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    input.addData(IndexedSeq.empty)
+    q.processAllAvailable()
+    q.stop()
+
+    // finalized (window, row_i, bucket, cnt) cells probe exactly like a
+    // batch sketch: estimate every watched user per finalized window
+    val fin = spark.table("wcms_diff")
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("row_i"), col("bucket"), col("cnt"))
+    assert(fin.count() > 0, "no windows finalized — differential is vacuous")
+    val watch = Tables.events(spark, sf).filter(col("user_id") < 10)
+      .select(col("user_id")).distinct()
+    val probe = fin.select(col("ws")).distinct()
+      .crossJoin(watch)
+      .select(col("ws"), col("user_id"),
+        ((lit(2654435761L) * col("user_id") + lit(12345L)) % P).as("h"))
+    val streamed = graft.ops.CmsSketch
+      .bucketize(probe, col("h"), col("ws"), col("user_id"))
+      .join(fin, Seq("ws", "row_i", "bucket"), "left_outer")
+      .groupBy(col("ws"), col("user_id"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // expected: the ORACLED e22 rows for every window the watermark closed
+    val maxTs = events.last._1.getTime
+    val e22 = SparkEntry.queries("e22_windowed_user_freq")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val dayMs = 24L * 3600 * 1000
+    val expected = e22.filter { case (ws, _, _) =>
+      fmt.parse(ws).getTime + dayMs <= maxTs
+    }
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).take(3)} batch-only=${(expected -- streamed).take(3)}")
+    assert(expected.size < e22.size)
+  }
 }
