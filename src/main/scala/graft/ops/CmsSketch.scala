@@ -60,8 +60,10 @@ object CmsSketch {
   /** SQL literal rows for a DuckDB oracle's hash-spec CTE:
     * `(VALUES (0,97,17),…) AS v(row_i, a, b)`.
     */
-  def rowSpecSql(depth: Int = DefaultDepth): String =
+  def rowSpecSql(depth: Int = DefaultDepth): String = {
+    require(depth >= 1 && depth <= RowA.size, s"depth must be in [1, ${RowA.size}]")
     (0 until depth).map(i => s"(${i}, ${RowA(i)}, ${RowB(i)})").mkString(", ")
+  }
 
   /** `(row_i, bucket)` pairs for a hash column `h` on [0, P): one struct
     * per hash row, pure per-row integer projections (codegen'd).

@@ -40,6 +40,8 @@ object SketchPartitioner {
   def binOf(df: DataFrame, value: Column, parts: Int,
       bits: Int = HdrSketch.DefaultBits): DataFrame = {
     require(parts >= 2 && parts <= 1024, s"parts must be in [2,1024], got $parts")
+    require(!df.columns.contains("__v") && !df.columns.contains("__bin"),
+      "input already carries a __v/__bin column — rename it before binOf")
     val tagged = df.withColumn("__v", value.cast("long"))
     val sk = HdrSketch.counts(
       HdrSketch.bucketizeBits(tagged.select(col("__v")), col("__v"), bits))
