@@ -590,6 +590,63 @@ class StreamingDifferentialSpec extends AnyFunSuite {
     assert(expected.size < e21.size)
   }
 
+  test("windowed HDR under OUT-OF-ORDER replay (2h jitter, 2h watermark) == oracled e21 on finalized windows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.HdrSketch
+    val lateMs = 2L * 3600 * 1000
+
+    val events = Tables.events(spark, sf)
+      .select(col("ts"),
+        col("event_type").cast("string"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"),
+        col("event_id"))
+      .as[(java.sql.Timestamp, String, Long, Long)].collect()
+      .sortBy { case (ts, _, _, id) => ts.getTime + (id * 2654435761L % lateMs) }
+      .map { case (ts, g, v, _) => (ts, g, v) }
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val q = StreamingHdrQuantiles
+      .windowedSketchCounts(input.toDS().toDF("ts", "group", "v"), "1 day", "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("whdr_ooo").start()
+    events.grouped((events.length + 7) / 8).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    input.addData(IndexedSeq.empty)
+    q.processAllAvailable()
+    q.stop()
+
+    val fin = spark.table("whdr_ooo")
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("group"), col("bucket"), col("lo"), col("hi"), col("cnt"))
+    assert(fin.count() > 0, "no windows finalized — differential is vacuous")
+    val streamed = HdrSketch.estimates(fin, col("ws"), col("group"))
+      .select(col("ws"), col("group"), col("q_label"),
+        col("est_lo"), col("est_hi"), col("n_group"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+
+    val maxTs = events.map(_._1.getTime).max
+    val e21 = SparkEntry.queries("e21_windowed_quantiles")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val dayMs = 24L * 3600 * 1000
+    val expected = e21.filter { case (ws, _, _, _, _, _) =>
+      fmt.parse(ws).getTime + dayMs <= maxTs - lateMs
+    }
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).take(3)} batch-only=${(expected -- streamed).take(3)}")
+    assert(expected.nonEmpty && expected.size < e21.size)
+  }
+
   test("StreamingDistinctKmv snapshot == batch KMV sketch on every prefix and x3's oracled columns at the end") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
@@ -765,5 +822,70 @@ class StreamingDifferentialSpec extends AnyFunSuite {
     assert(streamed == expected,
       s"stream-only=${(streamed -- expected).take(3)} batch-only=${(expected -- streamed).take(3)}")
     assert(expected.size < e22.size)
+  }
+
+  test("windowed CMS under OUT-OF-ORDER replay (2h jitter, 2h watermark) == oracled e22 on finalized windows") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val P = graft.ops.CmsSketch.P
+    val lateMs = 2L * 3600 * 1000
+
+    // deterministically jitter the REPLAY ORDER (not the data): each event
+    // is delivered up to 2h "late" relative to event-time order, the
+    // bounded-disorder shape a real ingest queue produces
+    val events = Tables.events(spark, sf)
+      .select(col("ts"),
+        ((lit(2654435761L) * col("user_id") + lit(12345L)) % P).as("h"),
+        col("event_id"))
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .sortBy { case (ts, _, id) => ts.getTime + (id * 2654435761L % lateMs) }
+      .map { case (ts, h, _) => (ts, h) }
+
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = StreamingCmsFrequency
+      .windowedSketchCells(input.toDS().toDF("ts", "h"), "1 day", "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wcms_ooo").start()
+    events.grouped((events.length + 7) / 8).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    input.addData(IndexedSeq.empty)
+    q.processAllAvailable()
+    q.stop()
+
+    // the 2h watermark delay covers the 2h disorder bound, so every
+    // finalized window saw ALL its events: finalized cells must equal the
+    // batch sketch exactly, and estimates the oracled e22 rows for every
+    // window whose end precedes (max event time - delay)
+    val fin = spark.table("wcms_ooo")
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("row_i"), col("bucket"), col("cnt"))
+    assert(fin.count() > 0, "no windows finalized — differential is vacuous")
+    val watch = Tables.events(spark, sf).filter(col("user_id") < 10)
+      .select(col("user_id")).distinct()
+    val probe = fin.select(col("ws")).distinct()
+      .crossJoin(watch)
+      .select(col("ws"), col("user_id"),
+        ((lit(2654435761L) * col("user_id") + lit(12345L)) % P).as("h"))
+    val streamed = graft.ops.CmsSketch
+      .bucketize(probe, col("h"), col("ws"), col("user_id"))
+      .join(fin, Seq("ws", "row_i", "bucket"), "left_outer")
+      .groupBy(col("ws"), col("user_id"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    val maxTs = events.map(_._1.getTime).max
+    val e22 = SparkEntry.queries("e22_windowed_user_freq")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val dayMs = 24L * 3600 * 1000
+    val expected = e22.filter { case (ws, _, _) =>
+      fmt.parse(ws).getTime + dayMs <= maxTs - lateMs
+    }
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).take(3)} batch-only=${(expected -- streamed).take(3)}")
+    assert(expected.nonEmpty && expected.size < e22.size)
   }
 }
