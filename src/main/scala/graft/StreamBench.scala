@@ -251,6 +251,31 @@ object StreamBench {
     }
     report("cms_pointfreq_stateful", 0.0, cms)
 
+    // 10. WINDOWED CMS (watermark append) over the events corpus in
+    //     event-time order: unlike the lifetime sketches above, whose
+    //     state converges to its bound and stays, windowed state holds
+    //     only IN-FLIGHT windows' cells and the watermark EVICTS each
+    //     window as it finalizes — measured state_rows stays pinned at
+    //     ONE window's 4x512 cells for the whole multi-day replay
+    //     (each day's window closes as the next day's events arrive),
+    //     never accumulating the already-finalized days
+    val evs = Tables.events(spark, dir)
+      .select(col("ts"),
+        ((lit(2654435761L) * col("user_id") + lit(12345L)) %
+          graft.ops.CmsSketch.P).as("h"))
+      .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+    if (evs.isEmpty) System.err.println(s"[streambench] no events under $dir — skipping windowed cms")
+    else {
+      val wcms = driveWith(chunked(evs)) { in =>
+        streaming.StreamingCmsFrequency
+          .windowedSketchCells(in.toDS().toDF("ts", "h"), "1 day", "1 hour")
+          .writeStream.outputMode("append")
+          .foreachBatch((df: DataFrame, _: Long) => { df.count(); () })
+          .start()
+      }
+      report("cms_windowed_evicting", 0.0, wcms)
+    }
+
     spark.stop()
   }
 }
