@@ -1753,7 +1753,9 @@ object DedupPack extends QueryPack {
         "one k=256 KMV sketch per source (map-side-combined, O(sources x k) " +
         "exchange at any corpus size), pairwise union/intersection/Jaccard " +
         "estimates from merged sketches on a single bounded row; " +
-        "integer-exact, hash-certified"
+        "integer-exact, hash-certified. k is a PRECISION knob (rsd ~ " +
+        "1/sqrt(k), corpus-size-independent) — unlike LSH key spaces, it " +
+        "never needs the d29 adaptive rule"
     )
   )
 }
