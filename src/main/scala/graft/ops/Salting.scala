@@ -85,4 +85,52 @@ object Salting {
       .drop("__hot")
     probeS.join(buildS, keys :+ "__salt").drop("__salt")
   }
+
+  /** [[saltedJoinHot]] with the salt width derived IN-PLAN (the d29/s22/x35
+    * adaptive-rule): `nSaltsRow` is a broadcast one-row frame carrying
+    * `__nsalts` — typically [[AmsSketch.saltWidth]]'s skew-driven power of
+    * two — so the spread factor tracks MEASURED key skew instead of a
+    * human-pinned constant. Uniform corpora get `__nsalts = 1` (no
+    * replication anywhere); a hot-key corpus widens automatically. Result
+    * is identical to `probe.join(build, keys)` for any salt width — the
+    * x39 oracle certifies this cell-exactly.
+    */
+  def saltedJoinHotDyn(
+      probe: DataFrame,
+      build: DataFrame,
+      keys: Seq[String],
+      saltFrom: String,
+      nSaltsRow: DataFrame,
+      sampleRate: Int = 64,
+      hotFraction: Double = 0.01
+  ): DataFrame = {
+    val keyCols = keys.map(col)
+    val sampled = probe
+      .filter(pmod(xxhash64(col(saltFrom)), lit(sampleRate)) === 0)
+      .select(keyCols: _*)
+    val hot = sampled
+      .groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
+      .crossJoin(broadcast(sampled.agg(count(lit(1)).as("__tot"))))
+      .filter(col("__cnt") > col("__tot") * hotFraction)
+      .select(keyCols: _*)
+      .withColumn("__hot", lit(true))
+    val probeS = probe
+      .join(broadcast(hot), keys, "left")
+      .crossJoin(broadcast(nSaltsRow))
+      .withColumn(
+        "__salt",
+        when(col("__hot"), pmod(xxhash64(col(saltFrom)), col("__nsalts"))).otherwise(lit(0L))
+      )
+      .drop("__hot", "__nsalts")
+    val buildS = build
+      .join(broadcast(hot), keys, "left")
+      .crossJoin(broadcast(nSaltsRow))
+      .withColumn(
+        "__salt",
+        explode(when(col("__hot"), sequence(lit(0L), col("__nsalts") - 1))
+          .otherwise(array(lit(0L))))
+      )
+      .drop("__hot", "__nsalts")
+    probeS.join(buildS, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -1927,6 +1927,130 @@ object StatsPack extends QueryPack {
         "7-cut array, per-bin counts/bounds/ppm shares as the balance " +
         "proof — the sketch-native RangePartitioner planning pass; " +
         "integer-exact, hash-certified"
+    ),
+    // ---------------------------------------------------------------- x38
+    Q(
+      "x38_ams_f2",
+      (s, d) => {
+        // AMS SECOND-MOMENT (F2) SKETCH + CERTIFY: F2 = sum_k f_k^2 of the
+        // l_orderkey frequency vector IS the key's self-join output size
+        // and the numerator of the skew factor a planner reads before
+        // picking a shuffle strategy (x39 consumes it). The sketch is 16
+        // sign-sums Z_i — ONE map-side-combined O(16)-row exchange at any
+        // corpus size — beside the exact per-key count aggregate (the
+        // certify rung's truth side, which pays the key-grouped shuffle by
+        // construction). Estimates: mean of Z_i^2 and median-of-means (4
+        // groups of 4); signs are parities of DEGREE-3 polynomials over
+        // Z_P (the 4-wise construction AMS requires — affine parity
+        // underestimated F2 ~5x on these near-consecutive keys), and the
+        // realized error is MEASURED (within_2x; ratios 0.75-1.51 across
+        // sf0.001-0.1), not quoted. All integer until divisions by powers
+        // of two (exact doubles on both engines); hash-certified.
+        import graft.ops.AmsSketch
+        val li = Tables.lineitem(s, d)
+        val keyed = li.select(
+          ((lit(2654435761L) * col("l_orderkey") + lit(12345L)) % AmsSketch.P).as("h"))
+        val est = AmsSketch.estimate(AmsSketch.sums(AmsSketch.bucketize(keyed, col("h"))))
+        val exact = li.groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).cast("long").as("exact_f2"))
+        est.crossJoin(broadcast(exact))
+          .select(col("est_mean"), col("est_mom"), col("exact_f2"),
+            (col("est_mom") * 2 >= col("exact_f2") &&
+              col("est_mom") <= col("exact_f2") * 2).as("within_2x"))
+      },
+      Some(s"""WITH v(row_i, a, b, c, d) AS (VALUES ${graft.ops.AmsSketch.rowSpecSql()}),
+              |hk AS (SELECT (2654435761 * l_orderkey + 12345) % 1000000007 AS h FROM lineitem),
+              |hp AS (SELECT h, (h * h) % 1000000007 AS h2,
+              |    (((h * h) % 1000000007) * h) % 1000000007 AS h3 FROM hk),
+              |z AS (SELECT row_i, CAST(SUM(1 - 2 * (((a * h3 + b * h2 + c * h + d) % 1000000007) % 2)) AS BIGINT) AS z
+              |  FROM hp CROSS JOIN v GROUP BY 1),
+              |g AS (SELECT row_i // 4 AS grp, CAST(SUM(z * z) AS BIGINT) AS gs FROM z GROUP BY 1),
+              |ag AS (SELECT CAST(SUM(gs) AS BIGINT) AS ss, list_sort(list(gs)) AS gl FROM g),
+              |ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2
+              |  FROM (SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1))
+              |SELECT CAST(ss AS DOUBLE) / 16 AS est_mean,
+              |  CAST(gl[2] + gl[3] AS DOUBLE) / 8 AS est_mom,
+              |  exact_f2,
+              |  (CAST(gl[2] + gl[3] AS DOUBLE) / 8 * 2 >= exact_f2
+              |    AND CAST(gl[2] + gl[3] AS DOUBLE) / 8 <= exact_f2 * 2) AS within_2x
+              |FROM ag CROSS JOIN ex""".stripMargin),
+      doc = "AMS tug-of-war F2 sketch (Alon-Matias-Szegedy) + certify rung: " +
+        "self-join size / skew numerator from 16 sign-sums (one O(16)-row " +
+        "map-side-combined exchange) beside the exact per-key-count truth; " +
+        "mean and median-of-means estimates, realized error measured " +
+        "(within_2x); integer-exact, hash-certified"
+    ),
+    // ---------------------------------------------------------------- x39
+    Q(
+      "x39_ams_salt",
+      (s, d) => {
+        // SKEW-ADAPTIVE SALT WIDTH DERIVED IN-PLAN — closing the suite's
+        // last pinned planning knob (x1_salted_join pins nSalts = 8): the
+        // AMS sketch measures the probe key's skew factor
+        // sigma = ceil(F2*parts/n^2) — the expected mean-square reducer-
+        // load inflation under hash partitioning into parts=32 reducers
+        // (the suite's shuffle.partitions convention); sigma depends only
+        // on the skew SHAPE, not the corpus size, and needs no distinct-
+        // count pass — and the salted join spreads hot keys over the next
+        // power of two >= sigma, clamped [1, 64]. On this near-uniform
+        // corpus the rule derives n_salts=1 — it correctly REFUSES to pay
+        // build-side replication for skew that isn't there, where the
+        // pinned-8 rung sprays every hot key 8 ways regardless; on a
+        // hot-key corpus the same plan widens automatically
+        // (AmsSketchSpec proves the growth on a synthetic zipf frame).
+        // The planning subtree is a bounded O(16)-row exchange; in
+        // production it runs once and parameterizes many joins. The
+        // oracle is the PLAIN join aggregate plus the n_salts derivation
+        // — certifying both that the salted join computes exactly the
+        // unsalted join and that both engines derive the identical width.
+        import graft.ops.{AmsSketch, Salting}
+        val li = Tables.lineitem(s, d)
+        val keyed = li.select(
+          ((lit(2654435761L) * col("l_orderkey") + lit(12345L)) % AmsSketch.P).as("h"))
+        val estI = AmsSketch.estimate(AmsSketch.sums(AmsSketch.bucketize(keyed, col("h"))))
+          .select(col("est_mom_i"))
+        val stats = li.agg(count(lit(1)).as("n"))
+        val saltRow = AmsSketch.saltWidth(estI, stats)
+        val l = li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"))
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        Salting.saltedJoinHotDyn(l, o, Seq("l_orderkey"), "l_linenumber", saltRow)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_rows"))
+          .crossJoin(broadcast(saltRow.select(col("__nsalts").as("n_salts"))))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some(s"""WITH v(row_i, a, b, c, d) AS (VALUES ${graft.ops.AmsSketch.rowSpecSql()}),
+              |hk AS (SELECT (2654435761 * l_orderkey + 12345) % 1000000007 AS h FROM lineitem),
+              |hp AS (SELECT h, (h * h) % 1000000007 AS h2,
+              |    (((h * h) % 1000000007) * h) % 1000000007 AS h3 FROM hk),
+              |z AS (SELECT row_i, CAST(SUM(1 - 2 * (((a * h3 + b * h2 + c * h + d) % 1000000007) % 2)) AS BIGINT) AS z
+              |  FROM hp CROSS JOIN v GROUP BY 1),
+              |g AS (SELECT row_i // 4 AS grp, CAST(SUM(z * z) AS BIGINT) AS gs FROM z GROUP BY 1),
+              |fi AS (SELECT CAST((gl[2] + gl[3]) // 8 AS BIGINT) AS f2i
+              |  FROM (SELECT list_sort(list(gs)) AS gl FROM g)),
+              |st AS (SELECT COUNT(*) AS n FROM lineitem),
+              |ns AS (SELECT CASE WHEN CAST(CEIL(CAST(f2i AS DOUBLE) / n * 32 / n) AS BIGINT) <= 1 THEN CAST(1 AS BIGINT)
+              |  ELSE least(CAST(1 AS BIGINT) << length(bin(CAST(CEIL(CAST(f2i AS DOUBLE) / n * 32 / n) AS BIGINT) - 1)), 64) END AS n_salts
+              |  FROM fi CROSS JOIN st)
+              |SELECT o_orderpriority,
+              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+              |  COUNT(*) AS n_rows,
+              |  (SELECT n_salts FROM ns) AS n_salts
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority
+              |ORDER BY o_orderpriority""".stripMargin),
+      doc = "skew-adaptive salted join with the salt width derived IN-PLAN " +
+        "from the AMS skew factor ceil(F2*parts/n^2) — the expected mean-" +
+        "square reducer-load inflation under hash partitioning (the d29/x35 " +
+        "adaptive rule applied to x1's pinned nSalts=8): uniform corpora " +
+        "derive n_salts=1 and pay zero replication, hot-key corpora widen " +
+        "automatically; oracle certifies exact plain-join equivalence AND " +
+        "the cross-engine width derivation"
     )
   )
 
