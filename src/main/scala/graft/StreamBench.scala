@@ -276,6 +276,27 @@ object StreamBench {
       report("cms_windowed_evicting", 0.0, wcms)
     }
 
+    // 11. streaming AMS F2 skew watch over the token stream (Zipf-skewed,
+    //     so the second moment is a live signal): state = 16 sign-sum
+    //     longs FOREVER — the smallest sketch in the suite; each batch
+    //     re-derives the F2 estimate from the Complete-mode snapshot
+    //     (localCheckpoint first — same state-store commit-accounting
+    //     rule as (9), trivial at 16 rows). This is the planning feed
+    //     x39_ams_salt turns into a salt width.
+    val ams = driveWith(chunks) { in =>
+      streaming.StreamingAmsF2.sketchSums(
+        in.toDS().toDF("doc_id", "text")
+          .select(explode(graft.functions.TextOps.tokens(col("text"))).as("token"))
+          .select(graft.functions.TextOps.tokenHash(col("token")).as("h")))
+        .writeStream.outputMode("complete")
+        .foreachBatch((df: DataFrame, _: Long) => {
+          streaming.StreamingAmsF2.estimateOf(df.localCheckpoint()).collect()
+          ()
+        })
+        .start()
+    }
+    report("ams_f2_skew_watch", 0.0, ams)
+
     spark.stop()
   }
 }

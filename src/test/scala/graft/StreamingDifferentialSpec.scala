@@ -888,4 +888,51 @@ class StreamingDifferentialSpec extends AnyFunSuite {
       s"stream-only=${(streamed -- expected).take(3)} batch-only=${(expected -- streamed).take(3)}")
     assert(expected.nonEmpty && expected.size < e22.size)
   }
+
+  test("StreamingAmsF2 snapshot == batch AMS sketch on every prefix and x38's oracled estimates at the end") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.ops.AmsSketch
+
+    // the exact hashed frame x38's sketch aggregates, in key order
+    val rows = Tables.lineitem(spark, sf)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .select(((lit(2654435761L) * col("l_orderkey") + lit(12345L)) % AmsSketch.P).as("h"))
+      .as[Long].collect()
+
+    val input = MemoryStream[Long]
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[Int, Long])]
+    val q = StreamingAmsF2.sketchSums(input.toDS().toDF("h"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val m = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        perBatch.synchronized { perBatch += ((id, m)) }
+        ()
+      }
+      .start()
+    val chunks = rows.grouped((rows.length + 3) / 4).toIndexedSeq
+    chunks.foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(perBatch.size == chunks.size)
+
+    // sign sums are additive, so every prefix snapshot must equal the
+    // batch sketch over that prefix Z-for-Z under any batching
+    var prefix = Array.empty[Long]
+    perBatch.toSeq.sortBy(_._1).zip(chunks).foreach { case ((_, streamed), chunk) =>
+      prefix = prefix ++ chunk
+      val expected = AmsSketch.sums(AmsSketch.bucketize(prefix.toSeq.toDF("h"), col("h")))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(streamed == expected, s"prefix ${prefix.length} sketch mismatch")
+    }
+
+    // full replay: the snapshot estimate equals the oracled x38 estimates
+    val finalSums = perBatch.maxBy(_._1)._2.toSeq.toDF("row_i", "z")
+    val fromStream = StreamingAmsF2.estimateOf(finalSums).collect().head
+    val x38 = SparkEntry.queries("x38_ams_f2")(spark, sf).collect().head
+    assert(fromStream.getAs[Double]("est_mean") == x38.getAs[Double]("est_mean"))
+    assert(fromStream.getAs[Double]("est_mom") == x38.getAs[Double]("est_mom"))
+  }
 }
