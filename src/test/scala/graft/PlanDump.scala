@@ -66,6 +66,12 @@ object PlanDump {
         "keys detected from a deterministic hash-sample (the tiny hot set and its " +
         "threshold aggregate both broadcast); only hot keys replicate build rows — " +
         "cold keys join at salt 0, so build shuffle volume stays ~1x."),
+      "x39_ams_salt" -> ("Salt width derived IN-PLAN from the AMS skew sketch " +
+        "(ops/AmsSketch.saltWidth + Salting.saltedJoinHotDyn): the planning subtree " +
+        "is a 16-row sign-sum aggregate (map-side combined O(16) exchange) feeding a " +
+        "one-row width frame that BROADCASTS into the salt/spray expressions — " +
+        "no pinned constant anywhere; the join itself keeps the x1 shape and the " +
+        "build side explodes sequence(0, __nsalts-1) only for hot keys."),
       "g4_pagerank" -> ("Iterative PageRank, 3 unrolled rounds: the fact-fact edge " +
         "build (SortMergeJoin lineitem ⋈ orders + broadcast dims) aggregates once; " +
         "every iteration re-joins only the 25x25 edge table — look for ReusedExchange " +
