@@ -895,6 +895,123 @@ object EventsPack extends QueryPack {
         "cardinality, broadcast watchlist probe (unseen users read 0) — " +
         "the rate-limit monitor shape; integer-exact, hash-certified; " +
         "plan shape shared with the watermark streaming twin"
+    ),
+    // ---------------------------------------------------------------- e23
+    Q(
+      "e23_windowed_skew",
+      (s, d) => {
+        // Per-(1-day tumbling window) AMS F2 of the user-activity vector —
+        // the windowed form of x38, watching "how concentrated was today's
+        // traffic" (the abuse/bot-detection signal, and the windowed feed
+        // of x39's salt-width rule): 16 sign-sum longs PER WINDOW however
+        // many users fire, beside the exact per-(window, user) count F2
+        // (the certify side, which shuffles one row per pair by
+        // construction). Per-window estimates share ONE fixed hash draw —
+        // windows re-see the same user set, which is exactly why
+        // AmsSketch premixes the key hash (kernel scaladoc) — and
+        // per-window n is small here, so the measured per-window band is
+        // wider than x38's whole-corpus one (0.36-1.9x across SFs,
+        // 28-30/30 windows within 2x): est and exact ride side by side
+        // and the error is the reader's to see. Same column pipeline as
+        // the watermark streaming twin. Integer-exact, hash-certified.
+        import graft.ops.AmsSketch
+        val ev = Tables.events(s, d)
+        val base = ev.select(
+          window(col("ts"), "1 day").as("w"),
+          col("user_id"),
+          ((lit(2654435761L) * col("user_id") + lit(12345L)) % AmsSketch.P).as("h"))
+        val z = AmsSketch.sums(
+          AmsSketch.bucketize(base.select(col("w"), col("h")), col("h"), col("w")),
+          col("w"))
+        val est = AmsSketch.estimate(z, col("w"))
+        val exact = base.groupBy(col("w"), col("user_id")).agg(count(lit(1)).as("c"))
+          .groupBy(col("w")).agg(sum(col("c") * col("c")).cast("long").as("exact_f2"))
+        est.join(exact, Seq("w"))
+          .select(fts(col("w.start")).as("window_start"),
+            col("est_mean"), col("est_mom"), col("exact_f2"))
+          .orderBy(col("window_start"))
+      },
+      Some(s"""WITH v(row_i, a, b, c, d) AS (VALUES ${graft.ops.AmsSketch.rowSpecSql()}),
+              |base AS (
+              |  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ws, user_id,
+              |    (2654435761 * user_id + 12345) % 1000000007 AS t
+              |  FROM events),
+              |mx AS (SELECT ws, ${graft.ops.AmsSketch.mixSql("t")} AS h FROM base),
+              |hp AS (SELECT ws, h, (h * h) % 1000000007 AS h2,
+              |    (((h * h) % 1000000007) * h) % 1000000007 AS h3 FROM mx),
+              |z AS (SELECT ws, row_i, CAST(SUM(1 - 2 * (((a * h3 + b * h2 + c * h + d) % 1000000007) % 2)) AS BIGINT) AS z
+              |  FROM hp CROSS JOIN v GROUP BY 1, 2),
+              |g AS (SELECT ws, row_i // 4 AS grp, CAST(SUM(z * z) AS BIGINT) AS gs FROM z GROUP BY 1, 2),
+              |ag AS (SELECT ws, CAST(SUM(gs) AS BIGINT) AS ss, list_sort(list(gs)) AS gl FROM g GROUP BY 1),
+              |ex AS (SELECT ws, CAST(SUM(c * c) AS BIGINT) AS exact_f2
+              |  FROM (SELECT ws, user_id, COUNT(*) AS c FROM base GROUP BY 1, 2) GROUP BY 1)
+              |SELECT ag.ws AS window_start,
+              |  CAST(ss AS DOUBLE) / 16 AS est_mean,
+              |  CAST(gl[2] + gl[3] AS DOUBLE) / 8 AS est_mom,
+              |  exact_f2
+              |FROM ag JOIN ex ON ag.ws = ex.ws
+              |ORDER BY window_start""".stripMargin),
+      doc = "per-(1-day window) AMS F2 of the user-activity vector (the " +
+        "windowed x38: traffic-concentration / bot-burst signal, the " +
+        "windowed feed of x39's salt rule): 16 sign-sums per window at any " +
+        "user cardinality, est beside the exact per-pair-count truth; " +
+        "integer-exact, hash-certified; plan shape shared with the " +
+        "watermark streaming twin"
+    ),
+    // ---------------------------------------------------------------- e24
+    Q(
+      "e24_windowed_uniques",
+      (s, d) => {
+        // Per-(1-day tumbling window) KMV distinct-user estimate — "daily
+        // uniques" priced the way 100 TB needs: the per-window state is
+        // k=64 longs HOWEVER many distinct users appear (exact distinct
+        // shuffles every distinct pair; COUNT(DISTINCT) here is the
+        // certify side, carried to measure the estimator), estimate
+        // (k-1)*P DIV kth stays integral so both engines agree bit-for-bit
+        // (measured 0.92-1.11x of exact across SFs once k fills; EXACT
+        // below k). Same aggregation runs as the watermark streaming twin.
+        import org.apache.spark.sql.Encoders
+        val P = 1000000007L
+        val kK = 64
+        val kmv = udaf(new graft.functions.Aggregates.KmvSketch(kK), Encoders.scalaLong)
+        val ev = Tables.events(s, d)
+        ev.select(
+            window(col("ts"), "1 day").as("w"),
+            col("user_id"),
+            ((lit(2654435761L) * col("user_id") + lit(12345L)) % P).as("h"))
+          .groupBy(col("w"))
+          .agg(kmv(col("h")).as("ret"),
+            countDistinct(col("user_id")).as("exact_distinct"))
+          .select(
+            fts(col("w.start")).as("window_start"),
+            element_at(col("ret"), size(col("ret"))).as("kmv_kth"),
+            expr(s"CASE WHEN size(ret) < $kK THEN CAST(size(ret) AS BIGINT) " +
+              s"ELSE ${(kK - 1).toLong * P} DIV element_at(ret, size(ret)) END")
+              .as("kmv_est"),
+            col("exact_distinct"))
+          .orderBy(col("window_start"))
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+             |    (2654435761 * user_id + 12345) % 1000000007 AS h
+             |  FROM events),
+             |r AS (SELECT ws, h, ROW_NUMBER() OVER (PARTITION BY ws ORDER BY h) AS rn FROM h),
+             |k AS (SELECT ws, CAST(MAX(h) AS BIGINT) AS kmv_kth, COUNT(*) AS m
+             |  FROM r WHERE rn <= 64 GROUP BY 1),
+             |ex AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+             |    COUNT(DISTINCT user_id) AS exact_distinct
+             |  FROM events GROUP BY 1)
+             |SELECT k.ws AS window_start, kmv_kth,
+             |  CAST(CASE WHEN m < 64 THEN m
+             |    ELSE (CAST(63 AS BIGINT) * 1000000007) // kmv_kth END AS BIGINT) AS kmv_est,
+             |  exact_distinct
+             |FROM k JOIN ex ON k.ws = ex.ws
+             |ORDER BY window_start""".stripMargin),
+      doc = "per-(1-day window) KMV distinct-user estimate (daily uniques): " +
+        "k=64 longs per window at any user cardinality, integral estimate " +
+        "(k-1)*P DIV kth (0.92-1.11x of the carried exact count once k " +
+        "fills, exact below k) — the bounded-state uniques counter; " +
+        "hash-certified; same aggregation as the watermark streaming twin"
     )
   )
 }

@@ -1943,7 +1943,7 @@ object StatsPack extends QueryPack {
         // groups of 4); signs are parities of DEGREE-3 polynomials over
         // Z_P (the 4-wise construction AMS requires — affine parity
         // underestimated F2 ~5x on these near-consecutive keys), and the
-        // realized error is MEASURED (within_2x; ratios 0.75-1.51 across
+        // realized error is MEASURED (within_2x; ratios 0.55-1.17 across
         // sf0.001-0.1), not quoted. All integer until divisions by powers
         // of two (exact doubles on both engines); hash-certified.
         import graft.ops.AmsSketch
@@ -1959,9 +1959,10 @@ object StatsPack extends QueryPack {
               col("est_mom") <= col("exact_f2") * 2).as("within_2x"))
       },
       Some(s"""WITH v(row_i, a, b, c, d) AS (VALUES ${graft.ops.AmsSketch.rowSpecSql()}),
-              |hk AS (SELECT (2654435761 * l_orderkey + 12345) % 1000000007 AS h FROM lineitem),
+              |hk AS (SELECT (2654435761 * l_orderkey + 12345) % 1000000007 AS t FROM lineitem),
+              |mx AS (SELECT ${graft.ops.AmsSketch.mixSql("t")} AS h FROM hk),
               |hp AS (SELECT h, (h * h) % 1000000007 AS h2,
-              |    (((h * h) % 1000000007) * h) % 1000000007 AS h3 FROM hk),
+              |    (((h * h) % 1000000007) * h) % 1000000007 AS h3 FROM mx),
               |z AS (SELECT row_i, CAST(SUM(1 - 2 * (((a * h3 + b * h2 + c * h + d) % 1000000007) % 2)) AS BIGINT) AS z
               |  FROM hp CROSS JOIN v GROUP BY 1),
               |g AS (SELECT row_i // 4 AS grp, CAST(SUM(z * z) AS BIGINT) AS gs FROM z GROUP BY 1),
@@ -2025,9 +2026,10 @@ object StatsPack extends QueryPack {
           .orderBy(col("o_orderpriority"))
       },
       Some(s"""WITH v(row_i, a, b, c, d) AS (VALUES ${graft.ops.AmsSketch.rowSpecSql()}),
-              |hk AS (SELECT (2654435761 * l_orderkey + 12345) % 1000000007 AS h FROM lineitem),
+              |hk AS (SELECT (2654435761 * l_orderkey + 12345) % 1000000007 AS t FROM lineitem),
+              |mx AS (SELECT ${graft.ops.AmsSketch.mixSql("t")} AS h FROM hk),
               |hp AS (SELECT h, (h * h) % 1000000007 AS h2,
-              |    (((h * h) % 1000000007) * h) % 1000000007 AS h3 FROM hk),
+              |    (((h * h) % 1000000007) * h) % 1000000007 AS h3 FROM mx),
               |z AS (SELECT row_i, CAST(SUM(1 - 2 * (((a * h3 + b * h2 + c * h + d) % 1000000007) % 2)) AS BIGINT) AS z
               |  FROM hp CROSS JOIN v GROUP BY 1),
               |g AS (SELECT row_i // 4 AS grp, CAST(SUM(z * z) AS BIGINT) AS gs FROM z GROUP BY 1),

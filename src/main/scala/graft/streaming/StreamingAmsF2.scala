@@ -49,4 +49,26 @@ object StreamingAmsF2 {
     */
   def estimateOf(snapshot: DataFrame): DataFrame =
     AmsSketch.estimate(snapshot)
+
+  /** WINDOWED form — the watermark-append twin of `e23_windowed_skew`:
+    * the same `bucketize → sums` pipeline grouped by the event-time
+    * window, under a watermark. In append mode each (window, row_i, z)
+    * row is emitted EXACTLY ONCE when the watermark closes its window,
+    * and the state store holds only in-flight windows' 16 sign sums,
+    * EVICTED on finalization — Spark's windowed-agg state lifecycle
+    * reused rather than re-implemented. Finalized windows estimate
+    * exactly like a batch sketch (the differential spec pins
+    * finalized-window estimates against oracled e23, in-order and
+    * out-of-order).
+    */
+  def windowedSketchSums(events: DataFrame, windowDur: String,
+      delay: String, rows: Int = AmsSketch.DefaultRows): DataFrame = {
+    val typed = events
+      .select(col("ts"), col("h").cast("long").as("h"))
+      .withWatermark("ts", delay)
+    AmsSketch.sums(
+      AmsSketch.bucketizeR(typed, col("h"), rows,
+        window(col("ts"), windowDur).as("w")),
+      col("w"))
+  }
 }

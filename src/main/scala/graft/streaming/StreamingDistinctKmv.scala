@@ -54,4 +54,32 @@ object StreamingDistinctKmv {
           s"ELSE ${(k - 1).toLong * P} DIV element_at(ret, size(ret)) END")
           .as("kmv_est"))
   }
+
+  /** WINDOWED form — the watermark-append twin of `e24_windowed_uniques`
+    * ("daily uniques"): the same KMV aggregation grouped by the event-time
+    * window under a watermark. Append mode emits each window's (retained
+    * hashes, kth, integral estimate) row EXACTLY ONCE on finalization; the
+    * state store holds only in-flight windows' ≤ k-long buffers, evicted
+    * as the watermark passes — Spark's windowed-agg lifecycle over the
+    * mergeable sketch buffer. Because the k smallest DISTINCT hashes are
+    * set-determined, a finalized window's row equals the batch aggregate
+    * over that window in ANY arrival order or batching (the differential
+    * spec pins finalized windows against oracled e24, in-order and
+    * out-of-order).
+    */
+  def windowed(events: DataFrame, windowDur: String, delay: String,
+      k: Int = DefaultK): DataFrame = {
+    val kmv = udaf(new Aggregates.KmvSketch(k), Encoders.scalaLong)
+    events
+      .select(col("ts"), col("h").cast("long").as("h"))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur).as("w"))
+      .agg(kmv(col("h")).as("ret"))
+      .select(
+        col("w"), col("ret"),
+        element_at(col("ret"), size(col("ret"))).as("kmv_kth"),
+        expr(s"CASE WHEN size(ret) < $k THEN CAST(size(ret) AS BIGINT) " +
+          s"ELSE ${(k - 1).toLong * P} DIV element_at(ret, size(ret)) END")
+          .as("kmv_est"))
+  }
 }

@@ -17,11 +17,14 @@ class AmsSketchSpec extends AnyFunSuite {
   private def hashed(keys: Seq[Long]) =
     keys.toDF("k").select(((lit(2654435761L) * col("k") + lit(12345L)) % AmsSketch.P).as("h"))
 
-  private def expectedSign(h: Long, i: Int): Long = {
-    val h2 = (h * h) % AmsSketch.P
-    val h3 = (h2 * h) % AmsSketch.P
+  private def expectedSign(t: Long, i: Int): Long = {
+    import AmsSketch.{M0, M1, M2, M3, P}
+    val t2 = (t * t) % P
+    val h = (M3 * ((t2 * t) % P) + M2 * t2 + M1 * t + M0) % P
+    val h2 = (h * h) % P
+    val h3 = (h2 * h) % P
     1L - 2L * (((AmsSketch.RowA(i) * h3 + AmsSketch.RowB(i) * h2 +
-      AmsSketch.RowC(i) * h + AmsSketch.RowD(i)) % AmsSketch.P) % 2L)
+      AmsSketch.RowC(i) * h + AmsSketch.RowD(i)) % P) % 2L)
   }
 
   test("sign columns match the independent degree-3 Scala spelling, and signs are ±1") {

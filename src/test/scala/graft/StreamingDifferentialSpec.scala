@@ -935,4 +935,119 @@ class StreamingDifferentialSpec extends AnyFunSuite {
     assert(fromStream.getAs[Double]("est_mean") == x38.getAs[Double]("est_mean"))
     assert(fromStream.getAs[Double]("est_mom") == x38.getAs[Double]("est_mom"))
   }
+
+  /** Events as (ts, h) with the e23/e24 user-id hash, event-time order. */
+  private def userHashedEvents(): Array[(java.sql.Timestamp, Long)] = {
+    import spark.implicits._
+    Tables.events(spark, sf)
+      .select(col("ts"),
+        ((lit(2654435761L) * col("user_id") + lit(12345L)) % 1000000007L).as("h"))
+      .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+  }
+
+  /** Same events, replay order jittered ≤2h (the bounded-disorder shape). */
+  private def userHashedEventsJittered(lateMs: Long): Array[(java.sql.Timestamp, Long)] = {
+    import spark.implicits._
+    Tables.events(spark, sf)
+      .select(col("ts"),
+        ((lit(2654435761L) * col("user_id") + lit(12345L)) % 1000000007L).as("h"),
+        col("event_id"))
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .sortBy { case (ts, _, id) => ts.getTime + (id * 2654435761L % lateMs) }
+      .map { case (ts, h, _) => (ts, h) }
+  }
+
+  /** Closed-window filter against the oracled batch rows: window start +
+    * 1 day ≤ watermark frontier.
+    */
+  private def closedWindows[T](rows: Set[(String, T)], frontierMs: Long): Set[(String, T)] = {
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val dayMs = 24L * 3600 * 1000
+    rows.filter { case (ws, _) => fmt.parse(ws).getTime + dayMs <= frontierMs }
+  }
+
+  private def runWindowedAms(events: Array[(java.sql.Timestamp, Long)],
+      delay: String, name: String, chunksN: Int): Unit = {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = StreamingAmsF2
+      .windowedSketchSums(input.toDS().toDF("ts", "h"), "1 day", delay)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    events.grouped((events.length + chunksN - 1) / chunksN).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    input.addData(IndexedSeq.empty)
+    q.processAllAvailable()
+    q.stop()
+
+    // finalized (window, row_i, z) rows estimate exactly like a batch
+    // sketch; compare (window, est_mean, est_mom) against oracled e23
+    // restricted to the windows the watermark closed
+    val fin = spark.table(name)
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("row_i"), col("z"))
+    assert(fin.count() > 0, "no windows finalized — differential is vacuous")
+    val streamed = graft.ops.AmsSketch.estimate(fin, col("ws"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toSet
+    val e23 = SparkEntry.queries("e23_windowed_skew")(spark, sf)
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getDouble(2)))).toSet
+    val lateMs = if (delay == "0 seconds") 0L else 2L * 3600 * 1000
+    val expected = closedWindows(e23, events.map(_._1.getTime).max - lateMs)
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).take(3)} batch-only=${(expected -- streamed).take(3)}")
+    assert(expected.nonEmpty && expected.size < e23.size)
+  }
+
+  test("windowed AMS (watermark append) == oracled e23 on finalized windows") {
+    runWindowedAms(userHashedEvents(), "0 seconds", "wams_diff", 4)
+  }
+
+  test("windowed AMS under OUT-OF-ORDER replay (2h jitter, 2h watermark) == oracled e23 on finalized windows") {
+    runWindowedAms(userHashedEventsJittered(2L * 3600 * 1000), "2 hours", "wams_ooo", 8)
+  }
+
+  private def runWindowedKmv(events: Array[(java.sql.Timestamp, Long)],
+      delay: String, name: String, chunksN: Int): Unit = {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val q = StreamingDistinctKmv
+      .windowed(input.toDS().toDF("ts", "h"), "1 day", delay)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    events.grouped((events.length + chunksN - 1) / chunksN).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    input.addData(IndexedSeq.empty)
+    q.processAllAvailable()
+    q.stop()
+
+    // a finalized window's KMV row is set-determined, so it must equal the
+    // oracled e24 row exactly ((kth, estimate) per closed window)
+    val streamed = spark.table(name)
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("kmv_kth"), col("kmv_est"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toSet
+    assert(streamed.nonEmpty, "no windows finalized — differential is vacuous")
+    val e24 = SparkEntry.queries("e24_windowed_uniques")(spark, sf)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toSet
+    val lateMs = if (delay == "0 seconds") 0L else 2L * 3600 * 1000
+    val expected = closedWindows(e24, events.map(_._1.getTime).max - lateMs)
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).take(3)} batch-only=${(expected -- streamed).take(3)}")
+    assert(expected.nonEmpty && expected.size < e24.size)
+  }
+
+  test("windowed KMV uniques (watermark append) == oracled e24 on finalized windows") {
+    runWindowedKmv(userHashedEvents(), "0 seconds", "wkmv_diff", 4)
+  }
+
+  test("windowed KMV uniques under OUT-OF-ORDER replay (2h jitter, 2h watermark) == oracled e24 on finalized windows") {
+    runWindowedKmv(userHashedEventsJittered(2L * 3600 * 1000), "2 hours", "wkmv_ooo", 8)
+  }
 }
