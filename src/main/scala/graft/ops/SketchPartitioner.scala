@@ -62,17 +62,33 @@ object SketchPartitioner {
   }
 
   /** Repartition `df` into `parts` balanced value ranges of `value`:
-    * bin-tag via [[binOf]], then range-partition on the BIN. A hash
-    * repartition on the bin would collide bins into shared partitions
-    * (pigeonhole over `parts` hash slots); ranging over the bin column
-    * assigns each bin its own slot. Note the residual
-    * `repartitionByRange` sample here draws from the ≤ `parts` DISTINCT
-    * bin tags (every tag ~n/parts times over), not from the data values
-    * — the boundary set it recovers is exactly the bin set, so the
-    * data-dependent planning stays with the sketch.
+    * bin-tag via [[binOf]], then send bin i to partition i−1 through an
+    * explicit IDENTITY partitioner. Neither SQL repartition fits here: a
+    * hash repartition on the bin collides bins into shared partitions
+    * (pigeonhole over `parts` hash slots), and `repartitionByRange` still
+    * draws a boundary SAMPLE whose seed varies with the RDD id — on an
+    * unlucky draw it merges two adjacent bins into one partition and
+    * leaves another empty (observed in CI once the suite's job order
+    * shifted), which breaks exactly the determinism this operator exists
+    * to provide. The identity partitioner is the one genuinely
+    * partition-imperative step, so it drops to the RDD API for the
+    * exchange itself; everything data-dependent stays with the sketch.
     */
   def partitionByValue(df: DataFrame, value: Column, parts: Int,
-      bits: Int = HdrSketch.DefaultBits): DataFrame =
-    binOf(df, value, parts, bits)
-      .repartitionByRange(parts, col("__bin"))
+      bits: Int = HdrSketch.DefaultBits): DataFrame = {
+    val binned = binOf(df, value, parts, bits)
+    val schema = binned.schema
+    val binIdx = schema.fieldIndex("__bin")
+    val placed = binned.rdd
+      .map(r => (r.getLong(binIdx), r))
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = parts
+        override def getPartition(key: Any): Int = {
+          val b = key.asInstanceOf[Long].toInt
+          math.min(math.max(b - 1, 0), parts - 1)
+        }
+      })
+      .map(_._2)
+    binned.sparkSession.createDataFrame(placed, schema)
+  }
 }

@@ -2053,6 +2053,152 @@ object StatsPack extends QueryPack {
         "derive n_salts=1 and pay zero replication, hot-key corpora widen " +
         "automatically; oracle certifies exact plain-join equivalence AND " +
         "the cross-engine width derivation"
+    ),
+    // ---------------------------------------------------------------- x40
+    Q(
+      "x40_sketch_merge",
+      (s, d) => {
+        // INCREMENTAL-INGEST CERTIFICATION — the property every 100 TB
+        // claim in the sketch suite rests on, driver-certified: corpus
+        // statistics update by merging the NEW shard's sketch into the
+        // standing one, never by rescanning the standing corpus. The
+        // corpus splits into two disjoint shards (orderkey parity); each
+        // of the four sketch families builds per-shard sketches and
+        // merges them with its own merge operation — CMS: cellwise count
+        // add; AMS: sign-sum add; HDR: bucket count add; KMV: k-min over
+        // the union of retained sets (re-running the SAME bounded
+        // aggregator over the exploded retained hashes — the actual
+        // multi-day code path). The merged sketch must equal the
+        // whole-corpus sketch EXACTLY, key for key (cells/rows/buckets)
+        // and array-for-array (KMV) — both engines compute both sides, so
+        // the hash compare certifies the merge spelling itself, not just
+        // its outputs. Every frame here is sketch-sized (<= 2k rows), so
+        // the checks are full-outer joins over bounded inputs.
+        import graft.ops.{AmsSketch, CmsSketch, HdrSketch}
+        import org.apache.spark.sql.Encoders
+        val P = CmsSketch.P
+        val li = Tables.lineitem(s, d).select(
+          ((lit(2654435761L) * col("l_orderkey") + lit(12345L)) % P).as("h"),
+          (dec(col("l_extendedprice")) * 100).cast("long").as("cents"),
+          (col("l_orderkey") % 2).as("shard"))
+        def half(i: Int) = li.filter(col("shard") === i)
+
+        val cmsWhole = CmsSketch.counts(CmsSketch.bucketize(li, col("h")))
+        val cmsMerged = CmsSketch.counts(CmsSketch.bucketize(half(0), col("h")))
+          .unionByName(CmsSketch.counts(CmsSketch.bucketize(half(1), col("h"))))
+          .groupBy(col("row_i"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+        val cms = cmsWhole.withColumnRenamed("cnt", "cw")
+          .join(cmsMerged.withColumnRenamed("cnt", "cm"),
+            Seq("row_i", "bucket"), "full_outer")
+          .agg(count(lit(1)).as("cms_cells"),
+            coalesce(sum(when(col("cw") === col("cm"), 0L).otherwise(1L)), lit(0L))
+              .as("cms_bad"))
+
+        val amsWhole = AmsSketch.sums(AmsSketch.bucketize(li, col("h")))
+        val amsMerged = AmsSketch.sums(AmsSketch.bucketize(half(0), col("h")))
+          .unionByName(AmsSketch.sums(AmsSketch.bucketize(half(1), col("h"))))
+          .groupBy(col("row_i")).agg(sum(col("z")).as("z"))
+        val ams = amsWhole.withColumnRenamed("z", "zw")
+          .join(amsMerged.withColumnRenamed("z", "zm"), Seq("row_i"), "full_outer")
+          .agg(count(lit(1)).as("ams_rows"),
+            coalesce(sum(when(col("zw") === col("zm"), 0L).otherwise(1L)), lit(0L))
+              .as("ams_bad"))
+
+        val hdrWhole = HdrSketch.counts(
+          HdrSketch.bucketize(li.select(col("cents")), col("cents")))
+        val hdrMerged = HdrSketch.counts(
+            HdrSketch.bucketize(half(0).select(col("cents")), col("cents")))
+          .unionByName(HdrSketch.counts(
+            HdrSketch.bucketize(half(1).select(col("cents")), col("cents"))))
+          .groupBy(col("bucket"), col("lo"), col("hi")).agg(sum(col("cnt")).as("cnt"))
+        val hdr = hdrWhole.withColumnRenamed("cnt", "hw")
+          .join(hdrMerged.withColumnRenamed("cnt", "hm"),
+            Seq("bucket", "lo", "hi"), "full_outer")
+          .agg(count(lit(1)).as("hdr_buckets"),
+            coalesce(sum(when(col("hw") === col("hm"), 0L).otherwise(1L)), lit(0L))
+              .as("hdr_bad"))
+
+        val kmv = udaf(new graft.functions.Aggregates.KmvSketch(64), Encoders.scalaLong)
+        val kWhole = li.agg(kmv(col("h")).as("rw"))
+        val kMerged = half(0).agg(kmv(col("h")).as("ret"))
+          .unionByName(half(1).agg(kmv(col("h")).as("ret")))
+          .select(explode(col("ret")).as("h"))
+          .agg(kmv(col("h")).as("rm"))
+        val kv = kWhole.crossJoin(broadcast(kMerged))
+          .select((col("rw") === col("rm")).as("kmv_merge_ok"),
+            element_at(col("rw"), size(col("rw"))).as("kmv_kth"))
+
+        cms.crossJoin(broadcast(ams)).crossJoin(broadcast(hdr)).crossJoin(broadcast(kv))
+          .select(col("cms_cells"), col("cms_bad"), col("ams_rows"), col("ams_bad"),
+            col("hdr_buckets"), col("hdr_bad"), col("kmv_kth"), col("kmv_merge_ok"))
+      },
+      Some(s"""WITH v(row_i, m, c) AS (VALUES ${graft.ops.CmsSketch.rowSpecSql()}),
+              |av(row_i, a, b, c, d) AS (VALUES ${graft.ops.AmsSketch.rowSpecSql()}),
+              |base AS (SELECT (2654435761 * l_orderkey + 12345) % 1000000007 AS t,
+              |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+              |    l_orderkey % 2 AS shard
+              |  FROM lineitem),
+              |cw AS (SELECT row_i, ((m * t + c) % 1000000007) % 512 AS bucket, COUNT(*) AS cnt
+              |  FROM base CROSS JOIN v GROUP BY 1, 2),
+              |cs AS (SELECT shard, row_i, ((m * t + c) % 1000000007) % 512 AS bucket, COUNT(*) AS cnt
+              |  FROM base CROSS JOIN v GROUP BY 1, 2, 3),
+              |cm AS (SELECT row_i, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt FROM cs GROUP BY 1, 2),
+              |cchk AS (SELECT COUNT(*) AS cms_cells,
+              |    CAST(COALESCE(SUM(CASE WHEN cw.cnt = cm.cnt THEN 0 ELSE 1 END), 0) AS BIGINT) AS cms_bad
+              |  FROM cw FULL JOIN cm USING (row_i, bucket)),
+              |mx AS (SELECT shard, ${graft.ops.AmsSketch.mixSql("t")} AS h FROM base),
+              |hp AS (SELECT shard, h, (h * h) % 1000000007 AS h2,
+              |    (((h * h) % 1000000007) * h) % 1000000007 AS h3 FROM mx),
+              |zw AS (SELECT row_i, CAST(SUM(1 - 2 * (((a * h3 + b * h2 + c * h + d) % 1000000007) % 2)) AS BIGINT) AS z
+              |  FROM hp CROSS JOIN av GROUP BY 1),
+              |zs AS (SELECT shard, row_i, CAST(SUM(1 - 2 * (((a * h3 + b * h2 + c * h + d) % 1000000007) % 2)) AS BIGINT) AS z
+              |  FROM hp CROSS JOIN av GROUP BY 1, 2),
+              |zm AS (SELECT row_i, CAST(SUM(z) AS BIGINT) AS z FROM zs GROUP BY 1),
+              |achk AS (SELECT COUNT(*) AS ams_rows,
+              |    CAST(COALESCE(SUM(CASE WHEN zw.z = zm.z THEN 0 ELSE 1 END), 0) AS BIGINT) AS ams_bad
+              |  FROM zw FULL JOIN zm USING (row_i)),
+              |hb AS (SELECT shard, cents,
+              |    CAST(length(bin(cents)) AS BIGINT) AS msb,
+              |    CAST(greatest(length(bin(cents)) - 6, 0) AS INT) AS shift
+              |  FROM base),
+              |hs AS (SELECT shard,
+              |    msb * 32 + ((cents >> shift) & 31) AS bucket,
+              |    CASE WHEN msb >= 6 THEN (32 + ((cents >> shift) & 31)) << shift
+              |         ELSE (cents >> shift) & 31 END AS lo,
+              |    (CASE WHEN msb >= 6 THEN (32 + ((cents >> shift) & 31)) << shift
+              |          ELSE (cents >> shift) & 31 END) + (CAST(1 AS BIGINT) << shift) - 1 AS hi,
+              |    COUNT(*) AS cnt
+              |  FROM hb GROUP BY 1, 2, 3, 4),
+              |hwh AS (SELECT msb * 32 + ((cents >> shift) & 31) AS bucket,
+              |    CASE WHEN msb >= 6 THEN (32 + ((cents >> shift) & 31)) << shift
+              |         ELSE (cents >> shift) & 31 END AS lo,
+              |    (CASE WHEN msb >= 6 THEN (32 + ((cents >> shift) & 31)) << shift
+              |          ELSE (cents >> shift) & 31 END) + (CAST(1 AS BIGINT) << shift) - 1 AS hi,
+              |    CAST(COUNT(*) AS BIGINT) AS cnt
+              |  FROM hb GROUP BY 1, 2, 3),
+              |hm AS (SELECT bucket, lo, hi, CAST(SUM(cnt) AS BIGINT) AS cnt FROM hs GROUP BY 1, 2, 3),
+              |hchk AS (SELECT COUNT(*) AS hdr_buckets,
+              |    CAST(COALESCE(SUM(CASE WHEN hwh.cnt = hm.cnt THEN 0 ELSE 1 END), 0) AS BIGINT) AS hdr_bad
+              |  FROM hwh FULL JOIN hm USING (bucket, lo, hi)),
+              |kw AS (SELECT h FROM (SELECT t AS h, ROW_NUMBER() OVER (ORDER BY t) AS rn
+              |    FROM (SELECT DISTINCT t FROM base)) WHERE rn <= 64),
+              |ks AS (SELECT shard, t FROM (SELECT shard, t, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY t) AS rn
+              |    FROM (SELECT DISTINCT shard, t FROM base)) WHERE rn <= 64),
+              |km AS (SELECT t FROM (SELECT t, ROW_NUMBER() OVER (ORDER BY t) AS rn
+              |    FROM (SELECT DISTINCT t FROM ks)) WHERE rn <= 64),
+              |kchk AS (SELECT
+              |    (SELECT list_sort(list(h)) FROM kw) = (SELECT list_sort(list(t)) FROM km) AS kmv_merge_ok,
+              |    (SELECT CAST(MAX(h) AS BIGINT) FROM kw) AS kmv_kth)
+              |SELECT cms_cells, cms_bad, ams_rows, ams_bad, hdr_buckets, hdr_bad,
+              |  kmv_kth, kmv_merge_ok
+              |FROM cchk CROSS JOIN achk CROSS JOIN hchk CROSS JOIN kchk""".stripMargin),
+      doc = "incremental-ingest certification: per-shard sketches of a " +
+        "2-way disjoint split MERGE to the whole-corpus sketch exactly for " +
+        "all four families (CMS cellwise add, AMS sign-sum add, HDR bucket " +
+        "add, KMV k-min over unioned retained sets through the SAME bounded " +
+        "aggregator) — key-for-key and array-for-array, both sides computed " +
+        "on both engines; the property every multi-day/multi-shard 100 TB " +
+        "claim in the sketch suite rests on, driver-certified"
     )
   )
 
