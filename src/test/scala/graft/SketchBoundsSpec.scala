@@ -245,4 +245,36 @@ class SketchBoundsSpec extends AnyFunSuite {
     assert(mean <= 0.05, s"mean |est - exact| = $mean over ${errs.size} pairs")
     assert(errs.last <= 0.2, s"worst pair error ${errs.last}")
   }
+
+  test("AMS F2 estimate tracks exact F2 across random frequency shapes (seeded)") {
+    import graft.ops.AmsSketch
+    import spark.implicits._
+    // 12 random multisets sweeping the shapes that matter: uniform,
+    // zipf-ish, single-hot-key-dominated, tiny. Seeded → deterministic.
+    val rnd = new scala.util.Random(20260815L)
+    val ratios = (1 to 12).map { i =>
+      val nKeys = 1 + rnd.nextInt(3000)
+      val shape = i % 3
+      val keys: Seq[Long] = (1 to nKeys).flatMap { k =>
+        val f = shape match {
+          case 0 => 1 + rnd.nextInt(4)                       // near-uniform
+          case 1 => math.max(1, (nKeys / k.toDouble).toInt)  // zipf-ish
+          case 2 => if (k == 1) nKeys else 1                 // one hot key
+        }
+        Seq.fill(math.min(f, 5000))(k.toLong * 7919 + i)     // distinct key spaces per trial
+      }
+      val exact = keys.groupBy(identity).map { case (_, v) => v.size.toLong * v.size }.sum
+      val hashed = keys.toDF("k")
+        .select(((lit(2654435761L) * col("k") + lit(12345L)) % AmsSketch.P).as("h"))
+      val est = AmsSketch.estimate(AmsSketch.sums(AmsSketch.bucketize(hashed, col("h"))))
+        .collect().head.getAs[Double]("est_mom")
+      est / exact
+    }
+    // every trial within 3x (hot-key F2 is huge, relative error small;
+    // small uniform frames are the noisy end), and the ensemble centered:
+    // the unbiasedness test a systematically-correlated sign family fails
+    ratios.foreach(r => assert(r > 1.0 / 3 && r < 3.0, s"ratio $r out of envelope"))
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.6 && mean < 1.5, s"ensemble mean $mean — estimator biased")
+  }
 }
