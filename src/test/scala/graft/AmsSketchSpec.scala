@@ -114,6 +114,36 @@ class AmsSketchSpec extends AnyFunSuite {
     assert(ws >= 16L && ws <= 64L, s"single-key frame derived n_salts=$ws")
   }
 
+  test("the derived salt width actually SPREADS the hot key across reducers") {
+    // the point of salting, asserted deterministically: partition the
+    // probe by (key, salt) the way the join's exchange does and count how
+    // many reducer partitions the hot key's rows land on — ~n_salts with
+    // the derived width, exactly 1 without it
+    val probe = (Seq.fill(6000)(7L) ++ (0L until 2000L).map(_ % 500L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "uid")
+    val estI = AmsSketch
+      .estimate(AmsSketch.sums(AmsSketch.bucketize(
+        probe.select(((lit(2654435761L) * col("k") + lit(12345L)) % AmsSketch.P).as("h")),
+        col("h"))))
+      .select(col("est_mom_i"))
+    val saltRow = AmsSketch.saltWidth(estI, probe.agg(count(lit(1)).as("n")))
+    val nSalts = saltRow.collect().head.getLong(0)
+    assert(nSalts >= 8L, s"75%-hot frame must derive a wide spread, got $nSalts")
+    val salted = probe
+      .crossJoin(broadcast(saltRow))
+      .withColumn("__salt", pmod(xxhash64(col("uid")), col("__nsalts")))
+      .repartition(32, col("k"), col("__salt"))
+      .withColumn("pid", spark_partition_id())
+    val hotParts = salted.filter(col("k") === 7L)
+      .select(col("pid")).distinct().count()
+    val unsaltedParts = probe.repartition(32, col("k"))
+      .withColumn("pid", spark_partition_id())
+      .filter(col("k") === 7L).select(col("pid")).distinct().count()
+    assert(unsaltedParts == 1L, "without salting the hot key funnels into one reducer")
+    assert(hotParts >= nSalts / 2, s"hot key landed on only $hotParts partitions for $nSalts salts")
+  }
+
   test("saltedJoinHotDyn equals the plain join on a skewed frame") {
     val probe = (Seq.fill(3000)(7L) ++ (0L until 2000L).map(_ % 400L))
       .zipWithIndex.map { case (k, i) => (k, i.toLong) }
