@@ -213,11 +213,42 @@ object TextExpressions {
     sim
   }
 
+  /** 8-bit SimHash over RAW tokenHash bits 0–7 (d6's definition — unlike
+    * [[simHash60Eval]], which votes on bits of a multiplicative mix): one
+    * compiled token loop per row replacing eight interpreted `aggregate`
+    * lambda passes. Bit-identical to `TextOps.simhash8`
+    * (`TextExpressionsSpec` pins the parity), so d6's oracle is unchanged.
+    */
+  def simHash8Eval(text: UTF8String): Long = {
+    val toks = splitTokens(text.toString)
+    val votes = new Array[Int](8)
+    var i = 0
+    while (i < toks.length) {
+      val h = tokenHash(toks(i))
+      var b = 0
+      while (b < 8) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 8) {
+      if (votes(b) > 0) sim |= (1L << b)
+      b += 1
+    }
+    sim
+  }
+
   def shingles(text: Column, n: Int): Column =
     GraftShims.column(ShingleArray(GraftShims.expression(text), n))
 
   def simhash60(text: Column): Column =
     GraftShims.column(SimHash60(GraftShims.expression(text)))
+
+  def simhash8(text: Column): Column =
+    GraftShims.column(SimHash8(GraftShims.expression(text)))
 
   def simhash60Seeded(text: Column, seed: Long): Column =
     GraftShims.column(SimHash60Seeded(GraftShims.expression(text), seed))
@@ -261,6 +292,16 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.simHash60Eval($c)")
   override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
   override def prettyName: String = "simhash60"
+}
+
+case class SimHash8(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    TextExpressions.simHash8Eval(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.simHash8Eval($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash8 = copy(child = c)
+  override def prettyName: String = "simhash8"
 }
 
 case class SimHash60Seeded(child: Expression, seed: Long) extends UnaryExpression {

@@ -234,9 +234,12 @@ object DedupPack extends QueryPack {
     Q(
       "d6_simhash",
       (s, d) =>
+        // compiled SimHash8 kernel (one token loop per row) — bit-identical
+        // to the eight-aggregate-HOF TextOps.simhash8 spelling
+        // (TextExpressionsSpec parity), so the oracle below is unchanged
         Tables.documents(s, d)
-          .select(col("doc_id"), tokens(col("text")).as("toks"))
-          .select(col("doc_id"), simhash8(col("toks")).as("simhash"))
+          .select(col("doc_id"),
+            graft.functions.TextExpressions.simhash8(col("text")).as("simhash"))
           .orderBy(col("doc_id")),
       Some {
         val bits = (0 until 8).map { b =>

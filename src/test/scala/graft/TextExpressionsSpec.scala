@@ -77,6 +77,15 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(cmp.count() == 0)
   }
 
+  test("SimHash8 kernel == TextOps.simhash8 HOF spelling (d6's oracle definition)") {
+    val cmp = docs
+      .select(col("doc_id"),
+        TextOps.simhash8(TextOps.tokens(col("text"))).as("a"),
+        TextExpressions.simhash8(col("text")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(cmp.count() == 0)
+  }
+
   test("d20 band index finds exactly the brute-force Hamming<=3 pairs (recall 1)") {
     // pigeonhole exactness of the 4x15-bit multi-index: the banded candidate
     // join must recover every all-pairs hit — differential, not probabilistic
