@@ -39,9 +39,17 @@ object TextExpressions {
 
   /** [[TextOps.tokenHash]] twin on JVM strings. */
   private def tokenHash(t: String): Long = {
-    val first = if (t.isEmpty) 0 else t.charAt(0).toInt
-    val last = if (t.isEmpty) 0 else t.charAt(t.length - 1).toInt
-    (t.length.toLong * 2654435761L + first * 131L + last) % TextOps.P
+    // CODEPOINT semantics throughout, matching the Column spelling and
+    // DuckDB: Spark's ascii() returns the first character's codepoint and
+    // length() counts codepoints, while Java's charAt/length see UTF-16
+    // units — on an astral (non-BMP) token like an emoji, charAt(0) is a
+    // surrogate (55357) where ascii() reads 128512, and length disagrees
+    // too. BMP input is identical either way (why the ASCII/é/日本 corpora
+    // never caught it); the probe-verified divergence lives only here.
+    val first = if (t.isEmpty) 0 else t.codePointAt(0)
+    val last = if (t.isEmpty) 0 else t.codePointBefore(t.length)
+    val cpLen = t.codePointCount(0, t.length).toLong
+    (cpLen * 2654435761L + first * 131L + last) % TextOps.P
   }
 
   /** Distinct n-token shingles, first-occurrence order. */

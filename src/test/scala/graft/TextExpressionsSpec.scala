@@ -86,6 +86,32 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(cmp.count() == 0)
   }
 
+  test("kernels == Column spellings on ASTRAL (non-BMP) tokens — codepoint semantics") {
+    // Spark's ascii()/length() work in CODEPOINTS while Java's
+    // charAt/length see UTF-16 units; on an emoji token the two disagree
+    // (128512 vs surrogate 55357, and the lengths differ too). The kernel
+    // tokenHash therefore uses codePointAt/codePointCount — this corpus
+    // (astral-leading, astral-trailing, astral-only, mixed-BMP tokens)
+    // pins the parity the fixture corpus' BMP-only text cannot reach.
+    import spark.implicits._
+    val astral = Seq(
+      "😀abc x😀 a😀b", "𝔘nicode 😀 x", "日本 é😀é deadbeef",
+      "😀 😀😀 😀😀😀", "mixed 𝒜𝒵 tail😀").toDF("text")
+    val simCmp = astral
+      .select(TextOps.simhash8(TextOps.tokens(col("text"))).as("a"),
+        TextExpressions.simhash8(col("text")).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(simCmp.count() == 0, "simhash8 kernel diverges on astral tokens")
+    val seeds = Seq((7L, 3L), (11L, 17L))
+    val mh = astral.select(col("text"),
+      TextExpressions.minhashSignature(col("text"), seeds).as("sig"),
+      TextOps.minhash(TextOps.tokens(col("text")), 7L, 3L).as("r0"),
+      TextOps.minhash(TextOps.tokens(col("text")), 11L, 17L).as("r1"))
+    assert(mh.filter(col("sig").getItem(0) =!= col("r0") ||
+      col("sig").getItem(1) =!= col("r1")).count() == 0,
+      "minhash kernel diverges on astral tokens")
+  }
+
   test("d20 band index finds exactly the brute-force Hamming<=3 pairs (recall 1)") {
     // pigeonhole exactness of the 4x15-bit multi-index: the banded candidate
     // join must recover every all-pairs hit — differential, not probabilistic
