@@ -297,6 +297,38 @@ object StreamBench {
     }
     report("ams_f2_skew_watch", 0.0, ams)
 
+    // 12/13. WINDOWED AMS skew + WINDOWED KMV uniques (watermark append)
+    //     over the events corpus in event-time order — the e23/e24 twins'
+    //     eviction lifecycle at scale, completing the windowed symmetry
+    //     beside (10): state holds only in-flight windows (16 sign-sums /
+    //     one ≤64-long buffer per window) and each finalized day is
+    //     EVICTED as the next day's events arrive.
+    val evAms = Tables.events(spark, dir)
+      .select(col("ts"),
+        ((lit(2654435761L) * col("user_id") + lit(12345L)) %
+          graft.ops.AmsSketch.P).as("h"))
+      .as[(java.sql.Timestamp, Long)].collect().sortBy(_._1.getTime)
+    if (evAms.isEmpty) System.err.println(s"[streambench] no events under $dir — skipping windowed ams/kmv")
+    else {
+      val wams = driveWith(chunked(evAms)) { in =>
+        streaming.StreamingAmsF2
+          .windowedSketchSums(in.toDS().toDF("ts", "h"), "1 day", "1 hour")
+          .writeStream.outputMode("append")
+          .foreachBatch((df: DataFrame, _: Long) => { df.count(); () })
+          .start()
+      }
+      report("ams_windowed_evicting", 0.0, wams)
+
+      val wkmv = driveWith(chunked(evAms)) { in =>
+        streaming.StreamingDistinctKmv
+          .windowed(in.toDS().toDF("ts", "h"), "1 day", "1 hour")
+          .writeStream.outputMode("append")
+          .foreachBatch((df: DataFrame, _: Long) => { df.count(); () })
+          .start()
+      }
+      report("kmv_windowed_evicting", 0.0, wkmv)
+    }
+
     spark.stop()
   }
 }
