@@ -144,24 +144,46 @@ object AmsSketch {
       .agg(sum(col("sign")).as("z"))
 
   /** F2 estimates from a (group…, row_i, z) sketch frame: `est_mean`
-    * (mean of Z_i² over all rows) and `est_mom` (median of the 4
-    * group-of-4 means = mean of the two middle group sums / 8). The input
-    * is ≤ `rows` rows per group, so the collect_list is bounded by
-    * construction. Divisions are by powers of two — exact doubles on both
-    * engines.
+    * (mean of Z_i² over all rows) and `est_mom` (median of the
+    * rows/GroupSize group-of-GroupSize means — at the 16-row default, mean
+    * of the two middle group sums / 8). The input is ≤ `rows` rows per
+    * group, so the collect_list is bounded by construction. Divisions are
+    * by powers of two — exact doubles on both engines (GroupSize and the
+    * default row count are powers of two; estimateR requires the same of
+    * any caller-supplied width).
     */
-  def estimate(sums: DataFrame, groupCols: Column*): DataFrame = {
+  def estimate(sums: DataFrame, groupCols: Column*): DataFrame =
+    estimateR(sums, DefaultRows, groupCols: _*)
+
+  /** [[estimate]] for a sketch frame built with `bucketizeR(_, _, rows, _)`
+    * — `rows` MUST match the bucketize width or the means are mis-scaled
+    * (the frame itself doesn't carry it: a group missing from the input of
+    * some row_i would make max(row_i)+1 an undercount).
+    */
+  def estimateR(sums: DataFrame, rows: Int, groupCols: Column*): DataFrame = {
+    require(rows >= 1 && rows <= RowA.size, s"rows must be in [1, ${RowA.size}]")
+    require(rows % GroupSize == 0,
+      s"rows ($rows) must be a multiple of GroupSize ($GroupSize) for median-of-means")
+    require((rows & (rows - 1)) == 0,
+      s"rows ($rows) must be a power of two so the mean division is IEEE-exact cross-engine")
+    val nGroups = rows / GroupSize
+    // median of nGroups sorted group sums: even → mean of the two middle,
+    // odd → the middle one (nGroups is a power of two ≥ 1, so odd only at 1)
+    val (momNum, momDen) =
+      if (nGroups % 2 == 0)
+        (s"(element_at(__gl, ${nGroups / 2}) + element_at(__gl, ${nGroups / 2 + 1}))",
+          2 * GroupSize)
+      else
+        (s"element_at(__gl, ${(nGroups + 1) / 2})", GroupSize)
     val g = sums
       .groupBy(groupCols :+ expr(s"row_i DIV $GroupSize").as("grp"): _*)
       .agg(sum(col("z") * col("z")).as("gs"))
     g.groupBy(groupCols: _*)
       .agg(sum(col("gs")).as("__ss"), sort_array(collect_list(col("gs"))).as("__gl"))
       .select(groupCols ++ Seq(
-        (col("__ss").cast("double") / DefaultRows).as("est_mean"),
-        ((element_at(col("__gl"), 2) + element_at(col("__gl"), 3)).cast("double") /
-          (2 * GroupSize)).as("est_mom"),
-        expr(s"(element_at(__gl, 2) + element_at(__gl, 3)) DIV ${2 * GroupSize}")
-          .as("est_mom_i")): _*)
+        (col("__ss").cast("double") / rows).as("est_mean"),
+        (expr(momNum).cast("double") / momDen).as("est_mom"),
+        expr(s"$momNum DIV $momDen").as("est_mom_i")): _*)
   }
 
   /** Derived salt width for a skewed shuffle, as a one-row frame the plan

@@ -54,7 +54,15 @@ object HdrSketch {
   def bucketizeBits(df: DataFrame, value: Column, bits: Int, groupCols: Column*): DataFrame = {
     require(bits >= 1 && bits <= 16, s"sub-bucket bits must be in [1,16], got $bits")
     val mask = (1L << bits) - 1
+    // enforce the non-negative contract IN-PLAN: a negative long has
+    // msb = 64 (bin() emits the 64-char two's complement) and would
+    // silently corrupt lo/hi bounds, quantile picks, and
+    // SketchPartitioner cuts — a bad feed must fail loudly (same policy
+    // as the dyn vector kernels' bounds guards).
     df.select(groupCols :+ value.as("c"): _*)
+      .withColumn("c", when(col("c") < 0, expr(
+        "raise_error(concat('HdrSketch.bucketize: negative value ', CAST(c AS STRING), " +
+          "' violates the non-negative contract'))").cast("long")).otherwise(col("c")))
       .withColumn("msb", length(bin(col("c"))).cast("long"))
       .withColumn("shift", greatest(col("msb") - (bits + 1), lit(0L)).cast("int"))
       .withColumn("sub", expr(s"shiftright(c, shift) & $mask"))

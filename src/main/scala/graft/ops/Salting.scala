@@ -62,8 +62,13 @@ object Salting {
       hotFraction: Double = 0.01
   ): DataFrame = {
     val keyCols = keys.map(col)
+    // sample hash spans keys + saltFrom: hashing saltFrom ALONE makes the
+    // "1/sampleRate sample" all-or-nothing per saltFrom value when that
+    // column is low-cardinality (e.g. l_linenumber: 7 values → typically an
+    // EMPTY sample and hot detection never fires). keys+saltFrom is
+    // near-unique per row, so the filter is a genuine row subset.
     val sampled = probe
-      .filter(pmod(xxhash64(col(saltFrom)), lit(sampleRate)) === 0)
+      .filter(pmod(xxhash64(keyCols :+ col(saltFrom): _*), lit(sampleRate)) === 0)
       .select(keyCols: _*)
     val hot = sampled
       .groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
@@ -105,8 +110,9 @@ object Salting {
       hotFraction: Double = 0.01
   ): DataFrame = {
     val keyCols = keys.map(col)
+    // same keys+saltFrom sample hash as saltedJoinHot (see comment there)
     val sampled = probe
-      .filter(pmod(xxhash64(col(saltFrom)), lit(sampleRate)) === 0)
+      .filter(pmod(xxhash64(keyCols :+ col(saltFrom): _*), lit(sampleRate)) === 0)
       .select(keyCols: _*)
     val hot = sampled
       .groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))

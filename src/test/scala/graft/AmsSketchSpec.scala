@@ -72,6 +72,32 @@ class AmsSketchSpec extends AnyFunSuite {
     assert(row.getAs[Long]("est_mom_i") == (gs(1) + gs(2)) / (2 * AmsSketch.GroupSize))
   }
 
+  test("estimateR scales to the sketch's actual row count (8-row sketch)") {
+    // the latent bug estimateR retires: estimate() assumed 16 rows, so an
+    // 8-row sketch frame got est_mean halved and est_mom read missing
+    // group slots. Hand-compute the 8-row truth and demand exact equality.
+    val rows = 8
+    val keys = (1L to 60L).flatMap(k => Seq.fill((k % 4 + 1).toInt)(k))
+    val hs = keys.map(k => (2654435761L * k + 12345L) % AmsSketch.P)
+    val z = Array.fill(rows)(0L)
+    for (h <- hs; i <- 0 until rows) z(i) += expectedSign(h, i)
+    val gs = z.map(v => v * v).grouped(AmsSketch.GroupSize).map(_.sum).toArray.sorted
+    val expMean = z.map(v => v * v).sum.toDouble / rows
+    val expMom = (gs(0) + gs(1)).toDouble / (2 * AmsSketch.GroupSize) // 2 groups: median = their mean
+    val row = AmsSketch
+      .estimateR(AmsSketch.sums(AmsSketch.bucketizeR(hashed(keys), col("h"), rows)), rows)
+      .collect().head
+    assert(row.getAs[Double]("est_mean") == expMean)
+    assert(row.getAs[Double]("est_mom") == expMom)
+    assert(row.getAs[Long]("est_mom_i") == (gs(0) + gs(1)) / (2 * AmsSketch.GroupSize))
+  }
+
+  test("estimateR rejects widths the median-of-means layout can't honor") {
+    val sums = AmsSketch.sums(AmsSketch.bucketize(hashed(Seq(1L, 2L)), col("h")))
+    intercept[IllegalArgumentException](AmsSketch.estimateR(sums, 12)) // not a power of two
+    intercept[IllegalArgumentException](AmsSketch.estimateR(sums, 2)) // not a multiple of GroupSize
+  }
+
   test("degree-3 signs estimate within 2x of exact F2 on consecutive integer keys") {
     // consecutive keys are the adversarial case: parity of an AFFINE map
     // correlates across them and underestimated F2 ~5x; the degree-3

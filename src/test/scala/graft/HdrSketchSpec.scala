@@ -32,6 +32,20 @@ class HdrSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("a negative value fails loudly instead of corrupting the sketch") {
+    // a negative long has msb = 64 (bin() emits the two's complement) and
+    // used to flow through silently with garbage lo/hi; the in-plan guard
+    // must raise, and nulls must still pass through as nulls
+    val ex = intercept[Exception] {
+      HdrSketch.bucketize(Seq(5L, -3L).toDF("v"), col("v")).collect()
+    }
+    assert(ex.getMessage.contains("non-negative") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-negative")))
+    val viaNull = HdrSketch.bucketize(
+      Seq[java.lang.Long](5L, null).toDF("v"), col("v")).collect()
+    assert(viaNull.length == 2 && viaNull.count(_.isNullAt(1)) == 1)
+  }
+
   test("bucket id is monotone in the value (rank-respecting)") {
     val b = HdrSketch.bucketize(edgeValues.toDF("v"), col("v"))
       .select($"c", $"bucket", $"lo", $"hi")

@@ -39,10 +39,38 @@ class SaltingSpec extends AnyFunSuite {
     // the hot key really is detected and spread, and cold build rows are NOT
     // replicated: salted-build row count stays ~|build| + (nSalts-1) hot rows,
     // nowhere near |build| * nSalts
-    val sampled = probe.filter(pmod(xxhash64($"seq"), lit(4)) === 0)
+    val sampled = probe.filter(pmod(xxhash64($"key", $"seq"), lit(4)) === 0)
     val hotDetected = sampled.filter($"key" === "hot").count() >
       (sampled.count() * 0.01).toLong
     assert(hotDetected)
+  }
+
+  test("hot detection fires when saltFrom is low-cardinality (sample spans keys)") {
+    // the x39 shape: high-cardinality join key, 7-valued saltFrom
+    // (l_linenumber). A sample hashed on saltFrom ALONE is all-or-nothing
+    // per saltFrom class — typically empty, so hot detection silently never
+    // fired. The keys+saltFrom hash makes it a genuine 1/sampleRate subset.
+    val probe = (1 to 2000)
+      .map(i => (if (i <= 1800) "hot" else s"k$i", i % 7 + 1))
+      .toDF("key", "ln")
+    val build = (Seq("hot") ++ (1801 to 2000).map(i => s"k$i")).map((_, 1.0)).toDF("key", "w")
+
+    // the old failure mode, pinned: no linenumber class hashes to 0 mod 64
+    val oldSample = probe.filter(pmod(xxhash64($"ln"), lit(64)) === 0)
+    assert(oldSample.count() == 0L, "corpus chosen so the old sample is empty")
+
+    // new sample is a genuine subset and the hot key dominates it
+    val sampled = probe.filter(pmod(xxhash64($"key", $"ln"), lit(64)) === 0)
+    val n = sampled.count()
+    assert(n > 0L && n < 2000L)
+    assert(sampled.filter($"key" === "hot").count() > (n * 0.01).toLong)
+
+    // and the join itself stays exact
+    val plain = probe.join(build, Seq("key")).agg(sum($"w"), count(lit(1))).head()
+    val salted = Salting
+      .saltedJoinHot(probe, build, Seq("key"), "ln", nSalts = 8, sampleRate = 64)
+      .agg(sum($"w"), count(lit(1))).head()
+    assert(plain == salted)
   }
 
   test("salt is deterministic (stable across retries)") {
