@@ -17,6 +17,10 @@ object Salting {
 
   /** Deterministic salt from row content (stable across retries — important
     * for exactly-once sinks; never use rand() in a restartable job).
+    * `saltFrom` should be high-cardinality (ideally row-unique, e.g. a
+    * sequence column): the salt can only take as many values as `saltFrom`
+    * has distinct values. The adaptive variants below have no such
+    * constraint — they hash every column.
     */
   def withSalt(df: DataFrame, saltFrom: String, nSalts: Int): DataFrame =
     df.withColumn("__salt", pmod(xxhash64(col(saltFrom)), lit(nSalts)))
@@ -40,14 +44,52 @@ object Salting {
       .join(replicate(build, nSalts), keys :+ "__salt")
       .drop("__salt")
 
+  /** Exact heavy hitters of `df` over `keys`: every key whose row share
+    * strictly exceeds `hotFraction`, tagged `__hot = true` for the left
+    * joins below. Detection is a map-side-combined `groupBy(keys).count`:
+    * the shuffle carries one (key, count) pair per distinct key per map
+    * partition — keys only, no payload, strictly less volume than the row
+    * shuffle of any join this feeds — and the hot set is ≤ 1/hotFraction
+    * rows by construction, so it always broadcasts. The total-row frame
+    * re-aggregates the same counts subtree, so ReuseExchange serves both
+    * branches from one shuffle.
+    *
+    * Exact counting replaced a hash-SAMPLE detector here: sampling rows by
+    * `pmod(xxhash64(keys :+ saltFrom), rate) === 0` selects distinct
+    * (keys, saltFrom) COMBOS, not rows — a hot key with fewer distinct
+    * combos than the sample rate (the x39 shape: 7-valued l_linenumber
+    * under one hot orderkey at rate 64) is detected with probability
+    * ≈ 1-(1-1/rate)^combos (~10%), silently leaving the mitigation a
+    * no-op. Heavy-hitter detection must aggregate key frequencies, never
+    * sample row identities that a hot key collapses.
+    */
+  def hotKeys(df: DataFrame, keys: Seq[String], hotFraction: Double): DataFrame = {
+    val keyCols = keys.map(col)
+    val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("__cnt")).as("__tot"))))
+      .filter(col("__cnt") > col("__tot") * hotFraction)
+      .select(keyCols: _*)
+      .withColumn("__hot", lit(true))
+  }
+
+  /** Deterministic per-row salt in [0, nSalts): xxhash64 over EVERY column
+    * of `df`, so the spread is not capped by any single column's
+    * cardinality (hashing a 7-valued l_linenumber alone caps the hot key at
+    * ≤ 7 uneven buckets no matter how wide nSalts is). Stable across task
+    * retries — no rand() — which is the determinism exactly-once sinks
+    * need; the cost is that EXACT duplicate rows share a bucket, the best
+    * any deterministic function of row content can do.
+    */
+  private def rowSalt(df: DataFrame) = xxhash64(df.columns.map(col): _*)
+
   /** Skew-ADAPTIVE salted join. [[saltedJoin]] replicates the ENTIRE build
     * side nSalts times — nSalts× build shuffle volume, ruinous at 100 TB
     * when skew is really a handful of keys. This variant detects hot keys
-    * from a deterministic hash-sample of the probe side (1/sampleRate of
-    * rows — no rand(), stable across task retries) and salts ONLY those:
-    * cold keys keep salt 0 on both sides (no replication), hot keys spread
-    * over nSalts reducers with the matching build rows replicated. The hot
-    * set is ≤ 1/hotFraction keys by construction, so it broadcasts.
+    * EXACTLY via [[hotKeys]] (a keys-only map-side-combined count — cheaper
+    * than the join's own row shuffle) and salts ONLY those: cold keys keep
+    * salt 0 on both sides (no replication), hot keys spread over nSalts
+    * reducers with the matching build rows replicated.
     *
     * Result is identical to `probe.join(build, keys)` for any hot set —
     * the x1 oracle certifies this cell-exactly.
@@ -56,32 +98,14 @@ object Salting {
       probe: DataFrame,
       build: DataFrame,
       keys: Seq[String],
-      saltFrom: String,
       nSalts: Int,
-      sampleRate: Int = 64,
       hotFraction: Double = 0.01
   ): DataFrame = {
-    val keyCols = keys.map(col)
-    // sample hash spans keys + saltFrom: hashing saltFrom ALONE makes the
-    // "1/sampleRate sample" all-or-nothing per saltFrom value when that
-    // column is low-cardinality (e.g. l_linenumber: 7 values → typically an
-    // EMPTY sample and hot detection never fires). keys+saltFrom is
-    // near-unique per row, so the filter is a genuine row subset.
-    val sampled = probe
-      .filter(pmod(xxhash64(keyCols :+ col(saltFrom): _*), lit(sampleRate)) === 0)
-      .select(keyCols: _*)
-    val hot = sampled
-      .groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
-      .crossJoin(broadcast(sampled.agg(count(lit(1)).as("__tot"))))
-      .filter(col("__cnt") > col("__tot") * hotFraction)
-      .select(keyCols: _*)
-      .withColumn("__hot", lit(true))
+    val hot = hotKeys(probe, keys, hotFraction)
+    val salt = pmod(rowSalt(probe), lit(nSalts.toLong))
     val probeS = probe
       .join(broadcast(hot), keys, "left")
-      .withColumn(
-        "__salt",
-        when(col("__hot"), pmod(xxhash64(col(saltFrom)), lit(nSalts))).otherwise(lit(0L))
-      )
+      .withColumn("__salt", when(col("__hot"), salt).otherwise(lit(0L)))
       .drop("__hot")
     val salts = array((0 until nSalts).map(i => lit(i.toLong)): _*)
     val buildS = build
@@ -104,29 +128,15 @@ object Salting {
       probe: DataFrame,
       build: DataFrame,
       keys: Seq[String],
-      saltFrom: String,
       nSaltsRow: DataFrame,
-      sampleRate: Int = 64,
       hotFraction: Double = 0.01
   ): DataFrame = {
-    val keyCols = keys.map(col)
-    // same keys+saltFrom sample hash as saltedJoinHot (see comment there)
-    val sampled = probe
-      .filter(pmod(xxhash64(keyCols :+ col(saltFrom): _*), lit(sampleRate)) === 0)
-      .select(keyCols: _*)
-    val hot = sampled
-      .groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
-      .crossJoin(broadcast(sampled.agg(count(lit(1)).as("__tot"))))
-      .filter(col("__cnt") > col("__tot") * hotFraction)
-      .select(keyCols: _*)
-      .withColumn("__hot", lit(true))
+    val hot = hotKeys(probe, keys, hotFraction)
+    val salt = pmod(rowSalt(probe), col("__nsalts"))
     val probeS = probe
       .join(broadcast(hot), keys, "left")
       .crossJoin(broadcast(nSaltsRow))
-      .withColumn(
-        "__salt",
-        when(col("__hot"), pmod(xxhash64(col(saltFrom)), col("__nsalts"))).otherwise(lit(0L))
-      )
+      .withColumn("__salt", when(col("__hot"), salt).otherwise(lit(0L)))
       .drop("__hot", "__nsalts")
     val buildS = build
       .join(broadcast(hot), keys, "left")

@@ -22,7 +22,7 @@ object StatsPack extends QueryPack {
         val l = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
         val o = Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-        Salting.saltedJoinHot(l, o, Seq("l_orderkey"), "l_linenumber", nSalts = 8)
+        Salting.saltedJoinHot(l, o, Seq("l_orderkey"), nSalts = 8)
           .groupBy(col("o_orderpriority"))
           .agg(
             sum(dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))
@@ -37,9 +37,9 @@ object StatsPack extends QueryPack {
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin),
-      doc = "skew-adaptive salted join (hot keys detected from a deterministic " +
-        "sample are spread over 8 salt buckets; cold keys never replicate the " +
-        "build side) — oracle proves it computes exactly the plain join"
+      doc = "skew-adaptive salted join (hot keys detected EXACTLY by a keys-only " +
+        "map-side-combined count, spread over 8 salt buckets; cold keys never " +
+        "replicate the build side) — oracle proves it computes exactly the plain join"
     ),
     // ---------------------------------------------------------------- percentiles
     Q(
@@ -2020,7 +2020,7 @@ object StatsPack extends QueryPack {
           col("l_extendedprice"), col("l_discount"))
         val o = Tables.orders(s, d)
           .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-        Salting.saltedJoinHotDyn(l, o, Seq("l_orderkey"), "l_linenumber", saltRow)
+        Salting.saltedJoinHotDyn(l, o, Seq("l_orderkey"), saltRow)
           .groupBy(col("o_orderpriority"))
           .agg(
             sum(dec(col("l_extendedprice")) * (lit(1).cast(MoneyDec) - dec(col("l_discount"))))

@@ -181,7 +181,7 @@ class AmsSketchSpec extends AnyFunSuite {
         col("h"))))
       .select(col("est_mom_i"))
     val saltRow = AmsSketch.saltWidth(estI, probe.agg(count(lit(1)).as("n")))
-    val salted = Salting.saltedJoinHotDyn(probe, build, Seq("k"), "uid", saltRow)
+    val salted = Salting.saltedJoinHotDyn(probe, build, Seq("k"), saltRow)
       .select(col("k"), col("uid"), col("payload"))
     val plain = probe.join(build, Seq("k")).select(col("k"), col("uid"), col("payload"))
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,

@@ -32,43 +32,45 @@ class SaltingSpec extends AnyFunSuite {
 
     val plain = probe.join(build, Seq("key")).agg(sum($"w"), count(lit(1))).head()
     val salted = Salting
-      .saltedJoinHot(probe, build, Seq("key"), "seq", nSalts = 8, sampleRate = 4)
+      .saltedJoinHot(probe, build, Seq("key"), nSalts = 8)
       .agg(sum($"w"), count(lit(1))).head()
     assert(plain == salted)
 
-    // the hot key really is detected and spread, and cold build rows are NOT
-    // replicated: salted-build row count stays ~|build| + (nSalts-1) hot rows,
-    // nowhere near |build| * nSalts
-    val sampled = probe.filter(pmod(xxhash64($"key", $"seq"), lit(4)) === 0)
-    val hotDetected = sampled.filter($"key" === "hot").count() >
-      (sampled.count() * 0.01).toLong
-    assert(hotDetected)
+    // detection is exact: 90% "hot" is hot, ~10-row cold keys (1% = 10 rows,
+    // strict >) are not — so cold build rows are NOT replicated
+    val hot = Salting.hotKeys(probe, Seq("key"), 0.01)
+      .select("key").collect().map(_.getString(0)).toSeq
+    assert(hot == Seq("hot"))
   }
 
-  test("hot detection fires when saltFrom is low-cardinality (sample spans keys)") {
-    // the x39 shape: high-cardinality join key, 7-valued saltFrom
-    // (l_linenumber). A sample hashed on saltFrom ALONE is all-or-nothing
-    // per saltFrom class — typically empty, so hot detection silently never
-    // fired. The keys+saltFrom hash makes it a genuine 1/sampleRate subset.
+  test("hot detection fires when no column is high-cardinality (exact heavy hitters)") {
+    // the x39 shape: one hot join key, the only other attribute 7-valued
+    // (l_linenumber). The former hash-SAMPLE detector selected distinct
+    // (key, ln) combos, not rows — the hot key has just 7 combos, so at
+    // sampleRate=64 detection fired with probability ~10% (and never on
+    // this corpus). Exact frequency counting cannot miss.
     val probe = (1 to 2000)
-      .map(i => (if (i <= 1800) "hot" else s"k$i", i % 7 + 1))
-      .toDF("key", "ln")
+      .map(i => (if (i <= 1800) "hot" else s"k$i", i % 7 + 1, i))
+      .toDF("key", "ln", "seq")
     val build = (Seq("hot") ++ (1801 to 2000).map(i => s"k$i")).map((_, 1.0)).toDF("key", "w")
 
-    // the old failure mode, pinned: no linenumber class hashes to 0 mod 64
-    val oldSample = probe.filter(pmod(xxhash64($"ln"), lit(64)) === 0)
-    assert(oldSample.count() == 0L, "corpus chosen so the old sample is empty")
+    // detection is exact: the hot set is precisely {hot}
+    val hot = Salting.hotKeys(probe, Seq("key"), 0.01)
+      .select("key").collect().map(_.getString(0)).toSeq
+    assert(hot == Seq("hot"))
 
-    // new sample is a genuine subset and the hot key dominates it
-    val sampled = probe.filter(pmod(xxhash64($"key", $"ln"), lit(64)) === 0)
-    val n = sampled.count()
-    assert(n > 0L && n < 2000L)
-    assert(sampled.filter($"key" === "hot").count() > (n * 0.01).toLong)
+    // the hot key's rows spread across many salt buckets even though ln is
+    // 7-valued: the row salt hashes ALL columns, not one low-cardinality
+    // attribute (which would cap the spread at ≤ 7 uneven buckets)
+    val spread = probe.filter($"key" === "hot")
+      .select(pmod(xxhash64($"key", $"ln", $"seq"), lit(8L)).as("s"))
+      .distinct().count()
+    assert(spread > 4L)
 
     // and the join itself stays exact
     val plain = probe.join(build, Seq("key")).agg(sum($"w"), count(lit(1))).head()
     val salted = Salting
-      .saltedJoinHot(probe, build, Seq("key"), "ln", nSalts = 8, sampleRate = 64)
+      .saltedJoinHot(probe, build, Seq("key"), nSalts = 8)
       .agg(sum($"w"), count(lit(1))).head()
     assert(plain == salted)
   }

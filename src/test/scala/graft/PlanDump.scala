@@ -63,8 +63,10 @@ object PlanDump {
         "exchange over TopKPerGroupLocal — the shuffle carries at most k rows " +
         "per (group, input partition) and no WindowExec partition sort remains."),
       "x1_salted_join" -> ("Skew-ADAPTIVE salted join (ops/Salting.saltedJoinHot): hot " +
-        "keys detected from a deterministic hash-sample (the tiny hot set and its " +
-        "threshold aggregate both broadcast); only hot keys replicate build rows — " +
+        "keys detected EXACTLY by a keys-only map-side-combined count whose shuffle is " +
+        "strictly smaller than the join's own (the ≤1/hotFraction-row hot set and its " +
+        "threshold aggregate both broadcast, and ReuseExchange serves the count and its " +
+        "total from one shuffle); only hot keys replicate build rows — " +
         "cold keys join at salt 0, so build shuffle volume stays ~1x."),
       "x39_ams_salt" -> ("Salt width derived IN-PLAN from the AMS skew sketch " +
         "(ops/AmsSketch.saltWidth + Salting.saltedJoinHotDyn): the planning subtree " +
