@@ -45,6 +45,36 @@ object TextOps {
   def minhashFromHashes(hashes: Column, a: Long, b: Long): Column =
     array_min(transform(hashes, h => (lit(a) * h + lit(b)) % lit(P)))
 
+  /** Base and modulus of the k-gram rolling fingerprint. FpM = 2^49 - 81 is
+    * prime and sized so one fold step never leaves the exact-long range in
+    * EITHER engine: acc < FpM (2^49), so acc*FpB + h < 2^49·131 + 2^30 ≈
+    * 2^56 ≪ 2^63 — Spark longs don't wrap and DuckDB BIGINTs don't raise.
+    * 49 bits keeps the birthday collision odds for a 10^8-gram corpus below
+    * 1% while the key stays a single 8-byte long.
+    */
+  val FpB = 131L
+  val FpM = 562949953421231L
+
+  /** Rolling k-gram fingerprints over a token-hash array: element i (1-based
+    * gram start) is the polynomial fold acc → (acc·FpB + h) mod FpM over
+    * h[i..i+k-1]. This is the PRODUCTION substring-dedup key (Lee et al.
+    * §4.1-style): an 8-byte long per gram, so the d31 gram shuffle carries
+    * ~8 bytes/posting where the literal-string spelling (d19) carries the
+    * whole k-token text (~10× token bytes). Fold is O(k) per gram — 10
+    * integer mul-adds, map-side, no shuffle; an O(1)/gram sliding-window
+    * form (subtract h[i]·FpB^{k-1} via 128-bit mulmod) is possible as a
+    * custom Expression but the fold is nowhere near the bottleneck vs the
+    * postings shuffle it feeds. Empty array when the doc has < k tokens
+    * (Spark's sequence(1, n) DESCENDS for n < 1 — must not reach it).
+    * SQL twin: [[graft.queries.DedupPack.fpSql]].
+    */
+  def gramFingerprints(hashes: Column, k: Int): Column =
+    when(size(hashes) < lit(k), array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(1), size(hashes) - lit(k - 1)),
+        i => aggregate(slice(hashes, i, lit(k)), lit(0L), (acc, h) => (acc * lit(FpB) + h) % lit(FpM))
+      ))
+
   /** 8-bit SimHash over token hashes: bit b is set iff more tokens have bit b
     * of their hash set than clear.
     */

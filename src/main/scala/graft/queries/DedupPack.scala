@@ -21,6 +21,18 @@ object DedupPack extends QueryPack {
   private def mhSql(a: Long, b: Long): String =
     s"list_aggregate(list_transform(toks, x -> ($a * ${thSql("x")} + $b) % 1000000007), 'min')"
 
+  /** DuckDB twin of [[graft.functions.TextOps.gramFingerprints]] over a
+    * token-hash list column `h`: the k-step polynomial fold is unrolled to a
+    * nested expression (no list_reduce dependency), every step reduced mod
+    * FpM so BIGINT arithmetic stays exact in both engines.
+    */
+  def fpSql(k: Int): String = {
+    val fold = (0 until k).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(($acc * ${graft.functions.TextOps.FpB} + h[i + $j]) % ${graft.functions.TextOps.FpM})"
+    }
+    s"list_transform(generate_series(1, len(h) - ${k - 1}), i -> $fold)"
+  }
+
   /** (a,b) parameters of the 4 MinHash permutations. */
   private val MhSeeds = Seq((7L, 3L), (11L, 17L), (13L, 41L), (17L, 59L))
 
@@ -870,9 +882,11 @@ object DedupPack extends QueryPack {
         // shape). Per doc: span count, duplicated-token count, fraction.
         // Scale: grams explode to one row per corpus token — inherent to
         // substring dedup; the gram JOIN key is the literal 10-token string
-        // here so the oracle is exact (production hashes it to u64 rolling
-        // fingerprints, same plan shape); df agg and the position join are
-        // plain hash shuffles, the island window partitions per DOCUMENT.
+        // here (human-auditable baseline rung); the PRODUCTION path is d31,
+        // identical plan shape with the gram key hashed to an 8-byte rolling
+        // fingerprint (TextOps.gramFingerprints) — ~10× less shuffle bytes
+        // per posting; df agg and the position join are plain hash
+        // shuffles, the island window partitions per DOCUMENT.
         import org.apache.spark.sql.expressions.Window
         val k = 10
         val docs = Tables.documents(s, d)
@@ -953,6 +967,104 @@ object DedupPack extends QueryPack {
       doc = "exact duplicated-substring spans (Lee et al. substring dedup): " +
         "stride-1 10-gram postings, global df>=2, per-doc maximal interval merge — " +
         "span count, duplicated tokens and fraction per document"
+    ),
+    // ---------------------------------------------------------------- substring spans, hashed
+    Q(
+      "d31_substring_spans_hashed",
+      (s, d) => {
+        // d19's PRODUCTION twin: identical duplicated-substring plan, but
+        // the gram shuffle key is TextOps.gramFingerprints' 8-byte rolling
+        // fingerprint (polynomial fold of the token hashes mod the 49-bit
+        // prime FpM) instead of the literal 10-token string. At corpus
+        // scale the df aggregation + position join shuffle one long per
+        // posting (~8 bytes) where d19 ships the whole gram text (~10×
+        // token bytes) — this is THE reason Lee et al. fingerprint grams.
+        // Fingerprint collisions can in principle merge two distinct grams
+        // (odds < 1% per 10^8 grams at 49 bits; the d19↔d31 differential
+        // spec pins zero divergence on the test corpus); the oracle
+        // computes the identical fingerprints, so the check stays
+        // cell-exact regardless.
+        import org.apache.spark.sql.expressions.Window
+        val k = 10
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .withColumn("n_tokens", size(col("t")))
+          .filter(col("n_tokens") >= k)
+        val grams = docs
+          .select(col("doc_id"),
+            posexplode(gramFingerprints(tokenHashes(col("t")), k)).as(Seq("p0", "fp")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("fp"))
+        val dup = grams.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select(col("fp"))
+        val p = grams.join(dup, Seq("fp")).select(col("doc_id"), col("pos"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val isl = p
+          .withColumn("prev_end",
+            max(col("pos") + (k - 1)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("ni",
+            when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1L).otherwise(0L))
+          .withColumn("island",
+            sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val spans = isl.groupBy(col("doc_id"), col("island"))
+          .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+        val per = spans.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_spans"),
+            sum(col("e") - col("s") + 1).cast("long").as("dup_tokens"))
+        docs.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+          .join(per, Seq("doc_id"), "left_outer")
+          .select(
+            col("doc_id"),
+            coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+            coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+            col("n_tokens"),
+            quant(coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"), 1e6)
+              .as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents WHERE len(string_split(text, ' ')) >= 10),
+             |hd AS (
+             |  SELECT doc_id, len(toks) AS n_toks,
+             |    list_transform(toks, x -> ${thSql("x")}) AS h
+             |  FROM d),
+             |f AS (SELECT doc_id, n_toks, ${fpSql(10)} AS fps FROM hd),
+             |g AS (SELECT doc_id, n_toks, fps,
+             |        unnest(generate_series(1, len(fps))) AS pos FROM f),
+             |g2 AS (SELECT doc_id, pos, fps[pos] AS fp FROM g),
+             |dup AS (SELECT fp FROM g2 GROUP BY fp HAVING COUNT(*) >= 2),
+             |p AS (SELECT doc_id, pos FROM g2 JOIN dup USING (fp)),
+             |m AS (
+             |  SELECT doc_id, pos,
+             |    MAX(pos + 9) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |  FROM p),
+             |i AS (
+             |  SELECT doc_id, pos,
+             |    CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END AS ni
+             |  FROM m),
+             |isl AS (
+             |  SELECT doc_id, pos,
+             |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+             |      AS island
+             |  FROM i),
+             |sp AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 9 AS e
+             |       FROM isl GROUP BY 1, 2),
+             |per AS (SELECT doc_id, COUNT(*) AS n_dup_spans,
+             |          CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+             |        FROM sp GROUP BY 1)
+             |SELECT hd.doc_id,
+             |  CAST(COALESCE(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+             |  CAST(COALESCE(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+             |  CAST(n_toks AS BIGINT) AS n_tokens,
+             |  floor(CAST(COALESCE(dup_tokens, 0) AS DOUBLE) / n_toks * 1000000) / 1000000
+             |    AS dup_frac
+             |FROM hd LEFT JOIN per USING (doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      doc = "duplicated-substring spans over 8-byte ROLLING-FINGERPRINT gram keys " +
+        "(d19's production twin, Lee et al. §4.1): the gram postings shuffle " +
+        "carries one u64 per gram instead of the literal 10-token string — " +
+        "~10x less shuffle volume, same span/interval-merge plan"
     ),
     // ---------------------------------------------------------------- simhash LSH
     Q(

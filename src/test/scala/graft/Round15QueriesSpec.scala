@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextOps
+
+/** Round-15 additions: the d31 hashed-fingerprint substring-dedup twin is
+  * checked DIFFERENTIALLY against the literal-gram d19 baseline (same spans,
+  * cheaper shuffle key), and the fingerprint kernel against an independent
+  * Scala fold.
+  */
+class Round15QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def q(name: String, dir: String) = SparkEntry.queries(name)(spark, dir)
+
+  test("gramFingerprints matches an independent Scala fold and is 49-bit bounded") {
+    import spark.implicits._
+    val toks = Seq("the quick brown fox jumps over the lazy dog today and tomorrow")
+      .toDF("text")
+      .select(TextOps.tokenHashes(TextOps.tokens(col("text"))).as("h"))
+    val hashes = toks.select(col("h")).head().getSeq[Long](0)
+    val got = toks.select(TextOps.gramFingerprints(col("h"), 10).as("fp"))
+      .head().getSeq[Long](0)
+    val want = hashes.sliding(10).map(
+      _.foldLeft(0L)((acc, h) => (acc * TextOps.FpB + h) % TextOps.FpM)).toSeq
+    assert(got == want)
+    assert(got.forall(f => f >= 0L && f < TextOps.FpM))
+    // 12 tokens -> 3 stride-1 grams
+    assert(got.length == 3)
+  }
+
+  test("gramFingerprints: docs shorter than k yield an empty array, exactly k one gram") {
+    import spark.implicits._
+    val df = Seq("a b c", "a b c d e f g h i j").toDF("text")
+      .select(size(TextOps.gramFingerprints(TextOps.tokenHashes(TextOps.tokens(col("text"))), 10))
+        .as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 1))
+  }
+
+  test("d31 hashed twin reproduces d19's exact spans on both test corpora") {
+    // the production 8-byte fingerprint key may in principle collide two
+    // distinct grams; this differential pins ZERO divergence on the real
+    // corpora (and any engine/hash drift in either spelling breaks it)
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = q("d19_substring_spans", sf)
+      val hashed = q("d31_substring_spans_hashed", sf)
+      assert(hashed.exceptAll(exact).isEmpty && exact.exceptAll(hashed).isEmpty,
+        s"d31 diverged from d19 at $sf")
+    }
+  }
+}
