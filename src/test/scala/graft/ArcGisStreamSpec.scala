@@ -132,6 +132,77 @@ class ArcGisStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  private val editFields = fields :+ ArcGisField("edited", "esriFieldTypeDate")
+
+  private def editFeat(i: Long, status: String, ts: Long) = EsriFeature(
+    Map("objectid" -> i, "name" -> s"feat-$i", "status" -> status, "edited" -> ts),
+    Some((i * 1.0, -i * 1.0)))
+
+  /** Mock layer with edit tracking: rows can be edited IN PLACE (same OID,
+    * bumped `edited` timestamp) or inserted, as ArcGIS edit sessions do.
+    */
+  private class EditableMock(initial: Seq[EsriFeature])
+      extends MockArcGisClient(editFields, initial, pageSize = 4) {
+    @volatile private var current: Seq[EsriFeature] = initial
+    def upsert(i: Long, status: String, ts: Long): Unit = synchronized {
+      current = current.filterNot(
+        _.attributes("objectid").asInstanceOf[Number].longValue() == i) :+
+        editFeat(i, status, ts)
+    }
+    private def live = new MockArcGisClient(editFields, current, pageSize)
+    override def queryPage(offset: Long, count: Int, where: String,
+        outFields: Seq[String], envelope: Option[Envelope]): Seq[EsriFeature] =
+      live.queryPage(offset, count, where, outFields, envelope)
+    override def queryStatistics(where: String, groupBy: Seq[String],
+        stats: Seq[StatSpec]): Seq[Map[String, Any]] =
+      live.queryStatistics(where, groupBy, stats)
+  }
+
+  test("incremental=editDate: backfill, then in-place EDITS are re-delivered") {
+    // the reference re-pulls the whole layer each scheduled run and the
+    // downstream upsert reconciles (task.ts:51); editDate mode re-observes
+    // the same edits while transferring only the changed rows
+    val client = new EditableMock((0L until 5L).map(i => editFeat(i, "active", 100L + i)))
+    ArcGisClientRegistry.register("streamedit", client)
+    val q = spark.readStream.format("arcgis").option("client", "streamedit")
+      .option("incremental", "editDate").option("editDateField", "edited").load()
+      .writeStream.format("memory").queryName("arcstreamedit")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      val backfill = spark.sql("SELECT objectid, status FROM arcstreamedit").collect()
+      assert(backfill.map(_.getLong(0)).sorted.toSeq == (0L until 5L),
+        "backfill must deliver the whole layer once")
+
+      // quiet window: nothing re-delivered while nothing is edited
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM arcstreamedit").count() == 5L)
+
+      // one in-place edit + one insert, both past the delivered watermark
+      client.upsert(2L, "updated", 500L)
+      client.upsert(5L, "new", 501L)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT objectid, status FROM arcstreamedit").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      // 5 backfill + exactly the 2 changed rows — unedited rows NOT resent
+      assert(rows.size == 7, rows.toString)
+      assert(rows.count { case (oid, st) => oid == 2L && st == "updated" } == 1,
+        "the in-place edit must be re-delivered with its new attributes")
+      assert(rows.contains((5L, "new")))
+    } finally q.stop()
+  }
+
+  test("incremental=editDate without editDateField fails fast") {
+    val client = new EditableMock(Seq(editFeat(0L, "active", 1L)))
+    ArcGisClientRegistry.register("streameditbad", client)
+    val stream = new ArcGisMicroBatchStream(
+      new org.apache.spark.sql.types.StructType(),
+      Map("client" -> "streameditbad", "incremental" -> "editDate"),
+      "1=1")
+    val e = intercept[IllegalArgumentException](stream.initialOffset())
+    assert(e.getMessage.contains("editDateField"))
+  }
+
   test("offset round-trips through JSON (checkpoint format)") {
     val off = ArcGisOffset(12345L)
     assert(ArcGisOffset.fromJson(off.json()) == off)
