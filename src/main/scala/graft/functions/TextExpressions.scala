@@ -96,6 +96,39 @@ object TextExpressions {
     new GenericArrayData(out)
   }
 
+  /** Rolling k-gram fingerprints over a token array in ONE compiled loop:
+    * per token h = [[tokenHash]], then element i (0-based gram start) is the
+    * polynomial fold acc → (acc·FpB + h) mod FpM over h[i..i+k-1] — the
+    * exact arithmetic of `TextOps.gramFingerprints` (the Column/HOF
+    * spelling, kept as the auditable twin; `TextExpressionsSpec` pins
+    * parity). Promoted to a kernel because the HOF spelling nests
+    * `aggregate(slice(...))` inside `transform` — every step is an
+    * interpreted lambda dispatch, which bench showed costing ~10 s/query at
+    * sf0.1 (d31) where this loop is milliseconds. The fold re-multiplies
+    * per gram (O(k)/gram, 10 mul-mods of plain longs) rather than sliding
+    * in O(1)/gram: sliding needs (h_out·FpB^{k-1}) mod FpM, a 79-bit
+    * product requiring 128-bit mulmod; 10 compiled mul-adds are already
+    * ~ns/gram, far below the postings shuffle this feeds. Empty array when
+    * the doc has < k tokens.
+    */
+  def gramFingerprintsEval(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = tokenHash(toks.getUTF8String(i).toString); i += 1 }
+    val out = new Array[Any](n - k + 1)
+    var s = 0
+    while (s <= n - k) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = (acc * TextOps.FpB + hs(s + j)) % TextOps.FpM; j += 1 }
+      out(s) = acc
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Size of the intersection of two string arrays that are BOTH sorted
     * ascending (UTF8String binary order — what `array_sort` produces) and
     * distinct. One merge pass, no per-pair hash-set allocation; the caller
@@ -266,6 +299,9 @@ object TextExpressions {
       MinHashSignature(GraftShims.expression(text), seeds.flatMap(p => Seq(p._1, p._2)).toArray)
     )
 
+  def gramFingerprintsK(toks: Column, k: Int): Column =
+    GraftShims.column(GramFingerprints(GraftShims.expression(toks), k))
+
   def sortedIntersectSize(a: Column, b: Column): Column =
     GraftShims.column(
       SortedIntersectSize(GraftShims.expression(a), GraftShims.expression(b))
@@ -322,6 +358,17 @@ case class SimHash60Seeded(child: Expression, seed: Long) extends UnaryExpressio
     defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.simHash60SeededEval($c, ${seed}L)")
   override protected def withNewChildInternal(c: Expression): SimHash60Seeded = copy(child = c)
   override def prettyName: String = "simhash60_seeded"
+}
+
+case class GramFingerprints(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "gram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    TextExpressions.gramFingerprintsEval(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextExpressions.gramFingerprintsEval($c, $k)")
+  override protected def withNewChildInternal(c: Expression): GramFingerprints = copy(child = c)
+  override def prettyName: String = "gram_fingerprints"
 }
 
 case class SortedIntersectSize(left: Expression, right: Expression)

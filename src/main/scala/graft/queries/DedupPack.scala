@@ -973,11 +973,14 @@ object DedupPack extends QueryPack {
       "d31_substring_spans_hashed",
       (s, d) => {
         // d19's PRODUCTION twin: identical duplicated-substring plan, but
-        // the gram shuffle key is TextOps.gramFingerprints' 8-byte rolling
-        // fingerprint (polynomial fold of the token hashes mod the 49-bit
-        // prime FpM) instead of the literal 10-token string. At corpus
-        // scale the df aggregation + position join shuffle one long per
-        // posting (~8 bytes) where d19 ships the whole gram text (~10×
+        // the gram shuffle key is an 8-byte rolling fingerprint (polynomial
+        // fold of the token hashes mod the 49-bit prime FpM) instead of the
+        // literal 10-token string, computed by the compiled
+        // TextExpressions.gramFingerprintsK kernel (the Column/HOF spelling
+        // TextOps.gramFingerprints is its pinned-parity twin; interpreted
+        // HOF lambdas cost ~10 s/query here, the kernel milliseconds). At
+        // corpus scale the df aggregation + position join shuffle one long
+        // per posting (~8 bytes) where d19 ships the whole gram text (~10×
         // token bytes) — this is THE reason Lee et al. fingerprint grams.
         // Fingerprint collisions can in principle merge two distinct grams
         // (odds < 1% per 10^8 grams at 49 bits; the d19↔d31 differential
@@ -992,7 +995,8 @@ object DedupPack extends QueryPack {
           .filter(col("n_tokens") >= k)
         val grams = docs
           .select(col("doc_id"),
-            posexplode(gramFingerprints(tokenHashes(col("t")), k)).as(Seq("p0", "fp")))
+            posexplode(graft.functions.TextExpressions.gramFingerprintsK(col("t"), k))
+              .as(Seq("p0", "fp")))
           .select(col("doc_id"), (col("p0") + 1).as("pos"), col("fp"))
         val dup = grams.groupBy(col("fp")).agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2).select(col("fp"))

@@ -112,6 +112,27 @@ class TextExpressionsSpec extends AnyFunSuite {
       "minhash kernel diverges on astral tokens")
   }
 
+  test("GramFingerprints kernel == TextOps.gramFingerprints HOF spelling (d31's key)") {
+    // includes the short-doc (< k tokens) empty-array branch and astral
+    // tokens (codepoint semantics), plus the sf0.001 corpus
+    import spark.implicits._
+    val k = 10
+    val corpus = docs.select(col("text"))
+      .union(Seq(
+        "😀abc x😀 a😀b", "one two three", "", " ",
+        "a b c d e f g h i j k l 😀 日本 é").toDF("text"))
+    val cmp = corpus
+      .select(
+        TextOps.gramFingerprints(TextOps.tokenHashes(TextOps.tokens(col("text"))), k).as("a"),
+        TextExpressions.gramFingerprintsK(TextOps.tokens(col("text")), k).as("b"))
+      .filter(col("a") =!= col("b"))
+    assert(cmp.count() == 0, "gram-fingerprint kernel diverges from HOF spelling")
+    val nonEmpty = corpus
+      .select(TextExpressions.gramFingerprintsK(TextOps.tokens(col("text")), k).as("b"))
+      .filter(size(col("b")) > 0)
+    assert(nonEmpty.count() > 0, "degenerate test: no doc reached k tokens")
+  }
+
   test("d20 band index finds exactly the brute-force Hamming<=3 pairs (recall 1)") {
     // pigeonhole exactness of the 4x15-bit multi-index: the banded candidate
     // join must recover every all-pairs hit — differential, not probabilistic
