@@ -100,54 +100,84 @@ object Bench {
     // two best samples disagree 2x. Bounds the extra work to the flagged
     // tail: a quiet host pays zero extra reps.
     val extraReps = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "2").toInt.max(0)
-    val results = SparkEntry.queries.toSeq
+    val queryFns = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1)
-      .map { case (name, fn) =>
-        if (sys.env.contains("SPARK_GRAFT_TRACE"))
-          System.err.println(s"[bench-trace] ${java.time.Instant.now()} $name")
-        def once(): Double = {
-          val t0 = System.nanoTime()
-          // consume the OUTPUT rows, not count(): under a count() aggregate
-          // Catalyst prunes the final projection, so a per-row kernel query
-          // (codec round trips, token stats) would time only its scan. The
-          // InternalRow sweep forces every output column to materialize on
-          // the executors with nothing collected to the driver.
-          // A broken query returns -1 (sample invalid) and is logged loudly
-          // — recording elapsed-until-failure as a valid sample would let a
-          // broken path SHRINK the suite total instead of failing visibly
-          // (ADVICE r11; same argument as the warm-up catches). Fatal errors
-          // (OOM, interrupts) propagate.
-          try {
-            fn(spark, sfDir).queryExecution.toRdd.foreachPartition { it =>
-              while (it.hasNext) it.next()
-            }
-            (System.nanoTime() - t0) / 1e9
-          } catch {
-            case scala.util.control.NonFatal(e) =>
-              System.err.println(s"[bench] query $name FAILED: $e")
-              -1.0
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      // consume the OUTPUT rows, not count(): under a count() aggregate
+      // Catalyst prunes the final projection, so a per-row kernel query
+      // (codec round trips, token stats) would time only its scan. The
+      // InternalRow sweep forces every output column to materialize on
+      // the executors with nothing collected to the driver.
+      // A broken query returns -1 (sample invalid) and is logged loudly
+      // — recording elapsed-until-failure as a valid sample would let a
+      // broken path SHRINK the suite total instead of failing visibly
+      // (ADVICE r11; same argument as the warm-up catches). Fatal errors
+      // (OOM, interrupts) propagate.
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.foreachPartition { it =>
+          while (it.hasNext) it.next()
+        }
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] query $name FAILED: $e")
+          -1.0
+      }
+    }
+    def best2Spread(samples: Seq[Double]): Double = {
+      val s = samples.sorted
+      if (s.size < 2 || s.head <= 0) 1.0 else s(1) / s.head
+    }
+    def isContended(samples: Seq[Double]): Boolean =
+      samples.forall(_ >= 0) && samples.min >= 0.05 && best2Spread(samples) > 2.0
+    val firstPass = queryFns.map { case (name, fn) =>
+      if (sys.env.contains("SPARK_GRAFT_TRACE"))
+        System.err.println(s"[bench-trace] ${java.time.Instant.now()} $name")
+      // stop sampling a query at its first failure — reps of a broken
+      // query are noise, and the failure is already on stderr
+      val samples = scala.collection.mutable.ArrayBuffer(once(name, fn))
+      while (samples.last >= 0 && samples.size < reps) samples += once(name, fn)
+      while (samples.last >= 0 && isContended(samples.toSeq) &&
+        samples.size < reps + extraReps)
+        samples += once(name, fn)
+      name -> samples.toSeq
+    }
+    // Isolated end-of-run re-rep for cells STILL contended after the inline
+    // ladder: those extra reps ran inside the same noisy window that spread
+    // the first samples (an antagonist process or GC storm outlasts 4
+    // back-to-back reps), which is why one contended cell kept slipping into
+    // the canonical artifact round after round (r13 x37, r14 d5). Re-take
+    // the flagged tail once the whole sweep is done — minutes later, after a
+    // GC + settle — so the verdict reflects the query, not the moment. Work
+    // stays bounded: the quiet-host case re-reps nothing.
+    val isoReps = sys.env.getOrElse("SPARK_GRAFT_ISO_REPS", "3").toInt.max(0)
+    val contendedNames = firstPass.collect { case (n, ss) if isContended(ss) => n }.toSet
+    val results0 =
+      if (contendedNames.isEmpty || isoReps == 0) firstPass
+      else {
+        System.err.println(
+          s"[bench] isolated re-rep: ${contendedNames.toSeq.sorted.mkString(",")}")
+        System.gc(); Thread.sleep(1000)
+        val fnByName = queryFns.toMap
+        firstPass.map { case (name, ss) =>
+          if (!contendedNames(name)) (name, ss)
+          else {
+            val samples = scala.collection.mutable.ArrayBuffer(ss: _*)
+            while (samples.last >= 0 && isContended(samples.toSeq) &&
+              samples.size < ss.size + isoReps)
+              samples += once(name, fnByName(name))
+            (name, samples.toSeq)
           }
         }
-        // stop sampling a query at its first failure — reps of a broken
-        // query are noise, and the failure is already on stderr
-        val samples = scala.collection.mutable.ArrayBuffer(once())
-        while (samples.last >= 0 && samples.size < reps) samples += once()
-        def best2Spread: Double = {
-          val s = samples.sorted
-          if (s.size < 2 || s.head <= 0) 1.0 else s(1) / s.head
-        }
-        while (samples.last >= 0 && samples.min >= 0.05 && best2Spread > 2.0 &&
-          samples.size < reps + extraReps)
-          samples += once()
-        name -> samples.toSeq
       }
+    val results = results0
       .map { case (name, samples) =>
         if (samples.exists(_ < 0)) (name, -1.0, -1.0, 1.0, samples.size)
         else {
           val s = samples.sorted
-          val best2 = if (s.size < 2 || s.head <= 0) 1.0 else s(1) / s.head
-          (name, s.head, s.last, best2, samples.size)
+          (name, s.head, s.last, best2Spread(samples), samples.size)
         }
       }
     def r3(v: Double): String = f"$v%.3f"
