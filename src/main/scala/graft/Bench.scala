@@ -231,7 +231,19 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"contended":${flagged.size}$failedJson,"families":$families,"queries":$slowest,"sf":"$sfDir"}""")
+    val metricLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"contended":${flagged.size}$failedJson,"families":$families,"queries":$slowest,"sf":"$sfDir"}"""
+    println(metricLine)
+    // the driver records only the last ~2000 chars of combined output, and
+    // executor-shutdown WARN logs after this point have been flooding the
+    // metric line out of that window (BENCH_r13/r14 "parsed": null). Mute
+    // the logger before stop() and print the line once more LAST, so the
+    // tail always contains one intact copy.
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(metricLine)
+    // and to stderr: if the driver concatenates the two captured streams,
+    // the stdout copies land mid-buffer and only stderr reaches the tail
+    System.err.println(metricLine)
   }
 }

@@ -54,6 +54,13 @@ object MediaExpressions {
   def pngStats(bytes: Column): Column =
     GraftShims.column(PngStats(GraftShims.expression(bytes)))
 
+  def jpegEncodeGray(payload: Column, width: Int, quality: Float): Column =
+    GraftShims.column(JpegEncodeGray(GraftShims.expression(payload), width, quality))
+
+  def jpegPlaneError(jpeg: Column, payload: Column, width: Int): Column =
+    GraftShims.column(
+      JpegPlaneError(GraftShims.expression(jpeg), GraftShims.expression(payload), width))
+
   def imageStats(bytes: Column): Column =
     GraftShims.column(ImageStats(GraftShims.expression(bytes)))
 
@@ -113,6 +120,97 @@ object MediaExpressions {
       ios.flush()
     } finally ios.close()
     baos.toByteArray
+  }
+
+  /** Render the same deterministic pixel plane as [[pngEncodeGrayBytes]]
+    * into a REAL baseline JPEG via the JDK encoder at an EXPLICIT quality —
+    * the third container of the format matrix and its first LOSSY one
+    * (PNG: deflate; BMP: uncompressed; JPEG: 8×8 DCT + quantization). The
+    * writer is pinned to `JPEG`/`MODE_EXPLICIT(quality)`, so the bytes are
+    * a deterministic function of (payload, width, quality) on a given JDK —
+    * which is all the engine needs: the oracle never re-encodes, it
+    * certifies the DECODED plane against the source bytes through a
+    * tolerance bucket (see query m17).
+    */
+  private[graft] def jpegEncodeGrayBytes(
+      payload: Array[Byte], width: Int, quality: Float): Array[Byte] = {
+    val n = payload.length
+    val h = math.max(1, (n + width - 1) / width)
+    val img = new java.awt.image.BufferedImage(
+      width, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < n) {
+      raster.setSample(i % width, i / width, 0, payload(i) & 0xff)
+      i += 1
+    }
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    if (!writers.hasNext) throw new IllegalStateException("JDK JPEG writer unavailable")
+    val writer = writers.next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      ios.flush()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    baos.toByteArray
+  }
+
+  /** Decode a JPEG through the real JDK decoder and fold, in one pass, the
+    * decoded geometry plus the per-pixel absolute error against the SOURCE
+    * plane the payload renders (pixel i = unsigned byte i row-major, last
+    * row zero-padded — exactly [[pngEncodeGrayBytes]]'s layout):
+    * (width, height, n_pixels, max_abs_err, sum_abs_err). This is what a
+    * lossy rung must measure — a PNG/BMP-style pixel_sum oracle would be
+    * content-dependently off by the quantization noise, but geometry is
+    * exact and the error folds into tolerance buckets the oracle can pin.
+    * None when the bytes are not a JPEG (SOI sniff) or don't decode, or
+    * when the decoded geometry disagrees with the payload's plane (that's
+    * a codec fault, not an error magnitude).
+    */
+  private[graft] def jpegPlaneErrorOf(
+      jpeg: Array[Byte], payload: Array[Byte],
+      width: Int): Option[(Int, Int, Long, Long, Long)] = {
+    if (jpeg == null || jpeg.length < 3) return None
+    // SOI + first marker byte: FF D8 FF
+    if ((jpeg(0) & 0xff) != 0xff || (jpeg(1) & 0xff) != 0xd8 ||
+      (jpeg(2) & 0xff) != 0xff) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(jpeg)))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = payload.length
+      val expH = math.max(1, (n + width - 1) / width)
+      if (w != width || h != expH) return None
+      val raster = img.getRaster
+      var maxErr = 0L
+      var sumErr = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * width + x
+          val src = if (i < n) payload(i) & 0xff else 0
+          val dec = raster.getSample(x, y, 0)
+          val e = math.abs(dec - src).toLong
+          if (e > maxErr) maxErr = e
+          sumErr += e
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, w.toLong * h, maxErr, sumErr))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
@@ -631,6 +729,56 @@ case class ImageStats(child: Expression) extends Expression with CodegenFallback
   * n_pixels, pixel_sum, pixel_max, pixel_min) over band 0; null when the
   * bytes are not a decodable PNG (signature sniff, then parse-don't-throw).
   */
+/** Render a payload as a REAL baseline JPEG at an explicit quality (see
+  * [[MediaExpressions.jpegEncodeGrayBytes]]) — the lossy container of the
+  * format matrix (m17). Per-media-row, CodegenFallback like the other
+  * codec expressions: the DCT dominates, dispatch is noise.
+  */
+@ExpressionDescription(
+  usage = "jpeg_encode_gray(payload) - payload bytes as an 8-bit grayscale baseline JPEG")
+case class JpegEncodeGray(child: Expression, width: Int, quality: Float)
+    extends Expression with CodegenFallback {
+  require(width >= 1, s"jpeg_encode_gray: width must be >= 1, got $width")
+  require(quality > 0f && quality <= 1f,
+    s"jpeg_encode_gray: quality must be in (0,1], got $quality")
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MediaExpressions.jpegEncodeGrayBytes(v.asInstanceOf[Array[Byte]], width, quality)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+/** Decoded-geometry + per-pixel-error fold of a JPEG against the source
+  * plane its payload renders (see [[MediaExpressions.jpegPlaneErrorOf]]).
+  * Null when the bytes are not a decodable JPEG or the decoded geometry
+  * disagrees with the payload — the parse-don't-throw edge contract.
+  */
+@ExpressionDescription(
+  usage = "jpeg_plane_error(jpeg, payload) - decoded geometry + abs error vs the source plane")
+case class JpegPlaneError(left: Expression, right: Expression, width: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("width_px", IntegerType),
+    StructField("height_px", IntegerType),
+    StructField("n_pixels", LongType),
+    StructField("max_abs_err", LongType),
+    StructField("sum_abs_err", LongType)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(jpeg: Any, payload: Any): Any =
+    MediaExpressions.jpegPlaneErrorOf(
+      jpeg.asInstanceOf[Array[Byte]], payload.asInstanceOf[Array[Byte]], width) match {
+      case None => null
+      case Some((w, h, np, mx, sm)) => new GenericInternalRow(Array[Any](w, h, np, mx, sm))
+    }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 @ExpressionDescription(usage = "png_stats(bytes) - decoded PNG dimension + pixel stats or null")
 case class PngStats(child: Expression) extends Expression with CodegenFallback {
   override def children: Seq[Expression] = Seq(child)

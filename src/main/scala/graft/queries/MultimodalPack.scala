@@ -779,6 +779,63 @@ object MultimodalPack extends QueryPack {
         "image path is container-agnostic; the oracle recomputes decoded stats " +
         "from the source hex AND the exact BMP container length (fixed " +
         "header+palette+row layout), certifying a real codec round trip"
+    ),
+    // ---------------------------------------------------------------- m17
+    Q(
+      "m17_jpeg_decode",
+      (s, d) => {
+        // THIRD REAL CODEC, and the format matrix's first LOSSY one: the
+        // same deterministic pixel plane as m14/m16 renders through the
+        // JDK's baseline-JPEG encoder at an explicit quality (8x8 DCT +
+        // quantization + Huffman), and the real JPEG decoder runs in the
+        // same pass, folding the decoded geometry PLUS the per-pixel
+        // absolute error against the source plane. A lossy rung cannot be
+        // pixel-sum-oracled (quantization noise is content-dependent), so
+        // the oracle pins what IS exact — geometry from the source byte
+        // count — and TOLERANCE BUCKETS on the error: max |err| <= 48 and
+        // mean |err| <= 6 (integer cross-multiplied), both chosen with
+        // >= 2x headroom over the measured corpus-wide worst case at
+        // quality 0.95 (MediaExpressionsSpec pins the measurement; the
+        // fixture corpus adds multi-byte UTF-8 planes whose 0xC3+ bytes
+        // stress ringing hardest). A decode failure or geometry mismatch
+        // nulls the struct -> null buckets -> hash mismatch, so the green
+        // oracle certifies the full lossy loop: encode -> real container
+        // bytes -> decode -> plane within tolerance of the source.
+        // Payloads never shuffle; doc_id + 5 narrow fields leave the scan.
+        import graft.functions.MediaExpressions.{jpegEncodeGray, jpegPlaneError}
+        val payload = encode(col("text"), "UTF-8")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            jpegPlaneError(jpegEncodeGray(payload, 16, 0.95f), payload, 16).as("e"))
+          .select(
+            col("doc_id"),
+            col("e.width_px").as("width_px"),
+            col("e.height_px").as("height_px"),
+            col("e.n_pixels").as("n_pixels"),
+            (col("e.max_abs_err") <= 48L).as("max_err_in_tol"),
+            (col("e.sum_abs_err") <= col("e.n_pixels") * 6L).as("mean_err_in_tol"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH b AS (
+             |  SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+             |v AS (
+             |  SELECT doc_id,
+             |    CASE WHEN nb = 0 THEN 1 ELSE (nb + 15) // 16 END AS hh
+             |  FROM b)
+             |SELECT doc_id,
+             |  CAST(16 AS BIGINT) AS width_px,
+             |  CAST(hh AS BIGINT) AS height_px,
+             |  CAST(16 * hh AS BIGINT) AS n_pixels,
+             |  TRUE AS max_err_in_tol,
+             |  TRUE AS mean_err_in_tol
+             |FROM v
+             |ORDER BY doc_id""".stripMargin),
+      doc = "third real image codec and the first LOSSY rung (baseline JPEG via " +
+        "the JDK encoder/decoder at explicit quality 0.95) — geometry is " +
+        "oracle-exact from the source byte count; decode fidelity is certified " +
+        "through tolerance buckets (max|err|<=48, mean|err|<=6) with measured " +
+        ">=2x headroom, so the hash match proves a real lossy codec round trip " +
+        "without pretending quantization noise is bit-stable"
     )
   )
 }
