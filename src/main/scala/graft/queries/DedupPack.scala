@@ -1705,9 +1705,20 @@ object DedupPack extends QueryPack {
               when(col("a_nrm") * col("b_nrm") > 0.0, col("a_nrm") * col("b_nrm")), 1e6)
               .as("cos_sim"))
           .filter(col("cos_sim").isNotNull)
-          .distinct()
+        // countDistinct, NOT distinct()-then-count: cos_sim is a pure
+        // function of (a_id, b_id), so the distinct pair count and the max
+        // over duplicates are unchanged — but the global DISTINCT was a
+        // second full-width exchange of the pair stream (50M rows at 20x,
+        // where multi-probe emits each true pair up to 4x(k+1) times) ON
+        // TOP of the groupBy's own shuffle. One aggregate does both dedup
+        // and fold with map-side partial aggregation (D29Decomp attributes
+        // the 20x marginal to exactly this stage; the pair VOLUME itself is
+        // true duplicate mass — sharded corpora collide exact-dup codes at
+        // any k — so the fix pays once per pair, never pretends fewer
+        // exist). d28/d14 keep the literal DISTINCT as registered baselines.
         val best = cand.groupBy(col("a_id"))
-          .agg(count(lit(1)).as("n_cand_prior"), max(col("cos_sim")).as("best_prior_sim"))
+          .agg(countDistinct(col("b_id")).as("n_cand_prior"),
+            max(col("cos_sim")).as("best_prior_sim"))
         val ids = e.select(col("vec_id"), col("k").cast("long").as("k_planes"))
         ids
           .join(best, ids("vec_id") === best("a_id"), "left")
