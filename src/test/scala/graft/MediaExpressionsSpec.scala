@@ -333,4 +333,32 @@ class MediaExpressionsSpec extends AnyFunSuite {
     assert(worstMax <= 24L, s"m17 max bucket headroom eroded: $worstMax > 24")
     assert(worstMean <= 3.0, s"m17 mean bucket headroom eroded: $worstMean > 3.0")
   }
+
+  test("m18 cross-codec aHash Hamming holds with >=2x headroom; identity on lossless") {
+    // the m18 oracle pins hamming(aHash(png), aHash(jpeg)) <= 12; this is
+    // the measurement behind that bucket — fail at HALF the bucket, before
+    // the oracle is at risk. Also pins the lossless identity: PNG and BMP
+    // decode to the SAME plane, so their aHashes must be EQUAL (hamming 0)
+    // — the cross-codec drift is entirely the lossy rung's.
+    import graft.functions.MediaExpressions.{
+      bmpEncodeGray, imageAHash, jpegEncodeGray, pngAHash, pngEncodeGray}
+    import spark.implicits._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select(col("text"))
+      .union(Seq("é日本語😀 mixed ASCII and 汉字 stress ¡¿ßÿ", "😀😀😀😀",
+        "ÿþý plain", "").toDF("text"))
+    val payload = encode(col("text"), "UTF-8")
+    val h = docs.select(
+      pngAHash(pngEncodeGray(payload, 16)).as("h_png"),
+      imageAHash(bmpEncodeGray(payload, 16)).as("h_bmp"),
+      imageAHash(jpegEncodeGray(payload, 16, 0.95f)).as("h_jpg"))
+    val agg = h.agg(
+      count(lit(1)).as("n"),
+      count(col("h_jpg")).as("n_dec"),
+      max(bit_count(col("h_png").bitwiseXOR(col("h_bmp")))).as("worst_lossless"),
+      max(bit_count(col("h_png").bitwiseXOR(col("h_jpg")))).as("worst_lossy")).head()
+    assert(agg.getLong(0) === agg.getLong(1), "some JPEG failed to decode")
+    info(s"worst hamming: lossless=${agg.getInt(2)} lossy=${agg.getInt(3)}")
+    assert(agg.getInt(2) === 0, "PNG and BMP decode the same plane; aHash must agree")
+    assert(agg.getInt(3) <= 6, s"m18 bucket headroom eroded: ${agg.getInt(3)} > 6")
+  }
 }

@@ -38,6 +38,44 @@ class Round15QueriesSpec extends AnyFunSuite {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 1))
   }
 
+  test("d31 shuffles less than half of d19's bytes for identical output (sf0.01)") {
+    // THE reason Lee et al. fingerprint grams: d19's postings carry the
+    // literal 10-token gram string through the df aggregation and position
+    // join, d31's an 8-byte long. Measured at the engine level (task
+    // shuffle-write bytes via a listener, not plan-text inspection) so the
+    // claim is about what actually crossed the exchange. The 2x bar is
+    // deliberately loose — the observed gap is larger — because exchange
+    // framing overhead is corpus-dependent.
+    def shuffledBytes(name: String): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            acc.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        q(name, "/root/testdata/sf0.01").queryExecution.toRdd
+          .foreachPartition(it => while (it.hasNext) it.next())
+        // listener events are async: poll until the sum is stable for 1s
+        var last = -1L
+        var stable = 0
+        while (stable < 5) {
+          Thread.sleep(200)
+          val now = acc.get
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      acc.get
+    }
+    val literal = shuffledBytes("d19_substring_spans")
+    val hashed = shuffledBytes("d31_substring_spans_hashed")
+    info(s"shuffle-write bytes: d19=$literal d31=$hashed")
+    assert(hashed > 0L && literal > 0L, "degenerate: no shuffle observed")
+    assert(hashed * 2 < literal,
+      s"hashed-gram twin no longer halves the shuffle: d31=$hashed d19=$literal")
+  }
+
   test("d31 hashed twin reproduces d19's exact spans on both test corpora") {
     // the production 8-byte fingerprint key may in principle collide two
     // distinct grams; this differential pins ZERO divergence on the real
