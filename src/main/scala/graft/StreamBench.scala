@@ -329,6 +329,33 @@ object StreamBench {
       report("kmv_windowed_evicting", 0.0, wkmv)
     }
 
+    // 14. streaming cross-codec image dedup: each document's plane stored
+    //     as PNG (even doc_id) or lossy JPEG (odd), hashed by the shared
+    //     aHash fold over its OWN decoded container — state = one owner per
+    //     DISTINCT perceptual hash, never per image, so the state-row
+    //     column reads distinct-content cardinality while payload bytes
+    //     never leave the scan stage. The encode cost is charged to corpus
+    //     prep (fit column), mirroring how a real corpus arrives already
+    //     encoded.
+    val tEnc = System.nanoTime()
+    val payloadCol = encode(col("text"), "UTF-8")
+    val imgs = corpus
+      .select(col("doc_id").cast("long"),
+        when(col("doc_id") % 2 === 0,
+          graft.functions.MediaExpressions.pngEncodeGray(payloadCol, 16))
+          .otherwise(graft.functions.MediaExpressions.jpegEncodeGray(payloadCol, 16, 0.95f))
+          .as("img"))
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val encMs = (System.nanoTime() - tEnc) / 1e6
+    val imgDedup = driveWith(chunked(imgs)) { in =>
+      streaming.StreamingImageDedup.run(in.toDS().toDF("doc_id", "img"))
+        .writeStream.outputMode("append")
+        .foreachBatch((df: org.apache.spark.sql.Dataset[streaming.ImageDup], _: Long) =>
+          { df.count(); () })
+        .start()
+    }
+    report("image_ahash_dedup_stateful", encMs, imgDedup)
+
     spark.stop()
   }
 }

@@ -57,6 +57,59 @@ class StreamingDifferentialSpec extends AnyFunSuite {
       s"stream-only=${(streamed -- expected).take(5)} batch-only=${(expected -- streamed).take(5)}")
   }
 
+  test("StreamingImageDedup.run == batch aHash min-owner over MIXED encodings on sf0.01") {
+    // the m15 dedup semantics with m18's cross-codec property: each doc's
+    // plane is stored as PNG (even doc_id) or lossy JPEG q0.95 (odd), the
+    // hash is imageAHash over each doc's OWN container, and streaming
+    // first-claim state must equal the batch min-owner grouping on the
+    // identical per-doc hashes — the one dedup index spanning encodings.
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    import graft.functions.MediaExpressions.{imageAHash, jpegEncodeGray, pngEncodeGray}
+
+    val payload = encode(col("text"), "UTF-8")
+    // the sf0.01 planes are all distinct, so REPLAY 100 docs as late
+    // re-uploads under new ids with FLIPPED parity — the duplicate arrives
+    // under the OTHER codec, which is exactly the cross-codec dedup case
+    // the index exists for (collides iff the lossy round trip left the
+    // aHash bit-identical — most planes; near-miss pairs are m18's
+    // tolerance band, not dedup hits)
+    val base = Tables.documents(spark, sf).select(col("doc_id").cast("long"), col("text"))
+    val docsAug = base.unionAll(
+      base.filter(col("doc_id") < 100).select(col("doc_id") + 100001L, col("text")))
+    val encoded = docsAug
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, pngEncodeGray(payload, 16))
+          .otherwise(jpegEncodeGray(payload, 16, 0.95f)).as("img"))
+    val rows = encoded.as[(Long, Array[Byte])].collect().sortBy(_._1)
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingImageDedup.run(input.toDS().toDF("doc_id", "img"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sid_diff").start()
+    rows.grouped((rows.length + 3) / 4).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("sid_diff").as[ImageDup]
+      .collect().map(c => (c.docId, c.dupOf, c.hash)).toSet
+
+    val hashes = encoded.select(imageAHash(col("img")).as("hash"),
+      col("doc_id").as("docId")).filter(col("hash").isNotNull)
+    val owners = hashes.groupBy(col("hash")).agg(min(col("docId")).as("owner"))
+    val expected = hashes.join(owners, Seq("hash"))
+      .filter(col("docId") =!= col("owner"))
+      .select(col("docId"), col("owner"), col("hash"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    assert(streamed.nonEmpty, "corpus produced no aHash collisions — differential is vacuous")
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).take(5)} batch-only=${(expected -- streamed).take(5)}")
+    val crossCodec = streamed.count { case (a, b, _) => (a + b) % 2 == 1 }
+    info(s"${streamed.size} dup verdicts, $crossCodec cross-codec (PNG vs JPEG) pairs")
+  }
+
   test("StatefulSessionizer == e3_sessionize batch sessions (minus still-open) on sf0.01 events") {
     import spark.implicits._
     implicit val sql = spark.sqlContext
