@@ -121,6 +121,19 @@ object PlanDump {
         "partitioned per DOCUMENT (cardinality scales with the corpus — never a " +
         "low-cardinality window), then two small aggregates. Postings volume = " +
         "corpus tokens, inherent to substring dedup."),
+      "d31_substring_spans_hashed" -> ("d19's production twin: the gram key is " +
+        "the compiled GramFingerprints kernel's 8-byte rolling fingerprint " +
+        "computed inside the scan projection (no nested HOF lambdas survive), " +
+        "so the df aggregate and the position join shuffle ONE LONG per " +
+        "posting instead of the literal 10-token string (~10x token bytes, " +
+        "measured 2.7x fewer shuffle-write bytes at sf0.01); plan shape " +
+        "otherwise identical to d19 — explode, hash aggregate, key join, " +
+        "one per-document window pass."),
+      "m18_phash_cross_codec" -> ("Cross-codec perceptual stability: BOTH " +
+        "codec round trips (PNG encode+decode, JPEG encode+decode) and both " +
+        "aHash folds run inside the ONE scan projection — no shuffle at all " +
+        "until the final orderBy of 3 narrow columns; image bytes never " +
+        "leave the scan stage."),
       "d20_simhash_hamming" -> ("Multi-index Hamming near-dup: the codegen'd " +
         "SimHash60 runs inside the scan projection; candidates come from ONE " +
         "equi-join on (band, 15-bit value) — pigeonhole-exact recall for d<=3 — " +
@@ -320,9 +333,13 @@ object PlanDump {
         "BOTH join sides derive their lsh_bucket_dyn(embedding, k, " +
         "offset) cells from it inside the scan projection (one compiled " +
         "pass per table, no per-plane array materialization); candidates " +
-        "stay a (tbl, bucket) equi-join + HashAggregate dedup. Per-cell " +
-        "density ~8 at any corpus size: measured marginal 2.4× at 20× vs " +
-        "the fixed-cluster baseline's 7.0× (SCALING.md)."),
+        "stay a (tbl, bucket) equi-join feeding ONE aggregate that both " +
+        "dedups (partial-distinct on (a_id, b_id) map-side) and folds — the " +
+        "round-15 countDistinct form; no separate full-width DISTINCT " +
+        "exchange of the pair stream survives. Per-cell density ~8 at any " +
+        "corpus size: marginal 3.7× at 20× is measured TRUE pair volume " +
+        "(3.11×) at flat per-pair cost vs the fixed-cluster baseline's " +
+        "7.6× (SCALING.md decomposition bullet)."),
       "s22_adaptive_ann" -> ("Adaptive-width SERVING ANN (d29's pattern on " +
         "the retrieval shape): the broadcast index-side count fixes k " +
         "in-plan, lsh_bucket_dyn(embedding, k, t*20) compiles into the " +
