@@ -95,6 +95,20 @@ trait ArcGisClient extends Serializable {
       groupBy: Seq[String],
       stats: Seq[StatSpec]
   ): Seq[Map[String, Any]]
+
+  /** Change-tracking delete probe: `(objectid, deletedTimestampMillis)` for
+    * every feature deleted from the layer with deletion timestamp in
+    * `(loTs, hiTs]` — the `deletedFeatures` array of the ArcGIS
+    * ChangeTracking `extractChanges` endpoint (`returnDeletes=true`; layers
+    * advertise it via the `ChangeTracking` capability). The reference never
+    * needs this: its scheduled full re-pull (`task.ts:51`) re-observes the
+    * whole layer, so deleted rows simply vanish from the next snapshot. The
+    * incremental streaming source calls this only when `deletes=true` is
+    * set; clients without change tracking keep this default.
+    */
+  def queryDeletedFeatures(loTs: Long, hiTs: Long): Seq[(Long, Long)] =
+    throw new UnsupportedOperationException(
+      "this ArcGIS client does not support change tracking (extractChanges)")
 }
 
 /** One `outStatistics` entry: `statisticType` ∈
@@ -133,6 +147,17 @@ class MockArcGisClient(
   val added = new java.util.concurrent.CopyOnWriteArrayList[EsriFeature]()
   val updated = new java.util.concurrent.CopyOnWriteArrayList[EsriFeature]()
 
+  /** Change-tracking delete log the mock server maintains: `(oid, deletedTs)`
+    * entries recorded by test harnesses that remove rows (playing the role
+    * of the server's internal change journal behind `extractChanges`).
+    */
+  val deletedLog = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long)]()
+
+  override def queryDeletedFeatures(loTs: Long, hiTs: Long): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    deletedLog.asScala.toSeq.filter { case (_, ts) => ts > loTs && ts <= hiTs }
+  }
+
   override def layerInfo(): LayerInfo =
     LayerInfo(fields, pageSize, rows.size.toLong, supportsPagination)
 
@@ -141,6 +166,10 @@ class MockArcGisClient(
     */
   private def matches(f: EsriFeature, where: String): Boolean = {
     if (where.trim.isEmpty || where == "1=1") return true
+    // SQL-92 TIMESTAMP literal (the editDateLiteral=timestamp rendering real
+    // feature services require for date fields) — must be matched BEFORE the
+    // generic comparison, whose value group would swallow the keyword
+    val tsCmp = "(?i)\\s*\"?(\\w+)\"?\\s*(>=|<=|<>|=|>|<)\\s*TIMESTAMP\\s*'([^']*)'\\s*".r
     val cmp = "\\s*\"?(\\w+)\"?\\s*(>=|<=|<>|=|>|<)\\s*'?([^']*)'?\\s*".r
     val isNull = "(?i)\\s*\"?(\\w+)\"?\\s+IS\\s+NULL\\s*".r
     val isNotNull = "(?i)\\s*\"?(\\w+)\"?\\s+IS\\s+NOT\\s+NULL\\s*".r
@@ -156,6 +185,23 @@ class MockArcGisClient(
     where.split("(?i)\\)\\s*AND\\s*\\(|(?i)\\sAND\\s").forall { raw =>
       deparen(raw) match {
         case "1=1" => true
+        case tsCmp(col, op, v) =>
+          // the mock stores esriFieldTypeDate values as epoch millis (the
+          // REST wire format); parse the literal the same way the stream's
+          // formatter rendered it and compare numerically
+          val w = java.time.LocalDateTime
+            .parse(v, java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble
+          f.attributes.get(col) match {
+            case Some(n: Number) =>
+              val d = n.doubleValue()
+              op match {
+                case "=" => d == w; case "<>" => d != w
+                case ">" => d > w; case "<" => d < w
+                case ">=" => d >= w; case "<=" => d <= w
+              }
+            case _ => false
+          }
         case cmp(col, op, v) =>
           f.attributes.get(col) match {
             case Some(x: String) =>

@@ -43,9 +43,16 @@ class ArcGisTableProvider extends TableProvider with DataSourceRegister {
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (options.get("client") == null) new StructType()
-    else ArcGisSchema.structFor(
-      ArcGisClientRegistry.get(options.get("client")).layerInfo().fields
-    )
+    else {
+      val base = ArcGisSchema.structFor(
+        ArcGisClientRegistry.get(options.get("client")).layerInfo().fields)
+      // deletes=true (streaming tombstones): the scan gains a synthetic
+      // `_deleted` marker — false on live rows, true on change-tracking
+      // tombstones (see ArcGisMicroBatchStream)
+      if (Option(options.get("deletes")).exists(_.toBoolean))
+        base.add(StructField("_deleted", BooleanType, nullable = false))
+      else base
+    }
 
   override def getTable(
       schema: StructType,
@@ -296,11 +303,11 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   private var envelope: Option[Envelope] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // geom_x/geom_y are synthetic (engine-side) columns, not remote layer
-    // fields — predicates touching them must stay residual in Spark.
+    // geom_x/geom_y/_deleted are synthetic (engine-side) columns, not remote
+    // layer fields — predicates touching them must stay residual in Spark.
     val (supported, residual) = filters.partition { f =>
       ArcGisFilterCompiler.compile(f).isDefined &&
-        !f.references.exists(r => r == "geom_x" || r == "geom_y")
+        !f.references.exists(r => r == "geom_x" || r == "geom_y" || r == "_deleted")
     }
     pushed = supported
     // ...but bbox-shaped geometry predicates DO compile to the server-side
@@ -399,6 +406,18 @@ case class ArcGisStatsPartition(
     stats: Seq[StatSpec]
 ) extends InputPartition
 
+/** One change-tracking tombstone window `(loTs, hiTs]`: fetches the layer's
+  * `deletedFeatures` journal (ChangeTracking `extractChanges`) and emits one
+  * tombstone row per deleted OID — `_deleted = true`, every other attribute
+  * null. The journal for a window is a list of OIDs (no payload), so one
+  * partition per batch suffices at any scale.
+  */
+case class ArcGisDeletesPartition(
+    loTs: Long,
+    hiTs: Long,
+    oidField: String
+) extends InputPartition
+
 class ArcGisScan(
     schema: StructType,
     options: CaseInsensitiveStringMap,
@@ -463,7 +482,7 @@ class ArcGisScan(
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     schema.fieldNames
-      .filterNot(n => n == "geom_x" || n == "geom_y")
+      .filterNot(n => n == "geom_x" || n == "geom_y" || n == "_deleted")
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = {
@@ -572,8 +591,45 @@ class ArcGisReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
     case p: ArcGisStatsPartition => new ArcGisStatsReader(schema, options, p)
     case p: ArcGisOidRangePartition => new ArcGisOidRangeReader(schema, options, p)
+    case p: ArcGisDeletesPartition => new ArcGisDeletesReader(schema, options, p)
     case p: ArcGisInputPartition => new ArcGisPartitionReader(schema, options, p.where, p)
   }
+}
+
+/** Executor-side tombstone materialization: one row per `(oid, deletedTs)`
+  * entry of the window's delete journal — the OID column and `_deleted=true`
+  * set, everything else null (a deleted feature has no attributes left to
+  * serve). Honors column pruning: only fields present in the (possibly
+  * pruned) schema are populated.
+  */
+class ArcGisDeletesReader(
+    schema: StructType,
+    options: Map[String, String],
+    partition: ArcGisDeletesPartition
+) extends PartitionReader[InternalRow] {
+
+  private lazy val deletes: Iterator[(Long, Long)] =
+    ArcGisClientRegistry.get(options("client"))
+      .queryDeletedFeatures(partition.loTs, partition.hiTs).iterator
+
+  private var current: (Long, Long) = _
+
+  override def next(): Boolean =
+    if (deletes.hasNext) { current = deletes.next(); true } else false
+
+  override def get(): InternalRow = {
+    val values = schema.fields.map { fld =>
+      fld.name match {
+        case "_deleted" => Boolean.box(true)
+        case n if n == partition.oidField =>
+          ArcGisValues.coerce(fld.dataType, Long.box(current._1))
+        case _ => null
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Shared attribute-value → Catalyst coercion for rows materialized from the
@@ -588,6 +644,7 @@ private[arcgis] object ArcGisValues {
       fld.name match {
         case "geom_x" => f.geometry.map(_._1).map(Double.box).orNull
         case "geom_y" => f.geometry.map(_._2).map(Double.box).orNull
+        case "_deleted" => Boolean.box(false) // live rows; tombstones use their own reader
         case n =>
           f.attributes.get(n).map(v => coerce(fld.dataType, v)).orNull
       }
@@ -602,6 +659,7 @@ private[arcgis] object ArcGisValues {
     case (IntegerType, n: Number) => Int.box(n.intValue())
     case (DoubleType, n: Number) => Double.box(n.doubleValue())
     case (FloatType, n: Number) => Float.box(n.floatValue())
+    case (BooleanType, b: Boolean) => Boolean.box(b)
     case _ => null
   }
 }
@@ -644,7 +702,8 @@ class ArcGisPartitionReader(
 
   private lazy val features: Iterator[EsriFeature] = {
     val client = ArcGisClientRegistry.get(options("client"))
-    val attrFields = schema.fieldNames.filterNot(n => n == "geom_x" || n == "geom_y")
+    val attrFields = schema.fieldNames
+      .filterNot(n => n == "geom_x" || n == "geom_y" || n == "_deleted")
     val outFields = if (attrFields.isEmpty) Seq("*") else attrFields.toSeq
     val page =
       if (partition.offset < 0)
@@ -684,7 +743,8 @@ class ArcGisOidRangeReader(
 ) extends PartitionReader[InternalRow] {
 
   private lazy val client = ArcGisClientRegistry.get(options("client"))
-  private val attrFields = schema.fieldNames.filterNot(n => n == "geom_x" || n == "geom_y")
+  private val attrFields = schema.fieldNames
+    .filterNot(n => n == "geom_x" || n == "geom_y" || n == "_deleted")
   private val outFields = if (attrFields.isEmpty) Seq("*") else attrFields.toSeq
 
   private val pending = scala.collection.mutable.Stack[(Long, Long)]((partition.lo, partition.hi))

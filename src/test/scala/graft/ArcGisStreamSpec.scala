@@ -139,7 +139,8 @@ class ArcGisStreamSpec extends AnyFunSuite {
     Some((i * 1.0, -i * 1.0)))
 
   /** Mock layer with edit tracking: rows can be edited IN PLACE (same OID,
-    * bumped `edited` timestamp) or inserted, as ArcGIS edit sessions do.
+    * bumped `edited` timestamp), inserted, or DELETED (recorded in the
+    * change-tracking journal), as ArcGIS edit sessions do.
     */
   private class EditableMock(initial: Seq[EsriFeature])
       extends MockArcGisClient(editFields, initial, pageSize = 4) {
@@ -149,13 +150,25 @@ class ArcGisStreamSpec extends AnyFunSuite {
         _.attributes("objectid").asInstanceOf[Number].longValue() == i) :+
         editFeat(i, status, ts)
     }
+    /** Server-side delete: the row vanishes from the layer and the change
+      * journal records `(oid, ts)` — what `extractChanges` would surface.
+      */
+    def delete(i: Long, ts: Long): Unit = synchronized {
+      current = current.filterNot(
+        _.attributes("objectid").asInstanceOf[Number].longValue() == i)
+      deletedLog.add((i, ts))
+    }
     private def live = new MockArcGisClient(editFields, current, pageSize)
     override def queryPage(offset: Long, count: Int, where: String,
-        outFields: Seq[String], envelope: Option[Envelope]): Seq[EsriFeature] =
+        outFields: Seq[String], envelope: Option[Envelope]): Seq[EsriFeature] = {
+      whereLog.add(where) // the delegate is throwaway — capture on THIS mock
       live.queryPage(offset, count, where, outFields, envelope)
+    }
     override def queryStatistics(where: String, groupBy: Seq[String],
-        stats: Seq[StatSpec]): Seq[Map[String, Any]] =
+        stats: Seq[StatSpec]): Seq[Map[String, Any]] = {
+      whereLog.add(where)
       live.queryStatistics(where, groupBy, stats)
+    }
   }
 
   test("incremental=editDate: backfill, then in-place EDITS are re-delivered") {
@@ -208,5 +221,136 @@ class ArcGisStreamSpec extends AnyFunSuite {
     assert(ArcGisOffset.fromJson(off.json()) == off)
     assert(ArcGisOffset.fromJson("""{"maxOid":-9}""") == ArcGisOffset(-9L))
     intercept[IllegalArgumentException](ArcGisOffset.fromJson("""{"bogus":1}"""))
+    // mode-tagged form: editDate offsets carry their mode; legacy maxOid
+    // form reads back as oid-mode
+    val edited = ArcGisOffset(987L, "editDate")
+    assert(ArcGisOffset.fromJson(edited.json()) == edited)
+    assert(ArcGisOffset.fromJson("""{"maxOid":7}""").mode == "oid")
+  }
+
+  test("checkpoint offset resumed under the WRONG incremental mode fails fast") {
+    val client = new EditableMock(Seq(editFeat(0L, "active", 1L)))
+    ArcGisClientRegistry.register("streammode", client)
+    val editStream = new ArcGisMicroBatchStream(
+      new org.apache.spark.sql.types.StructType(),
+      Map("client" -> "streammode", "incremental" -> "editDate",
+        "editDateField" -> "edited"),
+      "1=1")
+    // a legacy/oid checkpoint under editDate: the OID would be misread as
+    // epoch-millis and the whole layer re-delivered — must throw instead
+    val e = intercept[IllegalArgumentException](
+      editStream.deserializeOffset("""{"maxOid":42}"""))
+    assert(e.getMessage.contains("oid-mode"))
+    val oidStream = new ArcGisMicroBatchStream(
+      new org.apache.spark.sql.types.StructType(),
+      Map("client" -> "streammode"), "1=1")
+    val e2 = intercept[IllegalArgumentException](
+      oidStream.deserializeOffset("""{"mode":"editDate","wm":42}"""))
+    assert(e2.getMessage.contains("editDate-mode"))
+    // matching modes deserialize fine
+    assert(oidStream.deserializeOffset("""{"maxOid":42}""")
+      == ArcGisOffset(42L))
+    assert(editStream.deserializeOffset("""{"mode":"editDate","wm":42}""")
+      == ArcGisOffset(42L, "editDate"))
+  }
+
+  test("deletes=true: upstream deletions arrive as tombstones, exactly once") {
+    val client = new EditableMock((0L until 4L).map(i => editFeat(i, "active", 100L + i)))
+    ArcGisClientRegistry.register("streamdel", client)
+    val q = spark.readStream.format("arcgis").option("client", "streamdel")
+      .option("incremental", "editDate").option("editDateField", "edited")
+      .option("deletes", "true").load()
+      .writeStream.format("memory").queryName("arcstreamdel")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      val backfill = spark.sql("SELECT objectid, _deleted FROM arcstreamdel").collect()
+      assert(backfill.map(_.getLong(0)).sorted.toSeq == (0L until 4L))
+      assert(backfill.forall(!_.getBoolean(1)), "live rows carry _deleted=false")
+
+      // server-side delete of a delivered row; a window where ONLY the
+      // deletion happened must still advance the watermark and surface it
+      client.delete(2L, 500L)
+      q.processAllAvailable()
+      val tombs = spark.sql(
+        "SELECT objectid, name, _deleted FROM arcstreamdel WHERE _deleted").collect()
+      assert(tombs.length == 1, s"exactly one tombstone, got ${tombs.length}")
+      assert(tombs.head.getLong(0) == 2L)
+      assert(tombs.head.isNullAt(1), "tombstone attributes are null")
+
+      // quiet trigger: the tombstone is NOT re-delivered
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM arcstreamdel WHERE _deleted").count() == 1L)
+
+      // a later edit + delete in the same window: both delivered once
+      client.upsert(0L, "updated", 600L)
+      client.delete(3L, 601L)
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM arcstreamdel WHERE _deleted").count() == 2L)
+      assert(spark.sql(
+        "SELECT * FROM arcstreamdel WHERE objectid = 0 AND status = 'updated'")
+        .count() == 1L)
+    } finally q.stop()
+  }
+
+  test("deletes=true without incremental=editDate fails fast") {
+    val client = new EditableMock(Seq(editFeat(0L, "active", 1L)))
+    ArcGisClientRegistry.register("streamdelbad", client)
+    val e = intercept[IllegalArgumentException](new ArcGisMicroBatchStream(
+      new org.apache.spark.sql.types.StructType(),
+      Map("client" -> "streamdelbad", "deletes" -> "true"), "1=1"))
+    assert(e.getMessage.contains("incremental=editDate"))
+  }
+
+  test("editDateLiteral=timestamp renders SQL-92 TIMESTAMP window bounds") {
+    val client = new EditableMock(
+      (0L until 3L).map(i => editFeat(i, "active", 1700000000000L + i * 1000)))
+    ArcGisClientRegistry.register("streamtslit", client)
+    val q = spark.readStream.format("arcgis").option("client", "streamtslit")
+      .option("incremental", "editDate").option("editDateField", "edited")
+      .option("editDateLiteral", "timestamp").load()
+      .writeStream.format("memory").queryName("arcstreamts")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT objectid FROM arcstreamts").collect()
+        .map(_.getLong(0)).sorted
+      assert(got.toSeq == (0L until 3L),
+        "rows must be delivered through the TIMESTAMP-literal where")
+      // the wire-level where must carry SQL-92 literals, not raw numerics
+      import scala.jdk.CollectionConverters._
+      val wheres = client.whereLog.asScala.filter(_.contains("edited"))
+      assert(wheres.nonEmpty)
+      assert(wheres.forall(_.contains("TIMESTAMP '")),
+        s"expected TIMESTAMP literals in: ${wheres.take(3)}")
+      assert(!wheres.exists(_.matches(".*edited\\s*>\\s*\\d.*")),
+        "no raw epoch numerics against the date field")
+    } finally q.stop()
+  }
+
+  test("editLagMs defers the freshest edits until the watermark passes them") {
+    val client = new EditableMock(
+      (0L until 5L).map(i => editFeat(i, "active", 1000L + i)))
+    ArcGisClientRegistry.register("streamlag", client)
+    val q = spark.readStream.format("arcgis").option("client", "streamlag")
+      .option("incremental", "editDate").option("editDateField", "edited")
+      .option("editLagMs", "100").load()
+      .writeStream.format("memory").queryName("arcstreamlag")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    try {
+      // watermark = maxEdit(1004) − lag(100) = 904 < initial offset (999):
+      // everything sits inside the lag window, nothing delivered yet —
+      // protection against edits that commit with ts == probed max AFTER
+      // the partition reads ran
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM arcstreamlag").count() == 0L)
+      // a much later edit pushes the watermark past the originals; the new
+      // edit itself (2000) stays deferred behind the lag (watermark 1900)
+      client.upsert(5L, "new", 2000L)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT objectid FROM arcstreamlag").collect()
+        .map(_.getLong(0)).sorted
+      assert(got.toSeq == (0L until 5L), s"originals delivered, fresh edit deferred: ${got.toSeq}")
+    } finally q.stop()
   }
 }
