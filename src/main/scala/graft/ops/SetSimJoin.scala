@@ -28,6 +28,19 @@ import org.apache.spark.sql.functions._
   *      keys on the RAREST shingles, exactly the ones with tiny posting
   *      lists, and a hot shingle is consulted only by the few docs whose
   *      prefix reaches it, never f² times.
+  *   3. '''Positional filter''' (PPJoin, Xiao et al. WWW'08 §3.2) — a match
+  *      on shingle w at rank i of a's ordered (df-pruned) list and rank j of
+  *      b's bounds the whole intersection: common elements ordered ≤ w
+  *      number at most min(i, j) (they occupy ranks ≤ i in a AND ≤ j in b),
+  *      and those ordered > w at most min(m_a − i, m_b − j). Since every
+  *      common element has df ≥ 2 within the block, the intersection lives
+  *      entirely in the pruned lists, so ub(w) = min(i,j) + min(m_a−i,
+  *      m_b−j) is exact. Candidates keep the TIGHTEST bound over all their
+  *      prefix matches and are dropped before verification when even that
+  *      bound is below α_min = ⌈t·min(n_a, n_b)⌉ — the weakest requirement
+  *      any caller direction (symmetric Jaccard or either-side containment)
+  *      can pose, so completeness is unaffected while the expensive
+  *      verify join shrinks.
   *
   * Candidates are then verified EXACTLY: one join back to the two shingle
   * arrays, intersection via a single `array_intersect`. Output is every
@@ -80,21 +93,35 @@ object SetSimJoin {
     // df=1 elements ordered last: ranking the pruned postings by (df,
     // shingle) and cutting at plen = n − ⌈t·n⌉ + 1 yields exactly the
     // df≥2 members of that full-set prefix (dropped df=1 members cannot be
-    // shared, so candidate completeness is unaffected)
-    val rn = row_number().over(
-      Window.partitionBy(col("__id")).orderBy(col("__df"), col("__t")))
-    val prefix = pruned
-      .withColumn("__rn", rn)
+    // shared, so candidate completeness is unaffected). __m (pruned list
+    // size) rides along for the positional bound — same window partitioning,
+    // so it costs no extra shuffle.
+    val w = Window.partitionBy(col("__id"))
+    val ranked = pruned
+      .withColumn("__rn", row_number().over(w.orderBy(col("__df"), col("__t"))))
+      .withColumn("__m", count(lit(1)).over(w))
+    val prefix = ranked
       .filter(col("__rn") <= col("__n") - ceil(lit(t) * col("__n")).cast("int") + 1)
-      .select(col("__blk"), col("__t"), col("__id").as("__pid"))
+      .select(col("__blk"), col("__t"), col("__id").as("__pid"),
+        col("__rn").as("__pi"), col("__m").as("__pm"), col("__n").as("__pn"))
+    // positional filter: each prefix match bounds the intersection (see
+    // Scaladoc item 3); keep the tightest bound per pair and reject pairs
+    // whose bound can't reach ⌈t·min(n_a, n_b)⌉ for any caller direction
     val candidates = prefix
-      .join(pruned.select(col("__blk"), col("__t"), col("__id").as("__fid")),
+      .join(ranked.select(col("__blk"), col("__t"), col("__id").as("__fid"),
+        col("__rn").as("__fi"), col("__m").as("__fm"), col("__n").as("__fn")),
         Seq("__blk", "__t"))
       .filter(col("__pid") =!= col("__fid"))
       .select(
         least(col("__pid"), col("__fid")).as("a_id"),
-        greatest(col("__pid"), col("__fid")).as("b_id"))
-      .distinct()
+        greatest(col("__pid"), col("__fid")).as("b_id"),
+        (least(col("__pi"), col("__fi")) +
+          least(col("__pm") - col("__pi"), col("__fm") - col("__fi"))).as("__ub"),
+        least(col("__pn"), col("__fn")).as("__minn"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(min(col("__ub")).as("__ub"), first(col("__minn")).as("__minn"))
+      .filter(col("__ub") >= ceil(lit(t) * col("__minn")).cast("long"))
+      .select(col("a_id"), col("b_id"))
     // exact verification: one array_intersect per surviving pair
     val a = base.select(col("__id").as("a_id"), col("__sh").as("__a_sh"), col("__n").as("a_n"))
     val b = base.select(col("__id").as("b_id"), col("__sh").as("__b_sh"), col("__n").as("b_n"))
