@@ -356,6 +356,22 @@ object StreamBench {
     }
     report("image_ahash_dedup_stateful", encMs, imgDedup)
 
+    // 15. streaming substring dedup (d31's twin): every stride-1 10-gram
+    //     rides its u64 rolling fingerprint into per-gram first-claim
+    //     state; a gram's second observation surfaces BOTH positions as
+    //     duplicated-span members. State = one ~25-byte row per DISTINCT
+    //     gram fingerprint (the streaming analog of d31's df≥2 aggregate
+    //     — O(gram vocabulary), never O(corpus positions)); per-batch
+    //     output feeds the same interval-merge plan batch d31 runs.
+    val sub = drive { in =>
+      streaming.StreamingSubstringDedup.run(in.toDS().toDF("doc_id", "text"))
+        .writeStream.outputMode("append")
+        .foreachBatch((df: org.apache.spark.sql.Dataset[streaming.DupGramPos], _: Long) =>
+          { df.count(); () })
+        .start()
+    }
+    report("substring_dedup_stateful", 0.0, sub)
+
     spark.stop()
   }
 }

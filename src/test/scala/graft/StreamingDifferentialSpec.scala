@@ -1103,4 +1103,83 @@ class StreamingDifferentialSpec extends AnyFunSuite {
   test("windowed KMV uniques under OUT-OF-ORDER replay (2h jitter, 2h watermark) == oracled e24 on finalized windows") {
     runWindowedKmv(userHashedEventsJittered(2L * 3600 * 1000), "2 hours", "wkmv_ooo", 8)
   }
+
+  test("StreamingSubstringDedup + spans == oracled d31 spans EXACTLY on sf0.01") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingSubstringDedup.run(input.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssd_diff").start()
+    // 4 micro-batches in ascending doc_id order (ingest-tail replay)
+    docs.grouped((docs.length + 3) / 4).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val dupPos = spark.table("ssd_diff")
+
+    // each (doc, pos) emits AT MOST once across the whole replay
+    val emitted = dupPos.as[DupGramPos].collect().map(h => (h.docId, h.pos))
+    assert(emitted.nonEmpty, "corpus produced no duplicated grams — differential is vacuous")
+    assert(emitted.length == emitted.distinct.length,
+      "a duplicated position must emit exactly once")
+
+    // unlike the owner-restricted SemDedup twin, this one is EXACT: after
+    // full replay the emitted position set equals batch d31's df>=2 posting
+    // frame, so the merged spans must match the oracled d31 span columns
+    // cell for cell on every doc that has any duplicated span
+    val streamedSpans = StreamingSubstringDedup.spans(dupPos)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val batch = SparkEntry.queries("d31_substring_spans_hashed")(spark, sf)
+      .filter(col("n_dup_spans") > 0)
+      .select(col("doc_id").cast("long"), col("n_dup_spans"), col("dup_tokens"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(streamedSpans.keySet == batch.keySet,
+      s"stream-only=${(streamedSpans.keySet -- batch.keySet).take(5)} " +
+        s"batch-only=${(batch.keySet -- streamedSpans.keySet).take(5)}")
+    streamedSpans.foreach { case (id, v) =>
+      assert(v == batch(id), s"doc $id: streamed $v vs batch ${batch(id)}")
+    }
+  }
+
+  test("StreamingSubstringDedup out-of-order replay converges to the same position set") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+    // adversarial order: interleave from both ends so gram owners differ
+    // wildly from the doc_id-ordered replay
+    val shuffled = docs.sortBy(d => (d._1 % 7, -d._1))
+
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingSubstringDedup.run(input.toDS().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssd_ooo").start()
+    shuffled.grouped((shuffled.length + 5) / 6).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // the emitted POSITION SET is arrival-order-invariant (df>=2 is a set
+    // property): any order converges to the batch posting frame
+    val streamed = spark.table("ssd_ooo").as[DupGramPos]
+      .collect().map(h => (h.docId, h.pos)).toSet
+    val hits = StreamingSubstringDedup.gramHits(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+    val dupFps = hits.groupBy(col("fp")).count().filter(col("count") >= 2).select(col("fp"))
+    val expected = hits.join(dupFps, Seq("fp"))
+      .select(col("docId"), col("pos"))
+      .as[(Long, Int)].collect().toSet
+    assert(streamed == expected,
+      s"stream-only=${(streamed -- expected).take(5)} batch-only=${(expected -- streamed).take(5)}")
+  }
 }
