@@ -74,14 +74,21 @@ object Salting {
   }
 
   /** Deterministic per-row salt in [0, nSalts): xxhash64 over EVERY column
-    * of `df`, so the spread is not capped by any single column's
-    * cardinality (hashing a 7-valued l_linenumber alone caps the hot key at
-    * ≤ 7 uneven buckets no matter how wide nSalts is). Stable across task
-    * retries — no rand() — which is the determinism exactly-once sinks
-    * need; the cost is that EXACT duplicate rows share a bucket, the best
-    * any deterministic function of row content can do.
+    * of `df` (or over `saltFrom` alone when the caller designates one), so
+    * the spread is not capped by any single column's cardinality (hashing a
+    * 7-valued l_linenumber alone caps the hot key at ≤ 7 uneven buckets no
+    * matter how wide nSalts is). Stable across task retries — no rand() —
+    * which is the determinism exactly-once sinks need; the cost is that
+    * EXACT duplicate rows share a bucket, the best any deterministic
+    * function of row content can do. When a hot key's rows ARE exact
+    * duplicates (a common real-world skew pathology), pass a row-unique
+    * `saltFrom` column (e.g. a sequence id) so the salt spreads anyway.
     */
-  private def rowSalt(df: DataFrame) = xxhash64(df.columns.map(col): _*)
+  private def rowSalt(df: DataFrame, saltFrom: Option[String]) =
+    saltFrom match {
+      case Some(c) => xxhash64(col(c))
+      case None => xxhash64(df.columns.map(col): _*)
+    }
 
   /** Skew-ADAPTIVE salted join. [[saltedJoin]] replicates the ENTIRE build
     * side nSalts times — nSalts× build shuffle volume, ruinous at 100 TB
@@ -93,16 +100,22 @@ object Salting {
     *
     * Result is identical to `probe.join(build, keys)` for any hot set —
     * the x1 oracle certifies this cell-exactly.
+    *
+    * CAVEAT: the default salt hashes row CONTENT, so a hot key whose rows
+    * are exact duplicates collapses into one bucket and the mitigation
+    * no-ops; pass a row-unique `saltFrom` column (sequence id, offset) to
+    * spread duplicates too.
     */
   def saltedJoinHot(
       probe: DataFrame,
       build: DataFrame,
       keys: Seq[String],
       nSalts: Int,
-      hotFraction: Double = 0.01
+      hotFraction: Double = 0.01,
+      saltFrom: Option[String] = None
   ): DataFrame = {
     val hot = hotKeys(probe, keys, hotFraction)
-    val salt = pmod(rowSalt(probe), lit(nSalts.toLong))
+    val salt = pmod(rowSalt(probe, saltFrom), lit(nSalts.toLong))
     val probeS = probe
       .join(broadcast(hot), keys, "left")
       .withColumn("__salt", when(col("__hot"), salt).otherwise(lit(0L)))
@@ -123,16 +136,20 @@ object Salting {
     * replication anywhere); a hot-key corpus widens automatically. Result
     * is identical to `probe.join(build, keys)` for any salt width — the
     * x39 oracle certifies this cell-exactly.
+    *
+    * Same duplicate-row caveat as [[saltedJoinHot]]: pass a row-unique
+    * `saltFrom` when hot keys may carry exact duplicate rows.
     */
   def saltedJoinHotDyn(
       probe: DataFrame,
       build: DataFrame,
       keys: Seq[String],
       nSaltsRow: DataFrame,
-      hotFraction: Double = 0.01
+      hotFraction: Double = 0.01,
+      saltFrom: Option[String] = None
   ): DataFrame = {
     val hot = hotKeys(probe, keys, hotFraction)
-    val salt = pmod(rowSalt(probe), col("__nsalts"))
+    val salt = pmod(rowSalt(probe, saltFrom), col("__nsalts"))
     val probeS = probe
       .join(broadcast(hot), keys, "left")
       .crossJoin(broadcast(nSaltsRow))

@@ -75,6 +75,35 @@ class SaltingSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("saltFrom override spreads a hot key whose rows are exact duplicates") {
+    // duplicate-row skew pathology: every row of the hot key is IDENTICAL,
+    // so the default content hash collapses them into one salt bucket and
+    // the mitigation silently no-ops; a row-unique saltFrom column restores
+    // the spread while the join stays exact
+    val probe = (1 to 1000)
+      .map(i => (if (i <= 900) "hot" else s"k$i", "same-payload", i))
+      .toDF("key", "payload", "seq")
+    val dupProbe = probe.drop("seq") // content-identical hot rows
+    val build = Seq(("hot", 1.0), ("k901", 2.0)).toDF("key", "w")
+
+    val plain = probe.join(build, Seq("key")).agg(sum($"w"), count(lit(1))).head()
+    val salted = Salting
+      .saltedJoinHot(probe, build, Seq("key"), nSalts = 8, saltFrom = Some("seq"))
+      .agg(sum($"w"), count(lit(1))).head()
+    assert(plain == salted)
+
+    // without the override, content-duplicate hot rows share one bucket...
+    val collapsed = dupProbe.filter($"key" === "hot")
+      .select(pmod(xxhash64($"key", $"payload"), lit(8L)).as("s"))
+      .distinct().count()
+    assert(collapsed == 1L)
+    // ...with it, the unique column drives the spread
+    val spread = probe.filter($"key" === "hot")
+      .select(pmod(xxhash64($"seq"), lit(8L)).as("s"))
+      .distinct().count()
+    assert(spread > 4L)
+  }
+
   test("salt is deterministic (stable across retries)") {
     val df = (1 to 100).map(i => ("k", i)).toDF("key", "seq")
     val a = Salting.withSalt(df, "seq", 16).select("seq", "__salt").collect().toSet
