@@ -26,5 +26,17 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g, MEASURED as the right size for the 258-query sf0.1 suite: a 30g
+  // heap ran the identical suite 12% SLOWER (161.8s vs 144.1s, same host,
+  // same code) — G1 lazily grows a big heap and batches garbage into long
+  // mixed-GC pauses that land on whichever (often tiny) query runs next
+  // (g2 0.15s → 1.65s, m10 0.12s → 0.85s under 30g), while 8g keeps
+  // collections small and frequent. Raise via SPARK_DRIVER_MEM only for
+  // runs whose working set genuinely outgrows it (sf2 GenScale/Verify).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 258 codegen-heavy queries generate thousands of JIT'd methods and
+  // classes; the 240m default code cache silently flushes hot code late in
+  // the suite and the default metaspace trigger forces extra full GCs.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:MetaspaceSize=1g",
 )

