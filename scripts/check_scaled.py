@@ -10,7 +10,12 @@ exceeds the budget are recorded "oracle_timeout" (the Spark result is
 still present and row-counted), everything else gets the exact
 cell-compare verdict. Emits a CORRECTNESS-style JSON artifact.
 
-Usage: python3 scripts/check_scaled.py <sfdir> <verify_out> <artifact.json> [timeout_s]
+Usage: python3 scripts/check_scaled.py <sfdir> <verify_out> <artifact.json> \
+           [timeout_s] [only_csv]
+
+`only_csv` restricts the run to the named queries and MERGES their results
+into an existing artifact (escalation pass: re-run just the oracle_timeout
+entries with a bigger budget).
 """
 import sys, json, glob, os, multiprocessing as mp
 
@@ -87,10 +92,17 @@ def compare_one(sfdir, out, name, sql, q):
 def main():
     sfdir, out, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
     budget = int(sys.argv[4]) if len(sys.argv) > 4 else 180
+    only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    # escalation mode: start from the existing artifact and re-judge only
+    # the named queries (their old entries are replaced below)
     results = {}
+    if only is not None and os.path.exists(artifact):
+        results = json.load(open(artifact)).get("queries", {})
     n_ok = n_bad = n_to = 0
     for name in sorted(oracle):
+        if only is not None and name not in only:
+            continue
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
             results[name] = {"rows_match": False, "err": "no spark output"}
@@ -102,7 +114,11 @@ def main():
         p.start()
         p.join(budget)
         if p.is_alive():
-            p.terminate(); p.join()
+            # SIGTERM first; a native DuckDB query can ignore it, so escalate
+            # to SIGKILL after a grace period instead of hanging the gate
+            p.terminate(); p.join(10)
+            if p.is_alive():
+                p.kill(); p.join()
             import duckdb
             con = duckdb.connect()
             n = con.sql(f"SELECT count(*) FROM '{out}/{name}/*.parquet'").fetchone()[0]
@@ -111,7 +127,19 @@ def main():
             n_to += 1
             print(f"SKIP {name}: oracle exceeded {budget}s (spark_rows={n})", flush=True)
             continue
-        name2, r = q.get()
+        # the worker may have died without enqueueing (OOM-kill/segfault mid-
+        # oracle — the sf1+ scenario this gate exists for): a blocking q.get()
+        # would deadlock the whole run, so bound it and record the death
+        try:
+            name2, r = q.get(timeout=30)
+        except Exception:
+            results[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False,
+                             "err": f"compare worker died (exitcode={p.exitcode})"}
+            n_bad += 1
+            print(f"FAIL {name}: compare worker died exitcode={p.exitcode}",
+                  flush=True)
+            continue
         results[name2] = r
         if r.get("hash_match"):
             n_ok += 1
@@ -119,6 +147,11 @@ def main():
         else:
             n_bad += 1
             print(f"FAIL {name}: {r}", flush=True)
+    # recount over the FULL merged result set (escalation mode replaces
+    # entries inside a pre-existing artifact)
+    n_ok = sum(1 for r in results.values() if r.get("hash_match"))
+    n_to = sum(1 for r in results.values() if r.get("oracle_timeout"))
+    n_bad = len(results) - n_ok - n_to
     summary = {"sf_dir": sfdir, "n_ok": n_ok, "n_fail": n_bad,
                "n_oracle_timeout": n_to, "oracle_budget_s": budget,
                "queries": results}
