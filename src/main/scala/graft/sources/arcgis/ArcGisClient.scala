@@ -81,6 +81,17 @@ trait ArcGisClient extends Serializable {
   /** `updateFeatures` POST (S9, keyed on server `objectid`). */
   def updateFeatures(feats: Seq[EsriFeature]): Seq[Either[String, Long]]
 
+  /** `deleteFeatures` POST (objectIds form — the third applyEdits verb of
+    * the public Feature Service REST surface). The reference never deletes
+    * (its full re-pull just stops re-sending vanished rows); the engine's
+    * sink uses this to honor `_deleted` tombstones from the incremental
+    * source, completing the end-to-end sync the reference gets implicitly.
+    * Per-OID result, same error-isolation contract as add/update.
+    */
+  def deleteFeatures(oids: Seq[Long]): Seq[Either[String, Long]] =
+    throw new UnsupportedOperationException(
+      "this ArcGIS client does not support deleteFeatures")
+
   /** Server-side statistics (`/query` with `outStatistics` +
     * `groupByFieldsForStatistics`) — the aggregation endpoint behind the
     * engine's DSv2 aggregate pushdown. One result row per group (one total
@@ -301,6 +312,14 @@ class MockArcGisClient(
       case Some(oid: Number) => Right(oid.longValue())
       case _ => Left("missing objectid")
     })
+  }
+
+  /** OIDs the sink asked the server to delete. */
+  val deletedByClient = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+
+  override def deleteFeatures(oids: Seq[Long]): Seq[Either[String, Long]] = {
+    oids.foreach(deletedByClient.add)
+    oids.map(Right(_))
   }
 
   override def queryStatistics(

@@ -28,6 +28,13 @@ import org.apache.spark.sql.types._
   *     side. O(1) extra round-trip per batch — never the reference's
   *     per-row probe. For a global single-scan split, [[EsriSink.upsert]]
   *     remains the bulk-path alternative.
+  *   - '''delete''' — rows whose `_deleted` column is true (the incremental
+  *     source's change-tracking tombstones) route to the server's
+  *     `deleteFeatures` verb: one `key IN (...)` probe resolves the target
+  *     OIDs on the sync key, unknown keys are idempotent no-ops. This
+  *     completes the end-to-end sync the reference gets implicitly from its
+  *     full re-pull (vanished rows just stop being re-sent); requires
+  *     `upsertKey`.
   *
   * Writes are not transactional on the ArcGIS REST surface; `abort()`
   * cannot roll back POSTs already acknowledged (documented limitation —
@@ -73,11 +80,11 @@ class ArcGisWrite(schema: StructType, clientKey: String, upsertKey: Option[Strin
     new ArcGisWriterFactory(schema, clientKey, upsertKey)
 
   private def recordCommit(messages: Array[WriterCommitMessage]): Unit = {
-    val (ok, failed, updated) = messages.foldLeft((0L, 0L, 0L)) {
-      case ((a, f, u), ArcGisCommit(mo, mf, mu)) => (a + mo, f + mf, u + mu)
+    val (ok, failed, updated, deleted) = messages.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((a, f, u, d), ArcGisCommit(mo, mf, mu, md)) => (a + mo, f + mf, u + mu, d + md)
       case (acc, _) => acc
     }
-    ArcGisWriteStats.record(clientKey, ok, failed, updated)
+    ArcGisWriteStats.record(clientKey, ok, failed, updated, deleted)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = recordCommit(messages)
@@ -90,17 +97,18 @@ class ArcGisWrite(schema: StructType, clientKey: String, upsertKey: Option[Strin
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-/** Per-job write outcome (inserted / failed / updated), observable by key —
-  * the DSv2 analog of [[EsriSink]]'s returned counts. */
+/** Per-job write outcome (inserted / failed / updated / deleted),
+  * observable by key — the DSv2 analog of [[EsriSink]]'s returned counts. */
 object ArcGisWriteStats {
   private val stats =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
-  def record(key: String, ok: Long, failed: Long, updated: Long): Unit =
-    stats.put(key, (ok, failed, updated))
-  def last(key: String): Option[(Long, Long, Long)] = Option(stats.get(key))
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long, Long)]()
+  def record(key: String, ok: Long, failed: Long, updated: Long, deleted: Long = 0L): Unit =
+    stats.put(key, (ok, failed, updated, deleted))
+  def last(key: String): Option[(Long, Long, Long, Long)] = Option(stats.get(key))
 }
 
-case class ArcGisCommit(ok: Long, failed: Long, updated: Long) extends WriterCommitMessage
+case class ArcGisCommit(ok: Long, failed: Long, updated: Long, deleted: Long = 0L)
+    extends WriterCommitMessage
 
 class ArcGisWriterFactory(schema: StructType, clientKey: String, upsertKey: Option[String])
     extends DataWriterFactory
@@ -126,11 +134,18 @@ class ArcGisDataWriter(schema: StructType, clientKey: String, upsertKey: Option[
 
   private val geomX = schema.fieldNames.indexOf("geom_x")
   private val geomY = schema.fieldNames.indexOf("geom_y")
+  // `_deleted` tombstones (from the incremental source's deletes=true mode)
+  // route to the server's deleteFeatures verb instead of add/update —
+  // requires upsertKey, since the tombstone is matched to the TARGET row by
+  // the sync key, never by the source layer's OID
+  private val deletedIdx = schema.fieldNames.indexOf("_deleted")
 
   private val buffer = scala.collection.mutable.ArrayBuffer.empty[EsriFeature]
+  private val delKeys = scala.collection.mutable.LinkedHashSet.empty[Any]
   private var ok = 0L
   private var failed = 0L
   private var updated = 0L
+  private var deleted = 0L
 
   private def valueAt(row: InternalRow, i: Int, dt: DataType): Any =
     if (row.isNullAt(i)) null
@@ -146,8 +161,18 @@ class ArcGisDataWriter(schema: StructType, clientKey: String, upsertKey: Option[
     }
 
   override def write(row: InternalRow): Unit = {
+    if (deletedIdx >= 0 && !row.isNullAt(deletedIdx) && row.getBoolean(deletedIdx)) {
+      val key = upsertKey.getOrElse(throw new IllegalArgumentException(
+        "_deleted tombstones require the upsertKey option — the tombstone " +
+          "is matched to the target row by the sync key"))
+      val ki = schema.fieldNames.indexOf(key)
+      if (ki >= 0 && !row.isNullAt(ki))
+        delKeys += valueAt(row, ki, schema.fields(ki).dataType)
+      if (delKeys.size >= batchSize) flushDeletes()
+      return
+    }
     val attrs = schema.fields.iterator.zipWithIndex.flatMap { case (f, i) =>
-      if (i == geomX || i == geomY) None
+      if (i == geomX || i == geomY || i == deletedIdx) None
       else Option(valueAt(row, i, f.dataType)).map(f.name -> _)
     }.toMap
     val geom =
@@ -200,12 +225,36 @@ class ArcGisDataWriter(schema: StructType, clientKey: String, upsertKey: Option[
       }
     }
 
-  override def commit(): WriterCommitMessage = {
-    flush()
-    ArcGisCommit(ok, failed, updated)
+  /** Tombstone batch → ONE existence probe on the sync key (the S10
+    * discipline — never per-row) → deleteFeatures on the discovered OIDs.
+    * A key with no live target row is a no-op (the delete is idempotent:
+    * at-least-once epoch retries re-probe and find nothing), never an error.
+    */
+  private def flushDeletes(): Unit = {
+    if (delKeys.isEmpty) return
+    val key = upsertKey.get
+    val oid = oidField.getOrElse(throw new IllegalArgumentException(
+      "arcgis delete requires an esriFieldTypeOID field in the layer metadata"))
+    val keys = delKeys.toSeq
+    delKeys.clear()
+    keys.grouped(batchSize).foreach { g =>
+      val oids = client
+        .queryPage(0L, -1, s"$key IN (${g.map(sqlLit).mkString(", ")})", Seq(oid))
+        .flatMap(_.attributes.get(oid)).collect { case n: Number => n.longValue() }
+      if (oids.nonEmpty) client.deleteFeatures(oids).foreach {
+        case Right(_) => deleted += 1
+        case Left(_) => failed += 1
+      }
+    }
   }
 
-  override def abort(): Unit = buffer.clear()
+  override def commit(): WriterCommitMessage = {
+    flush()
+    flushDeletes()
+    ArcGisCommit(ok, failed, updated, deleted)
+  }
+
+  override def abort(): Unit = { buffer.clear(); delKeys.clear() }
 
   override def close(): Unit = ()
 }

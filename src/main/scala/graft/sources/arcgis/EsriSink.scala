@@ -84,4 +84,34 @@ object EsriSink {
     }
     (inserted._1, okU.value)
   }
+
+  /** Bulk tombstone delete (the DataFrame-level twin of the DSv2 writer's
+    * `_deleted` routing): resolves target OIDs with the same ONE parallel
+    * key-scan join the upsert uses — never a per-row probe — and posts
+    * batched `deleteFeatures`. Keys absent from the target are idempotent
+    * no-ops (dropped by the inner join). Returns (deleted, failed).
+    */
+  def delete(df: DataFrame, clientKey: String, keyCol: String): (Long, Long) = {
+    val spark = df.sparkSession
+    val targetKeys = spark.read
+      .format("arcgis")
+      .option("client", clientKey)
+      .load()
+      .select(col(keyCol), col("objectid"))
+    val oids = df.select(col(keyCol)).distinct()
+      .join(targetKeys, Seq(keyCol))
+      .select(col("objectid"))
+    val ok = spark.sparkContext.longAccumulator("esri_delete_ok")
+    val bad = spark.sparkContext.longAccumulator("esri_delete_failed")
+    oids.foreachPartition { (it: Iterator[Row]) =>
+      val client = ArcGisClientRegistry.get(clientKey)
+      it.grouped(500).foreach { batch =>
+        client.deleteFeatures(batch.map(_.getAs[Number]("objectid").longValue())).foreach {
+          case Right(_) => ok.add(1)
+          case Left(_) => bad.add(1)
+        }
+      }
+    }
+    (ok.value, bad.value)
+  }
 }

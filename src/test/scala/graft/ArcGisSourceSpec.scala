@@ -125,6 +125,17 @@ class ArcGisSourceSpec extends AnyFunSuite {
     assert(updNames.toSet == Set(1L, 2L, 3L))
   }
 
+  test("EsriSink.delete: bulk tombstones resolve OIDs via one key scan, unknown keys no-op") {
+    val client = mkClient(10)
+    ArcGisClientRegistry.register("sinkdel10", client)
+    import spark.implicits._
+    val tombs = Seq("feat-4", "feat-7", "ghost-key").toDF("name")
+    val (deleted, failed) = EsriSink.delete(tombs, "sinkdel10", "name")
+    assert(deleted == 2 && failed == 0)
+    import scala.jdk.CollectionConverters._
+    assert(client.deletedByClient.asScala.toSet == Set(4L, 7L))
+  }
+
   test("runtime (DPP) filters from a selective dim join reach the remote where") {
     val knobs = Seq(
       "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "true",
@@ -319,7 +330,7 @@ class ArcGisSourceSpec extends AnyFunSuite {
     // S8 append through the format API
     df.write.format("arcgis").option("client", "w10").mode("append").save()
     assert(client.added.size == 2)
-    assert(ArcGisWriteStats.last("w10").contains((2L, 0L, 0L)))
+    assert(ArcGisWriteStats.last("w10").contains((2L, 0L, 0L, 0L)))
 
     // S9/S10 upsert: ONE IN-list existence probe per batch splits add/update;
     // the update carries the discovered objectid
@@ -331,7 +342,7 @@ class ArcGisSourceSpec extends AnyFunSuite {
     val upd = client.updated.toArray.map(_.asInstanceOf[EsriFeature])
     assert(upd.length == 1 && upd.head.attributes("name") == "feat-3")
     assert(upd.head.attributes("objectid").asInstanceOf[Number].longValue() == 3L)
-    assert(ArcGisWriteStats.last("w10").contains((1L, 0L, 1L)))
+    assert(ArcGisWriteStats.last("w10").contains((1L, 0L, 1L, 0L)))
     // no per-row probes: the only feature queries are IN-list batch lookups
     assert(client.whereLog.toArray.map(_.toString).count(_.contains(" IN (")) >= 1)
 
@@ -349,7 +360,7 @@ class ArcGisSourceSpec extends AnyFunSuite {
         Row(null, "bad", "idle", 0.0, "2024-02-01", null, null), 2), schema)
     mixed.write.format("arcgis").option("client", "wpoison").mode("append").save()
     assert(poison.added.size == 2)
-    assert(ArcGisWriteStats.last("wpoison").contains((2L, 1L, 0L)))
+    assert(ArcGisWriteStats.last("wpoison").contains((2L, 1L, 0L, 0L)))
   }
 
   test("aggregate pushdown: grouped count/min/max/sum/avg run remotely, zero pages fetched") {

@@ -128,7 +128,7 @@ class ArcGisStreamSpec extends AnyFunSuite {
       assert(upd.head.attributes("objectid").asInstanceOf[Number].longValue() == 1L)
       assert(target.added.toArray.map(_.asInstanceOf[EsriFeature].attributes("name")).toSeq
         == Seq("feat-99"))
-      assert(ArcGisWriteStats.last("streamsink").contains((1L, 0L, 1L)))
+      assert(ArcGisWriteStats.last("streamsink").contains((1L, 0L, 1L, 0L)))
     } finally q.stop()
   }
 
@@ -291,6 +291,61 @@ class ArcGisStreamSpec extends AnyFunSuite {
         "SELECT * FROM arcstreamdel WHERE objectid = 0 AND status = 'updated'")
         .count() == 1L)
     } finally q.stop()
+  }
+
+  test("END-TO-END sync: source tombstones drive sink deleteFeatures exactly once") {
+    // the reference's implicit delete semantics (full re-pull -> vanished
+    // rows stop being re-sent -> downstream forgets them), made explicit:
+    // incremental source with deletes=true -> key derivation -> upsert sink
+    // with _deleted routing. The tombstone carries only the source OID, so
+    // the pipeline derives the sync key from it (the T1 namespacing shape).
+    val source = new EditableMock((0L until 4L).map(i => editFeat(i, "active", 100L + i)))
+    ArcGisClientRegistry.register("e2esrc", source)
+    val target = new GrowingMock((0L until 4L).map(feat(_))) // feat-0..3 live on target
+    ArcGisClientRegistry.register("e2edst", target)
+    val q = spark.readStream.format("arcgis").option("client", "e2esrc")
+      .option("incremental", "editDate").option("editDateField", "edited")
+      .option("deletes", "true").load()
+      .select(
+        concat(lit("feat-"), col("objectid")).as("name"), // sync key from OID
+        col("status"), col("_deleted"))
+      .writeStream.format("arcgis")
+      .option("client", "e2edst").option("upsertKey", "name")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("arcgis-e2e-ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // backfill upserts feat-0..3
+      source.delete(2L, 500L)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(target.deletedByClient.asScala.toSeq == Seq(2L),
+        "the tombstone must delete exactly the matching target OID, once")
+      // quiet trigger: no re-delete
+      q.processAllAvailable()
+      assert(target.deletedByClient.asScala.toSeq == Seq(2L))
+    } finally q.stop()
+  }
+
+  test("sink delete of an unknown key is an idempotent no-op") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val target = new GrowingMock((0L until 2L).map(feat(_)))
+    ArcGisClientRegistry.register("delnoop", target)
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("status", StringType),
+      StructField("_deleted", BooleanType, nullable = false)))
+    val rows = Seq(
+      Row("feat-1", null, true), // live on target -> deleted
+      Row("ghost", null, true), // unknown key -> no-op, not an error
+      Row("feat-0", "still-here", false)) // live row -> plain upsert
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.format("arcgis").option("client", "delnoop")
+      .option("upsertKey", "name").mode("append").save()
+    import scala.jdk.CollectionConverters._
+    assert(target.deletedByClient.asScala.toSeq == Seq(1L))
+    assert(ArcGisWriteStats.last("delnoop").contains((0L, 0L, 1L, 1L)),
+      s"got ${ArcGisWriteStats.last("delnoop")}")
   }
 
   test("deletes=true without incremental=editDate fails fast") {
