@@ -10,6 +10,12 @@ exceeds the budget are recorded "oracle_timeout" (the Spark result is
 still present and row-counted), everything else gets the exact
 cell-compare verdict. Emits a CORRECTNESS-style JSON artifact.
 
+Compares run through a WORKER POOL (default 4, env CHECK_SCALED_WORKERS):
+a serial sweep at sf2 spent most of its wall inside a handful of
+budget-bound oracles while hundreds of sub-second compares queued behind
+them. Each worker's DuckDB is capped at 8 threads so four concurrent
+oracles don't oversubscribe the 32-core host.
+
 Usage: python3 scripts/check_scaled.py <sfdir> <verify_out> <artifact.json> \
            [timeout_s] [only_csv]
 
@@ -18,6 +24,7 @@ into an existing artifact (escalation pass: re-run just the oracle_timeout
 entries with a bigger budget).
 """
 import sys, json, glob, os, multiprocessing as mp
+from concurrent.futures import ThreadPoolExecutor
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
@@ -31,6 +38,8 @@ def compare_one(sfdir, out, name, sql, q):
     import duckdb
     try:
         con = duckdb.connect()
+        # 4 concurrent workers x 8 threads = the host's 32 cores, no more
+        con.sql("SET threads TO 8")
         for t in TABLES:
             p = f"{sfdir}/{t}.parquet"
             if os.path.isdir(p):
@@ -89,64 +98,61 @@ def compare_one(sfdir, out, name, sql, q):
                       "hash_match": False, "err": str(e)[:300]}))
 
 
+def run_one(sfdir, out, name, sql, budget):
+    """Spawn-join-timeout one compare; returns (name, result dict)."""
+    files = glob.glob(f"{out}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output", flush=True)
+        return name, {"rows_match": False, "err": "no spark output"}
+    q = mp.Queue()
+    p = mp.Process(target=compare_one, args=(sfdir, out, name, sql, q))
+    p.start()
+    p.join(budget)
+    if p.is_alive():
+        # SIGTERM first; a native DuckDB query can ignore it, so escalate
+        # to SIGKILL after a grace period instead of hanging the gate
+        p.terminate(); p.join(10)
+        if p.is_alive():
+            p.kill(); p.join()
+        import duckdb
+        con = duckdb.connect()
+        n = con.sql(f"SELECT count(*) FROM '{out}/{name}/*.parquet'").fetchone()[0]
+        print(f"SKIP {name}: oracle exceeded {budget}s (spark_rows={n})", flush=True)
+        return name, {"oracle_timeout": True, "budget_s": budget,
+                      "spark_rows": int(n), "err": None}
+    # the worker may have died without enqueueing (OOM-kill/segfault mid-
+    # oracle — the sf1+ scenario this gate exists for): a blocking q.get()
+    # would deadlock the whole run, so bound it and record the death
+    try:
+        name2, r = q.get(timeout=30)
+    except Exception:
+        print(f"FAIL {name}: compare worker died exitcode={p.exitcode}", flush=True)
+        return name, {"rows_match": False, "schema_match": False,
+                      "hash_match": False,
+                      "err": f"compare worker died (exitcode={p.exitcode})"}
+    if r.get("hash_match"):
+        print(f"ok   {name} ({r['spark_rows']} rows)", flush=True)
+    else:
+        print(f"FAIL {name}: {r}", flush=True)
+    return name2, r
+
+
 def main():
     sfdir, out, artifact = sys.argv[1], sys.argv[2], sys.argv[3]
     budget = int(sys.argv[4]) if len(sys.argv) > 4 else 180
     only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
+    workers = int(os.environ.get("CHECK_SCALED_WORKERS", "4"))
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     # escalation mode: start from the existing artifact and re-judge only
     # the named queries (their old entries are replaced below)
     results = {}
     if only is not None and os.path.exists(artifact):
         results = json.load(open(artifact)).get("queries", {})
-    n_ok = n_bad = n_to = 0
-    for name in sorted(oracle):
-        if only is not None and name not in only:
-            continue
-        files = glob.glob(f"{out}/{name}/*.parquet")
-        if not files:
-            results[name] = {"rows_match": False, "err": "no spark output"}
-            n_bad += 1
-            print(f"FAIL {name}: no spark output", flush=True)
-            continue
-        q = mp.Queue()
-        p = mp.Process(target=compare_one, args=(sfdir, out, name, oracle[name], q))
-        p.start()
-        p.join(budget)
-        if p.is_alive():
-            # SIGTERM first; a native DuckDB query can ignore it, so escalate
-            # to SIGKILL after a grace period instead of hanging the gate
-            p.terminate(); p.join(10)
-            if p.is_alive():
-                p.kill(); p.join()
-            import duckdb
-            con = duckdb.connect()
-            n = con.sql(f"SELECT count(*) FROM '{out}/{name}/*.parquet'").fetchone()[0]
-            results[name] = {"oracle_timeout": True, "budget_s": budget,
-                             "spark_rows": int(n), "err": None}
-            n_to += 1
-            print(f"SKIP {name}: oracle exceeded {budget}s (spark_rows={n})", flush=True)
-            continue
-        # the worker may have died without enqueueing (OOM-kill/segfault mid-
-        # oracle — the sf1+ scenario this gate exists for): a blocking q.get()
-        # would deadlock the whole run, so bound it and record the death
-        try:
-            name2, r = q.get(timeout=30)
-        except Exception:
-            results[name] = {"rows_match": False, "schema_match": False,
-                             "hash_match": False,
-                             "err": f"compare worker died (exitcode={p.exitcode})"}
-            n_bad += 1
-            print(f"FAIL {name}: compare worker died exitcode={p.exitcode}",
-                  flush=True)
-            continue
-        results[name2] = r
-        if r.get("hash_match"):
-            n_ok += 1
-            print(f"ok   {name} ({r['spark_rows']} rows)", flush=True)
-        else:
-            n_bad += 1
-            print(f"FAIL {name}: {r}", flush=True)
+    names = [n for n in sorted(oracle) if only is None or n in only]
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+        for name, r in pool.map(
+                lambda n: run_one(sfdir, out, n, oracle[n], budget), names):
+            results[name] = r
     # recount over the FULL merged result set (escalation mode replaces
     # entries inside a pre-existing artifact)
     n_ok = sum(1 for r in results.values() if r.get("hash_match"))
