@@ -38,8 +38,9 @@ def compare_one(sfdir, out, name, sql, q):
     import duckdb
     try:
         con = duckdb.connect()
-        # 4 concurrent workers x 8 threads = the host's 32 cores, no more
-        con.sql("SET threads TO 8")
+        # 4 concurrent workers x 8 threads = the host's 32 cores, no more;
+        # a single-lane final escalation can raise this to the core count
+        con.sql(f"SET threads TO {os.environ.get('CHECK_SCALED_THREADS', '8')}")
         for t in TABLES:
             p = f"{sfdir}/{t}.parquet"
             if os.path.isdir(p):
