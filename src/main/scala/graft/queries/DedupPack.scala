@@ -110,6 +110,43 @@ object DedupPack extends QueryPack {
        |cc AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node)""".stripMargin
   }
 
+  /** Prefix-filtered exact Jaccard pair generation shared by the d10/d21/d24
+    * connected-components oracles. Semantically identical to a naive
+    * within-source all-pairs join (prefix-filtering principle, Chaudhuri et
+    * al. ICDE'06 / Xiao et al. WWW'08: under any global token order, a pair
+    * with Jaccard >= t shares a token in both length-(|x| - ceil(t*|x|) + 1)
+    * prefixes), but candidates come from a token equi-join on rare-token
+    * prefixes (df-ascending canonical order, ties lexicographic) instead of
+    * an O(n²-per-source) nested loop — the same blocking the engine's
+    * ops/SetSimJoin uses. Keeps the DuckDB oracle inside its budget at 20×
+    * corpus scale, where the per-source nested loop goes 400× while true
+    * pairs grow 20× (measured: sf0.1 5.0s vs 10.0s naive, 606k candidates
+    * vs 1.25M comparisons; identical pair set).
+    */
+  private val jaccardPairsSql: String =
+    """WITH RECURSIVE toksets0 AS (
+      |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      |exploded AS (SELECT doc_id, source, unnest(toks) AS tok FROM toksets0),
+      |tokdf AS (SELECT tok, COUNT(*) AS df FROM exploded GROUP BY tok),
+      |toksets AS (
+      |  SELECT e.doc_id, any_value(e.source) AS source,
+      |    list(e.tok ORDER BY d.df, e.tok) AS toks
+      |  FROM exploded e JOIN tokdf d USING (tok) GROUP BY e.doc_id),
+      |pref AS (
+      |  SELECT doc_id, source,
+      |    unnest(toks[1:CAST(len(toks) - ceil(0.8 * len(toks)) + 1 AS BIGINT)]) AS tok
+      |  FROM toksets),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM pref a JOIN pref b
+      |    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id),
+      |pairs AS (
+      |  SELECT a_id, b_id
+      |  FROM cand JOIN toksets ta ON ta.doc_id = cand.a_id
+      |            JOIN toksets tb ON tb.doc_id = cand.b_id
+      |  WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+      |        (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.8)""".stripMargin
+
   override def queries: Seq[Q] = Seq(
     // ---------------------------------------------------------------- exact
     Q(
@@ -443,13 +480,7 @@ object DedupPack extends QueryPack {
           .select(col("id").as("doc_id"), col("component"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH RECURSIVE toksets AS (
-             |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM toksets a JOIN toksets b ON a.source = b.source AND a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+      Some(s"""$jaccardPairsSql,
              |edges AS (SELECT a_id AS es, b_id AS ed FROM pairs UNION SELECT b_id, a_id FROM pairs),
              |reach AS (
              |  SELECT doc_id AS node, doc_id AS r FROM documents
@@ -1159,14 +1190,7 @@ object DedupPack extends QueryPack {
             quant(col("n_kept").cast("double") / col("n_docs"), 1e6).as("keep_ratio"))
           .orderBy(col("source"))
       },
-      Some("""WITH RECURSIVE toksets AS (
-             |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
-             |  FROM documents),
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM toksets a JOIN toksets b ON a.source = b.source AND a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+      Some(s"""$jaccardPairsSql,
              |edges AS (SELECT a_id AS es, b_id AS ed FROM pairs UNION SELECT b_id, a_id FROM pairs),
              |reach AS (
              |  SELECT doc_id AS node, doc_id AS r FROM documents
@@ -1353,13 +1377,7 @@ object DedupPack extends QueryPack {
             (col("tot_chars") - (-col("m.nl"))).as("dropped_chars"))
           .orderBy(col("component"))
       },
-      Some("""WITH RECURSIVE toksets AS (
-             |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents),
-             |pairs AS (
-             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM toksets a JOIN toksets b ON a.source = b.source AND a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-             |        (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+      Some(s"""$jaccardPairsSql,
              |edges AS (SELECT a_id AS es, b_id AS ed FROM pairs UNION SELECT b_id, a_id FROM pairs),
              |reach AS (
              |  SELECT doc_id AS node, doc_id AS r FROM documents
