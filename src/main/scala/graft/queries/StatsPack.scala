@@ -1492,18 +1492,27 @@ object StatsPack extends QueryPack {
             .filter(col("cw") * 2 >= col("tw"))
             .groupBy(col("l_returnflag"))
             .agg(min(col(vCol)).as(out))
-        val med = discMedian(ranked(base, "v"), "v", "med")
-        val dev = base.join(broadcast(med), Seq("l_returnflag"))
-          .select(col("l_returnflag"), col("med"),
+        // p1's range shuffle is materialized (localCheckpoint) inside
+        // GlobalOrder — the deviation pass reads THAT instead of
+        // re-scanning parquet, and `med` stays a 3-row broadcast joined
+        // on each side of the second shuffle rather than a per-row
+        // decimal column shipped through it
+        val p1 = ranked(base, "v")
+        val med = discMedian(p1, "v", "med")
+        val dev = p1
+          .select(col("l_returnflag"), col("v"),
+            col("l_orderkey"), col("l_linenumber"))
+          .join(broadcast(med), Seq("l_returnflag"))
+          .select(col("l_returnflag"),
             abs(col("v") - col("med")).as("ad"),
             col("l_orderkey"), col("l_linenumber"))
-        // the ranked frame is internally checkpointed by GlobalOrder —
-        // reuse ONE materialization for both the MAD extraction and the
-        // final outlier count instead of re-deriving dev from the scan
+        // ONE materialization serves both the MAD extraction and the
+        // final outlier count
         val p2 = ranked(dev, "ad")
         val mad = discMedian(p2, "ad", "mad")
         p2
           .join(broadcast(mad), Seq("l_returnflag"))
+          .join(broadcast(med), Seq("l_returnflag"))
           .groupBy(col("l_returnflag"))
           .agg(
             count(lit(1)).as("n"),
