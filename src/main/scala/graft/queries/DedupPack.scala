@@ -128,7 +128,7 @@ object DedupPack extends QueryPack {
       |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents),
       |exploded AS (SELECT doc_id, source, unnest(toks) AS tok FROM toksets0),
       |tokdf AS (SELECT tok, COUNT(*) AS df FROM exploded GROUP BY tok),
-      |toksets AS (
+      |toksets AS MATERIALIZED (
       |  SELECT e.doc_id, any_value(e.source) AS source,
       |    list(e.tok ORDER BY d.df, e.tok) AS toks
       |  FROM exploded e JOIN tokdf d USING (tok) GROUP BY e.doc_id),
@@ -146,6 +146,65 @@ object DedupPack extends QueryPack {
       |            JOIN toksets tb ON tb.doc_id = cand.b_id
       |  WHERE CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
       |        (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.8)""".stripMargin
+
+  /** Connected components over [[jaccardPairsSql]]'s edge set, ending in a
+    * CTE `cc(doc_id, component)` with component = min transitively reachable
+    * doc_id. A direct recursive transitive closure is exact but its
+    * semi-naive evaluation materializes Θ(k³) intermediate join rows per
+    * k-node cluster — the corpus's near-dup clusters are ~170-doc
+    * near-cliques, which OOM'd DuckDB at the 20× corpus. So three rounds of
+    * min-neighbor star contraction run first as plain CTEs (O(E) join +
+    * aggregate each; measured 295,678 → 1,340 → 78 → 2 edges at sf0.1) and
+    * the recursive closure only finishes the residual graph. Exact for any
+    * round count: contraction rounds merge provably-connected nodes
+    * (n ~ min(n ∪ N(n)) is an edge-witnessed merge), the closure completes
+    * whatever is left, and labels compose back through the round mappings;
+    * min-composition holds because each round's rep is the min of an
+    * edge-closed set. The MATERIALIZED hints pin multi-referenced CTEs —
+    * DuckDB inlines by default, which re-ran the whole pair pipeline once
+    * per reference (exponential in chained self-joining CTEs).
+    * Cross-checked cell-identical against the direct closure at sf0.1;
+    * 274.9s at the 20× corpus where the direct form exceeded 5400s.
+    */
+  private val ccSql: String = jaccardPairsSql + ",\n" +
+    """edges AS MATERIALIZED (
+      |  SELECT a_id AS es, b_id AS ed FROM pairs UNION SELECT b_id, a_id FROM pairs),
+      |m1 AS MATERIALIZED (
+      |  SELECT node, MIN(nb) AS rep FROM (
+      |    SELECT es AS node, ed AS nb FROM edges
+      |    UNION ALL SELECT doc_id, doc_id FROM documents) GROUP BY node),
+      |e1 AS MATERIALIZED (
+      |  SELECT DISTINCT ma.rep AS es, mb.rep AS ed
+      |  FROM edges JOIN m1 ma ON edges.es = ma.node JOIN m1 mb ON edges.ed = mb.node
+      |  WHERE ma.rep <> mb.rep),
+      |m2 AS MATERIALIZED (
+      |  SELECT node, MIN(nb) AS rep FROM (
+      |    SELECT es AS node, ed AS nb FROM e1
+      |    UNION ALL SELECT DISTINCT rep, rep FROM m1) GROUP BY node),
+      |e2 AS MATERIALIZED (
+      |  SELECT DISTINCT ma.rep AS es, mb.rep AS ed
+      |  FROM e1 JOIN m2 ma ON e1.es = ma.node JOIN m2 mb ON e1.ed = mb.node
+      |  WHERE ma.rep <> mb.rep),
+      |m3 AS MATERIALIZED (
+      |  SELECT node, MIN(nb) AS rep FROM (
+      |    SELECT es AS node, ed AS nb FROM e2
+      |    UNION ALL SELECT DISTINCT rep, rep FROM m2) GROUP BY node),
+      |e3 AS MATERIALIZED (
+      |  SELECT DISTINCT ma.rep AS es, mb.rep AS ed
+      |  FROM e2 JOIN m3 ma ON e2.es = ma.node JOIN m3 mb ON e2.ed = mb.node
+      |  WHERE ma.rep <> mb.rep),
+      |reach AS (
+      |  SELECT es AS node, es AS r FROM e3
+      |  UNION
+      |  SELECT reach.node, e.ed FROM reach JOIN e3 e ON reach.r = e.es),
+      |comp3 AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+      |cc AS (
+      |  SELECT d.doc_id, COALESCE(c3.component, l3.rep) AS component
+      |  FROM documents d
+      |  JOIN m1 l1 ON d.doc_id = l1.node
+      |  JOIN m2 l2 ON l1.rep = l2.node
+      |  JOIN m3 l3 ON l2.rep = l3.node
+      |  LEFT JOIN comp3 c3 ON l3.rep = c3.node)""".stripMargin
 
   override def queries: Seq[Q] = Seq(
     // ---------------------------------------------------------------- exact
@@ -480,13 +539,8 @@ object DedupPack extends QueryPack {
           .select(col("id").as("doc_id"), col("component"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""$jaccardPairsSql,
-             |edges AS (SELECT a_id AS es, b_id AS ed FROM pairs UNION SELECT b_id, a_id FROM pairs),
-             |reach AS (
-             |  SELECT doc_id AS node, doc_id AS r FROM documents
-             |  UNION
-             |  SELECT reach.node, e.ed FROM reach JOIN edges e ON reach.r = e.es)
-             |SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+      Some(s"""$ccSql
+             |SELECT doc_id, component FROM cc ORDER BY doc_id""".stripMargin),
       doc = "dedup-cluster assignment: near-dup pairs as edges → distributed connected " +
         "components (iterative min-label propagation, ops/ConnectedComponents) vs a " +
         "DuckDB recursive-CTE transitive closure — the canonical-doc-per-cluster step; BASELINE RUNG (COVERAGE.md registry) — production path at scale: d25_lsh_clusters"
@@ -1190,13 +1244,7 @@ object DedupPack extends QueryPack {
             quant(col("n_kept").cast("double") / col("n_docs"), 1e6).as("keep_ratio"))
           .orderBy(col("source"))
       },
-      Some(s"""$jaccardPairsSql,
-             |edges AS (SELECT a_id AS es, b_id AS ed FROM pairs UNION SELECT b_id, a_id FROM pairs),
-             |reach AS (
-             |  SELECT doc_id AS node, doc_id AS r FROM documents
-             |  UNION
-             |  SELECT reach.node, e.ed FROM reach JOIN edges e ON reach.r = e.es),
-             |comp AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+      Some(s"""$ccSql,
              |d AS (SELECT doc_id, source,
              |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
              |      FROM documents)
@@ -1207,7 +1255,7 @@ object DedupPack extends QueryPack {
              |    AS tokens_kept,
              |  floor(CAST(SUM(CASE WHEN doc_id = component THEN 1 ELSE 0 END) AS DOUBLE)
              |    / COUNT(*) * 1000000) / 1000000 AS keep_ratio
-             |FROM d JOIN comp USING (doc_id)
+             |FROM d JOIN cc USING (doc_id)
              |GROUP BY source
              |ORDER BY source""".stripMargin),
       doc = "end-to-end dedup pipeline: near-dup edges -> connected components -> " +
@@ -1377,13 +1425,7 @@ object DedupPack extends QueryPack {
             (col("tot_chars") - (-col("m.nl"))).as("dropped_chars"))
           .orderBy(col("component"))
       },
-      Some(s"""$jaccardPairsSql,
-             |edges AS (SELECT a_id AS es, b_id AS ed FROM pairs UNION SELECT b_id, a_id FROM pairs),
-             |reach AS (
-             |  SELECT doc_id AS node, doc_id AS r FROM documents
-             |  UNION
-             |  SELECT reach.node, e.ed FROM reach JOIN edges e ON reach.r = e.es),
-             |cc AS (SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node),
+      Some(s"""$ccSql,
              |j AS (SELECT cc.component, d.doc_id, d.n_chars
              |      FROM cc JOIN documents d USING (doc_id)),
              |ag AS (
