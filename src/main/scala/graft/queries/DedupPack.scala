@@ -552,7 +552,21 @@ object DedupPack extends QueryPack {
         // candidate generation: (lang, 12-char prefix) block key — near-dups
         // share a prefix; the equi-join bounds pairs independent of corpus
         // size (1.5k pairs at sf0.1 vs 590k with length-band blocking).
-        // Exact Levenshtein then verifies candidates.
+        // Exact Levenshtein then verifies candidates — AFTER a pair-keyed
+        // exchange + materialization of the candidate list. Without the
+        // barrier, predicate pushdown collapses the rel_dist filter INTO
+        // the broadcast join's residual condition: levenshtein runs once
+        // per candidate inside the hash probe and AGAIN in the downstream
+        // projection, confined to the probe scan's parallelism (ONE task
+        // on a single-file corpus — profiled 2.8s at sf0.1). The exchange
+        // is on CANDIDATE PAIRS (block-bounded, the rows the verify must
+        // read anyway — never corpus-sized), the checkpoint pins it, and
+        // the DP then runs across the full executor set. The partition
+        // count is EXPLICIT (REPARTITION_BY_NUM): an ENSURE_REQUIREMENTS
+        // exchange of a few thousand candidate rows gets AQE-coalesced to
+        // one partition by size — but this exchange exists for COMPUTE
+        // spreading (each row carries ~0.8ms of O(len²) DP), which row
+        // bytes cannot see. Profiled at sf0.1: 3.06 → 0.67s.
         val t = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
             substring(col("text"), 1, 12).as("pfx"))
@@ -560,13 +574,19 @@ object DedupPack extends QueryPack {
           col("text").as("a_text"), col("n_chars").as("a_len"))
         val b = t.select(col("doc_id").as("b_id"), col("lang"), col("pfx"),
           col("text").as("b_text"), col("n_chars").as("b_len"))
-        a.join(b, Seq("lang", "pfx"))
+        val cand = a.join(b, Seq("lang", "pfx"))
           .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+            col("a_text"), col("b_text"),
+            greatest(col("a_len"), col("b_len")).as("max_len"))
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            col("a_id"), col("b_id"))
+          .localCheckpoint()
+        cand
           .select(
             col("a_id"), col("b_id"),
             levenshtein(col("a_text"), col("b_text")).as("edit_dist"),
-            greatest(col("a_len"), col("b_len")).as("max_len")
-          )
+            col("max_len"))
           .withColumn("rel_dist", quant(col("edit_dist").cast("double") / col("max_len"), 1e6))
           .filter(col("rel_dist") <= 0.3)
           .select(col("a_id"), col("b_id"), col("edit_dist"), col("rel_dist"))

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Dev tool: stage-level wall/task-time breakdown of one registered query.
+  *
+  *   sbt "Test/runMain graft.QueryProfile <sfDir> <queryName> [reps]"
+  *
+  * Prints, per completed stage of the final rep: stage name (first line of
+  * its call-site description), task count, total executor run time, and
+  * wall between submission and completion — the view `.explain` can't give
+  * (where the seconds actually go when the plan already looks right).
+  */
+object QueryProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    case class St(name: String, tasks: Int, runMs: Long, wallMs: Long,
+        inRec: Long, sRead: Long, sWrite: Long)
+    val stages = mutable.ArrayBuffer.empty[St]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val wall = (for { s <- i.submissionTime; c <- i.completionTime } yield c - s).getOrElse(-1L)
+        val m = i.taskMetrics
+        stages += St(i.name.takeWhile(_ != '\n'), i.numTasks,
+          m.executorRunTime, wall, m.inputMetrics.recordsRead,
+          m.shuffleReadMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten)
+      }
+    })
+
+    val q = SparkEntry.queries(name)
+    (1 to reps).foreach { r =>
+      stages.clear()
+      val t0 = System.nanoTime()
+      q(spark, sfDir).queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] rep $r: $wall%.3f s, ${stages.size} stages")
+    }
+    println(f"[profile] final-rep stages (executor-run-ms desc):")
+    stages.sortBy(-_.runMs).foreach { s =>
+      println(f"[profile]   run=${s.runMs}%6d ms  wall=${s.wallMs}%6d ms  tasks=${s.tasks}%3d  in=${s.inRec}%8d  sr=${s.sRead}%8d  sw=${s.sWrite}%8d  ${s.name}")
+    }
+    if (sys.env.contains("PROFILE_EXPLAIN")) {
+      val df = q(spark, sfDir)
+      df.queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
+      println(df.queryExecution.executedPlan.toString.linesIterator
+        .map("[plan] " + _).mkString("\n"))
+    }
+    spark.stop()
+  }
+}
