@@ -46,14 +46,26 @@ object DedupPack extends QueryPack {
   private def lshVerifiedEdges(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.{TextExpressions, TextOps}
+    // `sh` feeds three subtrees (signatures + both verify-join sides) and
+    // `sigs` four (two band self-joins × two sides): without
+    // materialization each reference re-runs the scan + shingling, at the
+    // source file count's parallelism (ONE task on a single-file corpus —
+    // profiled 3 × ~720ms single-task stages at sf0.1). One explicit-count
+    // repartition of the raw text (REPARTITION_BY_NUM — exempt from AQE
+    // size coalescing; the exchange spreads per-doc shingling COMPUTE)
+    // then one disk-backed materialization each of the encoded frames,
+    // read N times — the same discipline TokenSets.jaccardPairs documents.
     val sh = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_id"))
       .select(col("doc_id"), TextExpressions.shingles(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
+      .localCheckpoint()
     val sigs = sh.select(
       col("doc_id") +: MhSeeds.zipWithIndex.map { case ((a, b), i) =>
         array_min(transform(col("sh"),
           t => (lit(a) * TextOps.tokenHash(t) + lit(b)) % lit(1000000007L))).as(s"mh$i")
-      }: _*)
+      }: _*).localCheckpoint()
     def bandPairs(c1: String, c2: String) = {
       val x = sigs.select(col("doc_id").as("a_id"), col(c1), col(c2))
       val y = sigs.select(col("doc_id").as("b_id"), col(c1), col(c2))

@@ -18,12 +18,15 @@ object QueryProfile {
     val sfDir = args(0)
     val name = args(1)
     val reps = if (args.length > 2) args(2).toInt else 3
-    val spark = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("PROFILE_MAX_PARTITION_BYTES")
+      .foreach(v => b.config("spark.sql.files.maxPartitionBytes", v))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     case class St(name: String, tasks: Int, runMs: Long, wallMs: Long,
