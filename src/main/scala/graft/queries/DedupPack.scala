@@ -1010,12 +1010,18 @@ object DedupPack extends QueryPack {
           .select(col("doc_id"), tokens(col("text")).as("t"))
           .withColumn("n_tokens", size(col("t")))
           .filter(col("n_tokens") >= k)
+        // grams feed two subtrees (df aggregate + position join): spread
+        // the docs through an explicit-count repartition and materialize
+        // the postings once (profiled: the re-run explode was a ~630ms
+        // single-task stage per reference on the single-file corpus)
         val grams = docs
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
           .select(col("doc_id"),
             posexplode(expr(
               s"transform(sequence(1, n_tokens - ${k - 1}), i -> array_join(slice(t, i, $k), ' '))"
             )).as(Seq("p0", "gram")))
           .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+          .localCheckpoint()
         val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2).select(col("gram"))
         val p = grams.join(dup, Seq("gram")).select(col("doc_id"), col("pos"))

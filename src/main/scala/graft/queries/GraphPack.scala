@@ -269,6 +269,11 @@ object GraphPack extends QueryPack {
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("ss"))
           .filter(size(col("ss")) >= 2)
+          // explicit-count repartition before the explode: AQE coalesces
+          // the compact post-aggregate shuffle read by SIZE (4 tasks at
+          // sf0.1), but the local pair generation multiplies rows ~6× and
+          // is the stage's compute — REPARTITION_BY_NUM spreads it
+          .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
           .select(explode(expr(
             "flatten(transform(ss, (a, i) -> transform(" +
               "slice(ss, i + 2, size(ss) - i - 1), " +
@@ -345,6 +350,11 @@ object GraphPack extends QueryPack {
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("ss"))
           .filter(size(col("ss")) >= 2)
+          // explicit-count repartition before the explode: AQE coalesces
+          // the compact post-aggregate shuffle read by SIZE (4 tasks at
+          // sf0.1), but the local pair generation multiplies rows ~6× and
+          // is the stage's compute — REPARTITION_BY_NUM spreads it
+          .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
           .select(explode(expr(
             "flatten(transform(ss, (a, i) -> transform(" +
               "slice(ss, i + 2, size(ss) - i - 1), " +
@@ -423,6 +433,11 @@ object GraphPack extends QueryPack {
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_partkey").cast("long"))).as("ss"))
           .filter(size(col("ss")) >= 2)
+          // explicit-count repartition before the explode: AQE coalesces
+          // the compact post-aggregate shuffle read by SIZE (4 tasks at
+          // sf0.1), but the local pair generation multiplies rows ~6× and
+          // is the stage's compute — REPARTITION_BY_NUM spreads it
+          .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
           .select(explode(expr(
             "flatten(transform(ss, (a, i) -> transform(" +
               "slice(ss, i + 2, size(ss) - i - 1), " +

@@ -574,14 +574,21 @@ object TextPack extends QueryPack {
         val docs = Tables.documents(s, d)
         val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
         val sh = graft.functions.TextExpressions.shingles(col("text"), 3)
+        // the exploded postings feed FOUR subtrees (df aggregate, norm
+        // aggregate, both pair-join sides): materialize them once behind an
+        // explicit-count repartition of the raw docs — profiled without it,
+        // each reference re-ran the scan + shingle explode at the source
+        // file count's parallelism (4 single-task ~300ms stages at sf0.1)
         val feat = docs
           .filter(size(tokens(col("text"))) >= 3)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
           .select(col("doc_id"), col("source"), sh.as("sh"))
           .select(col("doc_id"), col("source"), explode(col("sh")).as("shingle"))
+          .localCheckpoint()
         // df and norms join back by SHUFFLE on purpose: they aggregate from
-        // the same exploded postings, so Catalyst reuses the postings
-        // exchange; broadcasting them would re-run the explode once per
-        // broadcast subtree (measured 40% slower here)
+        // the same materialized postings; broadcasting them would re-run
+        // the checkpoint read once per broadcast subtree (measured 40%
+        // slower here pre-materialization)
         val df_ = feat.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         val w = feat.join(df_, Seq("shingle"))
           .crossJoin(broadcast(nDocs))
