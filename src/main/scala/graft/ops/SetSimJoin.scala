@@ -122,12 +122,20 @@ object SetSimJoin {
       .agg(min(col("__ub")).as("__ub"), first(col("__minn")).as("__minn"))
       .filter(col("__ub") >= ceil(lit(t) * col("__minn")).cast("long"))
       .select(col("a_id"), col("b_id"))
-    // exact verification: one array_intersect per surviving pair
+    // exact verification: one array_intersect per surviving pair. The
+    // paired frame is MATERIALIZED before the intersect: callers filter on
+    // expressions over `inter`, and predicate pushdown otherwise clones
+    // that filter into the verify join's condition — the O(m+n) intersect
+    // then runs per probe candidate and AGAIN in the projection
+    // (PlanGuardSpec rule 4, the d11 failure class). The checkpoint holds
+    // candidate pairs with their arrays — positional-filter-bounded, the
+    // rows the verify must read anyway.
     val a = base.select(col("__id").as("a_id"), col("__sh").as("__a_sh"), col("__n").as("a_n"))
     val b = base.select(col("__id").as("b_id"), col("__sh").as("__b_sh"), col("__n").as("b_n"))
     candidates
       .join(a, Seq("a_id"))
       .join(b, Seq("b_id"))
+      .localCheckpoint()
       .select(col("a_id"), col("b_id"), col("a_n"), col("b_n"),
         size(array_intersect(col("__a_sh"), col("__b_sh"))).cast("long").as("inter"))
   }

@@ -4,9 +4,9 @@ import org.apache.spark.sql.execution._
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec, ShuffleExchangeExec}
-import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{ArrayExcept, ArrayIntersect, ArraysOverlap, ArrayUnion, Attribute, EqualTo, Levenshtein, Literal}
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -29,6 +29,15 @@ import org.scalatest.funsuite.AnyFunSuite
   *     partial-aggregates without grouping first, so exactly one row per
   *     input partition crosses the wire (or the subtree below is itself a
   *     bounded broadcast-side shape per rule 2, e.g. a global LIMIT).
+  *  4. A super-linear scalar kernel (Levenshtein's O(m·n) DP, the O(m+n)
+  *     set-array operators) inside a JOIN CONDITION. The condition runs
+  *     once per probe-side candidate, and predicate pushdown silently
+  *     CLONES a post-join filter into it — observed on d11, where
+  *     levenshtein executed inside the broadcast hash probe and again in
+  *     the downstream projection, confined to the probe scan's
+  *     parallelism. The scalable form is a materialization barrier
+  *     (exchange + checkpoint of the candidate pairs) between the join
+  *     and the kernel, which also runs the kernel exactly once per pair.
   *
   * Every query runs at sf0.001 with AQE finalized (collect() first), and the
   * traversal descends through adaptive wrapper nodes, reused exchanges and
@@ -138,6 +147,27 @@ class PlanGuardSpec extends AnyFunSuite {
             s"$name: single-partition exchange without a grouping-free partial " +
               s"aggregate (or other bound) below it — unbounded rows through one " +
               s"reducer:\n${e.child.treeString.linesIterator.take(15).mkString("\n")}")
+        case _ =>
+      }
+
+      // rule 4: super-linear scalar kernels must not ride join conditions
+      nodes.foreach {
+        case j: BaseJoinExec =>
+          j.condition.foreach { c =>
+            val hot = c.collect {
+              case e: Levenshtein => e
+              case e: ArrayIntersect => e
+              case e: ArrayExcept => e
+              case e: ArrayUnion => e
+              case e: ArraysOverlap => e
+            }
+            assert(
+              hot.isEmpty,
+              s"$name: ${hot.map(_.prettyName).distinct.mkString(",")} inside a " +
+                s"${j.nodeName} condition — runs per probe candidate (and pushdown " +
+                s"may have cloned a post-join filter here); put a materialization " +
+                s"barrier between the join and the kernel:\n$c")
+          }
         case _ =>
       }
     }
