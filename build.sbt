@@ -40,3 +40,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:ReservedCodeCacheSize=1g",
   "-XX:MetaspaceSize=1g",
 )
+// diagnostics passthrough: extra JVM flags for the forked run without
+// editing the build (e.g. SPARK_GRAFT_XJAVA="-Xlog:gc:gc.log" or
+// "-XX:TieredStopAtLevel=1" for JIT-sensitivity experiments)
+javaOptions ++= sys.env.get("SPARK_GRAFT_XJAVA").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

@@ -202,6 +202,15 @@ object Bench {
     }
     def isContended(samples: Seq[Double]): Boolean =
       samples.forall(_ >= 0) && samples.min >= 0.05 && best2Spread(samples) > 2.0
+    // ladder trigger: the 2x-spread rule alone missed the r16 driver
+    // artifact's x26 (samples 5.2s/8.9s — spread 1.69, BOTH reps sitting at
+    // C1 speed behind a backlogged C2 compile queue, see the settle pass
+    // below) — for expensive cells, a 1.4x disagreement between the two
+    // best samples is already worth two more samples relative to the cost
+    // of carrying a 4s error into the suite total
+    def unstable(samples: Seq[Double]): Boolean =
+      isContended(samples) ||
+        (samples.forall(_ >= 0) && samples.min >= 1.0 && best2Spread(samples) > 1.4)
     // Periodic SESSION restart (same JVM): measured per-query ratios vs the
     // r15 artifact grew monotonically with EXECUTION ORDER (family b 1.12x
     // ... x 1.34x; isolated re-runs of late cells returned to baseline), so
@@ -231,8 +240,13 @@ object Bench {
         miniWarm()
         sinceRestart = 0
       }
+    val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+    def traceSamples(name: String, samples: Seq[Double]): Unit =
+      if (trace) System.err.println(
+        s"[bench-trace] ${java.time.Instant.now()} $name samples=" +
+          samples.map(v => f"$v%.3f").mkString(","))
     val firstPass = queryFns.map { case (name, fn) =>
-      if (sys.env.contains("SPARK_GRAFT_TRACE"))
+      if (trace)
         System.err.println(s"[bench-trace] ${java.time.Instant.now()} $name")
       maybeRestart()
       sinceRestart += 1
@@ -240,9 +254,10 @@ object Bench {
       // query are noise, and the failure is already on stderr
       val samples = scala.collection.mutable.ArrayBuffer(once(name, fn))
       while (samples.last >= 0 && samples.size < reps) samples += once(name, fn)
-      while (samples.last >= 0 && isContended(samples.toSeq) &&
+      while (samples.last >= 0 && unstable(samples.toSeq) &&
         samples.size < reps + extraReps)
         samples += once(name, fn)
+      traceSamples(name, samples.toSeq)
       name -> samples.toSeq
     }
     // Isolated end-of-run re-rep for cells STILL contended after the inline
@@ -254,26 +269,69 @@ object Bench {
     // GC + settle — so the verdict reflects the query, not the moment. Work
     // stays bounded: the quiet-host case re-reps nothing.
     val isoReps = sys.env.getOrElse("SPARK_GRAFT_ISO_REPS", "3").toInt.max(0)
-    val contendedNames = firstPass.collect { case (n, ss) if isContended(ss) => n }.toSet
+    val fnByName = queryFns.toMap
+    val contendedNames = firstPass.collect { case (n, ss) if unstable(ss) => n }.toSet
     val results0 =
       if (contendedNames.isEmpty || isoReps == 0) firstPass
       else {
         System.err.println(
           s"[bench] isolated re-rep: ${contendedNames.toSeq.sorted.mkString(",")}")
         System.gc(); Thread.sleep(1000)
-        val fnByName = queryFns.toMap
         firstPass.map { case (name, ss) =>
           if (!contendedNames(name)) (name, ss)
           else {
             val samples = scala.collection.mutable.ArrayBuffer(ss: _*)
-            while (samples.last >= 0 && isContended(samples.toSeq) &&
+            while (samples.last >= 0 && unstable(samples.toSeq) &&
               samples.size < ss.size + isoReps)
               samples += once(name, fnByName(name))
+            traceSamples(name, samples.toSeq)
             (name, samples.toSeq)
           }
         }
       }
-    val results = results0
+    // Settle re-rep: transient JVM state can leave a cell's samples
+    // CONSISTENTLY slow, so no spread-based ladder ever fires. Diagnosed
+    // r17 on the r16 driver artifact: the C2 compile queue, backlogged by
+    // hundreds of per-query codegen classes, kept the hottest kernels at
+    // C1/interpreted speed through both timed reps — x26's 66-aggregate
+    // kernel measures 7.2s under -XX:TieredStopAtLevel=1 vs 1.1s at peak
+    // code, and the driver artifact carried 5.2s for exactly that reason
+    // (both reps slow → spread 1.69 → never flagged). By the END of the
+    // suite the queue has drained, so every expensive cell gets up to
+    // `settleReps` more samples here; the min (what the total uses) only
+    // improves, the second settle rep is taken only while the cell is
+    // still descending (>10% improvement), and a cell that stays slow now
+    // is genuinely slow. Bounded: only cells with min >= settleMin re-rep
+    // (~17 cells at the 1.25s default, well under a minute of extra wall).
+    val settleMin = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MIN", "1.25").toDouble
+    val settleReps = sys.env.getOrElse("SPARK_GRAFT_SETTLE_REPS", "2").toInt.max(0)
+    val settleNames = results0.collect {
+      case (n, ss) if ss.forall(_ >= 0) && ss.min >= settleMin => n
+    }.toSet
+    val results1 =
+      if (settleNames.isEmpty || settleReps == 0) results0
+      else {
+        System.err.println(
+          s"[bench] settle re-rep: ${settleNames.toSeq.sorted.mkString(",")}")
+        System.gc(); Thread.sleep(1000)
+        results0.map { case (name, ss) =>
+          if (!settleNames(name)) (name, ss)
+          else {
+            val samples = scala.collection.mutable.ArrayBuffer(ss: _*)
+            var taken = 0
+            var descending = true
+            while (descending && taken < settleReps && samples.last >= 0) {
+              val before = samples.min
+              samples += once(name, fnByName(name))
+              taken += 1
+              descending = samples.last >= 0 && samples.last < before * 0.9
+            }
+            traceSamples(name, samples.toSeq)
+            (name, samples.toSeq)
+          }
+        }
+      }
+    val results = results1
       .map { case (name, samples) =>
         if (samples.exists(_ < 0)) (name, -1.0, -1.0, 1.0, samples.size)
         else {
@@ -341,6 +399,19 @@ object Bench {
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
     val metricLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"contended":${flagged.size}$failedJson,"calib_st_ms":${r3(calibSt)},"families":$families,"queries":$slowest,"sf":"$sfDir"}"""
+    // the summary object also goes to a fixed FILE: the driver's regex has
+    // recorded "parsed": null for 4 rounds running even with the metric
+    // line intact in the tail (sbt's [info]/[error] line prefixes are the
+    // prime suspect) — a single-object file with no log framing gives the
+    // driver (and the round-over-round diffs) a parse-proof copy.
+    try {
+      val w = new java.io.PrintWriter("BENCH_SUMMARY.json")
+      w.println(metricLine)
+      w.close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write BENCH_SUMMARY.json: $e")
+    }
     println(metricLine)
     // the driver records only the last ~2000 chars of combined output, and
     // executor-shutdown WARN logs after this point have been flooding the

@@ -64,6 +64,16 @@ object SetSimJoin {
     *              at least one side of each wanted pair (prefix lengths
     *              derive from it; smaller t = longer prefixes = more
     *              candidates, same exactness)
+    * @param materialize the multi-consumer barrier (shingle arrays and the
+    *         verify frame are each read by several subtrees — see the inline
+    *         notes). The default `localCheckpoint()` is EAGER and stores
+    *         unreplicated executor-local blocks: construction runs jobs
+    *         immediately and the result cannot be recomputed after executor
+    *         loss — the right trade on a single-node/local-mode runner (this
+    *         repo's bench frees the blocks between queries). Cluster callers
+    *         on preemptible executors should pass a fault-tolerant barrier
+    *         instead, e.g. `df => df.persist(StorageLevel.MEMORY_AND_DISK)`
+    *         (lazy, lineage kept, recomputable) and unpersist downstream.
     * @return (a_id, b_id, a_n, b_n, inter) for unordered candidate pairs,
     *         a_id < b_id, inter computed exactly
     */
@@ -72,14 +82,15 @@ object SetSimJoin {
       t: Double,
       idCol: String = "doc_id",
       blockCol: String = "source",
-      setCol: String = "sh"): DataFrame = {
+      setCol: String = "sh",
+      materialize: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     // materialize the shingle arrays ONCE — four subtrees consume them (df
     // agg, pruned postings, both verify sides); without the checkpoint each
     // re-runs the scan + shingle computation
     val base = docs.select(
       col(idCol).as("__id"), col(blockCol).as("__blk"),
       col(setCol).as("__sh"), size(col(setCol)).as("__n"))
-      .localCheckpoint()
+      .transform(materialize)
     val postings = base.select(
       col("__id"), col("__blk"), col("__n"), explode(col("__sh")).as("__t"))
     // document frequency per (block, shingle); df=1 postings are exact dead
@@ -122,21 +133,24 @@ object SetSimJoin {
       .agg(min(col("__ub")).as("__ub"), first(col("__minn")).as("__minn"))
       .filter(col("__ub") >= ceil(lit(t) * col("__minn")).cast("long"))
       .select(col("a_id"), col("b_id"))
-    // exact verification: one array_intersect per surviving pair. The
-    // paired frame is MATERIALIZED before the intersect: callers filter on
-    // expressions over `inter`, and predicate pushdown otherwise clones
-    // that filter into the verify join's condition — the O(m+n) intersect
-    // then runs per probe candidate and AGAIN in the projection
-    // (PlanGuardSpec rule 4, the d11 failure class). The checkpoint holds
-    // candidate pairs with their arrays — positional-filter-bounded, the
-    // rows the verify must read anyway.
+    // exact verification: one array_intersect per surviving pair,
+    // computed BEFORE the materialization barrier so the barrier holds
+    // five longs per pair (not two shingle arrays) and the kernel runs
+    // EXACTLY once. Materializing after the intersect also closes the
+    // clone hole: callers filter on `inter`, and with the arrays gone
+    // from the materialized frame there is no expression for predicate
+    // pushdown to duplicate into a filter below the projection — the
+    // r16 shape (checkpoint of the paired ARRAYS, intersect in a
+    // downstream projection) re-ran the intersect in the pushed filter
+    // clone and again in the projection (PlanGuardSpec rule 4b, the
+    // d11 failure class).
     val a = base.select(col("__id").as("a_id"), col("__sh").as("__a_sh"), col("__n").as("a_n"))
     val b = base.select(col("__id").as("b_id"), col("__sh").as("__b_sh"), col("__n").as("b_n"))
     candidates
       .join(a, Seq("a_id"))
       .join(b, Seq("b_id"))
-      .localCheckpoint()
       .select(col("a_id"), col("b_id"), col("a_n"), col("b_n"),
         size(array_intersect(col("__a_sh"), col("__b_sh"))).cast("long").as("inter"))
+      .transform(materialize)
   }
 }

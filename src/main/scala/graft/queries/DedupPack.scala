@@ -593,12 +593,18 @@ object DedupPack extends QueryPack {
             greatest(col("a_len"), col("b_len")).as("max_len"))
           .repartition(s.sessionState.conf.numShufflePartitions,
             col("a_id"), col("b_id"))
-          .localCheckpoint()
-        cand
+          // the DP runs once per pair INSIDE the materialized frame (after
+          // the compute-spreading exchange, before the checkpoint): the
+          // checkpoint then stores (a_id, b_id, edit_dist, max_len) — no
+          // texts — and the rel_dist filter below has no levenshtein
+          // expression to clone through the projection (PlanGuard rule 4b;
+          // the r16 shape re-ran the DP in the pushed filter copy)
           .select(
             col("a_id"), col("b_id"),
             levenshtein(col("a_text"), col("b_text")).as("edit_dist"),
             col("max_len"))
+          .localCheckpoint()
+        cand
           .withColumn("rel_dist", quant(col("edit_dist").cast("double") / col("max_len"), 1e6))
           .filter(col("rel_dist") <= 0.3)
           .select(col("a_id"), col("b_id"), col("edit_dist"), col("rel_dist"))

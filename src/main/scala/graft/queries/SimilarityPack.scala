@@ -105,7 +105,7 @@ object SimilarityPack extends QueryPack {
            |ORDER BY bucket""".stripMargin
       },
       doc = "random-hyperplane LSH: 4 deterministic planes -> 16 buckets; ANN candidates " +
-        "come from an equi-join on bucket at scale; BASELINE RUNG (COVERAGE.md registry) — production path at scale: s22_adaptive_ann"
+        "come from an equi-join on bucket at scale; BASELINE RUNG (COVERAGE.md registry) — production path at scale: s22_adaptive_ann (LSH serving; IVF+PQ twin: s25_adaptive_ivf)"
     ),
     // ---------------------------------------------------------------- knn join via lsh
     Q(
@@ -142,7 +142,7 @@ object SimilarityPack extends QueryPack {
            |GROUP BY bucket
            |ORDER BY bucket""".stripMargin
       },
-      doc = "end-to-end ANN: LSH bucket equi-join generates candidates, exact cosine re-ranks; BASELINE RUNG (COVERAGE.md registry) — production path at scale: s22_adaptive_ann"
+      doc = "end-to-end ANN: LSH bucket equi-join generates candidates, exact cosine re-ranks; BASELINE RUNG (COVERAGE.md registry) — production path at scale: s22_adaptive_ann (LSH serving; IVF+PQ twin: s25_adaptive_ivf)"
     ),
     // ---------------------------------------------------------------- centroids
     Q(
@@ -896,7 +896,7 @@ object SimilarityPack extends QueryPack {
       },
       doc = "batched ANN retrieval: a query SET joins the index on the shared " +
         "LSH cell key (per-cell fan-out, never |Q|x|DB|), exact cosine rerank, " +
-        "top-3 per query via the native bounded-heap top-k operator; BASELINE RUNG (COVERAGE.md registry) — production path at scale: s22_adaptive_ann"
+        "top-3 per query via the native bounded-heap top-k operator; BASELINE RUNG (COVERAGE.md registry) — production path at scale: s22_adaptive_ann (LSH serving; IVF+PQ twin: s25_adaptive_ivf)"
     ),
     // ---------------------------------------------------------------- s17
     Q(
@@ -965,7 +965,7 @@ object SimilarityPack extends QueryPack {
       },
       doc = "multi-probe LSH retrieval: each query probes its own cell plus the 4 " +
         "Hamming-1 cells (bucket XOR plane bit) — recall rises without extra hash " +
-        "tables, cost stays a disjoint-cell equi-join; n_cand exposes the trade; BASELINE RUNG (COVERAGE.md registry) — production path at scale: s22_adaptive_ann"
+        "tables, cost stays a disjoint-cell equi-join; n_cand exposes the trade; BASELINE RUNG (COVERAGE.md registry) — production path at scale: s22_adaptive_ann (LSH serving; IVF+PQ twin: s25_adaptive_ivf)"
     ),
     // ---------------------------------------------------------------- s18
     Q(

@@ -48,14 +48,21 @@ trait ArcGisClient extends Serializable {
   /** Offset-window page of `/query` (EsriDumpConfigApproach.ITER). `where`
     * is an ArcGIS SQL-92 predicate ("1=1" for none); `outFields` the
     * server-side projection (`*` for all); `envelope` the optional
-    * server-side spatial filter (inclusive bbox intersect).
+    * server-side spatial filter (inclusive bbox intersect); `outSR` the
+    * optional wkid the server should reproject coordinates INTO (the
+    * reference carries a proj4 pin for arbitrary-CRS output,
+    * `package-lock.json:3233` — Feature Services do the same transform
+    * server-side via the `outSR` query param, so the engine passes the
+    * request through rather than reimplementing every CRS pair; None keeps
+    * the 4326 default discipline).
     */
   def queryPage(
       offset: Long,
       count: Int,
       where: String,
       outFields: Seq[String],
-      envelope: Option[Envelope] = None
+      envelope: Option[Envelope] = None,
+      outSR: Option[String] = None
   ): Seq[EsriFeature]
 
   /** `queryTopFeatures` endpoint (strategy S2, `task.ts:16-19,400`). */
@@ -64,7 +71,8 @@ trait ArcGisClient extends Serializable {
       groupByField: String,
       orderByField: String,
       where: String,
-      outFields: Seq[String]
+      outFields: Seq[String],
+      outSR: Option[String] = None
   ): Seq[EsriFeature]
 
   /** Point lookup by key equality (upsert existence probe S10,
@@ -254,14 +262,18 @@ class MockArcGisClient(
 
   val envelopeLog = new java.util.concurrent.CopyOnWriteArrayList[Envelope]()
 
+  val outSrLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
+
   override def queryPage(
       offset: Long,
       count: Int,
       where: String,
       outFields: Seq[String],
-      envelope: Option[Envelope] = None
+      envelope: Option[Envelope] = None,
+      outSR: Option[String] = None
   ): Seq[EsriFeature] = {
     whereLog.add(where)
+    outSR.foreach(outSrLog.add)
     outFieldsLog.add(outFields.mkString(","))
     pageLog.add((offset, count))
     envelope.foreach(envelopeLog.add)
@@ -287,9 +299,11 @@ class MockArcGisClient(
       groupByField: String,
       orderByField: String,
       where: String,
-      outFields: Seq[String]
+      outFields: Seq[String],
+      outSR: Option[String] = None
   ): Seq[EsriFeature] = {
     whereLog.add(where)
+    outSR.foreach(outSrLog.add)
     rows.filter(matches(_, where))
       .groupBy(_.attributes(groupByField))
       .values.flatMap { g =>

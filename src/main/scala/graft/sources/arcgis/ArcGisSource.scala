@@ -19,6 +19,7 @@ import scala.jdk.CollectionConverters._
   *   .option("client", "<registry key>")        // transport (HTTP or mock)
   *   .option("where", "status = 'active'")      // ARCGIS_QUERY passthrough (S3)
   *   .option("strategy", "query")               // or "queryTopFeatures" (S2)
+  *   .option("outSR", "3857")                   // server-side reprojection
   *   .load()
   * }}}
   *
@@ -712,10 +713,11 @@ class ArcGisPartitionReader(
           options("groupByField"),
           options("orderByField"),
           where,
-          outFields
+          outFields,
+          options.get("outSR")
         )
       else client.queryPage(partition.offset, partition.count, where, outFields,
-        partition.envelope)
+        partition.envelope, options.get("outSR"))
     page.iterator
   }
 
@@ -764,7 +766,8 @@ class ArcGisOidRangeReader(
       // unsupported on the servers this mode exists for; the server caps the
       // response at its maxRecordCount (== partition.page by default), which
       // is exactly the saturation signal the halving protocol reads
-      val rows = client.queryPage(0L, -1, rangeWhere(lo, hi), outFields, partition.envelope)
+      val rows = client.queryPage(0L, -1, rangeWhere(lo, hi), outFields,
+        partition.envelope, options.get("outSR"))
       if (rows.size >= partition.page && hi - lo > 1) {
         // saturated response: discard, split, re-scan both halves
         val mid = lo + (hi - lo) / 2

@@ -168,12 +168,20 @@ class HttpArcGisClient(
     */
   override def queryPage(
       offset: Long, count: Int, where: String, outFields: Seq[String],
-      envelope: Option[Envelope] = None
-  ): Seq[EsriFeature] =
+      envelope: Option[Envelope] = None, outSR: Option[String] = None
+  ): Seq[EsriFeature] = {
+    // user-chosen SR (read option `outSR`) replaces the 4326 default for
+    // BOTH outSR and the envelope's inSR: predicates over geom_x/geom_y are
+    // written against the coordinates the user receives, the pushed bbox is
+    // derived from those predicates, and declaring the envelope in the same
+    // wkid keeps one unit system end to end (the server reprojects the
+    // envelope internally) — the SR discipline is preserved, just in the
+    // caller's frame instead of WGS-84
+    val sr = outSR.getOrElse("4326")
     parseFeatures(get("/query", Seq(
       "where" -> where,
       "outFields" -> (if (outFields.isEmpty) "*" else outFields.mkString(",")),
-      "outSR" -> "4326"
+      "outSR" -> sr
     ) ++ (if (count >= 0) Seq(
       "resultOffset" -> offset.toString,
       "resultRecordCount" -> count.toString,
@@ -183,17 +191,18 @@ class HttpArcGisClient(
         "geometry" -> s"""{"xmin":${e.xmin},"ymin":${e.ymin},"xmax":${e.xmax},"ymax":${e.ymax}}""",
         "geometryType" -> "esriGeometryEnvelope",
         "spatialRel" -> "esriSpatialRelIntersects",
-        "inSR" -> "4326" // same SR as outSR — one unit system end to end
+        "inSR" -> sr // same SR as outSR — one unit system end to end
       ))))
+  }
 
   override def queryTopFeatures(
       topCount: Int, groupByField: String, orderByField: String,
-      where: String, outFields: Seq[String]
+      where: String, outFields: Seq[String], outSR: Option[String] = None
   ): Seq[EsriFeature] =
     parseFeatures(get("/queryTopFeatures", Seq(
       "where" -> where,
       "outFields" -> (if (outFields.isEmpty) "*" else outFields.mkString(",")),
-      "outSR" -> "4326", // same SR discipline as queryPage
+      "outSR" -> outSR.getOrElse("4326"), // same SR discipline as queryPage
       "topFilter" -> s"""{"groupByFields":"$groupByField","topCount":$topCount,"orderByFields":"$orderByField"}"""
     )))
 

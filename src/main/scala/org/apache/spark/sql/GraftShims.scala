@@ -19,6 +19,16 @@ object GraftShims {
   def toInternalRdd(df: Dataset[Row]): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd
 
+  /** Block until every event already posted to the listener bus has been
+    * delivered (`listenerBus` is `private[spark]`). Measurement tools that
+    * read state a [[org.apache.spark.scheduler.SparkListener]] accumulates
+    * (e.g. the test-side QueryProfile) need this barrier before reading:
+    * stage-completed events arrive on the bus thread, typically AFTER the
+    * action's driver-side return.
+    */
+  def waitListenerBusEmpty(spark: SparkSession, timeoutMs: Long = 10000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+
   def internalCreateDataFrame(
       spark: SparkSession,
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],

@@ -26,9 +26,10 @@ class ArcGisStreamSpec extends AnyFunSuite {
     @volatile private var extra: Seq[EsriFeature] = Seq.empty
     def grow(more: Seq[EsriFeature]): Unit = extra = extra ++ more
     override def queryPage(offset: Long, count: Int, where: String,
-        outFields: Seq[String], envelope: Option[Envelope]): Seq[EsriFeature] = {
+        outFields: Seq[String], envelope: Option[Envelope],
+        outSR: Option[String]): Seq[EsriFeature] = {
       val self = new MockArcGisClient(fields, rows ++ extra, pageSize)
-      self.queryPage(offset, count, where, outFields, envelope)
+      self.queryPage(offset, count, where, outFields, envelope, outSR)
     }
     override def queryStatistics(where: String, groupBy: Seq[String],
         stats: Seq[StatSpec]): Seq[Map[String, Any]] =
@@ -160,9 +161,10 @@ class ArcGisStreamSpec extends AnyFunSuite {
     }
     private def live = new MockArcGisClient(editFields, current, pageSize)
     override def queryPage(offset: Long, count: Int, where: String,
-        outFields: Seq[String], envelope: Option[Envelope]): Seq[EsriFeature] = {
+        outFields: Seq[String], envelope: Option[Envelope],
+        outSR: Option[String]): Seq[EsriFeature] = {
       whereLog.add(where) // the delegate is throwaway — capture on THIS mock
-      live.queryPage(offset, count, where, outFields, envelope)
+      live.queryPage(offset, count, where, outFields, envelope, outSR)
     }
     override def queryStatistics(where: String, groupBy: Seq[String],
         stats: Seq[StatSpec]): Seq[Map[String, Any]] = {
@@ -346,6 +348,88 @@ class ArcGisStreamSpec extends AnyFunSuite {
     assert(target.deletedByClient.asScala.toSeq == Seq(1L))
     assert(ArcGisWriteStats.last("delnoop").contains((0L, 0L, 1L, 1L)),
       s"got ${ArcGisWriteStats.last("delnoop")}")
+  }
+
+  test("FAULT INJECTION: server loss between the delete probe and the " +
+      "OID-window read — no tombstone lost or double-delivered on restart") {
+    // The r16 tombstone specs cover the happy path and the wrong-mode
+    // checkpoint; this stages the mid-batch crash in between: the batch's
+    // deletedFeatures probe ANSWERS, then the live OID-window read dies.
+    // The offsets for the batch are already in the WAL, the batch must not
+    // commit, and the restarted query must replay the SAME window — the
+    // successfully-probed tombstone is neither lost (it rides the replay)
+    // nor doubled (the failed attempt committed nothing).
+    import scala.jdk.CollectionConverters._
+    val client = new EditableMock(
+      (0L until 4L).map(i => editFeat(i, "active", 100L + i))) {
+      @volatile var failLiveReads = false
+      val delProbes = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def queryPage(offset: Long, count: Int, where: String,
+          outFields: Seq[String], envelope: Option[Envelope],
+          outSR: Option[String]): Seq[EsriFeature] = {
+        if (failLiveReads)
+          throw new RuntimeException("injected: feature service dropped mid-batch")
+        super.queryPage(offset, count, where, outFields, envelope, outSR)
+      }
+      override def queryDeletedFeatures(loTs: Long, hiTs: Long): Seq[(Long, Long)] = {
+        delProbes.incrementAndGet()
+        super.queryDeletedFeatures(loTs, hiTs)
+      }
+    }
+    ArcGisClientRegistry.register("streamfault", client)
+    val ckpt = java.nio.file.Files.createTempDirectory("arcgis-fault-ckpt").toString
+    // foreachBatch (checkpoint-recoverable, unlike the memory sink in
+    // append mode) collecting only rows whose batch ACTION succeeded —
+    // exactly what a transactional downstream sees
+    val delivered = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long, Boolean)]()
+    def start() = spark.readStream.format("arcgis").option("client", "streamfault")
+      .option("incremental", "editDate").option("editDateField", "edited")
+      .option("deletes", "true").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        df.select(col("objectid"), col("_deleted")).collect()
+          .foreach(r => delivered.add((id, r.getLong(0), r.getBoolean(1))))
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(50)).start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(delivered.asScala.map(_._2).sorted.toSeq == (0L until 4L),
+        "backfill committed before the fault")
+      // edit + delete land in one pending window; then the server "dies"
+      // for live reads while the delete journal keeps answering
+      client.upsert(1L, "updated", 500L)
+      client.delete(2L, 501L)
+      val probesAtArm = client.delProbes.get()
+      delivered.clear()
+      client.failLiveReads = true
+      intercept[Exception](q1.processAllAvailable())
+      assert(q1.exception.isDefined, "the query must fail, not hang")
+      assert(client.delProbes.get() > probesAtArm,
+        "the delete journal WAS probed during the failed batch")
+      assert(delivered.isEmpty,
+        "a failed batch must deliver nothing — no partial tombstones")
+    } finally q1.stop()
+
+    // server recovers; same checkpoint → the WAL replays the same window
+    client.failLiveReads = false
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val rows = delivered.asScala.map(r => (r._2, r._3)).toSeq
+      assert(rows.count(_ == (2L, true)) == 1,
+        s"exactly one tombstone for oid 2 after replay, got $rows")
+      assert(rows.count(_ == (1L, false)) == 1,
+        s"the edited row replays exactly once, got $rows")
+      assert(!rows.exists(r => r._1 == 0L || r._1 == 3L),
+        s"backfill must NOT re-deliver (offset resume), got $rows")
+      // quiet trigger: nothing re-delivers
+      val n = delivered.size()
+      q2.processAllAvailable()
+      assert(delivered.size() == n, "no double delivery on a quiet trigger")
+    } finally q2.stop()
   }
 
   test("deletes=true without incremental=editDate fails fast") {

@@ -131,6 +131,23 @@ class HttpArcGisClientSpec extends AnyFunSuite {
       assert(seenOutSrs.toArray.nonEmpty && seenOutSrs.toArray.forall(_ == "4326"),
         seenOutSrs.toArray.mkString(","))
 
+      // outSR read option (reference parity: proj4 transforms arbitrary CRS
+      // pairs, package-lock.json:3233 — Feature Services reproject
+      // server-side, so the option rides the wire instead of a client-side
+      // transform): the requested wkid replaces 4326 on every page request
+      // and the schema is unchanged (still geom_x/geom_y doubles — only the
+      // units change, server-side)
+      seenOutSrs.clear()
+      val mercator = spark.read.format("arcgis").option("client", "http-it")
+        .option("outSR", "3857").load()
+      assert(mercator.schema == df.schema)
+      // row fetch, not count(): count() aggregate-pushes to outStatistics
+      // and would never hit the /query page path this case asserts on
+      assert(mercator.select("objectid", "geom_x").collect().length == N)
+      assert(seenOutSrs.toArray.nonEmpty && seenOutSrs.toArray.forall(_ == "3857"),
+        seenOutSrs.toArray.mkString(","))
+      seenOutSrs.clear()
+
       // aggregate pushdown travels the wire as outStatistics +
       // groupByFieldsForStatistics and returns one row per group
       val agg = spark.read.format("arcgis").option("client", "http-it").load()

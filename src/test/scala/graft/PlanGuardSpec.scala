@@ -38,6 +38,11 @@ import org.scalatest.funsuite.AnyFunSuite
   *     parallelism. The scalable form is a materialization barrier
   *     (exchange + checkpoint of the candidate pairs) between the join
   *     and the kernel, which also runs the kernel exactly once per pair.
+  *     Rule 4b extends the check beyond join conditions: the clone can
+  *     equally land in a `FilterExec` on the probe side, so any hot kernel
+  *     whose canonicalized form is evaluated in MORE than one
+  *     filter/project operator of the plan fails the guard (one occurrence
+  *     — a deliberate linear scan — stays legal).
   *
   * Every query runs at sf0.001 with AQE finalized (collect() first), and the
   * traversal descends through adaptive wrapper nodes, reused exchanges and
@@ -151,16 +156,18 @@ class PlanGuardSpec extends AnyFunSuite {
       }
 
       // rule 4: super-linear scalar kernels must not ride join conditions
+      def hotKernels(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        e.collect {
+          case k: Levenshtein => k
+          case k: ArrayIntersect => k
+          case k: ArrayExcept => k
+          case k: ArrayUnion => k
+          case k: ArraysOverlap => k
+        }
       nodes.foreach {
         case j: BaseJoinExec =>
           j.condition.foreach { c =>
-            val hot = c.collect {
-              case e: Levenshtein => e
-              case e: ArrayIntersect => e
-              case e: ArrayExcept => e
-              case e: ArrayUnion => e
-              case e: ArraysOverlap => e
-            }
+            val hot = hotKernels(c)
             assert(
               hot.isEmpty,
               s"$name: ${hot.map(_.prettyName).distinct.mkString(",")} inside a " +
@@ -169,6 +176,33 @@ class PlanGuardSpec extends AnyFunSuite {
                 s"barrier between the join and the kernel:\n$c")
           }
         case _ =>
+      }
+
+      // rule 4b (ADVICE r16): the same cloning failure class can land the
+      // kernel in a FilterExec below the join instead of the join condition
+      // — pushdown copies a post-join predicate down the probe side, where
+      // the kernel runs once in the pushed filter and AGAIN in the
+      // projection/filter it was cloned from. The cloning signature is the
+      // SAME canonicalized kernel expression evaluated in more than one
+      // operator; a single occurrence (a deliberate linear-scan filter or
+      // projection) stays legal. Occurrences dedupe by node identity first:
+      // allNodes revisits reused-exchange subtrees, and the same physical
+      // node must not count twice.
+      val hotOccurrences = nodes.flatMap {
+        case f: FilterExec =>
+          hotKernels(f.condition)
+            .map(k => (k.canonicalized, System.identityHashCode(f), f.nodeName))
+        case p: ProjectExec =>
+          p.projectList.flatMap(hotKernels)
+            .map(k => (k.canonicalized, System.identityHashCode(p), p.nodeName))
+        case _ => Seq.empty
+      }.distinct
+      hotOccurrences.groupBy(_._1).foreach { case (k, occ) =>
+        assert(
+          occ.map(_._2).distinct.size <= 1,
+          s"$name: ${k.prettyName} evaluated in ${occ.size} operators " +
+            s"(${occ.map(_._3).mkString(", ")}) — pushdown cloned a hot kernel; " +
+            s"materialize the pair frame before filtering/projecting on it")
       }
     }
   }

@@ -31,28 +31,35 @@ object QueryProfile {
 
     case class St(name: String, tasks: Int, runMs: Long, wallMs: Long,
         inRec: Long, sRead: Long, sWrite: Long)
+    // appended from the listener-bus thread, cleared/read from main: every
+    // access synchronizes on the buffer, and each rep drains the bus
+    // (GraftShims.waitListenerBusEmpty) BEFORE reading — stage-completed
+    // events land after the action's driver-side return, so an unfenced
+    // read sees a truncated (or concurrently growing) table (ADVICE r16)
     val stages = mutable.ArrayBuffer.empty[St]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val i = sc.stageInfo
         val wall = (for { s <- i.submissionTime; c <- i.completionTime } yield c - s).getOrElse(-1L)
         val m = i.taskMetrics
-        stages += St(i.name.takeWhile(_ != '\n'), i.numTasks,
+        val st = St(i.name.takeWhile(_ != '\n'), i.numTasks,
           m.executorRunTime, wall, m.inputMetrics.recordsRead,
           m.shuffleReadMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten)
+        stages.synchronized { stages += st }
       }
     })
 
     val q = SparkEntry.queries(name)
     (1 to reps).foreach { r =>
-      stages.clear()
+      stages.synchronized { stages.clear() }
       val t0 = System.nanoTime()
       q(spark, sfDir).queryExecution.toRdd.foreachPartition(it => while (it.hasNext) it.next())
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"[profile] rep $r: $wall%.3f s, ${stages.size} stages")
+      org.apache.spark.sql.GraftShims.waitListenerBusEmpty(spark)
+      println(f"[profile] rep $r: $wall%.3f s, ${stages.synchronized(stages.size)} stages")
     }
     println(f"[profile] final-rep stages (executor-run-ms desc):")
-    stages.sortBy(-_.runMs).foreach { s =>
+    stages.synchronized(stages.sortBy(-_.runMs).toList).foreach { s =>
       println(f"[profile]   run=${s.runMs}%6d ms  wall=${s.wallMs}%6d ms  tasks=${s.tasks}%3d  in=${s.inRec}%8d  sr=${s.sRead}%8d  sw=${s.sWrite}%8d  ${s.name}")
     }
     if (sys.env.contains("PROFILE_EXPLAIN")) {
