@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions._
   *     disjoint subgraphs (supplier co-order graph, CC, k-hop all get
   *     `factor` independent components, like TPC-H SF scaling).
   *   - `region`/`nation`: kept as-is (fixed dimensions, TPC-H style).
-  *   - `documents.text`: per-copy Caesar shift of the letters. Byte
-  *     length, token structure, and per-copy Zipf shape are preserved
+  *   - `documents.text`: per-copy alphabet cipher — pure Caesar shift
+  *     for copies 0-25 (unchanged from earlier rounds), a deterministic
+  *     seeded substitution permutation for copies ≥ 26 (a rotation would
+  *     wrap at 26 and hand ~every document an exact cross-copy twin).
+  *     Byte length, token structure, and per-copy Zipf shape are preserved
   *     exactly, but copies share (almost) no shingles, so near-dup joins
   *     (d7/d16 MinHash/Jaccard) see `factor`× the pairs, not `factor²`×.
-  *   - `embeddings.embedding`: per-copy array rotation — norm-preserving
+  *   - `embeddings.embedding`: per-copy array rotation (+ a deterministic
+  *     per-copy ±1 sign mask for copies ≥ 26 — small rotation lags of a
+  *     smooth vector stay highly correlated, which at high factors
+  *     manufactured cross-copy near-duplicate mass) — norm-preserving
   *     and within-copy geometry identical, cross-copy dot products
   *     scrambled, so ANN candidate structure scales linearly. `vec_id=0`
   *     (the pinned query vector of s2/s13/s15) stays unique to copy 0.
@@ -60,10 +66,39 @@ object GenScale {
     val eidOff = keyOffset(tbl("events"), "event_id")
     val uidOff = keyOffset(tbl("events"), "user_id")
 
-    def caesar(c: org.apache.spark.sql.Column, shift: Int): org.apache.spark.sql.Column = {
-      val lo = Lower.drop(shift % 26) + Lower.take(shift % 26)
-      val up = Upper.drop(shift % 26) + Upper.take(shift % 26)
-      translate(c, Lower + Upper, lo + up)
+    // Per-copy text cipher. Copies 0-25 keep the original pure Caesar
+    // rotation (byte-identical to the corpora behind CORRECTNESS_SF1/SF2
+    // and the r13-r16 scaling matrices). Copies >= 26 CANNOT reuse a
+    // rotation — `shift % 26` wraps, so at factor 50 copy i and copy i+26
+    // carried IDENTICAL text: ~96% of documents gained an exact cross-copy
+    // twin and every near-dup/substring family measured inflated
+    // "duplicate mass" that was a generator artifact, not corpus shape
+    // (caught in round 17 when the sf5 marginals jumped). Those copies now
+    // draw a deterministic Fisher-Yates permutation of the alphabet
+    // (substitution cipher, LCG-seeded by the copy index): byte length,
+    // token structure and Zipf shape are still preserved exactly, and a
+    // cross-copy shingle collision needs every letter of the shingle to
+    // map identically — vanishing for 3+-grams.
+    def alphaLower(copy: Int): String =
+      if (copy < 26) Lower.drop(copy) + Lower.take(copy)
+      else {
+        val arr = Lower.toCharArray
+        var s = copy.toLong * 6364136223846793005L + 1442695040888963407L
+        def next(bound: Int): Int = {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          ((s >>> 33) % bound).toInt
+        }
+        var i = arr.length - 1
+        while (i > 0) {
+          val j = next(i + 1)
+          val t = arr(i); arr(i) = arr(j); arr(j) = t
+          i -= 1
+        }
+        new String(arr)
+      }
+    def caesar(c: org.apache.spark.sql.Column, copy: Int): org.apache.spark.sql.Column = {
+      val lo = alphaLower(copy)
+      translate(c, Lower + Upper, lo + lo.toUpperCase)
     }
 
     /** union of `factor` transformed copies, written as one parquet dir */
@@ -100,8 +135,29 @@ object GenScale {
       else concat(
         slice(col("embedding"), lit(i + 1), size(col("embedding")) - lit(i)),
         slice(col("embedding"), lit(1), lit(i)))
+      // copies >= 26 additionally flip signs under a per-copy deterministic
+      // ±1 mask (same r17 artifact class as the Caesar wrap: a smooth base
+      // vector autocorrelates at small rotation lags, so high-factor
+      // corpora gained cross-copy NEAR-duplicate mass that a disjoint
+      // multi-source corpus wouldn't have — r16's d29 decomposition
+      // measured cell_MAX 68→307→520 from exactly this). The mask is one
+      // per copy, applied to every vector of the copy, so within-copy dot
+      // products — the geometry every family measures — are untouched,
+      // norms are preserved, and copies 0-25 stay byte-identical to the
+      // sf1/sf2 corpora behind the committed artifacts.
+      val masked =
+        if (i < 26) rot
+        else {
+          var s = i.toLong * 2862933555777941757L + 3037000493L
+          val mask = Seq.fill(64) {
+            s = s * 2862933555777941757L + 3037000493L
+            if (((s >>> 37) & 1L) == 0L) 1.0f else -1.0f
+          }
+          zip_with(rot, array(mask.map(lit): _*),
+            (x, m) => x * m)
+        }
       df.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
-        .withColumn("embedding", rot.cast("array<float>"))
+        .withColumn("embedding", masked.cast("array<float>"))
     }
     spark.stop()
   }
