@@ -190,11 +190,33 @@ object TextExpressions {
     n
   }
 
+  /** Two-round 60-bit mix of a token hash — EVERY output bit must carry
+    * the hash's full entropy or a banded fingerprint index grows a
+    * degenerate band. One round (m = h·K mod 2^60, v = m xor (m >>> 30))
+    * is NOT enough: v's bits 45-59 are m's own top bits ≈ (h >> 14), and
+    * [[tokenHash]]'s high bits carry only the token-LENGTH term
+    * (first·131 + last < 2^15 touches low bits), so the top 15-bit band of
+    * d26's wide index collapsed to a token-length profile — measured at
+    * the 50× corpus (r17): ONE band-3 bucket held 46k documents and the
+    * candidate join produced 3.3B pairs for ~8k true hits. Round 2
+    * re-multiplies the fully-mixed low 30 bits (v mod 2^30 =
+    * m[0:29] xor m[30:59], a function of every bit of h — and tokenHash is
+    * mod 1e9+7, so 30 bits already carry ALL its entropy); lo < 2^30 keeps
+    * lo·K < 2^62, no signed-64 overflow on either engine. SQL twin:
+    * `DedupPack.mix60Sql`.
+    */
+  def mix60(h: Long): Long = {
+    val m1 = (h * 2654435761L) & ((1L << 60) - 1)
+    val v1 = m1 ^ (m1 >>> 30)
+    val lo = v1 & ((1L << 30) - 1)
+    val m2 = (lo * 2654435761L) & ((1L << 60) - 1)
+    m2 ^ (m2 >>> 30)
+  }
+
   /** 60-bit SimHash in one token loop (the Manku near-dup fingerprint,
     * sized to 60 bits so the value — and every band slice — stays a
     * non-negative BIGINT on both engines). Per token: h = [[tokenHash]],
-    * m = (h·2654435761) mod 2^60, v = m xor (m >>> 30) — a multiply+xor
-    * mix both engines express with integer ops — then bit b of the result
+    * v = [[mix60]](h) — then bit b of the result
     * is set iff more tokens have bit b of v set than clear (ties → clear).
     * SQL twin: per-bit signed votes over the same v, see d20's oracle.
     */
@@ -203,9 +225,7 @@ object TextExpressions {
     val votes = new Array[Int](60)
     var i = 0
     while (i < toks.length) {
-      val h = tokenHash(toks(i))
-      val m = (h * 2654435761L) & ((1L << 60) - 1)
-      val v = m ^ (m >>> 30)
+      val v = mix60(tokenHash(toks(i)))
       var b = 0
       while (b < 60) {
         if (((v >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -228,16 +248,14 @@ object TextExpressions {
     * `(tokenHash + seed) * 2654435761` cannot overflow a signed long
     * (tokenHash < 1e9+7, so any seed < ~2e9 is safe) — overflow would
     * break parity with the oracle's non-overflowing `%` arithmetic.
-    * SQL twin: `(((th(x) + seed) * 2654435761) % 2^60)` then `xor(m, m >> 30)`.
+    * SQL twin: [[mix60]] over `th(x) + seed` (`DedupPack.mix60Sql`).
     */
   def simHash60SeededEval(text: UTF8String, seed: Long): Long = {
     val toks = splitTokens(text.toString)
     val votes = new Array[Int](60)
     var i = 0
     while (i < toks.length) {
-      val h = tokenHash(toks(i)) + seed
-      val m = (h * 2654435761L) & ((1L << 60) - 1)
-      val v = m ^ (m >>> 30)
+      val v = mix60(tokenHash(toks(i)) + seed)
       var b = 0
       while (b < 60) {
         if (((v >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

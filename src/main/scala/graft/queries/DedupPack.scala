@@ -18,6 +18,18 @@ object DedupPack extends QueryPack {
 
   private def thSql(x: String): String =
     s"((length($x)*2654435761 + ascii($x)*131 + ascii($x[-1:])) % 1000000007)"
+
+  /** SQL twin of [[graft.functions.TextExpressions.mix60]] — the two-round
+    * 60-bit mix (see its Scaladoc for the band-degeneracy rationale).
+    */
+  private def mix60Sql(hExpr: String): String = {
+    val m = 1L << 60
+    val m1 = s"(($hExpr) * 2654435761) % $m"
+    val v1 = s"xor($m1, ($m1) >> 30)"
+    val lo = s"($v1) % 1073741824"
+    val m2 = s"(($lo) * 2654435761) % $m"
+    s"xor($m2, ($m2) >> 30)"
+  }
   private def mhSql(a: Long, b: Long): String =
     s"list_aggregate(list_transform(toks, x -> ($a * ${thSql("x")} + $b) % 1000000007), 'min')"
 
@@ -1237,8 +1249,7 @@ object DedupPack extends QueryPack {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
-        val m = 1L << 60
-        val mix = s"xor((${thSql("x")} * 2654435761) % $m, ((${thSql("x")} * 2654435761) % $m) >> 30)"
+        val mix = mix60Sql(thSql("x"))
         val bits = (0 until 60).map { b =>
           s"(CASE WHEN SUM(CASE WHEN (v >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
         }.mkString(" + ")
@@ -1621,11 +1632,7 @@ object DedupPack extends QueryPack {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
-        val m = 1L << 60
-        def half(seedExpr: String) = {
-          val mixed = s"((${thSql("x")}$seedExpr) * 2654435761) % $m"
-          s"xor($mixed, ($mixed) >> 30)"
-        }
+        def half(seedExpr: String) = mix60Sql(s"${thSql("x")}$seedExpr")
         def bits(v: String) = (0 until 60).map { b =>
           s"(CASE WHEN SUM(CASE WHEN ($v >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
         }.mkString(" + ")

@@ -61,8 +61,11 @@ class TextExpressionsSpec extends AnyFunSuite {
     // token v = mix((h·K) mod 2^60), bit b votes sign((v>>b)&1), majority
     val toks = TextOps.tokens(col("text"))
     def mixed(t: org.apache.spark.sql.Column) = {
-      val m = (TextOps.tokenHash(t) * lit(2654435761L)) % lit(1L << 60)
-      m.bitwiseXOR(shiftright(m, 30))
+      val m1 = (TextOps.tokenHash(t) * lit(2654435761L)) % lit(1L << 60)
+      val v1 = m1.bitwiseXOR(shiftright(m1, 30))
+      val lo = v1 % lit(1073741824L)
+      val m2 = (lo * lit(2654435761L)) % lit(1L << 60)
+      m2.bitwiseXOR(shiftright(m2, 30))
     }
     val hof = (0 until 60).map { b =>
       val vote = aggregate(
