@@ -1315,7 +1315,8 @@ object DedupPack extends QueryPack {
              |ORDER BY source""".stripMargin),
       doc = "end-to-end dedup pipeline: near-dup edges -> connected components -> " +
         "min-label exemplar keep -> per-source corpus-reduction report (docs/tokens " +
-        "kept, keep ratio) — the accounting a curation run ships"
+        "kept, keep ratio) — the accounting a curation run ships; BASELINE RUNG " +
+        "(COVERAGE.md registry) — production path at scale: d27_keep_lsh"
     ),
     // ---------------------------------------------------------------- overlap
     Q(
