@@ -51,8 +51,14 @@ def doc_pointers():
         for name, text in segments:
             ptrs = set()
             for mm in re.finditer(r"production path[^\n]*?(?::|is)\s*", text):
-                # pointers may continue onto the next string-literal line
-                tail = text[mm.end():mm.end() + 220]
+                # pointers may continue onto following string-literal lines;
+                # scan to the end of the current doc paragraph (blank or
+                # non-comment/non-string line) instead of a fixed window,
+                # which silently truncated long pointer lists (ADVICE r17)
+                rest = text[mm.end():]
+                stop = re.search(
+                    r"\n\s*(?:\*\s*)?\n|\n\s*\*/|\n\s*(?![*/\"'\s])", rest)
+                tail = rest[:stop.start()] if stop else rest
                 ptrs.update(n for n in NAME.findall(tail) if n != name)
             if ptrs:
                 out[name] = ptrs
@@ -63,7 +69,7 @@ def coverage_table():
     """rung -> production set, from the COVERAGE.md registry table."""
     text = open("COVERAGE.md").read()
     m = re.search(
-        r"## Baseline → production path registry(.*?)\n## ", text, re.S)
+        r"## Baseline → production path registry(.*?)(?:\n## |\Z)", text, re.S)
     if not m:
         print("FAIL: COVERAGE.md registry section not found")
         sys.exit(1)

@@ -153,8 +153,16 @@ object GenScale {
             s = s * 2862933555777941757L + 3037000493L
             if (((s >>> 37) & 1L) == 0L) 1.0f else -1.0f
           }
-          zip_with(rot, array(mask.map(lit): _*),
-            (x, m) => x * m)
+          // zip_with pads the shorter array with nulls, so a corpus whose
+          // embedding dimension drifted from 64 would silently gain null
+          // elements / wrong-length vectors (ADVICE r17). Fail loudly
+          // instead: the mask length is a build-time constant, so any
+          // other dimension means the source corpus changed under us.
+          when(size(rot) === lit(64),
+            zip_with(rot, array(mask.map(lit): _*), (x, m) => x * m))
+            .otherwise(raise_error(concat(
+              lit(s"GenScale copy $i: embedding dim != 64 (got "),
+              size(rot).cast("string"), lit(")"))))
         }
       df.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
         .withColumn("embedding", masked.cast("array<float>"))

@@ -49,7 +49,8 @@ object StreamBench {
         .map(_.toIndexedSeq).toIndexedSeq
     val chunks = chunked(docs)
     def r1(v: Double): String = f"$v%.1f"
-    def report(name: String, fitMs: Double, batches: Seq[(Double, Long)]): Unit = {
+    def report(name: String, fitMs: Double, batches: Seq[(Double, Long)],
+        provider: String = "memory"): Unit = {
       if (batches.isEmpty) {
         System.err.println(s"[streambench] $name: no batches ran — skipping report")
         return
@@ -57,10 +58,28 @@ object StreamBench {
       val ms = batches.map(_._1)
       val st = batches.map(_._2)
       println(s"""{"pipeline":"$name","corpus":"$dir","n_docs":${docs.length},""" +
-        s""""n_batches":${batches.size},"fit_ms":${r1(fitMs)},""" +
+        s""""state_store":"$provider","n_batches":${batches.size},"fit_ms":${r1(fitMs)},""" +
         s""""batch_ms":[${ms.map(r1).mkString(",")}],""" +
         s""""mean_batch_ms":${r1(ms.sum / ms.size)},"max_batch_ms":${r1(ms.max)},""" +
         s""""state_rows":[${st.mkString(",")}]}""")
+    }
+    /** Run `body`'s streaming queries under the RocksDB state store — the
+      * provider a long-lived 100 TB-scale deployment runs, where state must
+      * spill off-heap/to disk instead of living in executor memory (the
+      * default HDFS-backed provider keeps every version's map ON-heap). The
+      * provider class is read from the session conf at query start, so
+      * set/restore around the body scopes it to these queries only.
+      */
+    def withRocksDb[T](body: => T): T = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
     /** Feed a corpus chunk-by-chunk, timing each processAllAvailable and
       * reading the stateful operator's row count off the progress event.
@@ -87,15 +106,20 @@ object StreamBench {
         mkQuery: MemoryStream[(Long, String)] => org.apache.spark.sql.streaming.StreamingQuery)
       : Seq[(Double, Long)] = driveWith(chunks)(mkQuery)
 
-    // 1. stateful LSH dedup: state = one row per distinct band bucket
-    val dedup = drive { in =>
+    // 1. stateful LSH dedup: state = one row per distinct band bucket.
+    //    Run under BOTH providers: the default in-memory HDFS-backed store
+    //    (every committed version on-heap) and RocksDB (the bounded-memory
+    //    provider a 100 TB deployment runs) — the matrix row pair measures
+    //    the provider tax at identical state shape.
+    def dedupRun() = drive { in =>
       streaming.StreamingDedup.run(in.toDS().toDF("doc_id", "text"))
         .writeStream.outputMode("append")
         .foreachBatch((df: org.apache.spark.sql.Dataset[streaming.DupCandidate], _: Long) =>
           { df.count(); () })
         .start()
     }
-    report("lsh_dedup_stateful", 0.0, dedup)
+    report("lsh_dedup_stateful", 0.0, dedupRun())
+    report("lsh_dedup_stateful", 0.0, withRocksDb(dedupRun()), provider = "rocksdb")
 
     // 2. stream-static incremental dedup against the standing corpus' keys
     val tCk = System.nanoTime()
@@ -137,14 +161,16 @@ object StreamBench {
     val vecs = embCorpus.as[(Long, Array[Float])].collect().sortBy(_._1)
     if (vecs.isEmpty) System.err.println(s"[streambench] no embeddings under $dir — skipping semdedup")
     else {
-      val sem = driveWith(chunked(vecs)) { in =>
+      def semRun() = driveWith(chunked(vecs)) { in =>
         streaming.StreamingSemDedup.run(in.toDS().toDF("vec_id", "embedding"), kSem)
           .writeStream.outputMode("append")
           .foreachBatch((df: org.apache.spark.sql.Dataset[streaming.SemDupCandidate], _: Long) =>
             { df.count(); () })
           .start()
       }
-      report(s"semdedup_stateful_k$kSem", semFitMs, sem)
+      report(s"semdedup_stateful_k$kSem", semFitMs, semRun())
+      report(s"semdedup_stateful_k$kSem", semFitMs, withRocksDb(semRun()),
+        provider = "rocksdb")
     }
 
     // 5. streaming ANN serving: index fitted once at the adaptive width
@@ -179,14 +205,15 @@ object StreamBench {
       .as[(String, Long)].collect().sortBy(_._2)
     if (tokenCounts.isEmpty) System.err.println(s"[streambench] no documents under $dir — skipping hdr")
     else {
-      val hdr = driveWith(chunked(tokenCounts)) { in =>
+      def hdrRun() = driveWith(chunked(tokenCounts)) { in =>
         streaming.StreamingHdrQuantiles.sketchCounts(in.toDS().toDF("group", "v"))
           .writeStream.outputMode("complete")
           .foreachBatch((df: DataFrame, _: Long) =>
             { streaming.StreamingHdrQuantiles.quantilesOf(df).collect(); () })
           .start()
       }
-      report("hdr_quantiles_stateful", 0.0, hdr)
+      report("hdr_quantiles_stateful", 0.0, hdrRun())
+      report("hdr_quantiles_stateful", 0.0, withRocksDb(hdrRun()), provider = "rocksdb")
     }
 
     // 7. streaming priority sampling: the bounded PrioritySampleK sketch
@@ -363,14 +390,17 @@ object StreamBench {
     //     gram fingerprint (the streaming analog of d31's df≥2 aggregate
     //     — O(gram vocabulary), never O(corpus positions)); per-batch
     //     output feeds the same interval-merge plan batch d31 runs.
-    val sub = drive { in =>
+    def subRun() = drive { in =>
       streaming.StreamingSubstringDedup.run(in.toDS().toDF("doc_id", "text"))
         .writeStream.outputMode("append")
         .foreachBatch((df: org.apache.spark.sql.Dataset[streaming.DupGramPos], _: Long) =>
           { df.count(); () })
         .start()
     }
-    report("substring_dedup_stateful", 0.0, sub)
+    report("substring_dedup_stateful", 0.0, subRun())
+    // the LARGEST state table in the suite (one row per distinct gram
+    // fingerprint — O(gram vocabulary)), so the most informative RocksDB row
+    report("substring_dedup_stateful", 0.0, withRocksDb(subRun()), provider = "rocksdb")
 
     spark.stop()
   }

@@ -203,7 +203,7 @@ object TextExpressions {
     * m[0:29] xor m[30:59], a function of every bit of h — and tokenHash is
     * mod 1e9+7, so 30 bits already carry ALL its entropy); lo < 2^30 keeps
     * lo·K < 2^62, no signed-64 overflow on either engine. SQL twin:
-    * `DedupPack.mix60Sql`.
+    * `DedupPack.mix60StagedCtes`.
     */
   def mix60(h: Long): Long = {
     val m1 = (h * 2654435761L) & ((1L << 60) - 1)
@@ -248,7 +248,7 @@ object TextExpressions {
     * `(tokenHash + seed) * 2654435761` cannot overflow a signed long
     * (tokenHash < 1e9+7, so any seed < ~2e9 is safe) — overflow would
     * break parity with the oracle's non-overflowing `%` arithmetic.
-    * SQL twin: [[mix60]] over `th(x) + seed` (`DedupPack.mix60Sql`).
+    * SQL twin: [[mix60]] over `th(x) + seed` (`DedupPack.mix60StagedCtes`).
     */
   def simHash60SeededEval(text: UTF8String, seed: Long): Long = {
     val toks = splitTokens(text.toString)

@@ -21,14 +21,29 @@ object DedupPack extends QueryPack {
 
   /** SQL twin of [[graft.functions.TextExpressions.mix60]] — the two-round
     * 60-bit mix (see its Scaladoc for the band-degeneracy rationale).
+    * Emitted as a chain of staged CTEs rather than one nested expression:
+    * textual interpolation expanded the hash sub-expression 4× per mix
+    * (8× per token in d26's two seeded halves), inflating oracle
+    * parse/eval cost for every token (ADVICE r17). Each stage computes
+    * every sub-expression exactly once, matching the Scala kernel's
+    * single evaluation.
+    *
+    * Input CTE `from` must expose `doc_id` plus each column in `cols`
+    * already holding the (optionally seeded) token hash; the emitted text
+    * defines CTEs `mxa`..`mxc` and a final CTE named `mixed` carrying the
+    * same column names fully mixed.
     */
-  private def mix60Sql(hExpr: String): String = {
+  private def mix60StagedCtes(from: String, cols: Seq[String]): String = {
     val m = 1L << 60
-    val m1 = s"(($hExpr) * 2654435761) % $m"
-    val v1 = s"xor($m1, ($m1) >> 30)"
-    val lo = s"($v1) % 1073741824"
-    val m2 = s"(($lo) * 2654435761) % $m"
-    s"xor($m2, ($m2) >> 30)"
+    def stage(name: String, src: String, body: String => String) =
+      s"$name AS (SELECT doc_id, " +
+        cols.map(c => s"${body(c)} AS $c").mkString(", ") + s" FROM $src)"
+    Seq(
+      stage("mxa", from, c => s"(($c) * 2654435761) % $m"),
+      stage("mxb", "mxa", c => s"xor($c, $c >> 30)"),
+      stage("mxc", "mxb", c => s"((($c) % 1073741824) * 2654435761) % $m"),
+      stage("mixed", "mxc", c => s"xor($c, $c >> 30)")
+    ).mkString(",\n")
   }
   private def mhSql(a: Long, b: Long): String =
     s"list_aggregate(list_transform(toks, x -> ($a * ${thSql("x")} + $b) % 1000000007), 'min')"
@@ -1249,12 +1264,13 @@ object DedupPack extends QueryPack {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
-        val mix = mix60Sql(thSql("x"))
         val bits = (0 until 60).map { b =>
           s"(CASE WHEN SUM(CASE WHEN (v >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
         }.mkString(" + ")
         s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS x FROM documents),
-           |tv AS (SELECT doc_id, $mix AS v FROM tok),
+           |th AS (SELECT doc_id, ${thSql("x")} AS v FROM tok),
+           |${mix60StagedCtes("th", Seq("v"))},
+           |tv AS (SELECT doc_id, v FROM mixed),
            |sims AS (SELECT doc_id, CAST($bits AS BIGINT) AS sim FROM tv GROUP BY doc_id)
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
@@ -1633,12 +1649,14 @@ object DedupPack extends QueryPack {
           .orderBy(col("doc_a"), col("doc_b"))
       },
       Some {
-        def half(seedExpr: String) = mix60Sql(s"${thSql("x")}$seedExpr")
         def bits(v: String) = (0 until 60).map { b =>
           s"(CASE WHEN SUM(CASE WHEN ($v >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
         }.mkString(" + ")
         s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS x FROM documents),
-           |tv AS (SELECT doc_id, ${half("")} AS v1, ${half(" + 777")} AS v2 FROM tok),
+           |th AS (SELECT doc_id, ${thSql("x")} AS h FROM tok),
+           |seeded AS (SELECT doc_id, h AS v1, h + 777 AS v2 FROM th),
+           |${mix60StagedCtes("seeded", Seq("v1", "v2"))},
+           |tv AS (SELECT doc_id, v1, v2 FROM mixed),
            |sims AS (SELECT doc_id,
            |    CAST(${bits("v1")} AS BIGINT) AS s1,
            |    CAST(${bits("v2")} AS BIGINT) AS s2
