@@ -131,10 +131,17 @@ object GenScale {
       df.withColumn("doc_id", col("doc_id") + lit(i * docOff))
         .withColumn("text", caesar(col("text"), i)))
     scaled("embeddings") { (df, i) =>
-      val rot = if (i == 0) col("embedding")
+      // rotation lag mod the 64-element dimension: a raw lag ≥ 64 hands
+      // slice() a negative length (the r18 sf10/×100 failure — factors ≤ 50
+      // never reached it); lag 64 is the identity rotation anyway. Copies
+      // that alias a smaller copy's lag (i ≥ 64) stay distinct through the
+      // per-copy sign mask below (all i ≥ 64 are also ≥ 26). Copies 0-49
+      // are bit-identical to every committed corpus.
+      val lag = i % 64
+      val rot = if (lag == 0) col("embedding")
       else concat(
-        slice(col("embedding"), lit(i + 1), size(col("embedding")) - lit(i)),
-        slice(col("embedding"), lit(1), lit(i)))
+        slice(col("embedding"), lit(lag + 1), size(col("embedding")) - lit(lag)),
+        slice(col("embedding"), lit(1), lit(lag)))
       // copies >= 26 additionally flip signs under a per-copy deterministic
       // ±1 mask (same r17 artifact class as the Caesar wrap: a smooth base
       // vector autocorrelates at small rotation lags, so high-factor

@@ -1912,7 +1912,148 @@ object DedupPack extends QueryPack {
         "hyperplane LSH): k = len(bin(ceil(n/8))) planes per table derived " +
         "in-plan from a broadcast count — integer-exact on both engines — so " +
         "per-cell density stays ~8 at any corpus size while probe fan-out " +
-        "grows only as k; candidates/semantics exactly d28's"
+        "grows only as k; candidates/semantics exactly d28's; skew-hardened " +
+        "production path at scale: d32_semdedup_capped (the sf10 decade " +
+        "measured this rung's pair volume super-linear on skewed cells)"
+    ),
+    // ------------------------------------------------- d32 capped semdedup
+    Q(
+      "d32_semdedup_capped",
+      (s, d) => {
+        // d29 hardened against SKEWED cells — the failure mode the 100×
+        // (sf10) decade measured on d29 itself: candidate pairs grew 3.05×
+        // for 2× vectors (D29Decomp: 252M → 767M, cell_max 1223 → 2320 at
+        // stable ~10 avg density) because one extra adaptive plane halves a
+        // UNIFORM background but shrinks a skew-concentrated one only
+        // ~1.33×. The fix is the standard bounded-verification-set trick:
+        // each (table, cell)'s INDEX side keeps only its C=32 lowest-id
+        // entries (deterministic, oracle-replicable), so per-cell join cost
+        // is density×C instead of density², killing the quadratic skew term
+        // while preserving SemDeDup's keep-lowest-exemplar recall where it
+        // matters — a hot cell IS a near-dup cluster, and the cluster's
+        // exemplar (its lowest id) is by construction inside the capped
+        // set. On cells at or below the cap (every cell at the committed
+        // sf0.01–sf1 gates) the candidate set — and therefore the whole
+        // output — is IDENTICAL to d29's (SemDedupCapSpec proves it
+        // cell-exact); k, probes, zero-norm guard, output shape unchanged.
+        import graft.functions.VectorOps.{dot, norm}
+        import graft.functions.VectorExpressions.lshBucketDyn
+        val C = 32
+        val kdf = Tables.embeddings(s, d)
+          .agg(count(lit(1)).as("n"))
+          .select(expr("GREATEST(4, LEAST(16, length(bin((n + 7) DIV 8)))) AS k"))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"))
+          .crossJoin(broadcast(kdf))
+          .select(
+            Seq(col("vec_id"), col("embedding"), col("k"), norm(col("embedding")).as("nrm")) ++
+              (0 until 4).map(t => lshBucketDyn(col("embedding"), col("k"), t * 20).as(s"wb$t")): _*)
+        val idxArr = (0 until 4)
+          .map(t => s"named_struct('tbl', $t, 'bucket', wb$t)")
+          .mkString("array(", ", ", ")")
+        val probeArr = (0 until 4)
+          .map(t => s"""transform(sequence(0, k), p -> named_struct('tbl', $t,
+             |  'bucket', CASE WHEN p = 0 THEN wb$t
+             |            ELSE wb$t ^ shiftleft(CAST(1 AS BIGINT), p - 1) END))""".stripMargin)
+          .mkString("concat(", ", ", ")")
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tbl"), col("bucket")).orderBy(col("b_id"))
+        val idx = e
+          .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"),
+            explode(expr(idxArr)).as("tb"))
+          .select(col("b_id"), col("b_emb"), col("b_nrm"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+          // the cap: one hash exchange on the cell key (the SAME key the
+          // candidate join shuffles on) + in-partition sort; b_id is unique
+          // so the order — and the kept set — is total and deterministic
+          .withColumn("rn", row_number().over(win))
+          .filter(col("rn") <= C)
+          .drop("rn")
+        val probes = e
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"),
+            explode(expr(probeArr)).as("tb"))
+          .select(col("a_id"), col("a_emb"), col("a_nrm"),
+            col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+        val cand = idx.join(probes, Seq("tbl", "bucket"))
+          .filter(col("b_id") < col("a_id"))
+          .select(col("a_id"), col("b_id"),
+            quant(dot(col("a_emb"), col("b_emb")) /
+              when(col("a_nrm") * col("b_nrm") > 0.0, col("a_nrm") * col("b_nrm")), 1e6)
+              .as("cos_sim"))
+          .filter(col("cos_sim").isNotNull)
+        val best = cand.groupBy(col("a_id"))
+          .agg(countDistinct(col("b_id")).as("n_cand_prior"),
+            max(col("cos_sim")).as("best_prior_sim"))
+        val ids = e.select(col("vec_id"), col("k").cast("long").as("k_planes"))
+        ids
+          .join(best, ids("vec_id") === best("a_id"), "left")
+          .select(
+            col("vec_id"),
+            col("k_planes"),
+            coalesce(col("n_cand_prior"), lit(0L)).as("n_cand_prior"),
+            col("best_prior_sim"),
+            coalesce(col("best_prior_sim") >= 0.85, lit(false)).as("is_sem_dup"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def wbSql(t: Int): String = {
+          val j = s"((${t * 20} + b) * 64 + (i - 1))"
+          s"""CAST(list_sum(list_transform(generate_series(0, k - 1), b ->
+             |    CASE WHEN list_sum(list_transform(emb, (x, i) ->
+             |        CAST(x AS DOUBLE) * ((($j * 2654435761) % 1000000007) / 1000000000.0 - 0.5))) > 0
+             |      THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+        }
+        val wcols = (0 until 4).map(t => s"${wbSql(t)} AS wb$t").mkString(",\n    ")
+        val tcase = "CASE t.tbl WHEN 0 THEN wb0 WHEN 1 THEN wb1 WHEN 2 THEN wb2 ELSE wb3 END"
+        val dotS = "list_sum(list_transform(list_zip(i.b_emb, p.a_emb), " +
+          "z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+        def normS(c: String) =
+          s"sqrt(list_sum(list_transform($c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        s"""WITH kk AS (
+           |  SELECT GREATEST(4, LEAST(16, length(bin((COUNT(*) + 7) // 8)))) AS k
+           |  FROM embeddings),
+           |e AS (
+           |  SELECT vec_id, emb AS embedding, k,
+           |    $wcols
+           |  FROM (SELECT vec_id, embedding AS emb FROM embeddings), kk),
+           |idx0 AS (
+           |  SELECT e.vec_id AS b_id, e.embedding AS b_emb, t.tbl, $tcase AS bucket
+           |  FROM e, (SELECT unnest([0,1,2,3]) AS tbl) t),
+           |idx AS (
+           |  SELECT b_id, b_emb, tbl, bucket FROM (
+           |    SELECT b_id, b_emb, tbl, bucket,
+           |      ROW_NUMBER() OVER (PARTITION BY tbl, bucket ORDER BY b_id) AS rn
+           |    FROM idx0) c WHERE rn <= 32),
+           |pr AS (
+           |  SELECT e.vec_id AS a_id, e.embedding AS a_emb, t.tbl,
+           |    CASE WHEN pp.p = 0 THEN $tcase
+           |         ELSE xor($tcase, CAST(1 AS BIGINT) << (pp.p - 1)) END AS bucket
+           |  FROM e, (SELECT unnest([0,1,2,3]) AS tbl) t,
+           |       (SELECT unnest(generate_series(0, (SELECT k FROM kk))) AS p) pp),
+           |cand AS (
+           |  SELECT DISTINCT a_id, b_id, cos_sim FROM (
+           |    SELECT p.a_id, i.b_id,
+           |      floor($dotS /
+           |            nullif(${normS("i.b_emb")} * ${normS("p.a_emb")}, 0) * 1000000)
+           |        / 1000000 AS cos_sim
+           |    FROM idx i JOIN pr p
+           |      ON i.tbl = p.tbl AND i.bucket = p.bucket AND i.b_id < p.a_id) t
+           |  WHERE cos_sim IS NOT NULL),
+           |best AS (
+           |  SELECT a_id, COUNT(*) AS n_cand_prior, MAX(cos_sim) AS best_prior_sim
+           |  FROM cand GROUP BY a_id)
+           |SELECT e.vec_id, CAST(e.k AS BIGINT) AS k_planes,
+           |  COALESCE(n_cand_prior, 0) AS n_cand_prior, best_prior_sim,
+           |  COALESCE(best_prior_sim >= 0.85, FALSE) AS is_sem_dup
+           |FROM e LEFT JOIN best ON e.vec_id = best.a_id
+           |ORDER BY e.vec_id""".stripMargin
+      },
+      doc = "SemDeDup with skew-capped cells — d29 plus a deterministic " +
+        "C=32 lowest-id verification cap per (table, cell): per-cell join " +
+        "cost density×C instead of density² (the sf10 decade measured d29's " +
+        "pair volume at 3.05× for 2× vectors from skewed cells), exemplar " +
+        "recall preserved (a hot cell is a near-dup cluster whose lowest id " +
+        "IS the exemplar); identical to d29 wherever cells fit the cap"
     ),
     // ---------------------------------------------------------------- kmv overlap
     Q(

@@ -128,7 +128,28 @@ trait ArcGisClient extends Serializable {
   def queryDeletedFeatures(loTs: Long, hiTs: Long): Seq[(Long, Long)] =
     throw new UnsupportedOperationException(
       "this ArcGIS client does not support change tracking (extractChanges)")
+
+  /** Attachment metadata for one feature — the public REST surface's
+    * `{layer}/{oid}/attachments` listing (layers advertise it via
+    * `hasAttachments`). The reference itself never reads attachments, but
+    * its ecosystem exposes the endpoint on every Feature Service; the
+    * engine's `attachments=true` scan turns it into a BinaryType column
+    * feeding the multimodal (m-family) operators. Layers without
+    * attachments keep this default.
+    */
+  def attachmentInfos(oid: Long): Seq[AttachmentInfo] = Seq.empty
+
+  /** One attachment's raw bytes — `{layer}/{oid}/attachments/{attachmentId}`
+    * (the download form of the endpoint, no `f=json` envelope).
+    */
+  def attachment(oid: Long, attachmentId: Long): Array[Byte] =
+    Array.emptyByteArray
 }
+
+/** One attachment's metadata as served by `{layer}/{oid}/attachments`:
+  * `attachmentInfos[] = {id, name, contentType, size}`.
+  */
+case class AttachmentInfo(id: Long, name: String, contentType: String, size: Long)
 
 /** One `outStatistics` entry: `statisticType` ∈
   * count|min|max|sum|avg, applied to `onField`, surfaced as `outName`.
@@ -171,6 +192,26 @@ class MockArcGisClient(
     * of the server's internal change journal behind `extractChanges`).
     */
   val deletedLog = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long)]()
+
+  /** Per-feature attachment store the mock server serves (test harnesses
+    * populate it), plus a request log: `(oid, None)` = metadata listing,
+    * `(oid, Some(id))` = payload download.
+    */
+  val attachmentStore =
+    new java.util.concurrent.ConcurrentHashMap[Long, Seq[(AttachmentInfo, Array[Byte])]]()
+  val attachmentLog = new java.util.concurrent.CopyOnWriteArrayList[(Long, Option[Long])]()
+
+  override def attachmentInfos(oid: Long): Seq[AttachmentInfo] = {
+    attachmentLog.add((oid, None))
+    Option(attachmentStore.get(oid)).map(_.map(_._1)).getOrElse(Seq.empty)
+  }
+
+  override def attachment(oid: Long, attachmentId: Long): Array[Byte] = {
+    attachmentLog.add((oid, Some(attachmentId)))
+    Option(attachmentStore.get(oid))
+      .flatMap(_.collectFirst { case (i, bytes) if i.id == attachmentId => bytes })
+      .getOrElse(Array.emptyByteArray)
+  }
 
   override def queryDeletedFeatures(loTs: Long, hiTs: Long): Seq[(Long, Long)] = {
     import scala.jdk.CollectionConverters._

@@ -44,6 +44,12 @@ class ArcGisTableProvider extends TableProvider with DataSourceRegister {
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     if (options.get("client") == null) new StructType()
+    // attachments=true: the scan reads the layer's ATTACHMENTS surface
+    // (`{layer}/{oid}/attachments`) instead of its rows — one row per
+    // attachment with the payload as a BinaryType column, the shape the
+    // multimodal (m-family) operators consume directly
+    else if (Option(options.get("attachments")).exists(_.toBoolean))
+      ArcGisAttachmentsSchema.schema
     else {
       val base = ArcGisSchema.structFor(
         ArcGisClientRegistry.get(options.get("client")).layerInfo().fields)
@@ -62,6 +68,24 @@ class ArcGisTableProvider extends TableProvider with DataSourceRegister {
   ): Table = new ArcGisTable(schema, new CaseInsensitiveStringMap(properties))
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+/** Fixed schema of an `attachments=true` scan: one row per attachment of
+  * the layer's features. Metadata columns come from the listing
+  * (`attachmentInfos[]`); `data` is the raw download — BinaryType, so the
+  * multimodal operators (imageAHash, codec decode, magic sniff) compose
+  * directly onto the scan. Column pruning is load-bearing here: a plan
+  * that never reads `data` (manifest/accounting queries) skips the
+  * per-attachment download entirely and only pays the per-OID listing.
+  */
+object ArcGisAttachmentsSchema {
+  val schema: StructType = StructType(Seq(
+    StructField("objectid", LongType, nullable = false),
+    StructField("attachment_id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("content_type", StringType),
+    StructField("size", LongType),
+    StructField("data", BinaryType)))
 }
 
 /** ArcGIS `fields[]` metadata → Catalyst schema (S5). Dates surface as
@@ -263,11 +287,17 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   private var limit: Option[Int] = None
   private var pushedAgg: Option[ArcGisAggCompiler.PushedAgg] = None
 
+  // attachments=true reads the layer's attachments surface: its columns are
+  // synthetic (not layer fields), so field/aggregate/limit pushdowns don't
+  // apply — only the user `where` (feature selection) and column pruning do
+  private val attachmentsMode =
+    Option(options.get("attachments")).exists(_.toBoolean)
+
   private def translatable(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation) = {
     // the topFeatures strategy is already a different remote computation —
     // don't stack server-side statistics on top of it
     val strategy = Option(options.get("strategy")).getOrElse("query")
-    if (!strategy.equalsIgnoreCase("query")) None
+    if (attachmentsMode || !strategy.equalsIgnoreCase("query")) None
     else ArcGisAggCompiler.compile(
       agg, schema, ArcGisClientRegistry.get(options.get("client")).layerInfo().fields)
   }
@@ -292,7 +322,10 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
     * final exact limit; the pushdown saves the remote round-trips the
     * reference's full dump would have made.
     */
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def pushLimit(l: Int): Boolean =
+    // attachment rows fan out per feature, so a row limit doesn't map to a
+    // feature-page budget — keep the limit engine-side in that mode
+    if (attachmentsMode) false else { limit = Some(l); true }
 
   /** Partially pushed: the engine KEEPS its limit operator. Required for
     * the non-paginating fallbacks (a single unpaginated request returns up
@@ -304,6 +337,9 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
   private var envelope: Option[Envelope] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // attachments mode: every column is synthetic (listing metadata), so
+    // nothing compiles to a remote where — all predicates stay residual
+    if (attachmentsMode) return filters
     // geom_x/geom_y/_deleted are synthetic (engine-side) columns, not remote
     // layer fields — predicates touching them must stay residual in Spark.
     val (supported, residual) = filters.partition { f =>
@@ -359,7 +395,8 @@ class ArcGisScanBuilder(schema: StructType, options: CaseInsensitiveStringMap)
       case Seq() => "1=1"
       case cs => cs.mkString("(", ") AND (", ")")
     }
-    pushedAgg match {
+    if (attachmentsMode) new ArcGisAttachmentsScan(required, options, where)
+    else pushedAgg match {
       case Some(pa) => new ArcGisScan(pa.readSchema, options, where, None, Some(pa))
       case None => new ArcGisScan(required, options, where, limit, envelope = envelope)
     }
@@ -418,6 +455,79 @@ case class ArcGisDeletesPartition(
     hiTs: Long,
     oidField: String
 ) extends InputPartition
+
+/** One OBJECTID interval `[lo, hi)` of an `attachments=true` scan: the
+  * reader lists the range's feature OIDs (same stateless saturation-halving
+  * protocol as [[ArcGisOidRangePartition]]), then fans out the per-OID
+  * attachment listing/downloads inside the task — so a 1000-executor
+  * cluster spreads the HTTP fan-out exactly like the feature scan does.
+  */
+case class ArcGisAttachmentsPartition(
+    lo: Long,
+    hi: Long,
+    oidField: String,
+    where: String,
+    page: Int
+) extends InputPartition
+
+/** Attachments scan: OID-range partitioning over the layer (attachment
+  * access is keyed per feature OID, so the feature scan's range planning
+  * transfers directly). The user `where` option still selects WHICH
+  * features contribute attachments (evaluated by the server in the OID
+  * listing); predicates over the attachment columns themselves are
+  * engine-side residuals.
+  */
+class ArcGisAttachmentsScan(
+    schema: StructType,
+    options: CaseInsensitiveStringMap,
+    where: String
+) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // mirrors ArcGisScan's oidRangePartitions: full-layer OID bounds from
+    // one stats round-trip, n ranges sized by pageSize/maxRecordCount
+    val client = ArcGisClientRegistry.get(options.get("client"))
+    val info = client.layerInfo()
+    val oid = info.fields.find(_.esriType == "esriFieldTypeOID").map(_.name)
+      .getOrElse(throw new IllegalArgumentException(
+        "attachments scan requires an esriFieldTypeOID field in the layer metadata"))
+    val page = Option(options.get("pageSize")).map(_.toInt)
+      .getOrElse(info.maxRecordCount.max(1))
+    val mm = client
+      .queryStatistics("1=1", Nil,
+        Seq(StatSpec("min", oid, "__lo"), StatSpec("max", oid, "__hi")))
+      .headOption
+    val bounds = mm.flatMap { m =>
+      (m.get("__lo"), m.get("__hi")) match {
+        case (Some(lo: Number), Some(hi: Number)) =>
+          Some((lo.longValue(), hi.longValue() + 1))
+        case _ => None
+      }
+    }
+    bounds match {
+      case None => Array.empty[InputPartition]
+      case Some((lo, hi)) =>
+        val n = ((info.totalCount + page - 1) / page).toInt.max(1)
+        val width = math.max(1L, (hi - lo + n - 1) / n)
+        (0 until n).iterator
+          .map { i =>
+            val a = lo + i.toLong * width
+            ArcGisAttachmentsPartition(
+              a, math.min(hi, a + width), oid, where, info.maxRecordCount.max(1))
+          }
+          .filter(p => p.lo < p.hi)
+          .toArray[InputPartition]
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArcGisReaderFactory(schema, options.asCaseSensitiveMap().asScala.toMap)
+
+  override def description(): String =
+    s"ArcGisAttachmentsScan(where=$where, cols=${schema.fieldNames.mkString(",")})"
+}
 
 class ArcGisScan(
     schema: StructType,
@@ -593,6 +703,7 @@ class ArcGisReaderFactory(
     case p: ArcGisStatsPartition => new ArcGisStatsReader(schema, options, p)
     case p: ArcGisOidRangePartition => new ArcGisOidRangeReader(schema, options, p)
     case p: ArcGisDeletesPartition => new ArcGisDeletesReader(schema, options, p)
+    case p: ArcGisAttachmentsPartition => new ArcGisAttachmentsReader(schema, options, p)
     case p: ArcGisInputPartition => new ArcGisPartitionReader(schema, options, p.where, p)
   }
 }
@@ -785,6 +896,84 @@ class ArcGisOidRangeReader(
     if (buffer.hasNext || refill()) { current = buffer.next(); true } else false
 
   override def get(): InternalRow = ArcGisValues.toRow(schema, current)
+
+  override def close(): Unit = ()
+}
+
+/** Executor-side attachments fetch: lists the partition's OID range (same
+  * saturation-halving protocol as [[ArcGisOidRangeReader]], projecting only
+  * the OID field), then streams each feature's `attachmentInfos` — and,
+  * ONLY when the pruned schema still contains `data`, the payload download.
+  * A metadata-only projection therefore never moves attachment bytes over
+  * the wire: the m-family manifest/accounting queries stay listing-priced.
+  */
+class ArcGisAttachmentsReader(
+    schema: StructType,
+    options: Map[String, String],
+    partition: ArcGisAttachmentsPartition
+) extends PartitionReader[InternalRow] {
+
+  private lazy val client = ArcGisClientRegistry.get(options("client"))
+  private val wantData = schema.fieldNames.contains("data")
+
+  private val pending =
+    scala.collection.mutable.Stack[(Long, Long)]((partition.lo, partition.hi))
+  private var oidBuffer: Iterator[Long] = Iterator.empty
+  private var attBuffer: Iterator[(Long, AttachmentInfo)] = Iterator.empty
+  private var current: (Long, AttachmentInfo) = _
+
+  private def rangeWhere(lo: Long, hi: Long): String = {
+    val range = s"${partition.oidField} >= $lo AND ${partition.oidField} < $hi"
+    if (partition.where.trim.isEmpty || partition.where == "1=1") range
+    else s"(${partition.where}) AND ($range)"
+  }
+
+  private def refillOids(): Boolean = {
+    while (pending.nonEmpty) {
+      val (lo, hi) = pending.pop()
+      val rows = client.queryPage(0L, -1, rangeWhere(lo, hi), Seq(partition.oidField))
+      if (rows.size >= partition.page && hi - lo > 1) {
+        val mid = lo + (hi - lo) / 2
+        pending.push((mid, hi))
+        pending.push((lo, mid))
+      } else if (rows.nonEmpty) {
+        oidBuffer = rows.iterator.flatMap(
+          _.attributes.get(partition.oidField).collect { case n: Number => n.longValue() })
+        return true
+      }
+    }
+    false
+  }
+
+  private def advance(): Boolean = {
+    while (!attBuffer.hasNext) {
+      if (!oidBuffer.hasNext && !refillOids()) return false
+      if (oidBuffer.hasNext) {
+        val oid = oidBuffer.next()
+        attBuffer = client.attachmentInfos(oid).iterator.map(i => (oid, i))
+      }
+    }
+    true
+  }
+
+  override def next(): Boolean =
+    if (advance()) { current = attBuffer.next(); true } else false
+
+  override def get(): InternalRow = {
+    val (oid, info) = current
+    val values: Array[Any] = schema.fields.map { fld =>
+      fld.name match {
+        case "objectid" => Long.box(oid)
+        case "attachment_id" => Long.box(info.id)
+        case "name" => UTF8String.fromString(info.name)
+        case "content_type" => UTF8String.fromString(info.contentType)
+        case "size" => Long.box(info.size)
+        case "data" if wantData => client.attachment(oid, info.id)
+        case _ => null
+      }
+    }
+    new GenericInternalRow(values)
+  }
 
   override def close(): Unit = ()
 }

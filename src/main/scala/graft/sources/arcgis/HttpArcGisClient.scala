@@ -73,11 +73,16 @@ class HttpArcGisClient(
   }
 
   private def sendWithRetry(
-      what: String, build: () => HttpRequest, idempotent: Boolean = true): String = {
+      what: String, build: () => HttpRequest, idempotent: Boolean = true): String =
+    sendRaw(what, build, HttpResponse.BodyHandlers.ofString(), idempotent)
+
+  private def sendRaw[T](
+      what: String, build: () => HttpRequest,
+      handler: HttpResponse.BodyHandler[T], idempotent: Boolean): T = {
     var attempt = 1
     while (true) {
       val outcome =
-        try Right(http.send(build(), HttpResponse.BodyHandlers.ofString()))
+        try Right(http.send(build(), handler))
         catch { case e: java.io.IOException => Left(e) }
       outcome match {
         case Right(r) if r.statusCode() < 400 => return r.body()
@@ -211,6 +216,35 @@ class HttpArcGisClient(
       "where" -> s"$keyCol = '${key.replace("'", "''")}'",
       "outFields" -> "*"
     )))
+
+  override def attachmentInfos(oid: Long): Seq[AttachmentInfo] =
+    MiniJson.parse(get(s"/$oid/attachments", Seq.empty)).arr("attachmentInfos").map { a =>
+      AttachmentInfo(
+        a.num("id").map(_.toLong).getOrElse(-1L),
+        a.str("name"),
+        a.str("contentType"),
+        a.num("size").map(_.toLong).getOrElse(0L))
+    }
+
+  /** Raw download form of the attachments endpoint: no `f=json` envelope —
+    * the response body IS the file. Auth/extras still apply; idempotent GET
+    * retries as usual.
+    */
+  override def attachment(oid: Long, attachmentId: Long): Array[Byte] =
+    sendRaw(
+      s"GET /$oid/attachments/$attachmentId",
+      () => {
+        val qs = withAuth(withExtras(Seq.empty))
+          .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+        val sep = if (qs.isEmpty) "" else "?"
+        val builder = HttpRequest
+          .newBuilder(URI.create(s"$layerUrl/$oid/attachments/$attachmentId$sep$qs"))
+          .GET()
+        referer.foreach(r => builder.header("Referer", r))
+        builder.build()
+      },
+      HttpResponse.BodyHandlers.ofByteArray(),
+      idempotent = true)
 
   private def writeResults(body: String, resultKey: String): Seq[Either[String, Long]] =
     MiniJson.parse(body).arr(resultKey).map { r =>

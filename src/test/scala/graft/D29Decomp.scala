@@ -25,10 +25,16 @@ object D29Decomp {
     import graft.functions.VectorOps.{dot, norm}
     import graft.functions.VectorExpressions.lshBucketDyn
 
-    val dirs = Seq(
-      "sf0.1" -> "/root/testdata/sf0.1",
-      "sf1" -> "/root/repo/testdata-sf1",
-      "sf2" -> "/root/repo/testdata-sf2")
+    // default three-point ladder; override with `tag=dir` args for other
+    // decades (r18: `sf5=... sf10=...` attributed the 100× marginal)
+    val dirs =
+      if (args.nonEmpty) args.toSeq.map { a =>
+        val Array(t, d) = a.split("=", 2); (t, d)
+      }
+      else Seq(
+        "sf0.1" -> "/root/testdata/sf0.1",
+        "sf1" -> "/root/repo/testdata-sf1",
+        "sf2" -> "/root/repo/testdata-sf2")
 
     for ((tag, d) <- dirs) {
       // the d29 plan, stage by stage (same expressions as DedupPack d29)
