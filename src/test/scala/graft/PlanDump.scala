@@ -340,6 +340,15 @@ object PlanDump {
         "corpus size: marginal 3.7× at 20× is measured TRUE pair volume " +
         "(3.11×) at flat per-pair cost vs the fixed-cluster baseline's " +
         "7.6× (SCALING.md decomposition bullet)."),
+      "d32_semdedup_capped" -> ("Skew-capped SemDeDup (d29 + the C=32 " +
+        "lowest-id verification cap the sf10 decade motivated): the cap " +
+        "is ONE row_number window over the index side, partitioned by " +
+        "exactly the (tbl, bucket) key the candidate equi-join shuffles " +
+        "on — so the window's exchange IS the join's build-side exchange " +
+        "(no extra shuffle class), and every cell feeds at most 32 index " +
+        "rows into the join. Everything downstream (probe fan-out, " +
+        "countDistinct candidate fold, left-join flag projection) is " +
+        "d29's plan unchanged."),
       "s22_adaptive_ann" -> ("Adaptive-width SERVING ANN (d29's pattern on " +
         "the retrieval shape): the broadcast index-side count fixes k " +
         "in-plan, lsh_bucket_dyn(embedding, k, t*20) compiles into the " +
