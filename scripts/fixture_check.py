@@ -45,6 +45,7 @@ QUERIES = [
     "d27_keep_lsh",
     "d28_semdedup_wide",
     "d29_semdedup_adaptive",
+    "d32_semdedup_capped",
     "p23_pipeline_manifest",
     "p24_quality_curriculum",
     "p25_corpus_signature",

