@@ -485,6 +485,16 @@ class ArcGisAttachmentsScan(
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
+  /** The table advertises MICRO_BATCH_READ for the feature scan; fail the
+    * attachments variant with guidance instead of the default opaque error.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String
+  ): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    throw new UnsupportedOperationException(
+      "attachments=true is a batch-only scan; stream the feature layer " +
+        "(deletes/incremental options) and join attachments per batch instead")
+
   override def planInputPartitions(): Array[InputPartition] = {
     // mirrors ArcGisScan's oidRangePartitions: full-layer OID bounds from
     // one stats round-trip, n ranges sized by pageSize/maxRecordCount

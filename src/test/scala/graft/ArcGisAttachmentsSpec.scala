@@ -153,6 +153,25 @@ class ArcGisAttachmentsSpec extends AnyFunSuite {
     assert(mock.attachmentLog.toArray.length >= 57)
   }
 
+  // ------------------------------------------------------- streaming guard
+  test("readStream on attachments=true fails with guidance, not an opaque error") {
+    val fields = Seq(ArcGisField("objectid", "esriFieldTypeOID"))
+    val rows = Seq(EsriFeature(Map("objectid" -> 1L), None))
+    ArcGisClientRegistry.register("attach-stream-guard", new MockArcGisClient(fields, rows))
+    val ex = intercept[Exception] {
+      spark.readStream.format("arcgis")
+        .option("client", "attach-stream-guard")
+        .option("attachments", "true")
+        .load()
+        .writeStream.format("memory").queryName("ag_guard").start()
+        .processAllAvailable()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("batch-only")),
+      s"expected the batch-only guidance, got: ${messages(ex)}")
+  }
+
   // ------------------------------------------------------------- composed
   test("attachments -> imageAHash dedup composes in one plan (mock server)") {
     import graft.functions.MediaExpressions
