@@ -46,6 +46,7 @@ QUERIES = [
     "d28_semdedup_wide",
     "d29_semdedup_adaptive",
     "d32_semdedup_capped",
+    "d33_band_entropy_probe",
     "p23_pipeline_manifest",
     "p24_quality_curriculum",
     "p25_corpus_signature",

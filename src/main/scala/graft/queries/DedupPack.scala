@@ -2055,6 +2055,102 @@ object DedupPack extends QueryPack {
         "recall preserved (a hot cell is a near-dup cluster whose lowest id " +
         "IS the exemplar); identical to d29 wherever cells fit the cap"
     ),
+    // ------------------------------------------------ d33 band-entropy probe
+    Q(
+      "d33_band_entropy_probe",
+      (s, d) => {
+        // INDEX-HEALTH PROBE — BandEntropySpec's bucket-occupancy invariant
+        // as a first-class, oracle-checked query: the report a 100 TB
+        // deployment runs BEFORE trusting a banded index, because the r17
+        // band-degeneracy class is invisible to every correctness oracle
+        // (hash compares are mix-agnostic: the oracle recomputes the same
+        // degenerate key) and only shows up in these occupancy numbers.
+        // One row per banded index family: entries (item×band rows),
+        // buckets used, the largest bucket, and Σ c·(c−1)/2 — the
+        // candidate-join pair volume that bucket histogram IMPLIES, i.e.
+        // the cost model the d20/d26/d25/d29 candidate generators run on.
+        // All-integer output → cell-exact on both engines. The probe's two
+        // families share their key arithmetic with the production kernels
+        // (simhash60 bands = d20's spelling; adaptive cells = d29's), so a
+        // future kernel regression moves THESE numbers the same run it
+        // moves the real indexes.
+        import graft.functions.TextExpressions
+        import graft.functions.VectorExpressions.lshBucketDyn
+        val bands = Tables.documents(s, d)
+          .select(TextExpressions.simhash60(col("text")).as("sim"))
+          .select(posexplode(array((0 until 4).map(k =>
+            shiftright(col("sim"), 15 * k) % 32768): _*)))
+          .select(col("pos").as("g1"), col("col").as("g2"))
+        val kdf = Tables.embeddings(s, d)
+          .agg(count(lit(1)).as("n"))
+          .select(expr("GREATEST(4, LEAST(16, length(bin((n + 7) DIV 8)))) AS k"))
+        val cells = Tables.embeddings(s, d)
+          .select(col("embedding")).crossJoin(broadcast(kdf))
+          .select(posexplode(array((0 until 4).map(t =>
+            lshBucketDyn(col("embedding"), col("k"), t * 20)): _*)))
+          .select(col("pos").as("g1"), col("col").as("g2"))
+        def stats(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("c"))
+            .agg(
+              sum(col("c")).cast("long").as("n_entries"),
+              count(lit(1)).as("n_buckets"),
+              max(col("c")).as("max_bucket"),
+              sum(col("c") * (col("c") - 1) / 2).cast("long").as("cand_pairs"))
+            .select(lit(name).as("index_name"), col("n_entries"),
+              col("n_buckets"), col("max_bucket"), col("cand_pairs"))
+        stats(cells, "adaptive_lsh_cells_x4")
+          .unionByName(stats(bands, "simhash15_bands_x4"))
+          .orderBy(col("index_name"))
+      },
+      Some {
+        // simhash bands: d20's oracle CTE chain (tokenHash → staged mix60 →
+        // per-bit majority votes) + band slicing; adaptive cells: d29's
+        // kk/e plane-sign machinery. Both grouped to occupancy stats.
+        val bits = (0 until 60).map { b =>
+          s"(CASE WHEN SUM(CASE WHEN (v >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        def wbSql(t: Int): String = {
+          val j = s"((${t * 20} + b) * 64 + (i - 1))"
+          s"""CAST(list_sum(list_transform(generate_series(0, k - 1), b ->
+             |    CASE WHEN list_sum(list_transform(emb, (x, i) ->
+             |        CAST(x AS DOUBLE) * ((($j * 2654435761) % 1000000007) / 1000000000.0 - 0.5))) > 0
+             |      THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+        }
+        val wcols = (0 until 4).map(t => s"${wbSql(t)} AS wb$t").mkString(",\n    ")
+        val tcase = "CASE t.g1 WHEN 0 THEN wb0 WHEN 1 THEN wb1 WHEN 2 THEN wb2 ELSE wb3 END"
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS x FROM documents),
+           |th AS (SELECT doc_id, ${thSql("x")} AS v FROM tok),
+           |${mix60StagedCtes("th", Seq("v"))},
+           |tv AS (SELECT doc_id, v FROM mixed),
+           |sims AS (SELECT doc_id, CAST($bits AS BIGINT) AS sim FROM tv GROUP BY doc_id),
+           |sb AS (SELECT b.g1, (sim >> (15 * b.g1)) % 32768 AS g2
+           |       FROM sims, (SELECT unnest([0,1,2,3]) AS g1) b),
+           |kk AS (
+           |  SELECT GREATEST(4, LEAST(16, length(bin((COUNT(*) + 7) // 8)))) AS k
+           |  FROM embeddings),
+           |e AS (
+           |  SELECT vec_id, k,
+           |    $wcols
+           |  FROM (SELECT vec_id, embedding AS emb FROM embeddings), kk),
+           |ec AS (SELECT t.g1, $tcase AS g2
+           |       FROM e, (SELECT unnest([0,1,2,3]) AS g1) t),
+           |occ1 AS (SELECT g1, g2, COUNT(*) AS c FROM sb GROUP BY g1, g2),
+           |occ2 AS (SELECT g1, g2, COUNT(*) AS c FROM ec GROUP BY g1, g2),
+           |s1 AS (SELECT 'simhash15_bands_x4' AS index_name, CAST(SUM(c) AS BIGINT) AS n_entries,
+           |         COUNT(*) AS n_buckets, MAX(c) AS max_bucket,
+           |         CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS cand_pairs FROM occ1),
+           |s2 AS (SELECT 'adaptive_lsh_cells_x4' AS index_name, CAST(SUM(c) AS BIGINT) AS n_entries,
+           |         COUNT(*) AS n_buckets, MAX(c) AS max_bucket,
+           |         CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS cand_pairs FROM occ2)
+           |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |ORDER BY index_name""".stripMargin
+      },
+      doc = "index-health probe: bucket-occupancy report (entries, buckets, " +
+        "max bucket, implied candidate pairs) for the simhash 15-bit bands " +
+        "and the adaptive LSH cells — BandEntropySpec's invariant as a " +
+        "first-class query, the pre-flight a 100 TB deployment runs because " +
+        "band degeneracy (r17) is invisible to every value-level oracle"
+    ),
     // ---------------------------------------------------------------- kmv overlap
     Q(
       "d30_kmv_overlap",

@@ -42,6 +42,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * and asserts it violates BOTH bounds — proving the spec detects the bug
   * class it was built for.
   *
+  * The same metrics ship as a first-class, oracle-checked query —
+  * `d33_band_entropy_probe` (DedupPack) — so a deployment runs the probe
+  * in-pipeline; this spec additionally pins the BOUNDS and the
+  * degenerate-mix regression proof.
+  *
   * Covered banded indexes (band-key spellings pinned to the pack code):
   *   - d20: simhash60, 4×15-bit bands          (DedupPack "d20_simhash_hamming")
   *   - d26: two seeded halves, 4×30-bit bands  (DedupPack "d26_wide_simhash")
