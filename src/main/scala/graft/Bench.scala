@@ -156,6 +156,62 @@ object Bench {
       (st, mt)
     }
     val (calibSt, calibMt) = hostCalib()
+    // Spark-workload calibration probe (r19, VERDICT r18 item 2): the CPU
+    // burn loop above moved +1.3% across a round whose suite total moved
+    // +20%, so it cannot attribute suite-level drift — it exercises neither
+    // codegen, nor the shuffle machinery, nor the JIT state the suite
+    // actually runs on. This probe is a pinned 3-query mini-suite over
+    // DETERMINISTIC in-memory data (spark.range — no corpus dependency, so
+    // the workload is byte-identical across rounds and hosts) timed in the
+    // SAME JVM right before the sweep: a shuffle aggregate, a join+window,
+    // and a per-row expression kernel — the three physical shapes the suite
+    // spends its time in. Two reps each, min kept (same estimator as the
+    // suite), so cross-round totals can be normalized by a number that
+    // co-varies with actual Spark execution cost. Runs AFTER the warm-ups:
+    // it measures steady-state throughput, not first-touch.
+    def sparkCalib(): (Double, Double, Double, Double) = {
+      import org.apache.spark.sql.functions._
+      def sweep(df: org.apache.spark.sql.DataFrame): Unit =
+        df.queryExecution.toRdd.foreachPartition { it => while (it.hasNext) it.next() }
+      def aggProbe(): Unit = sweep(
+        spark.range(8000000L)
+          .select((col("id") % 4096).as("k"),
+            (col("id") * 2654435761L % 1000003L).as("v"))
+          .groupBy("k").agg(sum("v").as("s"), avg("v").as("a"), max("v").as("m")))
+      def joinWindowProbe(): Unit = {
+        val a = spark.range(2000000L)
+          .select(col("id").as("k"), (col("id") % 997).as("g"))
+        val b = spark.range(2000000L)
+          .select(col("id").as("k"), (col("id") % 31).as("w"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("k").desc)
+        sweep(a.join(b, Seq("k"))
+          .withColumn("rn", row_number().over(win)).filter(col("rn") <= 3))
+      }
+      def kernelProbe(): Unit = sweep(
+        spark.range(3000000L)
+          .select(sha2(concat(col("id").cast("string"), lit("graft")), 256).as("h"))
+          .select(substring(col("h"), 1, 8).as("p"))
+          .groupBy("p").agg(count(lit(1)).as("n")))
+      def minOf2(f: () => Unit): Double = {
+        def one(): Double = {
+          val t = System.nanoTime(); f(); (System.nanoTime() - t) / 1e6
+        }
+        math.min(one(), one())
+      }
+      try {
+        val a = minOf2(() => aggProbe())
+        val j = minOf2(() => joinWindowProbe())
+        val k = minOf2(() => kernelProbe())
+        (a, j, k, a + j + k)
+      } catch {
+        // a broken probe must not take the bench down; -1 marks it invalid
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] spark calibration probe failed: $e")
+          (-1.0, -1.0, -1.0, -1.0)
+      }
+    }
+    val (calibAgg, calibJw, calibKer, calibSpark) = sparkCalib()
     // iteration aid: SPARK_GRAFT_ONLY=q1,q3 times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     // sorted-name order (stable across rounds, so per-query diffs compare
@@ -399,7 +455,9 @@ object Bench {
       w.println(
         s"""{"total":${r3(total)},"n_queries":${ok.size},"n_failed":${failed.size},""" +
           s""""sf":"$sfDir",""" +
-          s""""host_calib":{"st_ms":${r3(calibSt)},"mt_ms":${r3(calibMt)}},""" +
+          s""""host_calib":{"st_ms":${r3(calibSt)},"mt_ms":${r3(calibMt)},""" +
+          s""""spark_ms":{"agg":${r3(calibAgg)},"join_window":${r3(calibJw)},""" +
+          s""""kernel":${r3(calibKer)},"total":${r3(calibSpark)}}},""" +
           s""""contention":{"n_contended":${flagged.size},"n_eligible":$eligible,""" +
           s""""score":${r3(contentionScore)},"sum_max":${r3(ok.map(_._3).sum)}},""" +
           s""""queries":$detail}""")
@@ -426,7 +484,7 @@ object Bench {
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
     val metricLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"contended":${flagged.size}$failedJson,"calib_st_ms":${r3(calibSt)},"families":$families,"queries":$slowest,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${ok.size},"contended":${flagged.size}$failedJson,"calib_st_ms":${r3(calibSt)},"calib_spark_ms":${r3(calibSpark)},"families":$families,"queries":$slowest,"sf":"$sfDir"}"""
     // the summary object also goes to a fixed FILE: the driver's regex has
     // recorded "parsed": null for 4 rounds running even with the metric
     // line intact in the tail (sbt's [info]/[error] line prefixes are the

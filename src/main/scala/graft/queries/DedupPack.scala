@@ -2089,15 +2089,30 @@ object DedupPack extends QueryPack {
           .select(posexplode(array((0 until 4).map(t =>
             lshBucketDyn(col("embedding"), col("k"), t * 20)): _*)))
           .select(col("pos").as("g1"), col("col").as("g2"))
+        // c·(c−1) is always even, so element-wise integer DIV keeps the whole
+        // aggregate in BIGINT on both engines — float '/' here would lose
+        // integer precision past 2^53, exactly in the degenerate-huge-bucket
+        // regime (c ≳ 1.3e8 per bucket) this probe exists to detect.
         def stats(df: org.apache.spark.sql.DataFrame, name: String) =
           df.groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("c"))
             .agg(
               sum(col("c")).cast("long").as("n_entries"),
               count(lit(1)).as("n_buckets"),
               max(col("c")).as("max_bucket"),
-              sum(col("c") * (col("c") - 1) / 2).cast("long").as("cand_pairs"))
+              sum(expr("(c * (c - 1)) DIV 2")).cast("long").as("cand_pairs"))
+            // decision-grade verdict columns: BandEntropySpec's deployment
+            // bounds (max-bucket fraction ≤ 10%, candidate pairs/item ≤ 128,
+            // BandEntropySpec.scala MaxBucketFrac/MaxPairsPerItem) quantized
+            // to integer arithmetic (basis points / floor div) so the
+            // pre-flight yields a machine-checkable `healthy` verdict, not
+            // raw counts a human must interpret against test-only bounds —
+            // and stays cell-exact on both engines.
             .select(lit(name).as("index_name"), col("n_entries"),
-              col("n_buckets"), col("max_bucket"), col("cand_pairs"))
+              col("n_buckets"), col("max_bucket"), col("cand_pairs"),
+              expr("max_bucket * 10000 DIV n_entries").as("max_bucket_bp"),
+              expr("cand_pairs DIV n_entries").as("pairs_per_item"),
+              expr("max_bucket * 10000 DIV n_entries <= 1000 " +
+                "AND cand_pairs DIV n_entries <= 128").as("healthy"))
         stats(cells, "adaptive_lsh_cells_x4")
           .unionByName(stats(bands, "simhash15_bands_x4"))
           .orderBy(col("index_name"))
@@ -2138,18 +2153,27 @@ object DedupPack extends QueryPack {
            |occ2 AS (SELECT g1, g2, COUNT(*) AS c FROM ec GROUP BY g1, g2),
            |s1 AS (SELECT 'simhash15_bands_x4' AS index_name, CAST(SUM(c) AS BIGINT) AS n_entries,
            |         COUNT(*) AS n_buckets, MAX(c) AS max_bucket,
-           |         CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS cand_pairs FROM occ1),
+           |         CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs FROM occ1),
            |s2 AS (SELECT 'adaptive_lsh_cells_x4' AS index_name, CAST(SUM(c) AS BIGINT) AS n_entries,
            |         COUNT(*) AS n_buckets, MAX(c) AS max_bucket,
-           |         CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS cand_pairs FROM occ2)
-           |SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |         CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cand_pairs FROM occ2),
+           |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+           |SELECT index_name, n_entries, n_buckets, max_bucket, cand_pairs,
+           |  CAST(max_bucket * 10000 // n_entries AS BIGINT) AS max_bucket_bp,
+           |  CAST(cand_pairs // n_entries AS BIGINT) AS pairs_per_item,
+           |  (max_bucket * 10000 // n_entries <= 1000
+           |     AND cand_pairs // n_entries <= 128) AS healthy
+           |FROM u
            |ORDER BY index_name""".stripMargin
       },
       doc = "index-health probe: bucket-occupancy report (entries, buckets, " +
         "max bucket, implied candidate pairs) for the simhash 15-bit bands " +
-        "and the adaptive LSH cells — BandEntropySpec's invariant as a " +
-        "first-class query, the pre-flight a 100 TB deployment runs because " +
-        "band degeneracy (r17) is invisible to every value-level oracle"
+        "and the adaptive LSH cells, PLUS decision-grade verdict columns " +
+        "(max_bucket_bp, pairs_per_item, healthy at BandEntropySpec's " +
+        "documented 10%/128 bounds) — the pre-flight a 100 TB deployment " +
+        "runs because band degeneracy (r17) is invisible to every " +
+        "value-level oracle; all-BIGINT arithmetic (element-wise DIV on the " +
+        "even product c*(c-1)) so the report stays cell-exact past 2^53"
     ),
     // ---------------------------------------------------------------- kmv overlap
     Q(

@@ -17,7 +17,13 @@ case class LayerInfo(
       * force the OBJECTID-range scan (reference [lib] esri-dump falls back
       * the same way).
       */
-    supportsPagination: Boolean = true
+    supportsPagination: Boolean = true,
+    /** `advancedQueryCapabilities.supportsQueryAttachments`: whether the
+      * layer exposes the bulk `queryAttachments` endpoint (one listing call
+      * per OID window) — without it the attachments scan falls back to the
+      * per-OID `{oid}/attachments` listing.
+      */
+    supportsQueryAttachments: Boolean = false
 )
 
 /** A feature as the ArcGIS REST API represents it: flat attribute map plus
@@ -139,6 +145,19 @@ trait ArcGisClient extends Serializable {
     */
   def attachmentInfos(oid: Long): Seq[AttachmentInfo] = Seq.empty
 
+  /** Bulk attachment listing — the `queryAttachments` endpoint layers
+    * advertise via `advancedQueryCapabilities.supportsQueryAttachments`:
+    * ONE round-trip returns the attachment metadata of a whole OID window
+    * (`attachmentGroups[] = {parentObjectId, attachmentInfos[]}`). At a
+    * million-feature layer the per-OID listing is the scan's dominant cost
+    * even for metadata-only plans; this collapses it to one call per
+    * partition window. Default implementation is the per-OID fallback so
+    * every client stays correct; transports override with the real bulk
+    * call when the layer supports it.
+    */
+  def queryAttachments(oids: Seq[Long]): Seq[(Long, AttachmentInfo)] =
+    oids.flatMap(oid => attachmentInfos(oid).map(oid -> _))
+
   /** One attachment's raw bytes — `{layer}/{oid}/attachments/{attachmentId}`
     * (the download form of the endpoint, no `f=json` envelope).
     */
@@ -177,7 +196,8 @@ class MockArcGisClient(
     val fields: Seq[ArcGisField],
     val rows: Seq[EsriFeature],
     val pageSize: Int = 100,
-    val supportsPagination: Boolean = true
+    val supportsPagination: Boolean = true,
+    val supportsQueryAttachments: Boolean = false
 ) extends ArcGisClient {
 
   val whereLog = new java.util.concurrent.CopyOnWriteArrayList[String]()
@@ -206,6 +226,19 @@ class MockArcGisClient(
     Option(attachmentStore.get(oid)).map(_.map(_._1)).getOrElse(Seq.empty)
   }
 
+  /** Bulk-listing request log: one entry per `queryAttachments` call, the
+    * OID window it covered — specs assert one listing call per partition
+    * window (vs N per-OID entries in `attachmentLog`).
+    */
+  val attachmentBulkLog = new java.util.concurrent.CopyOnWriteArrayList[Seq[Long]]()
+
+  override def queryAttachments(oids: Seq[Long]): Seq[(Long, AttachmentInfo)] = {
+    attachmentBulkLog.add(oids)
+    oids.flatMap { oid =>
+      Option(attachmentStore.get(oid)).map(_.map(oid -> _._1)).getOrElse(Seq.empty)
+    }
+  }
+
   override def attachment(oid: Long, attachmentId: Long): Array[Byte] = {
     attachmentLog.add((oid, Some(attachmentId)))
     Option(attachmentStore.get(oid))
@@ -219,7 +252,8 @@ class MockArcGisClient(
   }
 
   override def layerInfo(): LayerInfo =
-    LayerInfo(fields, pageSize, rows.size.toLong, supportsPagination)
+    LayerInfo(fields, pageSize, rows.size.toLong, supportsPagination,
+      supportsQueryAttachments)
 
   /** Server-side predicate evaluation for a tiny SQL subset (the mock plays
     * the ArcGIS server role: equality/comparison on one column, AND-joined).

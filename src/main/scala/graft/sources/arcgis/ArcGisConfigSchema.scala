@@ -102,5 +102,12 @@ object ArcGisConfigSchema {
       }
       require(n > 0, s"pageSize must be positive, got $n")
     }
+    // same plan-time discipline for the attachments toggle: a typo'd value
+    // ("ture") fails HERE with a descriptive message, not as a raw
+    // IllegalArgumentException from String.toBoolean inside inferSchema
+    Option(options.get("attachments")).foreach { a =>
+      require(a.equalsIgnoreCase("true") || a.equalsIgnoreCase("false"),
+        s"attachments must be 'true' or 'false', got '$a'")
+    }
   }
 }

@@ -47,8 +47,12 @@ class ArcGisTableProvider extends TableProvider with DataSourceRegister {
     // attachments=true: the scan reads the layer's ATTACHMENTS surface
     // (`{layer}/{oid}/attachments`) instead of its rows — one row per
     // attachment with the payload as a BinaryType column, the shape the
-    // multimodal (m-family) operators consume directly
-    else if (Option(options.get("attachments")).exists(_.toBoolean))
+    // multimodal (m-family) operators consume directly. Options are
+    // validated HERE (the earliest plan-time hook) so a malformed toggle
+    // fails with the same descriptive message strategy/pageSize get, not a
+    // raw String.toBoolean exception.
+    else if ({ ArcGisConfigSchema.validateOptions(options)
+               Option(options.get("attachments")).exists(_.toBoolean) })
       ArcGisAttachmentsSchema.schema
     else {
       val base = ArcGisSchema.structFor(
@@ -467,7 +471,13 @@ case class ArcGisAttachmentsPartition(
     hi: Long,
     oidField: String,
     where: String,
-    page: Int
+    page: Int,
+    /** Layer advertises `supportsQueryAttachments`: list each OID window
+      * with ONE bulk `queryAttachments` call instead of one per feature —
+      * resolved at PLAN time (the scan already holds layerInfo) so readers
+      * pay no extra metadata round-trip.
+      */
+    bulkListing: Boolean = false
 ) extends InputPartition
 
 /** Attachments scan: OID-range partitioning over the layer (attachment
@@ -517,6 +527,16 @@ class ArcGisAttachmentsScan(
       }
     }
     bounds match {
+      // OID-range planning is the ONLY path for attachments (unlike the
+      // feature scan, which enters it conditionally), so unusable stats
+      // bounds on a NON-empty layer must not read as an empty attachment
+      // table: fail loudly instead of silently planning zero partitions.
+      case None if info.totalCount > 0 =>
+        throw new IllegalStateException(
+          s"attachments scan could not derive OBJECTID bounds from the " +
+            s"layer's outStatistics probe (layer reports " +
+            s"${info.totalCount} features) — the server must support " +
+            "min/max statistics on the OID field for attachments=true")
       case None => Array.empty[InputPartition]
       case Some((lo, hi)) =>
         val n = ((info.totalCount + page - 1) / page).toInt.max(1)
@@ -525,7 +545,8 @@ class ArcGisAttachmentsScan(
           .map { i =>
             val a = lo + i.toLong * width
             ArcGisAttachmentsPartition(
-              a, math.min(hi, a + width), oid, where, info.maxRecordCount.max(1))
+              a, math.min(hi, a + width), oid, where, info.maxRecordCount.max(1),
+              info.supportsQueryAttachments)
           }
           .filter(p => p.lo < p.hi)
           .toArray[InputPartition]
@@ -959,8 +980,17 @@ class ArcGisAttachmentsReader(
     while (!attBuffer.hasNext) {
       if (!oidBuffer.hasNext && !refillOids()) return false
       if (oidBuffer.hasNext) {
-        val oid = oidBuffer.next()
-        attBuffer = client.attachmentInfos(oid).iterator.map(i => (oid, i))
+        if (partition.bulkListing) {
+          // layer advertises supportsQueryAttachments: ONE bulk listing per
+          // saturation window (the OID batch refillOids just fetched)
+          // instead of one round-trip per feature — at a million-feature
+          // layer the per-OID listing dominates even metadata-only plans
+          attBuffer = client.queryAttachments(oidBuffer.toSeq).iterator
+          oidBuffer = Iterator.empty
+        } else {
+          val oid = oidBuffer.next()
+          attBuffer = client.attachmentInfos(oid).iterator.map(i => (oid, i))
+        }
       }
     }
     true

@@ -145,7 +145,12 @@ class HttpArcGisClient(
       json.num("maxRecordCount").map(_.toInt).getOrElse(1000),
       count.num("count").map(_.toLong).getOrElse(0L),
       json.obj("advancedQueryCapabilities")
-        .flatMap(_.bool("supportsPagination")).getOrElse(true)
+        .flatMap(_.bool("supportsPagination")).getOrElse(true),
+      json.obj("advancedQueryCapabilities")
+        .flatMap(_.bool("supportsQueryAttachments"))
+        // some servers surface the capability at the top level
+        .orElse(json.bool("supportsQueryAttachments"))
+        .getOrElse(false)
     )
   }
 
@@ -226,12 +231,35 @@ class HttpArcGisClient(
         a.num("size").map(_.toLong).getOrElse(0L))
     }
 
+  /** Bulk listing via the layer's `queryAttachments` endpoint — one
+    * round-trip per OID window instead of one per feature. The public REST
+    * surface keys the response by `parentObjectId` in `attachmentGroups[]`;
+    * `returnUrl=false` keeps the reply metadata-only (payloads stay on the
+    * per-attachment download path, fetched only when the pruned schema
+    * still needs `data`).
+    */
+  override def queryAttachments(oids: Seq[Long]): Seq[(Long, AttachmentInfo)] =
+    if (oids.isEmpty) Seq.empty
+    else MiniJson.parse(get("/queryAttachments", Seq(
+      "objectIds" -> oids.mkString(","),
+      "returnUrl" -> "false"
+    ))).arr("attachmentGroups").flatMap { g =>
+      val parent = g.num("parentObjectId").map(_.toLong).getOrElse(-1L)
+      g.arr("attachmentInfos").map { a =>
+        parent -> AttachmentInfo(
+          a.num("id").map(_.toLong).getOrElse(-1L),
+          a.str("name"),
+          a.str("contentType"),
+          a.num("size").map(_.toLong).getOrElse(0L))
+      }
+    }
+
   /** Raw download form of the attachments endpoint: no `f=json` envelope —
     * the response body IS the file. Auth/extras still apply; idempotent GET
     * retries as usual.
     */
-  override def attachment(oid: Long, attachmentId: Long): Array[Byte] =
-    sendRaw(
+  override def attachment(oid: Long, attachmentId: Long): Array[Byte] = {
+    val bytes = sendRaw(
       s"GET /$oid/attachments/$attachmentId",
       () => {
         val qs = withAuth(withExtras(Seq.empty))
@@ -245,6 +273,36 @@ class HttpArcGisClient(
       },
       HttpResponse.BodyHandlers.ofByteArray(),
       idempotent = true)
+    sniffErrorEnvelope(bytes, s"attachment $oid/$attachmentId")
+    bytes
+  }
+
+  /** ArcGIS servers commonly report download failures (expired/invalid
+    * token, bad attachment id) as HTTP 200 with a JSON `{"error":...}`
+    * envelope. Returning that body as the payload would silently feed
+    * corrupt bytes to the binary operators, so sniff and throw instead —
+    * invalidating the cached token on auth codes (498 invalid token, 499
+    * token required) so the next task attempt re-authenticates. The gate is
+    * conservative: bytes must start with '{' (after whitespace), be small
+    * enough to plausibly be an envelope, parse as JSON, AND carry an
+    * `error` object — a real binary attachment never trips all four.
+    */
+  private def sniffErrorEnvelope(bytes: Array[Byte], what: String): Unit = {
+    var i = 0
+    while (i < bytes.length && Character.isWhitespace(bytes(i).toChar)) i += 1
+    if (i >= bytes.length || bytes(i) != '{' || bytes.length > 65536) return
+    val parsed =
+      try Some(MiniJson.parse(new String(bytes, StandardCharsets.UTF_8)))
+      catch { case _: RuntimeException => None } // not JSON → a real payload
+    parsed.flatMap(_.obj("error")).foreach { e =>
+      val code = e.num("code").map(_.toInt).getOrElse(-1)
+      if (code == 498 || code == 499 || code == 401 || code == 403)
+        auth.foreach(_.invalidate())
+      throw new RuntimeException(
+        s"ArcGIS $what failed: server returned an error envelope " +
+          s"(code=$code, message='${e.str("message")}') instead of the payload")
+    }
+  }
 
   private def writeResults(body: String, resultKey: String): Seq[Either[String, Long]] =
     MiniJson.parse(body).arr(resultKey).map { r =>
