@@ -301,19 +301,22 @@ object Bench {
       if (trace) System.err.println(
         s"[bench-trace] ${java.time.Instant.now()} $name samples=" +
           samples.map(v => f"$v%.3f").mkString(","))
-    // Periodic inter-query GC: every rep's eager localCheckpoints (the
-    // dedup/CC queries) leave persistent blocks in the block manager until
-    // a GC lets ContextCleaner reap the unreferenced RDDs — by query ~28
-    // the accumulated blocks create eviction pressure and the heaviest
-    // checkpoint user pays the stall. Diagnosed r18 on d27_keep_lsh
-    // (7 reps, 1.77→8.59s driver-artifact spread that survived the inline
-    // ladder but settled INSTANTLY in the iso/settle passes — both start
-    // with System.gc()). A GC between queries is reference-safe where a
-    // blanket unpersist is not: the TokenSets/Tables dictionary caches
-    // keep their checkpoints reachable (a blanket unpersist broke 4
-    // queries with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), while per-rep
-    // garbage is dropped. Cost sits outside every timed window.
-    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "12").toInt
+    // Periodic inter-query GC — OFF by default since r19. The r18 default
+    // (every 12 queries, added for d27_keep_lsh's 1.77→8.59s driver-artifact
+    // spread) turned out to BE the r18 round's unattributed ~20% suite
+    // slowdown: the r19 same-window A/B (same code, same 258-query set,
+    // adjacent runs, SCALING.md "Round-19 reconciliation") measured 145.7s
+    // with the GC on vs 121.3s off — a forced full STW collection between
+    // queries clears the JVM's weak/soft-reference caches (Scala reflection
+    // / encoder / codegen-adjacent state Spark rebuilds lazily), so every
+    // query AFTER a GC re-pays that warm-up inside its timed window, a tax
+    // the pause-is-outside-the-window reasoning missed. d27's failure mode
+    // stays covered without it: the iso and settle re-rep passes each begin
+    // with one System.gc(), and the every-48-queries session restart drops
+    // accumulated localCheckpoint blocks wholesale — with the inter-query
+    // GC off, d27 reads min 1.40 / best-2 spread 1.13 in the same A/B run.
+    // The knob stays for diagnosis (SPARK_GRAFT_GC_EVERY=12 reproduces r18).
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_GC_EVERY", "0").toInt
     var sinceGc = 0
     def maybeGc(): Unit =
       if (gcEvery > 0 && sinceGc >= gcEvery) { System.gc(); sinceGc = 0 }
