@@ -113,15 +113,42 @@ class HttpArcGisClient(
       params.filterNot(p => overridden.contains(p._1)) ++ extraParams
     }
 
+  /** Encoded read-request parameter string — auth token, user extras and the
+    * `f=json` envelope selector applied, re-evaluated per attempt so an
+    * invalidated token is re-fetched.
+    */
+  private def readQs(params: Seq[(String, String)]): String =
+    (withAuth(withExtras(params)) :+ ("f" -> "json"))
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+
+  /** Fronting servers cap the query string long before the endpoint's
+    * logical limits — IIS (the common ArcGIS Server front) defaults
+    * `maxQueryString` to 2048 chars. A bulk `objectIds` window of 1000 OIDs
+    * (~20 KB) or a DPP-injected `key IN (...)` where-clause overflows a GET
+    * silently (the front replies 404/414 with no layer-level diagnostic).
+    * Reads whose encoded params exceed this bound switch verb to a
+    * form-encoded POST of the SAME params — ArcGIS query endpoints accept
+    * both verbs identically — while keeping `idempotent = true`: the retry
+    * policy follows the operation's read semantics, not the verb.
+    */
+  private val maxGetQueryChars = 2000
+
   private def get(path: String, params: Seq[(String, String)]): String =
-    sendWithRetry(s"GET $path", () => {
-      // params re-evaluated per attempt so an invalidated token is re-fetched
-      val qs = (withAuth(withExtras(params)) :+ ("f" -> "json"))
-        .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
-      val builder = HttpRequest.newBuilder(URI.create(s"$layerUrl$path?$qs")).GET()
-      referer.foreach(r => builder.header("Referer", r))
-      builder.build()
-    })
+    if (readQs(params).length <= maxGetQueryChars)
+      sendWithRetry(s"GET $path", () => {
+        val builder =
+          HttpRequest.newBuilder(URI.create(s"$layerUrl$path?${readQs(params)}")).GET()
+        referer.foreach(r => builder.header("Referer", r))
+        builder.build()
+      })
+    else
+      sendWithRetry(s"POST(read) $path", () => {
+        val builder = HttpRequest.newBuilder(URI.create(s"$layerUrl$path"))
+          .header("Content-Type", "application/x-www-form-urlencoded")
+          .POST(HttpRequest.BodyPublishers.ofString(readQs(params)))
+        referer.foreach(r => builder.header("Referer", r))
+        builder.build()
+      })
 
   private def post(path: String, params: Seq[(String, String)]): String =
     sendWithRetry(s"POST $path", idempotent = false, build = () => {

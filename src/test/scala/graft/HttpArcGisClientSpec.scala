@@ -341,4 +341,70 @@ class HttpArcGisClientSpec extends AnyFunSuite {
       assert(p.get("where").contains("1=1") && p.get("resultOffset").contains("0"))
     } finally server.stop(0)
   }
+
+  test("long reads switch verb to idempotent POST; short reads stay GET") {
+    // IIS (the common ArcGIS Server front) caps maxQueryString at 2048 chars
+    // by default, so a 600-OID bulk objectIds window or a DPP-injected
+    // IN (...) where-clause overflows a GET. The transport must carry the
+    // SAME params (token included) as a form-encoded POST instead — and keep
+    // small requests on GET (cache/proxy friendly, matches the wire fixtures).
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Map[String, String])]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/vp", (ex: HttpExchange) => {
+      val method = ex.getRequestMethod
+      val path = ex.getRequestURI.getPath
+      val p = params(ex)
+      seen.add((method, path, p))
+      // enforce the limit the fronting server would: a long GET query dies
+      // here with no layer-level diagnostic, exactly like production
+      if (method == "GET" &&
+          Option(ex.getRequestURI.getRawQuery).exists(_.length > 2048)) {
+        ex.sendResponseHeaders(414, -1); ex.close()
+      } else path match {
+        case "/vp/queryAttachments" =>
+          val ids = p.getOrElse("objectIds", "").split(",").filter(_.nonEmpty)
+          // echo one attachment per listed OID so coverage is provable
+          val groups = ids.map(o =>
+            s"""{"parentObjectId":$o,"attachmentInfos":[{"id":1,"name":"a-$o","contentType":"text/plain","size":3}]}""")
+          reply(ex, groups.mkString("""{"attachmentGroups":[""", ",", "]}"))
+        case "/vp/query" =>
+          reply(ex, """{"features":[{"attributes":{"objectid":1}}]}""")
+        case _ => reply(ex, """{"error":{"code":400,"message":"unexpected"}}""")
+      }
+    })
+    server.start()
+    try {
+      val client = new HttpArcGisClient(
+        s"http://127.0.0.1:${server.getAddress.getPort}/vp",
+        auth = Some(new AuthCache(() => ("tok-vp", Long.MaxValue))))
+
+      // short read: stays GET
+      val few = client.queryAttachments(Seq(1L, 2L, 3L))
+      assert(few.map(_._1) == Seq(1L, 2L, 3L))
+      val (m1, _, p1) = seen.poll()
+      assert(m1 == "GET", s"short read must stay GET, was $m1")
+      assert(p1.get("token").contains("tok-vp"))
+
+      // long read: 600 OIDs ≈ 3.5 KB of objectIds — must go out as POST,
+      // params (token included) intact in the form body, result complete
+      val oids = (100000L until 100600L).toSeq
+      val many = client.queryAttachments(oids)
+      assert(many.size == 600 && many.map(_._1) == oids,
+        "bulk listing over POST must cover every OID in the window")
+      val (m2, path2, p2) = seen.poll()
+      assert(m2 == "POST" && path2 == "/vp/queryAttachments",
+        s"long read must switch to POST, was $m2 $path2")
+      assert(p2.get("token").contains("tok-vp") && p2.get("f").contains("json"),
+        "POSTed form body must carry the same auth/envelope params as a GET")
+      assert(p2.get("objectIds").exists(_.split(",").length == 600))
+
+      // long where-clause on the row path (the DPP IN-list shape): POST too
+      val inList = (1 to 400).map(i => s"'k-$i'").mkString("key IN (", ",", ")")
+      assert(client.queryPage(0L, 10, inList, Seq("*")).nonEmpty)
+      val (m3, path3, p3) = seen.poll()
+      assert(m3 == "POST" && path3 == "/vp/query",
+        s"long where-clause read must switch to POST, was $m3 $path3")
+      assert(p3.get("where").contains(inList) && p3.get("resultOffset").contains("0"))
+    } finally server.stop(0)
+  }
 }
