@@ -496,21 +496,43 @@ object StatsPack extends QueryPack {
         // sort + broadcast prefix offsets) and NTILE(4) is then pure
         // arithmetic on (rank, group count): with q = n DIV 4 and r = n % 4,
         // the first r tiles hold q+1 rows — identical to the window ntile.
-        val ranked = graft.ops.GlobalOrder.withGroupedRowNumber(
-          Tables.lineitem(s, d)
-            .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"), col("l_linenumber")),
-          "rn", "grp_n", Seq("l_returnflag"),
-          Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber")))
-        ranked
-          .withColumn("tile", expr(
-            """CASE WHEN rn <= (grp_n % 4) * (grp_n DIV 4 + 1)
-              |     THEN (rn - 1) DIV (grp_n DIV 4 + 1) + 1
-              |     ELSE (grp_n % 4) + (rn - 1 - (grp_n % 4) * (grp_n DIV 4 + 1)) DIV (grp_n DIV 4) + 1
-              |END""".stripMargin))
+        //
+        // r19 (guide §2.3, aggregate before you shuffle): the tile sort key
+        // is l_quantity, whose VALUE DOMAIN is tiny relative to the corpus
+        // (50 distinct at every SF — it never grows with N), and every
+        // output aggregate (n, sum/min/max of the quantity itself) is
+        // computable from a value-run's overlap with each tile's rank
+        // interval: rows tied on quantity are interchangeable, so how ntile
+        // splits a tie run across a boundary cannot change any output cell.
+        // Rows therefore collapse to (group, value, count) FIRST — one
+        // map-side-combined aggregate — and GlobalOrder's range shuffle
+        // carries the value frame (|flag|×|quantity domain| rows at ANY
+        // corpus size), not every row with two tiebreak columns. Tile t
+        // spans global ranks (lo, hi] with lo = (t-1)·q + min(t-1, r) and
+        // hi = lo + q + (t<=r); a value run occupying (c0, c1] contributes
+        // k = max(0, min(hi, c1) - max(lo, c0)) rows to tile t — identical
+        // to the per-row window ntile, which the DuckDB oracle keeps as a
+        // cross-formulation differential.
+        val vals = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_quantity"))
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(count(lit(1)).as("cnt"))
+        graft.ops.GlobalOrder.withGroupedRunningSum(
+            vals, "c1", "grp_n", col("cnt"),
+            Seq("l_returnflag"), Seq(col("l_quantity")))
+          .select(col("l_returnflag"), col("l_quantity"), col("cnt"),
+            (col("c1") - col("cnt")).as("c0"), col("c1"), col("grp_n"),
+            explode(expr("sequence(CAST(1 AS BIGINT), CAST(4 AS BIGINT))")).as("tile"))
+          .withColumn("lo", expr(
+            "(tile - 1) * (grp_n DIV 4) + least(tile - 1, grp_n % 4)"))
+          .withColumn("hi", expr(
+            "lo + (grp_n DIV 4) + IF(tile <= grp_n % 4, CAST(1 AS BIGINT), CAST(0 AS BIGINT))"))
+          .withColumn("k", expr("greatest(CAST(0 AS BIGINT), least(hi, c1) - greatest(lo, c0))"))
+          .filter(col("k") > 0)
           .groupBy(col("l_returnflag"), col("tile"))
           .agg(
-            count(lit(1)).as("n"),
-            dsum(col("l_quantity")).as("sum_qty"),
+            sum(col("k")).as("n"),
+            sum(dec(col("l_quantity")) * col("k")).cast("double").as("sum_qty"),
             min(col("l_quantity")).as("min_qty"),
             max(col("l_quantity")).as("max_qty")
           )
@@ -527,8 +549,10 @@ object StatsPack extends QueryPack {
              |GROUP BY l_returnflag, tile
              |ORDER BY l_returnflag, tile""".stripMargin),
       doc = "ntile equi-depth quartiles per group + distribution profile — " +
-        "distributed grouped rank (no 3-task grouped window) + arithmetic NTILE, " +
-        "deterministic tie order via the unique line key"
+        "value-level formulation (rows collapse to (group, value, count) " +
+        "before the prefix pass; tile splits are rank-interval overlaps, " +
+        "exact for any tie order), no 3-task grouped window, no per-row " +
+        "range shuffle"
     ),
     // ---------------------------------------------------------------- robust z
     Q(
@@ -595,18 +619,25 @@ object StatsPack extends QueryPack {
         // test is cw*2 >= tw, no division, no doubles until output.
         // weights ride as exact integer CENTS (decimal(18,2)·100 is lossless)
         // so the distributed prefix sum stays on the pure-long fast path —
-        // no per-row BigDecimal boxing in the partition scan
+        // no per-row BigDecimal boxing in the partition scan.
+        // r19 (guide §2.3, shuffle fewer bytes): the weighted-median
+        // crossing is TIE-ORDER INVARIANT — in any v-sorted order the
+        // first row whose doubled cumulative weight reaches the group
+        // total carries the median value and rows tied on v are
+        // interchangeable — so the unique tiebreak columns (l_orderkey,
+        // l_linenumber: 16 bytes/row through the range shuffle plus two
+        // extra sort keys) are dropped; the oracle keeps the tiebroken
+        // window formulation as a cross-formulation differential.
         val base = Tables.lineitem(s, d)
           .select(
             col("l_returnflag"),
             dec(col("l_extendedprice")).as("v"),
-            (dec(col("l_quantity")) * 100).cast("long").as("qc"),
-            col("l_orderkey"), col("l_linenumber"))
+            (dec(col("l_quantity")) * 100).cast("long").as("qc"))
         graft.ops.GlobalOrder
           .withGroupedRunningSum(
             base, "cw", "tw", col("qc"),
             Seq("l_returnflag"),
-            Seq(col("v"), col("l_orderkey"), col("l_linenumber")))
+            Seq(col("v")))
           .filter(col("cw") * 2 >= col("tw"))
           .groupBy(col("l_returnflag"))
           .agg(
@@ -1477,16 +1508,25 @@ object StatsPack extends QueryPack {
         // interpolated percentile stays oracle-pinned), MAD repeats the
         // pass on |v − med|, and the outlier count is one more scan. No
         // stage ever holds more than a partition's slice of any group.
+        //
+        // r19 (guide §2.3, shuffle fewer bytes): the discrete lower median
+        // is TIE-ORDER INVARIANT — in any v-sorted order the first row
+        // whose doubled cumulative count reaches the group total carries
+        // the median value, every later row carries a value >= it, and
+        // rows tied on v are interchangeable — so the unique tiebreak
+        // columns (l_orderkey, l_linenumber: 16 bytes/row through BOTH
+        // range shuffles, plus two extra sort keys in the sampler and the
+        // per-partition sorts) are unnecessary and are dropped; the oracle
+        // keeps the tiebroken ROW_NUMBER formulation as a cross-
+        // formulation differential. The running count also now rides
+        // withGroupedRowNumber (a pure per-partition counter) instead of
+        // withGroupedRunningSum(lit(1)) — no materialized all-ones measure
+        // column through the exchange, no per-row boxed accumulator.
         val base = Tables.lineitem(s, d)
-          .select(
-            col("l_returnflag"),
-            dec(col("l_extendedprice")).as("v"),
-            col("l_orderkey"), col("l_linenumber"))
+          .select(col("l_returnflag"), dec(col("l_extendedprice")).as("v"))
         def ranked(df: org.apache.spark.sql.DataFrame, vCol: String) =
-          graft.ops.GlobalOrder.withGroupedRunningSum(
-            df, "cw", "tw", lit(1L),
-            Seq("l_returnflag"),
-            Seq(col(vCol), col("l_orderkey"), col("l_linenumber")))
+          graft.ops.GlobalOrder.withGroupedRowNumber(
+            df, "cw", "tw", Seq("l_returnflag"), Seq(col(vCol)))
         def discMedian(rankedDf: org.apache.spark.sql.DataFrame, vCol: String, out: String) =
           rankedDf
             .filter(col("cw") * 2 >= col("tw"))
@@ -1500,12 +1540,10 @@ object StatsPack extends QueryPack {
         val p1 = ranked(base, "v")
         val med = discMedian(p1, "v", "med")
         val dev = p1
-          .select(col("l_returnflag"), col("v"),
-            col("l_orderkey"), col("l_linenumber"))
+          .select(col("l_returnflag"), col("v"))
           .join(broadcast(med), Seq("l_returnflag"))
           .select(col("l_returnflag"),
-            abs(col("v") - col("med")).as("ad"),
-            col("l_orderkey"), col("l_linenumber"))
+            abs(col("v") - col("med")).as("ad"))
         // ONE materialization serves both the MAD extraction and the
         // final outlier count
         val p2 = ranked(dev, "ad")
