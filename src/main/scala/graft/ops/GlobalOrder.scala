@@ -153,19 +153,36 @@ object GlobalOrder {
       .add(cntCol, LongType, nullable = false)
     val rdd = GraftShims.toInternalRdd(sorted).mapPartitions { it =>
       var pid = -1
-      var curKey: IndexedSeq[Any] = null
       var rn = 0L
       var off = 0L
       var tot = 0L
       val extra = new GenericInternalRow(2)
       val joined = new JoinedRow
+      // key extraction specialized by arity (r19, same as the running-sum
+      // scan): no tracking for ungrouped calls, single boxed value for the
+      // common one-column group — no per-row IndexedSeq allocation
+      var curKey1: Any = null
+      var curKeyN: IndexedSeq[Any] = null
+      var started = false
+      def keyChanged(r: InternalRow): Boolean =
+        if (gN == 0) !started
+        else if (gN == 1) {
+          val k = r.get(gIdx(0), gDts(0))
+          if (!started || k != curKey1) { curKey1 = copyVal(k); true } else false
+        } else {
+          val k: IndexedSeq[Any] = gIdx.indices.map(i => r.get(gIdx(i), gDts(i)))
+          if (!started || k != curKeyN) { curKeyN = k.map(copyVal); true } else false
+        }
+      def lookupKey: IndexedSeq[Any] =
+        if (gN == 0) IndexedSeq.empty
+        else if (gN == 1) IndexedSeq(curKey1)
+        else curKeyN
       it.map { r =>
         if (pid < 0) pid = r.getInt(pidIdx)
-        val k: IndexedSeq[Any] = gIdx.indices.map(i => r.get(gIdx(i), gDts(i)))
-        if (curKey == null || k != curKey) {
-          curKey = k.map(copyVal) // key outlives the reused row buffer
+        if (keyChanged(r)) {
+          started = true
           rn = 0L
-          val ot = offTot.getOrElse((pid, curKey), (0L, 0L))
+          val ot = offTot.getOrElse((pid, lookupKey), (0L, 0L))
           off = ot._1; tot = ot._2
         }
         rn += 1
@@ -200,22 +217,48 @@ object GlobalOrder {
       totCol: String,
       measure: Column,
       groupCols: Seq[String],
+      sortCols: Seq[Column]): DataFrame =
+    withGroupedRunningSums(df, Seq((runCol, totCol, measure)), groupCols, sortCols)
+
+  /** Adds, for EACH `(runCol, totCol, measure)` spec, the exact per-group
+    * running sum and group total of that measure under `sortCols` — the
+    * N-measure generalization of [[withGroupedRunningSum]]. All measures
+    * share ONE range shuffle, one materialization and one offsets pass
+    * (r19: t19's token + vocabulary curves previously chained two
+    * independent range shuffles over the same doc-keyed frame; guide §2.4 —
+    * two operations keyed the same way share one exchange).
+    *
+    * Per-task specializations (r19, guide §1.2 step 2 — per-task work after
+    * the algorithm is right): no key tracking when `groupCols` is empty
+    * (x20/x21/p17/t19's whole-corpus prefix sums paid a per-row empty-Seq
+    * allocation and comparison), single-value keys avoid the per-row
+    * IndexedSeq wrapper, and all-long measure sets accumulate in a
+    * primitive array (no Decimal/Any boxing in the hot loop).
+    */
+  def withGroupedRunningSums(
+      df: DataFrame,
+      specs: Seq[(String, String, Column)],
+      groupCols: Seq[String],
       sortCols: Seq[Column]): DataFrame = {
+    require(specs.nonEmpty, "withGroupedRunningSums needs at least one measure")
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     val rangeCols = groupCols.map(col) ++ sortCols
-    val ranged = df
-      .withColumn("__go_m", measure)
+    val nM = specs.size
+    val mCols = specs.indices.map(i => s"__go_m$i")
+    val ranged = specs.zipWithIndex
+      .foldLeft(df) { case (acc, ((_, _, m), i)) => acc.withColumn(mCols(i), m) }
       .repartitionByRange(p, rangeCols: _*)
       .withColumn("__go_pid", spark_partition_id())
       .localCheckpoint()
     val partials = ranged
       .groupBy(col("__go_pid") +: groupCols.map(col): _*)
-      .agg(sum(col("__go_m")).as("__go_s"))
+      .agg(sum(col(mCols.head)).as("__go_s0"),
+        mCols.tail.zipWithIndex.map { case (c, i) => sum(col(c)).as(s"__go_s${i + 1}") }: _*)
     val gN = groupCols.size
     val gTypes = groupCols.indices.map(i => partials.schema(i + 1).dataType)
-    val sType = partials.schema("__go_s").dataType
-    val zero: Any = sType match {
+    val sTypes = specs.indices.map(i => partials.schema(s"__go_s$i").dataType)
+    def zeroOf(t: org.apache.spark.sql.types.DataType): Any = t match {
       case _: DecimalType => Decimal(0)
       case LongType => 0L
       case _ => 0.0
@@ -240,47 +283,119 @@ object GlobalOrder {
     // catalyst-space collect, same rationale as withGroupedRowNumber
     val counts = GraftShims.toInternalRdd(partials).map(_.copy()).collect()
     val byGroup = counts.groupBy(r => groupCols.indices.map(i => r.get(i + 1, gTypes(i))).toIndexedSeq)
-    val offTot: Map[(Int, IndexedSeq[Any]), (Any, Any)] = byGroup.toSeq.flatMap {
-      case (gvals, rs) =>
+    // per (pid, group): the prefix offset and group total of EVERY measure
+    val offTot: Map[(Int, IndexedSeq[Any]), (IndexedSeq[Any], IndexedSeq[Any])] =
+      byGroup.toSeq.flatMap { case (gvals, rs) =>
         val srt = rs.sortBy(_.getInt(0))
-        val total = srt.map(_.get(gN + 1, sType)).foldLeft(zero)(plus)
-        srt.map(_.getInt(0))
-          .zip(srt.scanLeft(zero)((acc, r) => plus(acc, r.get(gN + 1, sType))))
-          .map { case (pid, off) => (pid, gvals) -> (off, total) }
-    }.toMap
+        def m(r: InternalRow, i: Int): Any = r.get(gN + 1 + i, sTypes(i))
+        val totals = specs.indices.map(i =>
+          srt.foldLeft(zeroOf(sTypes(i)))((acc, r) => plus(acc, m(r, i))))
+        val offs = srt.scanLeft(specs.indices.map(i => zeroOf(sTypes(i)))) {
+          (acc, r) => specs.indices.map(i => plus(acc(i), m(r, i)))
+        }
+        srt.map(_.getInt(0)).zip(offs).map {
+          case (pid, off) => (pid, gvals) -> (off, totals)
+        }
+      }.toMap
     val sorted = ranged.sortWithinPartitions(rangeCols: _*)
     val pidIdx = sorted.schema.fieldIndex("__go_pid")
-    val mIdx = sorted.schema.fieldIndex("__go_m")
-    val mDt = sorted.schema(mIdx).dataType
+    val mIdx = mCols.map(sorted.schema.fieldIndex).toArray
+    val mDts = mIdx.map(i => sorted.schema(i).dataType)
+    val outSchema = specs.zipWithIndex.foldLeft(sorted.schema) {
+      case (sc, ((run, tot, _), i)) =>
+        sc.add(run, sTypes(i), nullable = true).add(tot, sTypes(i), nullable = true)
+    }
     val gIdx = groupCols.map(sorted.schema.fieldIndex).toIndexedSeq
     val gDts = gIdx.map(i => sorted.schema(i).dataType)
-    val outSchema = sorted.schema
-      .add(runCol, sType, nullable = true)
-      .add(totCol, sType, nullable = true)
+    val allLong = sTypes.forall(_ == LongType) &&
+      mDts.forall(t => t == LongType || t == IntegerType ||
+        t == org.apache.spark.sql.types.ShortType || t == org.apache.spark.sql.types.ByteType)
+    val sTypesArr = sTypes.toArray
     val rdd = GraftShims.toInternalRdd(sorted).mapPartitions { it =>
       var pid = -1
-      var curKey: IndexedSeq[Any] = null
-      var local: Any = zero
-      var off: Any = zero
-      var tot: Any = zero
-      val extra = new GenericInternalRow(2)
+      val extra = new GenericInternalRow(2 * nM)
       val joined = new JoinedRow
-      it.map { r =>
-        if (pid < 0) pid = r.getInt(pidIdx)
-        val k: IndexedSeq[Any] = gIdx.indices.map(i => r.get(gIdx(i), gDts(i)))
-        if (curKey == null || k != curKey) {
-          curKey = k.map(copyVal) // key outlives the reused row buffer
-          local = zero
-          val ot = offTot.getOrElse((pid, curKey), (zero, zero))
-          off = ot._1; tot = ot._2
+      // group-key extraction specialized by arity: gN == 0 never tracks a
+      // key; gN == 1 compares a single boxed value (no Seq allocation)
+      var curKey1: Any = null
+      var curKeyN: IndexedSeq[Any] = null
+      var started = false
+      def keyChanged(r: InternalRow): Boolean =
+        if (gN == 0) !started
+        else if (gN == 1) {
+          val k = r.get(gIdx(0), gDts(0))
+          if (!started || k != curKey1) { curKey1 = copyVal(k); true } else false
+        } else {
+          val k: IndexedSeq[Any] = gIdx.indices.map(i => r.get(gIdx(i), gDts(i)))
+          if (!started || k != curKeyN) { curKeyN = k.map(copyVal); true } else false
         }
-        local = plus(local, r.get(mIdx, mDt))
-        extra.update(0, plus(local, off))
-        extra.update(1, tot)
-        joined(r, extra): InternalRow
+      def lookupKey: IndexedSeq[Any] =
+        if (gN == 0) IndexedSeq.empty
+        else if (gN == 1) IndexedSeq(curKey1)
+        else curKeyN
+      if (allLong) {
+        // primitive fast path: long accumulators, no boxing per row
+        val local = new Array[Long](nM)
+        val off = new Array[Long](nM)
+        val tot = new Array[Long](nM)
+        it.map { r =>
+          if (pid < 0) pid = r.getInt(pidIdx)
+          if (keyChanged(r)) {
+            started = true
+            java.util.Arrays.fill(local, 0L)
+            val ot = offTot.getOrElse((pid, lookupKey),
+              (IndexedSeq.fill[Any](nM)(0L), IndexedSeq.fill[Any](nM)(0L)))
+            var i = 0
+            while (i < nM) {
+              off(i) = ot._1(i).asInstanceOf[Long]
+              tot(i) = ot._2(i).asInstanceOf[Long]
+              i += 1
+            }
+          }
+          var i = 0
+          while (i < nM) {
+            if (!r.isNullAt(mIdx(i))) local(i) += (mDts(i) match {
+              case LongType => r.getLong(mIdx(i))
+              case IntegerType => r.getInt(mIdx(i)).toLong
+              case org.apache.spark.sql.types.ShortType => r.getShort(mIdx(i)).toLong
+              case _ => r.getByte(mIdx(i)).toLong
+            })
+            extra.update(2 * i, local(i) + off(i))
+            extra.update(2 * i + 1, tot(i))
+            i += 1
+          }
+          joined(r, extra): InternalRow
+        }
+      } else {
+        val local = new Array[Any](nM)
+        val off = new Array[Any](nM)
+        val tot = new Array[Any](nM)
+        it.map { r =>
+          if (pid < 0) pid = r.getInt(pidIdx)
+          if (keyChanged(r)) {
+            started = true
+            val zeros = sTypesArr.map(zeroOf)
+            val ot = offTot.getOrElse((pid, lookupKey),
+              (zeros.toIndexedSeq, zeros.toIndexedSeq))
+            var i = 0
+            while (i < nM) {
+              local(i) = zeroOf(sTypesArr(i)); off(i) = ot._1(i); tot(i) = ot._2(i)
+              i += 1
+            }
+          }
+          var i = 0
+          while (i < nM) {
+            local(i) = plus(local(i), r.get(mIdx(i), mDts(i)))
+            extra.update(2 * i, plus(local(i), off(i)))
+            extra.update(2 * i + 1, tot(i))
+            i += 1
+          }
+          joined(r, extra): InternalRow
+        }
       }
     }
-    GraftShims.internalCreateDataFrame(spark, rdd, outSchema).drop("__go_pid", "__go_m")
+    GraftShims.internalCreateDataFrame(spark, rdd, outSchema)
+      .drop("__go_pid" +: mCols: _*)
   }
 
   /** Defensive copy of a catalyst value extracted from a (possibly reused)

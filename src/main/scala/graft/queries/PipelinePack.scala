@@ -1150,8 +1150,11 @@ object PipelinePack extends QueryPack {
                 (lit(1.0) -
                   size(filter(col("toks"), t => t === "the" || t === "a")).cast("double") /
                     size(col("toks"))) * 0.5) * 1e6)).cast("long").as("q_u"))
+        // r19: materialize the scored frame first — repartitionByRange
+        // executes its input twice (sampling + shuffle write), and the
+        // per-doc tokenize + quality kernel is the query's main compute
         val ranked = graft.ops.GlobalOrder.withRowNumber(
-          scored, "rn", col("q_u"), col("doc_id"))
+          scored.localCheckpoint(), "rn", col("q_u"), col("doc_id"))
         val n = ranked.agg(count(lit(1)).as("n_total"))
         ranked.crossJoin(broadcast(n))
           .withColumn("phase", expr(

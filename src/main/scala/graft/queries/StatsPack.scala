@@ -835,6 +835,10 @@ object StatsPack extends QueryPack {
             when(col("l_returnflag") === "R", 1L).otherwise(0L).as("is_r"))
           .groupBy(col("v"))
           .agg(sum(col("is_r")).as("nr_v"), count(lit(1)).as("n_v"))
+          // r19: materialized like x20's — repartitionByRange executes its
+          // input twice (sampling + shuffle write), and this input is the
+          // scan + value-level aggregate
+          .localCheckpoint()
         val run = graft.ops.GlobalOrder.withGroupedRunningSum(
           vals, "cum", "n_total", col("n_v"), Seq.empty, Seq(col("v")))
         run

@@ -329,9 +329,12 @@ object TextPack extends QueryPack {
         // distributed global rank (range shuffle + per-partition offsets) —
         // the vocabulary is data-sized at scale, so no single-task window;
         // the rank's internal materialization also feeds the 1-row max, so
-        // the corpus is tokenized exactly once
+        // the corpus is tokenized exactly once.
+        // r19: counts materializes first — repartitionByRange executes its
+        // input twice (sampling + shuffle write), and this input is the
+        // full tokenize + explode + count aggregate
         val ranked = graft.ops.GlobalOrder.withRowNumber(
-          counts, "rank", col("n").desc, col("token"))
+          counts.localCheckpoint(), "rank", col("n").desc, col("token"))
         val top = ranked.agg(max(col("n")).as("top_n"))
         ranked
           .crossJoin(broadcast(top))
@@ -452,6 +455,12 @@ object TextPack extends QueryPack {
         // an integer grid BEFORE the per-doc sum (order-free, exact).
         // Scale: two frequency shuffles (bigram, left-token) both
         // map-side combined; V is one broadcast scalar.
+        // (r19 measured NEGATIVE: an explicit-count repartition of the raw
+        // docs before the tokenize — t14's discipline — read 0.90 → 2.08 s
+        // in a same-window A/B at sf0.1; on this 5 k-doc corpus the extra
+        // exchange plus 32-way task fan-out costs far more than the
+        // single-task explode it parallelizes. Left as-is; at a scale where
+        // the scan splits, the parallelism comes from the input for free.)
         val base = Tables.documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
         val bg = base.filter(size(col("tk")) >= 2)
@@ -840,11 +849,18 @@ object TextPack extends QueryPack {
           .agg(count(lit(1)).as("n_new"))
         val joined = perDoc.join(newPerDoc, Seq("doc_id"), "left_outer")
           .select(col("doc_id"), col("n_toks"), coalesce(col("n_new"), lit(0L)).as("n_new"))
-        val c1 = graft.ops.GlobalOrder.withGroupedRunningSum(
-          joined, "cum_tokens", "tot_tokens", col("n_toks"), Seq.empty, Seq(col("doc_id")))
-        val c2 = graft.ops.GlobalOrder.withGroupedRunningSum(
-          c1, "cum_vocab", "tot_vocab", col("n_new"), Seq.empty, Seq(col("doc_id")))
-        c2.select(col("doc_id"), col("n_toks"), col("n_new"),
+        // r19 (guide §2.4 — two operations keyed the same way share one
+        // exchange): both curves ride ONE multi-measure prefix pass instead
+        // of chaining two independent range shuffles over the same
+        // doc_id-ordered frame; the joined frame materializes first because
+        // repartitionByRange executes its input (here the postings-derived
+        // novelty join) twice — sampling pass + shuffle-write pass
+        val c = graft.ops.GlobalOrder.withGroupedRunningSums(
+          joined.localCheckpoint(),
+          Seq(("cum_tokens", "tot_tokens", col("n_toks")),
+            ("cum_vocab", "tot_vocab", col("n_new"))),
+          Seq.empty, Seq(col("doc_id")))
+        c.select(col("doc_id"), col("n_toks"), col("n_new"),
             col("cum_tokens"), col("cum_vocab"))
           .orderBy(col("doc_id"))
       },
@@ -1133,6 +1149,9 @@ object TextPack extends QueryPack {
         // shuffle — never a single-partition ORDER BY window — and the
         // per-doc score is an exact integer DIV, so bucket edges are
         // bit-identical across engines and partitionings.
+        // (r19 measured NEGATIVE on t12's identical shape: repartitioning
+        // the raw docs before the tokenize cost more than the single-task
+        // explode it parallelizes at this corpus size — see t12's note.)
         val base = Tables.documents(s, d)
           .select(col("doc_id"), tokens(col("text")).as("tk"))
         val bg = base.filter(size(col("tk")) >= 2)
@@ -1160,9 +1179,20 @@ object TextPack extends QueryPack {
           .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
           .select(col("doc_id"), col("n_bigrams"),
             expr("sum_q DIV n_bigrams").as("score"))
-        val n = scored.agg(count(lit(1)).as("n_total"))
+        // r19: materialize the scored frame BEFORE the rank — GlobalOrder's
+        // range shuffle samples its input and then shuffles it, executing
+        // the input subtree TWICE (repartitionByRange = RangePartitioner
+        // sampling pass + shuffle-write pass); `scored` is the full bigram
+        // scoring join chain, the most expensive subtree of this query, so
+        // the recompute is worth one doc-sized materialization
         val ranked = graft.ops.GlobalOrder
-          .withRowNumber(scored, "rn", col("score").desc, col("doc_id"))
+          .withRowNumber(scored.localCheckpoint(), "rn", col("score").desc, col("doc_id"))
+        // r19: n_total counts the RANKED frame (GlobalOrder's internal
+        // materialization), not `scored` — counting `scored` re-executed
+        // the whole bigram scoring join chain a second time (profiled: two
+        // duplicate 265 k-row join stages per rep) for one scalar the
+        // checkpoint already holds
+        val n = ranked.agg(count(lit(1)).as("n_total"))
         ranked.crossJoin(broadcast(n))
           .withColumn("bucket",
             when(col("rn") * 3 <= col("n_total"), "head")

@@ -182,4 +182,77 @@ class GlobalOrderSpec extends AnyFunSuite {
     val out = GlobalOrder.withRowNumber(df, "rn", col("a"))
     assert(out.columns.contains("rn") && out.count() == 0)
   }
+
+  // r19: multi-measure prefix pass — one range shuffle must equal two
+  // chained single-measure passes, on both the all-long fast path and the
+  // generic (decimal-mixed) path, grouped and ungrouped
+  test("multi-measure running sums equal two chained single-measure passes (all-long)") {
+    val df = (1 to 8000).map(i => (s"g${i % 3}", i, (i % 13).toLong, (i % 7).toLong))
+      .toDF("g", "id", "m1", "m2")
+    val got = GlobalOrder.withGroupedRunningSums(
+        df, Seq(("c1", "t1", col("m1")), ("c2", "t2", col("m2"))),
+        Seq("g"), Seq(col("id")))
+      .select($"id", $"c1", $"t1", $"c2", $"t2")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val one = GlobalOrder.withGroupedRunningSum(
+      df, "c1", "t1", col("m1"), Seq("g"), Seq(col("id")))
+    val two = GlobalOrder.withGroupedRunningSum(
+      one, "c2", "t2", col("m2"), Seq("g"), Seq(col("id")))
+    val want = two.select($"id", $"c1", $"t1", $"c2", $"t2")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+  }
+
+  test("multi-measure running sums: generic path (decimal + long), two group columns") {
+    val rng = new scala.util.Random(7)
+    val df = (1 to 4000).map { i =>
+      (s"a${rng.nextInt(3)}", rng.nextInt(2), rng.nextInt(11), i,
+        rng.nextInt(900) / 100.0, (i % 5).toLong)
+    }.toDF("g1", "g2", "v", "id", "dRaw", "m")
+      .withColumn("dm", col("dRaw").cast("decimal(18,2)")).drop("dRaw")
+    val got = GlobalOrder.withGroupedRunningSums(
+        df, Seq(("cd", "td", col("dm")), ("cm", "tm", col("m"))),
+        Seq("g1", "g2"), Seq(col("v"), col("id")))
+      .select($"id", $"cd".cast("string"), $"cm", $"tm")
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g1"), col("g2")).orderBy(col("v"), col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = df
+      .withColumn("cd", sum(col("dm")).over(w))
+      .withColumn("cm", sum(col("m")).over(w))
+      .withColumn("tm", sum(col("m")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g1"), col("g2"))))
+      .select($"id", $"cd".cast("string"), $"cm", $"tm")
+      .collect().map(r => r.getInt(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == want.keySet)
+    val bad = got.collect { case (k, v) if want(k) != v => (k, v, want(k)) }
+    assert(bad.isEmpty, bad.take(3).mkString("\n"))
+  }
+
+  test("multi-measure running sums: ungrouped, one exchange, no window") {
+    val df = (1 to 6000).map(i => (i, (i % 17).toLong, (i % 3).toLong)).toDF("id", "m1", "m2")
+    val out = GlobalOrder.withGroupedRunningSums(
+      df, Seq(("c1", "t1", col("m1")), ("c2", "t2", col("m2"))),
+      Seq.empty, Seq(col("id")))
+    val rows = out.select($"id", $"c1", $"c2", $"t1", $"t2").collect()
+    var s1 = 0L; var s2 = 0L
+    val byId = rows.map(r => r.getInt(0) -> r).toMap
+    (1 to 6000).foreach { i =>
+      s1 += (i % 17).toLong; s2 += (i % 3).toLong
+      val r = byId(i)
+      assert(r.getLong(1) == s1 && r.getLong(2) == s2, s"id $i")
+      assert(r.getLong(3) == rows.map(_.getInt(0) % 17).map(_.toLong).sum)
+    }
+    val windows = out.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn
+    }
+    assert(windows.isEmpty)
+    val exchanges = out.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(exchanges.isEmpty, out.queryExecution.executedPlan.toString)
+  }
 }
