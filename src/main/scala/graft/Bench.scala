@@ -11,12 +11,23 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     def mkSession(): SparkSession = {
-      val s = SparkSession.builder()
+      val b = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+      // r19 ops hook: extra session confs as ';'-separated k=v pairs — the
+      // same engine knobs a cluster deployment sets via spark-submit
+      // (e.g. join-strategy policy, guide §3.1/§9). Absent → byte-identical
+      // defaults; the driver never sets it, so the contract is unchanged.
+      sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+        .foreach { kv =>
+          val i = kv.indexOf('=')
+          require(i > 0, s"SPARK_GRAFT_CONF entry needs k=v: $kv")
+          b.config(kv.substring(0, i), kv.substring(i + 1))
+        })
+      val s = b
         // localCheckpoint blocks (SetSimJoin, t25, CC, ...) are freed only
         // when the DRIVER GCs and the ContextCleaner notices; between the
         // periodic session restarts below, dead checkpoint/broadcast blocks

@@ -29,12 +29,23 @@ object Verify {
     val only: Set[String] = if (args.length > 2) args(2).split(",").toSet else Set.empty
     def selected(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // r19 ops hook, mirrored from Bench: extra session confs as
+    // ';'-separated k=v pairs, so any engine knob the bench is measured
+    // under can be oracle-certified under the same session config. Absent
+    // (the driver's call) → byte-identical defaults.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry needs k=v: $kv")
+        builder.config(kv.substring(0, i), kv.substring(i + 1))
+      })
+    val spark = builder
       // the engine's planner surface (TopKToNative etc.) is part of what the
       // oracle gate certifies — run with the same extensions production uses
       .withExtensions(new graft.plans.GraftExtensions)
