@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output passes through VERBATIM instead of via sbt's logger:
+// the logger prefixes every child line with [info]/[error], which is what
+// has defeated the driver's regex over the bench metric line in every
+// BENCH_r02..r19 artifact ("parsed": null). With StdoutOutput the final
+// stdout line of `sbt "runMain graft.Bench"` is the bare one-line JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
