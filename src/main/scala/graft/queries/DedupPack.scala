@@ -1364,11 +1364,15 @@ object DedupPack extends QueryPack {
           .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
         val inter = lists
           .filter(size(col("srcs")) >= 2)
-          .select(explode(expr(
-            "flatten(transform(srcs, (a, i) -> transform(" +
-              "slice(srcs, i + 2, size(srcs) - i - 1), " +
-              "b -> named_struct('sa', a, 'sb', b))))")).as("p"))
-          .groupBy(col("p.sa").as("src_a"), col("p.sb").as("src_b"))
+          // codegen generator chain instead of flatten(transform(...)):
+          // higher-order functions are CodegenFallback, so every source
+          // pair paid an interpreted lambda tree (r20, same rewrite as the
+          // g-family pair builds); posexplode + explode(slice(...)) emit
+          // the identical pair multiset inside whole-stage codegen
+          .select(col("srcs"), posexplode(col("srcs")).as(Seq("i", "sa")))
+          .select(col("sa"), explode(slice(col("srcs"), col("i") + 2,
+            size(col("srcs")) - col("i") - 1)).as("sb"))
+          .groupBy(col("sa").as("src_a"), col("sb").as("src_b"))
           .agg(count(lit(1)).as("inter"))
         inter
           .join(broadcast(perSource.select(col("source").as("src_a"), col("n_sh").as("n_a"))), Seq("src_a"))

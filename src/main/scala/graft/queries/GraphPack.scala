@@ -269,18 +269,42 @@ object GraphPack extends QueryPack {
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("ss"))
           .filter(size(col("ss")) >= 2)
-          // explicit-count repartition before the explode: AQE coalesces
-          // the compact post-aggregate shuffle read by SIZE (4 tasks at
-          // sf0.1), but the local pair generation multiplies rows ~6× and
-          // is the stage's compute — REPARTITION_BY_NUM spreads it
-          .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
-          .select(explode(expr(
-            "flatten(transform(ss, (a, i) -> transform(" +
-              "slice(ss, i + 2, size(ss) - i - 1), " +
-              "b -> named_struct('u', a, 'v', b))))")).as("p"))
-          .groupBy(col("p.u").as("u"), col("p.v").as("v")).agg(count(lit(1)).as("w"))
+          // repartition on a WIDENED deterministic key before the explode:
+          // a repartition on l_orderkey itself is optimizer-removed (the
+          // aggregate already hash-partitions on that key) and AQE then
+          // coalesces the compact post-aggregate read by SIZE — measured 4
+          // tasks at sf0.1 carrying the whole ~6× pair explode (r20
+          // profile: 2.1 s executor-run, 0.6 s wall on 4 tasks). Hashing
+          // into a 32×-wider domain (guide §2.5: many more key values than
+          // partitions, derived deterministically — never rand()) keeps a
+          // real REPARTITION_BY_NUM exchange in the plan, which AQE never
+          // coalesces, so the explode spreads over every core at any scale.
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            pmod(xxhash64(col("l_orderkey")),
+              lit(s.sessionState.conf.numShufflePartitions * 32)))
+          // pair generation as two chained codegen generators instead of
+          // flatten(transform(... transform(...))): higher-order functions
+          // are CodegenFallback — every pair paid an interpreted lambda
+          // tree + named_struct allocation (r20 profile: ~2.1 s executor-
+          // run for ~900 k pairs, ~10× the codegen cost of the same work).
+          // posexplode + explode(slice(...)) emit the identical pair
+          // multiset entirely inside whole-stage codegen.
+          .select(col("ss"), posexplode(col("ss")).as(Seq("i", "u")))
+          .select(col("u"), explode(slice(col("ss"), col("i") + 2,
+            size(col("ss")) - col("i") - 1)).as("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
         val e = pairs.filter(col("w") >= 2).select(col("u"), col("v"))
-        val adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
+        // both edge directions via a local explode instead of
+        // e.union(e.swap): the union's two branches each re-read the full
+        // (u,v) pair exchange and re-run its final aggregate (r20 profile:
+        // 1.79 M records read = 2× the 897 k-row exchange, 1.9 s executor-
+        // run) — the explode reads the aggregate ONCE and doubles rows
+        // inside the same stage, one fewer full pass at any scale
+        val adj = e.select(explode(array(
+            struct(col("u"), col("v")),
+            struct(col("v").as("u"), col("u").as("v")))).as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v"))
+          .localCheckpoint()
         val lab0 = Tables.supplier(s, d)
           .select(col("s_suppkey").cast("long").as("node"))
           .withColumn("lbl", col("node"))
@@ -294,7 +318,23 @@ object GraphPack extends QueryPack {
           lab.join(best, Seq("node"), "left")
             .select(col("node"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
         }
-        round(round(lab0))
+        // round-1 specialization (r20, algebraic — result provably equal):
+        // labels start as identity (lbl(v) = v) and adj rows are DISTINCT
+        // (u, v) pairs (the w>=2 pair aggregate), so every round-1 (u, lbl)
+        // count is exactly 1 and the mode-label argmax (min over
+        // (-cnt, lbl)) degenerates to min(v). One map-reducible aggregate
+        // (partial min collapses to ≤|V| rows per task) replaces a
+        // no-reduction (u, lbl) exchange — 687 k rows at sf0.1, corpus-
+        // pair-sized at scale — plus the two-level argmax. Round 2 runs
+        // the general mode-label update unchanged; the oracle keeps the
+        // generic two-round formulation, so the compare certifies the
+        // rewrite cell-exact.
+        val best1 = adj.groupBy(col("u"))
+          .agg(min(col("v")).as("nlbl"))
+          .select(col("u").as("node"), col("nlbl"))
+        val lab1 = lab0.join(best1, Seq("node"), "left")
+          .select(col("node"), coalesce(col("nlbl"), col("lbl")).as("lbl"))
+        round(lab1)
           .select(col("node").as("s_suppkey"), col("lbl").as("community"))
           .orderBy(col("s_suppkey"))
       },
@@ -350,18 +390,32 @@ object GraphPack extends QueryPack {
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_suppkey").cast("long"))).as("ss"))
           .filter(size(col("ss")) >= 2)
-          // explicit-count repartition before the explode: AQE coalesces
-          // the compact post-aggregate shuffle read by SIZE (4 tasks at
-          // sf0.1), but the local pair generation multiplies rows ~6× and
-          // is the stage's compute — REPARTITION_BY_NUM spreads it
-          .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
-          .select(explode(expr(
-            "flatten(transform(ss, (a, i) -> transform(" +
-              "slice(ss, i + 2, size(ss) - i - 1), " +
-              "b -> named_struct('u', a, 'v', b))))")).as("p"))
-          .groupBy(col("p.u").as("u"), col("p.v").as("v")).agg(count(lit(1)).as("w"))
+          // widened-key repartition before the explode — see g9: same-key
+          // repartition is optimizer-removed and AQE coalesces the explode
+          // onto 4 tasks; the widened deterministic key keeps a real
+          // REPARTITION_BY_NUM exchange that spreads it (guide §2.5)
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            pmod(xxhash64(col("l_orderkey")),
+              lit(s.sessionState.conf.numShufflePartitions * 32)))
+          // pair generation as two chained codegen generators instead of
+          // flatten(transform(... transform(...))): higher-order functions
+          // are CodegenFallback — every pair paid an interpreted lambda
+          // tree + named_struct allocation (r20 profile: ~2.1 s executor-
+          // run for ~900 k pairs, ~10× the codegen cost of the same work).
+          // posexplode + explode(slice(...)) emit the identical pair
+          // multiset entirely inside whole-stage codegen.
+          .select(col("ss"), posexplode(col("ss")).as(Seq("i", "u")))
+          .select(col("u"), explode(slice(col("ss"), col("i") + 2,
+            size(col("ss")) - col("i") - 1)).as("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
         val e = pairs.filter(col("w") >= 2).select(col("u"), col("v"))
-        val adj = e.union(e.select(col("v").as("u"), col("u").as("v"))).localCheckpoint()
+        // local explode instead of e.union(e.swap) — see g9: one read of
+        // the pair aggregate instead of two full passes
+        val adj = e.select(explode(array(
+            struct(col("u"), col("v")),
+            struct(col("v").as("u"), col("u").as("v")))).as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v"))
+          .localCheckpoint()
         val seeds = Tables.supplier(s, d)
           .filter(col("s_suppkey") % 97 === 0)
           .select(col("s_suppkey").cast("long").as("node"))
@@ -433,16 +487,24 @@ object GraphPack extends QueryPack {
           .groupBy(col("l_orderkey"))
           .agg(sort_array(collect_set(col("l_partkey").cast("long"))).as("ss"))
           .filter(size(col("ss")) >= 2)
-          // explicit-count repartition before the explode: AQE coalesces
-          // the compact post-aggregate shuffle read by SIZE (4 tasks at
-          // sf0.1), but the local pair generation multiplies rows ~6× and
-          // is the stage's compute — REPARTITION_BY_NUM spreads it
-          .repartition(s.sessionState.conf.numShufflePartitions, col("l_orderkey"))
-          .select(explode(expr(
-            "flatten(transform(ss, (a, i) -> transform(" +
-              "slice(ss, i + 2, size(ss) - i - 1), " +
-              "b -> named_struct('u', a, 'v', b))))")).as("p"))
-          .groupBy(col("p.u").as("u"), col("p.v").as("v")).agg(count(lit(1)).as("w"))
+          // widened-key repartition before the explode — see g9: same-key
+          // repartition is optimizer-removed and AQE coalesces the explode
+          // onto 4 tasks; the widened deterministic key keeps a real
+          // REPARTITION_BY_NUM exchange that spreads it (guide §2.5)
+          .repartition(s.sessionState.conf.numShufflePartitions,
+            pmod(xxhash64(col("l_orderkey")),
+              lit(s.sessionState.conf.numShufflePartitions * 32)))
+          // pair generation as two chained codegen generators instead of
+          // flatten(transform(... transform(...))): higher-order functions
+          // are CodegenFallback — every pair paid an interpreted lambda
+          // tree + named_struct allocation (r20 profile: ~2.1 s executor-
+          // run for ~900 k pairs, ~10× the codegen cost of the same work).
+          // posexplode + explode(slice(...)) emit the identical pair
+          // multiset entirely inside whole-stage codegen.
+          .select(col("ss"), posexplode(col("ss")).as(Seq("i", "u")))
+          .select(col("u"), explode(slice(col("ss"), col("i") + 2,
+            size(col("ss")) - col("i") - 1)).as("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
         val e = pairs.filter(col("w") >= 2).select(col("u"), col("v")).localCheckpoint()
         val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
         val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
@@ -450,11 +512,13 @@ object GraphPack extends QueryPack {
           .groupBy(col("u").as("w"))
           .agg(sort_array(collect_set(col("v"))).as("ns"))
           .filter(size(col("ns")) >= 2)
-          .select(explode(expr(
-            "flatten(transform(ns, (a, i) -> transform(" +
-              "slice(ns, i + 2, size(ns) - i - 1), " +
-              "b -> named_struct('u', a, 'v', b))))")).as("p"))
-          .groupBy(col("p.u").as("u"), col("p.v").as("v")).agg(count(lit(1)).as("cn"))
+          // codegen generator chain instead of interpreted HOF lambdas —
+          // same rewrite as the pair build above; this site is the Σdeg²
+          // triangle-bound explode, where the per-pair cost matters most
+          .select(col("ns"), posexplode(col("ns")).as(Seq("i", "u")))
+          .select(col("u"), explode(slice(col("ns"), col("i") + 2,
+            size(col("ns")) - col("i") - 1)).as("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
           .filter(col("cn") >= 2)
         cn.join(e, Seq("u", "v"), "left_anti")
           .join(deg.select(col("u"), col("deg").as("deg_u")), Seq("u"))

@@ -200,9 +200,12 @@ object PlanDump {
       "g9_label_propagation" -> ("Mode-label propagation: co-occurrence " +
         "pairs generate locally inside per-order posting lists (one corpus " +
         "shuffle, no fact self-join), aggregate to an edge list that " +
-        "localCheckpoints once (Scan ExistingRDD under both rounds); each " +
-        "round is one adjacency-labels equi-join + a count aggregate + a " +
-        "min(struct) argmax — all exchange-sized by the edge table."),
+        "localCheckpoints once (Scan ExistingRDD under both rounds); " +
+        "round 1 specializes to one map-reducible min(v) aggregate (labels " +
+        "start as identity and adjacency rows are distinct, so every " +
+        "(u,lbl) count is 1 — r20), round 2 is the general adjacency-" +
+        "labels equi-join + count aggregate + min(struct) argmax — all " +
+        "exchange-sized by the edge table."),
       "x26_bootstrap_ci" -> ("One-pass bootstrap: all 32 weighted-replicate " +
         "sums live in ONE HashAggregate (64 partial-combined accumulators), " +
         "so resampling costs zero extra scans and zero row duplication — " +

@@ -30,6 +30,7 @@ object QueryProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     case class St(name: String, tasks: Int, runMs: Long, wallMs: Long,
+        gcMs: Long, wtMs: Long, fwMs: Long, desMs: Long,
         inRec: Long, sRead: Long, sWrite: Long)
     // appended from the listener-bus thread, cleared/read from main: every
     // access synchronizes on the buffer, and each rep drains the bus
@@ -43,7 +44,10 @@ object QueryProfile {
         val wall = (for { s <- i.submissionTime; c <- i.completionTime } yield c - s).getOrElse(-1L)
         val m = i.taskMetrics
         val st = St(i.name.takeWhile(_ != '\n'), i.numTasks,
-          m.executorRunTime, wall, m.inputMetrics.recordsRead,
+          m.executorRunTime, wall, m.jvmGCTime,
+          m.shuffleWriteMetrics.writeTime / 1000000,
+          m.shuffleReadMetrics.fetchWaitTime, m.executorDeserializeTime,
+          m.inputMetrics.recordsRead,
           m.shuffleReadMetrics.recordsRead, m.shuffleWriteMetrics.recordsWritten)
         stages.synchronized { stages += st }
       }
@@ -60,7 +64,7 @@ object QueryProfile {
     }
     println(f"[profile] final-rep stages (executor-run-ms desc):")
     stages.synchronized(stages.sortBy(-_.runMs).toList).foreach { s =>
-      println(f"[profile]   run=${s.runMs}%6d ms  wall=${s.wallMs}%6d ms  tasks=${s.tasks}%3d  in=${s.inRec}%8d  sr=${s.sRead}%8d  sw=${s.sWrite}%8d  ${s.name}")
+      println(f"[profile]   run=${s.runMs}%6d ms  wall=${s.wallMs}%6d ms  gc=${s.gcMs}%5d  wt=${s.wtMs}%5d  fw=${s.fwMs}%5d  des=${s.desMs}%5d  tasks=${s.tasks}%3d  in=${s.inRec}%8d  sr=${s.sRead}%8d  sw=${s.sWrite}%8d  ${s.name}")
     }
     if (sys.env.contains("PROFILE_EXPLAIN")) {
       val df = q(spark, sfDir)
