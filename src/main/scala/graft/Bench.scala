@@ -17,15 +17,39 @@ object Bench {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        // r20: serialized sort shuffle writer for wide fan-out exchanges
+        // (guide §2.1/§2.2). With reduce counts at or below the 200 default
+        // threshold, Spark picks BypassMergeSortShuffleWriter, which opens
+        // one stream+32KB buffer PER REDUCE PARTITION per map task — at
+        // local[32]/32 partitions that is 32 file streams per task, a pure
+        // small-R artifact that profiled at ~106 ms/task of shuffle-write
+        // time on 36k-row writes and taxed every 32-task shuffle-map stage
+        // in the suite. Production reduce counts at 100 TB are far above
+        // 200, so any value ≤200 is scale-neutral — the sort writer is what
+        // runs there regardless. 8, not lower: genuinely tiny-R exchanges
+        // (final 1-3 partition sorts, coalesced stages) measurably prefer
+        // bypass (its design regime; =1 cost x17 +1.1s and the calibration
+        // probe +2.1s vs =8 in a same-window A/B). Static (not derived from
+        // $SPARK_GRAFT_CPUS) and overridable via SPARK_GRAFT_CONF below.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "8")
       // r19 ops hook: extra session confs as ';'-separated k=v pairs — the
       // same engine knobs a cluster deployment sets via spark-submit
       // (e.g. join-strategy policy, guide §3.1/§9). Absent → byte-identical
       // defaults; the driver never sets it, so the contract is unchanged.
+      // Each applied override is logged (ADVICE r19): a certified run must
+      // record the exact session config it ran under, and overriding an
+      // oracle-pinned key (timezone, nanosAsLong, partitions) is loud.
       sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
         .foreach { kv =>
           val i = kv.indexOf('=')
           require(i > 0, s"SPARK_GRAFT_CONF entry needs k=v: $kv")
-          b.config(kv.substring(0, i), kv.substring(i + 1))
+          val k = kv.substring(0, i)
+          val pinned = Set("spark.sql.shuffle.partitions",
+            "spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
+          System.err.println(
+            s"[bench] SPARK_GRAFT_CONF override: $kv" +
+              (if (pinned(k)) "  ** WARNING: overrides an oracle-pinned config **" else ""))
+          b.config(k, kv.substring(i + 1))
         })
       val s = b
         // localCheckpoint blocks (SetSimJoin, t25, CC, ...) are freed only

@@ -52,6 +52,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * Exact and deterministic when `sortCols` is a total order (callers pass a
   * unique tiebreak column, same as any reproducible rank); every task holds
   * ~1/P of the data regardless of N.
+  *
+  * == Deployment note: localCheckpoint and fault tolerance ==
+  *
+  * The range-shuffled frame is materialized with `localCheckpoint()` because
+  * `repartitionByRange` EXECUTES ITS INPUT TWICE (once for the range-boundary
+  * sampling pass, once for the shuffle write) and the offsets job plus the
+  * downstream consumer must see the same sampled partition boundaries.
+  * `localCheckpoint` stores the blocks in executor block managers: on a
+  * single machine (this repo's bench/verify) that is free of cluster risk,
+  * but on a real cluster it is NOT fault-tolerant — a lost executor loses
+  * its blocks and the truncated lineage cannot recompute them (the job
+  * fails and must be rerun), and the pinned blocks hold block-manager
+  * memory/disk until the driver GCs the frame. For long-running cluster
+  * deployments, substitute reliable checkpointing: set
+  * `spark.checkpoint.dir` to durable storage and call `.checkpoint()`
+  * (or write/read an intermediate table) at the `localCheckpoint()` sites —
+  * same plan shape and semantics, one extra write to durable storage. The
+  * trade is deliberate here: checkpointed frames in these operators are
+  * aggregate-/document-sized, recomputed inside every run, and never reused
+  * across runs.
   */
 object GlobalOrder {
 
@@ -370,16 +390,17 @@ object GlobalOrder {
         val local = new Array[Any](nM)
         val off = new Array[Any](nM)
         val tot = new Array[Any](nM)
+        // one zeros vector per partition, not per key change (ADVICE r19):
+        // zeroOf values are immutable (Decimal(0)/0L/0.0), safe to share
+        val zeros: IndexedSeq[Any] = sTypesArr.toIndexedSeq.map(zeroOf)
         it.map { r =>
           if (pid < 0) pid = r.getInt(pidIdx)
           if (keyChanged(r)) {
             started = true
-            val zeros = sTypesArr.map(zeroOf)
-            val ot = offTot.getOrElse((pid, lookupKey),
-              (zeros.toIndexedSeq, zeros.toIndexedSeq))
+            val ot = offTot.getOrElse((pid, lookupKey), (zeros, zeros))
             var i = 0
             while (i < nM) {
-              local(i) = zeroOf(sTypesArr(i)); off(i) = ot._1(i); tot(i) = ot._2(i)
+              local(i) = zeros(i); off(i) = ot._1(i); tot(i) = ot._2(i)
               i += 1
             }
           }

@@ -240,11 +240,14 @@ class GlobalOrderSpec extends AnyFunSuite {
     val rows = out.select($"id", $"c1", $"c2", $"t1", $"t2").collect()
     var s1 = 0L; var s2 = 0L
     val byId = rows.map(r => r.getInt(0) -> r).toMap
+    // constant expected total hoisted out of the loop (ADVICE r19: the
+    // in-loop recompute made this assertion O(n^2) per run)
+    val t1Want = rows.map(_.getInt(0) % 17).map(_.toLong).sum
     (1 to 6000).foreach { i =>
       s1 += (i % 17).toLong; s2 += (i % 3).toLong
       val r = byId(i)
       assert(r.getLong(1) == s1 && r.getLong(2) == s2, s"id $i")
-      assert(r.getLong(3) == rows.map(_.getInt(0) % 17).map(_.toLong).sum)
+      assert(r.getLong(3) == t1Want)
     }
     val windows = out.queryExecution.optimizedPlan.collect {
       case wn: org.apache.spark.sql.catalyst.plans.logical.Window => wn

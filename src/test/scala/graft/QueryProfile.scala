@@ -26,6 +26,15 @@ object QueryProfile {
       .config("spark.ui.enabled", "false")
     sys.env.get("PROFILE_MAX_PARTITION_BYTES")
       .foreach(v => b.config("spark.sql.files.maxPartitionBytes", v))
+    // mirror Bench's r20 engine default + the SPARK_GRAFT_CONF hook so
+    // profiles run under the same session config the bench measures
+    b.config("spark.shuffle.sort.bypassMergeThreshold", "8")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"SPARK_GRAFT_CONF entry needs k=v: $kv")
+        b.config(kv.substring(0, i), kv.substring(i + 1))
+      })
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
