@@ -19,15 +19,23 @@ import org.apache.spark.sql.functions._
   *      a block can never contribute to any pair's intersection; dropping
   *      those postings changes nothing (most shingles in natural text are
   *      singletons, so this alone shrinks the index severalfold).
-  *   2. '''Prefix filter''' — order each document's shingles globally by
-  *      (df ascending, shingle): rarest first. Any pair whose qualifying
+  *   2. '''Prefix filter''' — order each document's shingles by a global
+  *      total order: df=1 shingles first, then df≥2 by (df ascending,
+  *      shingle) — rarest SHAREABLE first. Any pair whose qualifying
   *      direction needs intersection ≥ α = ⌈t·n_a⌉ must expose at least one
   *      shared shingle among a's first n_a − α + 1 shingles (pigeonhole: the
-  *      tail holds only α−1). So candidate generation joins each doc's
-  *      PREFIX postings against full (df-pruned) postings — the join now
-  *      keys on the RAREST shingles, exactly the ones with tiny posting
-  *      lists, and a hot shingle is consulted only by the few docs whose
-  *      prefix reaches it, never f² times.
+  *      tail holds only α−1), and every shared shingle has df ≥ 2, so with
+  *      singletons ordered first it must sit among a's first
+  *      m_a − α + 1 PRUNED shingles (m_a = a's df≥2 count; r20 — the d1 =
+  *      n_a − m_a singleton slots of the full-set prefix cannot host it).
+  *      So candidate generation joins each doc's PREFIX postings against
+  *      full (df-pruned) postings — the join keys on the rarest shingles,
+  *      exactly the ones with tiny posting lists, a hot shingle is
+  *      consulted only by the few docs whose prefix reaches it (never f²
+  *      times), and a document whose pruned list cannot reach its own
+  *      α (m_a < α, the common case in singleton-dominated corpora) has an
+  *      EMPTY prefix — it is still reachable as the full side of a
+  *      qualifying partner's prefix.
   *   3. '''Positional filter''' (PPJoin, Xiao et al. WWW'08 §3.2) — a match
   *      on shingle w at rank i of a's ordered (df-pruned) list and rank j of
   *      b's bounds the whole intersection: common elements ordered ≤ w
@@ -100,19 +108,31 @@ object SetSimJoin {
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") >= 2)
     val pruned = postings.join(dfs, Seq("__blk", "__t"))
-    // prefix of the FULL set under the global (df asc, shingle) order with
-    // df=1 elements ordered last: ranking the pruned postings by (df,
-    // shingle) and cutting at plen = n − ⌈t·n⌉ + 1 yields exactly the
-    // df≥2 members of that full-set prefix (dropped df=1 members cannot be
-    // shared, so candidate completeness is unaffected). __m (pruned list
-    // size) rides along for the positional bound — same window partitioning,
-    // so it costs no extra shuffle.
+    // prefix of the FULL set under the global order (df=1 shingles first,
+    // then df≥2 by (df asc, shingle) — rarest-shareable-first). The order is
+    // a consistent global total order because df is a per-(block, shingle)
+    // property; df=1 members can never be shared, so placing them FIRST
+    // makes the full-set prefix of length n − ⌈t·n⌉ + 1 spend its first
+    // n − m slots (the doc's singleton count) on unshareable elements, and
+    // the shared element the pigeonhole guarantees must sit among the first
+    //   plen = (n − ⌈t·n⌉ + 1) − (n − m) = m − ⌈t·n⌉ + 1
+    // PRUNED postings. (r20: the previous cut ranked df=1 last — plen was
+    // n − ⌈t·n⌉ + 1 over the pruned list, i.e. d1 = n − m positions looser
+    // per document. Singletons dominate natural corpora, so most documents'
+    // m < ⌈t·n⌉ now yields an EMPTY prefix — exactly the docs whose own
+    // direction can never qualify since inter ≤ m; they remain reachable as
+    // the full side of a qualifying partner's prefix join. Measured at
+    // sf0.1/t=0.5 (R20ProbeSetSim): prefix postings 99,016 → 1,078,
+    // distinct candidate pairs 56,261 → 802, verified rows 4,136 → 580,
+    // identical qualifying pairs.) __m (pruned list size)
+    // rides along for the positional bound — same window partitioning, so
+    // it costs no extra shuffle.
     val w = Window.partitionBy(col("__id"))
     val ranked = pruned
       .withColumn("__rn", row_number().over(w.orderBy(col("__df"), col("__t"))))
       .withColumn("__m", count(lit(1)).over(w))
     val prefix = ranked
-      .filter(col("__rn") <= col("__n") - ceil(lit(t) * col("__n")).cast("int") + 1)
+      .filter(col("__rn") <= col("__m") - ceil(lit(t) * col("__n")).cast("int") + 1)
       .select(col("__blk"), col("__t"), col("__id").as("__pid"),
         col("__rn").as("__pi"), col("__m").as("__pm"), col("__n").as("__pn"))
     // positional filter: each prefix match bounds the intersection (see

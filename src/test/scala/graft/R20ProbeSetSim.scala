@@ -45,7 +45,7 @@ object R20ProbeSetSim {
       .withColumn("__m", count(lit(1)).over(w))
       .localCheckpoint()
     val prefix = ranked
-      .filter(col("__rn") <= col("__n") - ceil(lit(t) * col("__n")).cast("int") + 1)
+      .filter(col("__rn") <= col("__m") - ceil(lit(t) * col("__n")).cast("int") + 1)
       .select(col("__blk"), col("__t"), col("__id").as("__pid"),
         col("__rn").as("__pi"), col("__m").as("__pm"), col("__n").as("__pn"))
     val joined = prefix
