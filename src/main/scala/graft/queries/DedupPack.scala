@@ -939,10 +939,17 @@ object DedupPack extends QueryPack {
         // subtraction is exact double math.
         import graft.functions.TextExpressions
         val docs = Tables.documents(s, d)
+        // r20: SIX subtrees consume the signature frame (both sides of both
+        // band joins + sa/sb), and three consume the token postings (sizes
+        // + both intersection sides) — each previously re-ran the minhash
+        // kernel / token explode from the scan. Materialize both once; the
+        // signature frame is 5 longs per document, the postings are the
+        // same token frame t14's feat checkpoint precedent covers.
         val sigs = docs
           .select(col("doc_id"), TextExpressions.minhashSignature(col("text"), MhSeeds).as("sig"))
           .select(
             col("doc_id") +: MhSeeds.indices.map(i => col("sig").getItem(i).as(s"mh$i")): _*)
+          .localCheckpoint()
         // deterministic pair sample: an estimator eval measures error on a
         // reproducible slice, not on every candidate (the candidate set
         // grows superlinearly in corpus size; the eval must not). The hash
@@ -957,6 +964,7 @@ object DedupPack extends QueryPack {
         }
         val cands = bandPairs("mh0", "mh1").unionByName(bandPairs("mh2", "mh3")).distinct()
         val tok = docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+          .localCheckpoint()
         val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
         val inter = cands
           .join(tok.select(col("doc_id").as("a_id"), col("token")), Seq("a_id"))
